@@ -1,0 +1,31 @@
+"""lantern_spark — a PySpark-native vector analytics engine.
+
+A from-scratch re-expression of the capabilities of lanterndata/lantern
+(a PostgreSQL HNSW vector extension + Rust CLI toolkit) on Apache Spark:
+
+- vector distance functions as pure Catalyst column expressions
+  (reference: lantern_hnsw/src/hnsw.c:296-405)
+- exact and approximate top-k nearest-neighbor search and KNN joins
+  (reference: lantern_hnsw/src/hnsw/scan.c)
+- batch ANN index construction — IVF partition pruning + per-shard
+  search replacing the external-index socket protocol
+  (reference: lantern_cli/src/external_index/server.rs)
+- product / scalar quantization with broadcast codebooks
+  (reference: lantern_hnsw/src/hnsw/pqtable.c, lantern_cli/src/pq/)
+- BM25 full-text scoring + stemming/tokenization
+  (reference: lantern_extras/src/bm25_agg.rs, stemmers.rs)
+- weighted multi-vector search (reference: lantern_hnsw/sql/lantern.sql:673-819)
+- embedding pipelines, batch + structured-streaming incremental
+  (reference: lantern_cli/src/embeddings/)
+- index autotune harness (reference: lantern_cli/src/index_autotune/)
+- LLM-data-pipeline extensions: dedup (exact/minhash-LSH/simhash/
+  ngram-jaccard/embedding), similarity search, text analysis,
+  multimodal column plumbing.
+
+Everything is DataFrame-in / DataFrame-out and designed for 100 TB scale:
+no driver-side collection except tiny codebooks/centroids/manifests.
+"""
+
+__version__ = "0.1.0"
+
+from lantern_spark.types import Metric, VectorColumnSpec  # noqa: F401

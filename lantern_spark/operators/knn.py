@@ -1,0 +1,177 @@
+"""Exact top-k nearest-neighbor search and KNN joins.
+
+Reference read path: ``SELECT … ORDER BY v <-> q LIMIT k`` routed to the
+HNSW index AM (lantern_hnsw/src/hnsw/scan.c:24-338). On Spark, the exact
+variant is declared as ``orderBy(dist).limit(k)`` and Catalyst compiles it
+to ``TakeOrderedAndProject`` — per-partition top-k heaps + a single
+driver-side merge of k rows per partition, i.e. the optimal distributed
+plan with no full sort and no full shuffle. The approximate variant lives
+in operators/index.py (IVF partition pruning), mirroring the index route.
+
+Scale notes (100 TB): top-k per partition is O(rows·dim) scan +
+O(k·num_partitions) merge; no shuffle of the base data. The KNN join
+broadcasts the (small) query side — never the base table — and computes
+per-query top-k with a window, which shuffles only (query_id, dist, id)
+tuples, not vectors.
+
+Filter+KNN semantics: Lantern applies WHERE *after* index candidates
+(SURVEY §4; test/sql/hnsw_select.sql:51) which can under-fill k. Exact
+search here filters BEFORE top-k (strictly better semantics); the ANN
+path exposes `oversample` for the reference-style post-filter behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lantern_spark.functions.distances import distance
+from lantern_spark.functions.vectors import vec_lit
+from lantern_spark.types import MAX_K
+
+
+def _query_col(query) -> Column:
+    if isinstance(query, Column):
+        return query
+    if isinstance(query, (list, tuple)):
+        return vec_lit(query)
+    return F.col(query)
+
+
+def knn_search(
+    df: DataFrame,
+    column: str,
+    query,
+    k: int = 10,
+    metric: str = "l2sq",
+    dist_col: str = "dist",
+    where: Optional[Column] = None,
+    tie_break: Optional[str] = None,
+) -> DataFrame:
+    """Exact top-k rows of ``df`` nearest to ``query`` under ``metric``.
+
+    Equivalent of ``SELECT * ORDER BY col <op> q LIMIT k`` with an exact
+    scan (the reference's fallback plan when no index exists; with an
+    index the result is approximate — scan.c:332-333 trusts index order).
+
+    ``tie_break``: optional column name appended to the ordering so
+    results are deterministic under distance ties (needed for oracle
+    hash comparison; the reference's order under ties is unspecified).
+    """
+    if k > MAX_K:
+        # Lantern warns & stops growth past 1000 (scan.c:240-292); we
+        # allow it but keep the constant documented.
+        pass
+    q = _query_col(query)
+    out = df.withColumn(dist_col, distance(F.col(column), q, metric))
+    if where is not None:
+        out = out.filter(where)
+    order = [F.col(dist_col).asc_nulls_last()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return out.orderBy(*order).limit(k)
+
+
+def knn_join(
+    base: DataFrame,
+    base_col: str,
+    queries: DataFrame,
+    query_col: str,
+    k: int = 10,
+    metric: str = "l2sq",
+    dist_col: str = "dist",
+    broadcast_queries: bool = True,
+    tie_break: Optional[str] = None,
+) -> DataFrame:
+    """For every row of ``queries``, the k nearest rows of ``base``.
+
+    Reference analog: LATERAL knn subqueries
+    (test/sql/hnsw_dist_func.sql:66-90). Plan shape: broadcast the query
+    side (small by assumption), cross-join against the base scan, then a
+    per-query window top-k. The base table is never shuffled whole — only
+    the joined (query_id, dist) projection enters the window exchange.
+
+    Column collisions: caller should ensure disjoint names or alias
+    upstream; distance lands in ``dist_col``.
+    """
+    qdf = F.broadcast(queries) if broadcast_queries else queries
+    joined = base.crossJoin(qdf).withColumn(
+        dist_col, distance(F.col(base_col), F.col(query_col), metric)
+    )
+    qkeys = [c for c in queries.columns if c != query_col]
+    order = [F.col(dist_col).asc_nulls_last()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(*qkeys).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def weighted_vector_search(
+    df: DataFrame,
+    terms: Sequence[tuple],
+    k: int = 10,
+    metric: str = "l2sq",
+    id_col: str = "id",
+    ef: int = 64,
+    max_dist: Optional[float] = None,
+    exact: bool = True,
+    dist_col: str = "joint_dist",
+    tie_break: Optional[str] = None,
+) -> DataFrame:
+    """Weighted multi-vector search (≤3 terms in the reference).
+
+    Reference: lantern.sql:673-819 ``lantern.weighted_vector_search``.
+    ``terms`` = [(weight, column, query_vector), ...]; joint score is
+    Σ wᵢ·dist(colᵢ, qᵢ).
+
+    exact=True: one scan ordered by the joint expression (the reference's
+    exact mode — a single ``ORDER BY Σ wᵢ·(colᵢ <op> qᵢ)``).
+
+    exact=False: reference approx mode — per-term top-``ef`` candidate
+    CTEs, UNION ALL, DISTINCT ON (id), re-rank by the joint metric. Here:
+    per-term exact top-ef → unionByName → dropDuplicates(id) → joint
+    re-rank. With an ANN index the per-term candidate step would use it;
+    candidate generation is exact top-ef in v1 (a superset guarantee).
+
+    ``max_dist``: post-filter on the joint score (reference applies
+    ``WHERE joint < max_dist``).
+    """
+    if not terms:
+        raise ValueError("at least one (weight, column, query) term required")
+    if len(terms) > 3:
+        raise ValueError("reference supports at most 3 weighted terms (lantern.sql:673)")
+
+    def joint(frame: DataFrame) -> Column:
+        expr = F.lit(0.0)
+        for w_, col_, q_ in terms:
+            expr = expr + F.lit(float(w_)) * distance(F.col(col_), _query_col(q_), metric)
+        return expr
+
+    if exact:
+        cand = df
+    else:
+        parts = []
+        for w_, col_, q_ in terms:
+            parts.append(
+                knn_search(
+                    df, col_, q_, k=ef, metric=metric, dist_col="__term_dist",
+                    tie_break=tie_break or id_col,
+                ).drop("__term_dist")
+            )
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        cand = cand.dropDuplicates([id_col])
+
+    out = cand.withColumn(dist_col, joint(cand))
+    if max_dist is not None:
+        out = out.filter(F.col(dist_col) < float(max_dist))
+    order = [F.col(dist_col).asc_nulls_last()]
+    order.append(F.col(tie_break or id_col).asc())
+    return out.orderBy(*order).limit(k)

@@ -1,0 +1,84 @@
+"""Central query/oracle registry — the correctness surface of the engine.
+
+Every implemented operator registers:
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- an equivalent DuckDB ANSI-SQL oracle string (or None for
+  non-SQL-expressible ops → the driver does a rows-only check).
+
+Conventions for engine/oracle hash parity:
+- Every float output is ``round(x, 6)`` on BOTH sides.
+- Every top-k is ordered by (rounded value, id) on BOTH sides so
+  boundary ties break identically.
+- Column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> Dict[str, str]:
+    _ensure_loaded()
+    return dict(_ORACLES)
+
+
+_loaded = False
+
+
+def _ensure_loaded():
+    global _loaded
+    if _loaded:
+        return
+    # Import for side effect: each module registers its queries.
+    from lantern_spark.queries import (  # noqa: F401
+        vector as _q_vector,
+    )
+    try:
+        from lantern_spark.queries import text as _q_text  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from lantern_spark.queries import relational as _q_rel  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from lantern_spark.queries import dedup as _q_dedup  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from lantern_spark.queries import quantize as _q_quant  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from lantern_spark.queries import textstats as _q_ts  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from lantern_spark.queries import ann as _q_ann  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from lantern_spark.queries import pipeline as _q_pipe  # noqa: F401
+    except ImportError:
+        pass
+    _loaded = True

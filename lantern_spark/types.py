@@ -1,0 +1,181 @@
+"""Core types: metric enum, vector column spec, index manifests.
+
+Reference parity:
+- metric names {l2sq, cos, cosine, hamming} mirror
+  lantern_hnsw/src/hnsw/utils.c:267-278 (``ldb_ResolveMetric``).
+- ``VectorColumnSpec`` plays the role of Lantern's declared/inferred
+  dimension checking (lantern_hnsw/src/hnsw/build.c:242-369,
+  options.c:233-243): Spark arrays are variable-length, so the
+  fixed-dim invariant must be asserted explicitly.
+- ``IndexManifest`` is the analog of ``HnswIndexHeaderPage``
+  (lantern_hnsw/src/hnsw/external_index.h:38-56): the small metadata
+  blob that makes a persisted index artifact self-describing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from enum import Enum
+from typing import Optional
+
+
+class Metric(str, Enum):
+    """Distance metric. Values mirror utils.c:267-278 name resolution."""
+
+    L2SQ = "l2sq"
+    COS = "cos"
+    COSINE = "cosine"  # alias accepted by the reference
+    HAMMING = "hamming"
+    INNER = "inner"  # negative inner product (pgvector-style extension)
+
+    @classmethod
+    def resolve(cls, name: "str | Metric") -> "Metric":
+        if isinstance(name, Metric):
+            m = name
+        else:
+            try:
+                m = cls(str(name).lower())
+            except ValueError:
+                raise ValueError(
+                    f"Unsupported metric kind: {name} "
+                    f"(expected one of {[m.value for m in cls]})"
+                ) from None
+        return cls.COS if m is cls.COSINE else m
+
+
+# Reference default HNSW build params (lantern_hnsw/src/hnsw/options.h:14-27)
+DEFAULT_M = 16
+DEFAULT_EF_CONSTRUCTION = 128
+DEFAULT_EF = 64
+DEFAULT_INIT_K = 10  # options.h:44
+MAX_K = 1000  # options.h:45
+MAX_DIM = 2000  # options.h:15
+
+
+@dataclass(frozen=True)
+class VectorColumnSpec:
+    """Schema contract for a vector column (fixed dim + metric).
+
+    Lantern infers/declares dim and re-checks on every insert
+    (build.c:339-352 CheckHnswIndexDimensions). ``validate(df)``
+    is that check as a DataFrame assertion.
+    """
+
+    column: str
+    dim: int
+    metric: Metric = Metric.L2SQ
+    dtype: str = "float"  # float | int (hamming bit-packed int32)
+
+    def __post_init__(self):
+        if self.dim <= 0:
+            raise ValueError("dim must be positive")
+        if self.dim > MAX_DIM:
+            raise ValueError(f"dim {self.dim} exceeds max {MAX_DIM} (options.h:15)")
+
+    def validate(self, df):
+        """Return rows violating the fixed-dim invariant (empty == valid).
+
+        NULL vectors are allowed (Lantern skips them: build.c:153-154).
+        """
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        return df.filter(c.isNotNull() & (F.size(c) != self.dim))
+
+    def assert_valid(self, df) -> None:
+        bad = self.validate(df)
+        n = bad.limit(1).count()
+        if n:
+            row = bad.select(self.column).first()
+            got = len(row[0]) if row and row[0] is not None else None
+            raise ValueError(
+                f"Vector column '{self.column}' dimension mismatch: "
+                f"expected {self.dim}, found array of length {got}"
+            )
+
+
+@dataclass
+class IndexManifest:
+    """Self-describing metadata for a persisted ANN index artifact.
+
+    Analog of HnswIndexHeaderPage (external_index.h:38-56): stores the
+    params needed to open/search the index without rescanning data.
+    """
+
+    kind: str  # "ivf" | "ivf_hnsw" | "flat"
+    column: str
+    id_column: str
+    metric: str
+    dim: int
+    num_vectors: int
+    nlist: int = 0  # IVF partition count (0 = flat)
+    params: dict = field(default_factory=dict)
+    version: int = 1
+    magic: str = "lantern-spark-index"  # header magicNumber analog
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(asdict(self), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "IndexManifest":
+        with open(os.path.join(path, "manifest.json")) as f:
+            d = json.load(f)
+        if d.get("magic") != "lantern-spark-index":
+            raise ValueError(f"Not a lantern-spark index at {path}")
+        return cls(**d)
+
+
+@dataclass(frozen=True)
+class PQSpec:
+    """Product-quantization parameters.
+
+    Constraints mirror pqtable.c:81-91,118-127: clusters ≤ 256,
+    dim divisible by splits (subvector count).
+    """
+
+    dim: int
+    splits: int
+    clusters: int = 256
+    seed: int = 42
+
+    def __post_init__(self):
+        if self.clusters > 256:
+            raise ValueError("clusters must be ≤ 256 (pqtable.c:85-87)")
+        if self.clusters < 1:
+            raise ValueError("clusters must be ≥ 1")
+        if self.splits < 1 or self.splits > self.dim:
+            raise ValueError("splits must be in [1, dim] (pqtable.c:118-127)")
+        if self.dim % self.splits != 0:
+            raise ValueError(
+                f"dim {self.dim} not divisible by splits {self.splits} "
+                "(pqtable.c:81-91)"
+            )
+
+    @property
+    def subdim(self) -> int:
+        return self.dim // self.splits
+
+
+def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
+    """Benchmark data dir, overridable via $SPARK_GRAFT_SF_DIR."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark, sf_dir: str, name: str):
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark, sf_dir: str, names: Optional[list] = None) -> dict:
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,133 @@
+"""Exact KNN search / KNN join / weighted search vs DuckDB oracle.
+
+Reference behaviors ported: top-k ordering (scan.c fetch loop), LATERAL
+knn-join (hnsw_dist_func.sql:66-90), weighted_vector_search
+(lantern.sql:673-819).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_spark.functions import cos_dist, l2sq_dist, vec_lit
+from lantern_spark.operators.knn import knn_join, knn_search, weighted_vector_search
+from tests.conftest import assert_matches_oracle
+
+Q64 = [float((i * 37 % 97) / 97.0) for i in range(64)]
+QLIT = "[" + ",".join(repr(x) for x in Q64) + "]::DOUBLE[]"
+
+L2SQ_DUCK = (
+    "list_sum(list_transform(list_zip({a}::DOUBLE[], {b}), x -> (x[1]-x[2])*(x[1]-x[2])))"
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_knn_search_topk_oracle(emb, duck):
+    sdf = (
+        knn_search(emb, "embedding", Q64, k=10, metric="l2sq")
+        .select("vec_id", F.round("dist", 6).alias("dist"))
+        .orderBy(F.round("dist", 6), "vec_id")
+        .limit(10)
+    )
+    # round-then-order in BOTH engines so boundary ties break identically
+    sql = f"""
+        SELECT vec_id, round({L2SQ_DUCK.format(a='embedding', b=QLIT)}, 6) AS dist
+        FROM embeddings ORDER BY dist, vec_id LIMIT 10
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_knn_search_with_filter(emb, duck):
+    sdf = (
+        knn_search(emb, "embedding", Q64, k=5, metric="cos",
+                   where=F.col("label") == 3, tie_break="vec_id")
+        .select("vec_id", "label", F.round("dist", 6).alias("dist"))
+    )
+    sql = f"""
+        SELECT vec_id, label,
+               round(1.0 - list_sum(list_transform(list_zip(embedding::DOUBLE[], {QLIT}), x -> x[1]*x[2]))
+                 / sqrt(list_sum(list_transform(embedding::DOUBLE[], x->x*x))
+                      * list_sum(list_transform({QLIT}, x->x*x))), 6) AS dist
+        FROM embeddings WHERE label = 3 ORDER BY dist, vec_id LIMIT 5
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_knn_join_oracle(emb, duck):
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    sdf = (
+        knn_join(
+            emb.select("vec_id", "embedding"), "embedding",
+            queries, "qv", k=3, metric="l2sq", tie_break="vec_id",
+        )
+        .select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+    )
+    sql = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        d AS (SELECT q.query_id, e.vec_id,
+                     round({L2SQ_DUCK.format(a='e.embedding', b='q.qv')}, 6) AS dist,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY {L2SQ_DUCK.format(a='e.embedding', b='q.qv')}, e.vec_id) AS rn
+              FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id, dist FROM d WHERE rn <= 3
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_weighted_search_exact_oracle(emb, duck):
+    # two vector columns: embedding and its elementwise square (derived)
+    df = emb.withColumn("v2", F.transform("embedding", lambda x: x * x))
+    q2 = [x * x for x in Q64]
+    sdf = (
+        weighted_vector_search(
+            df, [(0.7, "embedding", Q64), (0.3, "v2", q2)],
+            k=8, metric="l2sq", id_col="vec_id",
+        )
+        .select("vec_id", F.round("joint_dist", 6).alias("joint_dist"))
+    )
+    q2lit = "[" + ",".join(repr(x) for x in q2) + "]::DOUBLE[]"
+    sql = f"""
+        WITH s AS (
+          SELECT vec_id,
+                 0.7 * {L2SQ_DUCK.format(a='embedding', b=QLIT)}
+               + 0.3 * {L2SQ_DUCK.format(a='list_transform(embedding::DOUBLE[], x -> x*x)', b=q2lit)}
+                 AS jd
+          FROM embeddings)
+        SELECT vec_id, round(jd, 6) AS joint_dist
+        FROM s ORDER BY jd, vec_id LIMIT 8
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_weighted_search_approx_superset(emb):
+    """Approx mode (per-term top-ef union → re-rank) must equal exact
+    mode when ef is large enough to cover the union."""
+    df = emb.withColumn("v2", F.transform("embedding", lambda x: x * x))
+    q2 = [x * x for x in Q64]
+    terms = [(0.5, "embedding", Q64), (0.5, "v2", q2)]
+    exact = weighted_vector_search(df, terms, k=5, id_col="vec_id", exact=True)
+    approx = weighted_vector_search(df, terms, k=5, id_col="vec_id", exact=False, ef=500)
+    e = [(r.vec_id, round(r.joint_dist, 9)) for r in exact.collect()]
+    a = [(r.vec_id, round(r.joint_dist, 9)) for r in approx.collect()]
+    assert e == a
+
+
+def test_weighted_search_max_dist(emb):
+    out = weighted_vector_search(
+        emb, [(1.0, "embedding", Q64)], k=100, id_col="vec_id", max_dist=8.0
+    ).collect()
+    assert all(r.joint_dist < 8.0 for r in out)
+
+
+def test_knn_plan_is_take_ordered(emb):
+    """The exact top-k must compile to TakeOrderedAndProject — per-partition
+    heaps + driver merge, no global sort/shuffle of the base data."""
+    plan = knn_search(emb, "embedding", Q64, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

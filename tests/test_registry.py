@@ -1,0 +1,37 @@
+"""Driver-style verification of EVERY registered query/oracle pair.
+
+This mirrors what the driver does at sf0.01: run the Spark query and the
+DuckDB oracle side-by-side, compare row count + schema + order-insensitive
+values. Queries without an oracle get a rows-only smoke check.
+"""
+
+import pytest
+
+from lantern_spark import registry
+from tests.conftest import assert_matches_oracle
+
+ALL = sorted(registry.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    q = registry.queries()[name]
+    sdf = q(spark, sf_dir)
+    sql = registry.oracle_sql().get(name)
+    if sql is None:
+        # rows-only: must run and return a stable schema
+        rows = sdf.collect()
+        assert sdf.columns, f"{name}: no columns"
+        assert rows is not None
+    else:
+        assert_matches_oracle(sdf, duck, sql)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+    assert set(e.oracle_sql().keys()) <= set(e.queries().keys())
