@@ -1,0 +1,87 @@
+"""Registered text-search queries (SURVEY §2.F parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lantern_spark.functions.text import (
+    duck_tokenize_sql,
+    text_to_stem_array,
+    tokenize,
+)
+from lantern_spark.operators.bm25 import build_bm25_stats, search_bm25
+from lantern_spark.queries.common import load_table
+from lantern_spark.registry import register
+
+_TOK = duck_tokenize_sql("text")
+
+
+@register(
+    "tokenize_docs",
+    f"""
+    SELECT doc_id, len({_TOK}) AS ntoks, {_TOK}[1] AS first_tok,
+           {_TOK}[-1] AS last_tok
+    FROM documents
+    """,
+)
+def tokenize_docs(spark, sf_dir):
+    """Pure-expression tokenizer stage of text_to_stem_array
+    (stemmers.rs:96-117, pre-stem)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("ntoks"),
+        F.element_at(tokenize("text"), 1).alias("first_tok"),
+        F.element_at(tokenize("text"), -1).alias("last_tok"),
+    )
+
+
+@register(
+    "bm25_search_top20",
+    f"""
+    WITH tl AS (
+      SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS doc_len FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, count(*) AS fq, any_value(doc_len) AS doc_len
+      FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM tl)
+      GROUP BY term, doc_id
+    ),
+    corpus AS (SELECT count(*) AS num_docs, avg(doc_len) AS avg_doc_len FROM tl),
+    q AS (SELECT unnest(['spark','join','vector']) AS term),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+        ln((c.num_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+          * (p.fq * 2.2) / (p.fq + 1.2*(1 - 0.75 + 0.75*p.doc_len/c.avg_doc_len)) AS s
+      FROM postings p JOIN q USING(term) JOIN dfreq d USING(term) CROSS JOIN corpus c
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25_score
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search_top20(spark, sf_dir):
+    """search_bm25 analog (bm25_api.sql:63-106), exact scoring join —
+    no bloom approximation tier needed on Spark (bm25_agg.rs:161-216)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = build_bm25_stats(docs, "doc_id", "text", stem=False)
+    return search_bm25(
+        stats, "spark join vector", limit=20, stem=False, round_digits=6
+    )
+
+
+@register("stem_docs")  # rows-only: Porter stemming is not SQL-expressible
+def stem_docs(spark, sf_dir):
+    """Full text_to_stem_array pipeline over documents (stemmers.rs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_to_stem_array("text").alias("stemmed")
+    )
+
+
+@register("bm25_search_stemmed")  # rows-only (stemmed postings)
+def bm25_search_stemmed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = build_bm25_stats(docs, "doc_id", "text", stem=True)
+    return search_bm25(stats, "sparks joining vectors", limit=20, stem=True, round_digits=6)

@@ -1,0 +1,165 @@
+"""Text tokenization / stemming / BM25 tests.
+
+Golden fixtures ported from the reference:
+- stemmers.rs:148-166 — text_to_stem_array golden
+- bm25_agg.rs:583-710 — 4-doc corpus, "apple banana" → doc 2 first;
+  rare term ("kiwi") scores above common ("apple"); unknown term → 0.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lantern_spark.functions.text import (
+    STOPWORDS,
+    duck_tokenize_sql,
+    porter_stem,
+    stem_token_list,
+    text_to_stem_array,
+    tokenize,
+)
+from lantern_spark.operators.bm25 import (
+    build_bm25_stats,
+    bm25_score_one,
+    search_bm25,
+)
+from tests.conftest import assert_matches_oracle
+
+DOCS = [
+    (1, "apple banana orange"),
+    (2, "apple apple banana"),
+    (3, "banana banana orange"),
+    (4, "kiwi pineapple banana"),
+]
+
+
+def test_porter_stem_goldens():
+    # stemmers.rs:155-166
+    assert porter_stem("jumps") == "jump"
+    assert porter_stem("lazy") == "lazi"
+    assert porter_stem("quick") == "quick"
+    assert porter_stem("brown") == "brown"
+    assert porter_stem("fox") == "fox"
+    assert porter_stem("dog") == "dog"
+    assert porter_stem("over") == "over"
+
+
+def test_text_to_stem_array_golden(spark):
+    # exact reference fixture (stemmers.rs:155)
+    df = spark.createDataFrame(
+        [Row(t="The` quick? brown-fox@ jumps  over the (lazy) [(!!@)] dog.")]
+    )
+    out = df.select(text_to_stem_array("t").alias("s")).first().s
+    assert out == ["quick", "brown", "fox", "jump", "over", "lazi", "dog"]
+
+
+def test_stopwords_filtered_after_stem():
+    # 'these' stems to 'these'? verify filter applies to stemmed form
+    assert "the" not in stem_token_list(["the", "apple"])
+    assert stem_token_list(["apples"]) == ["appl"]
+
+
+def test_tokenize_matches_duckdb(spark, duck, sf_dir):
+    sdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokenize("text").alias("toks"))
+        .select("doc_id", F.size("toks").alias("ntoks"), F.element_at("toks", 1).alias("first_tok"))
+    )
+    tok = duck_tokenize_sql("text")
+    sql = f"""
+        SELECT doc_id, len({tok}) AS ntoks, {tok}[1] AS first_tok
+        FROM documents
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+@pytest.fixture(scope="module")
+def fruit_stats(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, content string")
+    return build_bm25_stats(df, "doc_id", "content", stem=True)
+
+
+def test_bm25_doc2_ranks_first(fruit_stats):
+    # bm25_agg.rs:681-686
+    res = search_bm25(fruit_stats, "apple banana", limit=10).collect()
+    assert res[0].doc_id == 2, f"expected doc 2 first, got {res}"
+    assert res[0].bm25_score > 0.0
+
+
+def test_bm25_rare_term_beats_common(fruit_stats):
+    # kiwi (df=1) must outscore apple (df=2) — bm25_agg.rs rare-term test
+    kiwi = search_bm25(fruit_stats, "kiwi", limit=1).collect()[0]
+    apple = search_bm25(fruit_stats, "apple", limit=1).collect()[0]
+    assert kiwi.bm25_score > apple.bm25_score
+
+
+def test_bm25_unknown_term_empty(fruit_stats):
+    res = search_bm25(fruit_stats, "pomegranate", limit=10).collect()
+    assert res == []
+
+
+def test_bm25_score_math_exact(fruit_stats):
+    """Recompute doc 2's score for 'apple banana' by hand (reference
+    formula bm25_agg.rs:139-151) and compare."""
+    res = {r.doc_id: r.bm25_score for r in search_bm25(fruit_stats, "apple banana", limit=10).collect()}
+    n, avg = 4, 3.0
+    k1, b = 1.2, 0.75
+
+    def idf(df_):
+        return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1)
+
+    def ts(fq, df_, dl):
+        return idf(df_) * fq * (k1 + 1) / (fq + k1 * (1 - b + b * dl / avg))
+
+    # doc2 = [appl, appl, banana]; apple df=2, banana df=4
+    expected = ts(2, 2, 3) + ts(1, 4, 3)
+    assert res[2] == pytest.approx(expected, rel=1e-9)
+
+
+def test_bm25_score_one_helper(fruit_stats):
+    s = bm25_score_one(fruit_stats, ["appl", "appl", "banana"], ["appl", "banana"])
+    res = {r.doc_id: r.bm25_score for r in search_bm25(fruit_stats, "apple banana", limit=10).collect()}
+    assert s == pytest.approx(res[2], rel=1e-9)
+
+
+def test_bm25_term_table_shape(fruit_stats):
+    # reference-shaped arrays table (bm25_api.sql:33-46)
+    rows = {r.term: r for r in fruit_stats.term_table().collect()}
+    assert rows["banana"].term_freq == 4
+    assert rows["banana"].doc_ids == [1, 2, 3, 4]
+    assert rows["appl"].doc_ids == [1, 2]
+    assert rows["appl"].fqs == [1, 2]
+    assert rows["appl"].doc_lens == [3, 3]
+
+
+def test_bm25_oracle_on_documents(spark, duck, sf_dir):
+    """Full BM25 search (no stem) vs a from-scratch DuckDB oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = build_bm25_stats(docs, "doc_id", "text", stem=False)
+    sdf = search_bm25(stats, "spark join vector", limit=20, stem=False, round_digits=6)
+    tok = duck_tokenize_sql("text")
+    sql = f"""
+        WITH tl AS (
+          SELECT doc_id, {tok} AS toks, len({tok}) AS doc_len FROM documents
+        ),
+        postings AS (
+          SELECT term, doc_id, count(*) AS fq, any_value(doc_len) AS doc_len
+          FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM tl)
+          GROUP BY term, doc_id
+        ),
+        corpus AS (SELECT count(*) AS num_docs, avg(doc_len) AS avg_doc_len FROM tl),
+        q AS (SELECT unnest(['spark','join','vector']) AS term),
+        dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        scored AS (
+          SELECT p.doc_id,
+            ln((c.num_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (p.fq * 2.2) / (p.fq + 1.2*(1 - 0.75 + 0.75*p.doc_len/c.avg_doc_len)) AS s
+          FROM postings p JOIN q USING(term) JOIN dfreq d USING(term) CROSS JOIN corpus c
+        )
+        SELECT doc_id, round(sum(s), 6) AS bm25_score
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25_score DESC, doc_id LIMIT 20
+    """
+    assert_matches_oracle(sdf, duck, sql)
