@@ -1,0 +1,115 @@
+"""Index autotune: grid-search ANN params against a recall target.
+
+Reference: lantern_cli/src/index_autotune/mod.rs —
+- sample test rows (mod.rs:38-67), exact ground truth for 10 random
+  query rows (mod.rs:188-218),
+- a fixed grid of variants (mod.rs:328-359),
+- per variant: build, recall, latency (mod.rs:220-254), early exit at
+  recall ≥ 99.9% (mod.rs:465-467),
+- selection: among variants meeting target_recall, min(latency +
+  build_time); else max recall (mod.rs:161-186),
+- cached results reuse (mod.rs:111-159) → ``results`` list returned for
+  the caller to persist.
+
+Our params are IVF's (nlist, nprobe) — the grid mirrors the reference's
+(m, ef_construction, ef) ladder shape: small/cheap → large/accurate.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+from dataclasses import asdict, dataclass
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lantern_spark.operators.index import IVFIndex, recall_at_k
+
+# (nlist, nprobe) ladder — analog of the reference's 6-variant grid
+# (index_autotune/mod.rs:328-359)
+DEFAULT_GRID = [
+    (32, 2),
+    (32, 6),
+    (16, 4),
+    (16, 8),
+    (8, 4),
+    (8, 8),
+]
+
+EARLY_EXIT_RECALL = 0.999  # mod.rs:465-467
+
+
+@dataclass
+class AutotuneResult:
+    nlist: int
+    nprobe: int
+    recall: float
+    latency_s: float
+    build_s: float
+
+
+def autotune_index(
+    df: DataFrame,
+    column: str,
+    id_column: str,
+    metric: str = "l2sq",
+    k: int = 10,
+    target_recall: float = 0.95,
+    test_data_size: int = 10000,
+    num_queries: int = 10,
+    grid: Optional[Sequence[tuple]] = None,
+    seed: int = 42,
+    create_path: Optional[str] = None,
+) -> tuple:
+    """Returns (best: AutotuneResult, results: list[AutotuneResult],
+    index: IVFIndex | None).
+
+    If ``create_path`` is given, the winning variant is rebuilt there
+    (the reference's create_index=true mode).
+    """
+    spark = df.sparkSession
+    sample = df.limit(test_data_size).cache()
+    sample.count()
+    qs = [
+        r[0]
+        for r in sample.select(column).limit(num_queries).collect()
+    ]
+
+    results: List[AutotuneResult] = []
+    for nlist, nprobe in grid or DEFAULT_GRID:
+        path = tempfile.mkdtemp(prefix="autotune_ivf_")
+        t0 = time.time()
+        idx = IVFIndex.build(
+            sample, column, id_column, path, metric=metric, nlist=nlist, seed=seed
+        )
+        build_s = time.time() - t0
+        t0 = time.time()
+        rec = recall_at_k(idx, spark, qs, k=k, nprobe=nprobe)
+        latency_s = (time.time() - t0) / max(len(qs), 1)
+        results.append(AutotuneResult(nlist, nprobe, rec, latency_s, build_s))
+        shutil.rmtree(path, ignore_errors=True)
+        if rec >= EARLY_EXIT_RECALL:
+            break  # mod.rs:465-467
+
+    meeting = [r for r in results if r.recall >= target_recall]
+    if meeting:
+        best = min(meeting, key=lambda r: r.latency_s + r.build_s)  # mod.rs:161-186
+    else:
+        best = max(results, key=lambda r: r.recall)
+
+    index = None
+    if create_path:
+        index = IVFIndex.build(
+            df, column, id_column, create_path,
+            metric=metric, nlist=best.nlist, seed=seed,
+        )
+    sample.unpersist()
+    return best, results, index
+
+
+def results_df(spark: SparkSession, results: List[AutotuneResult]) -> DataFrame:
+    """Results as a DataFrame (the reference's autotune-results table,
+    lantern_cli/README.md:198-231)."""
+    return spark.createDataFrame([asdict(r) for r in results])

@@ -1,0 +1,198 @@
+"""Embedding-generation pipelines.
+
+Reference: lantern_cli/src/embeddings/ —
+- 3-stage async pipeline (producer → embedding worker → db exporter,
+  embeddings/mod.rs:616-721) collapses on Spark to ONE
+  ``mapInPandas`` pass: the scan is the producer, the Arrow batch
+  iterator is the worker loop, the write is the exporter. Model state
+  loads once per executor python worker (the iterator closure), the
+  analog of the reference's long-lived worker task.
+- Runtime registry (embeddings/core/mod.rs:24-147): ``ort`` (local
+  ONNX), ``openai``, ``cohere``. Here: the same three names, gated
+  behind import-try (the container has no onnxruntime / network) plus
+  the deterministic offline ``hash`` runtime used by tests
+  (FIXTURES.md F6).
+- Per-model batch sizes (embeddings/mod.rs:574-607) → ``batch_size``
+  in the runtime spec; Arrow batches are re-chunked to it.
+- NULL/empty inputs are skipped, not embedded (mod.rs:203-208):
+  output is NULL for those rows.
+- Failed-row capture (``ldb_try_cast`` CTE, mod.rs:280-382) →
+  ``embed_with_failures`` splits the output into (ok, failed)
+  DataFrames via a success flag — no second scan.
+
+Scale notes: map-only (no shuffle); throughput scales with executors ×
+batch_size. For 100 TB the pattern is identical — the model rides in
+the python worker, vectors land columnar via Arrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class RuntimeSpec:
+    """An embedding runtime (core/mod.rs registry analog)."""
+
+    name: str
+    dim: int
+    batch_size: int = 100  # reference default (embeddings/mod.rs:607)
+    params: dict = field(default_factory=dict)
+
+
+# per-model default batch sizes (embeddings/mod.rs:574-607, excerpt)
+MODEL_BATCH_SIZES = {
+    "BAAI/bge-small-en": 300,
+    "BAAI/bge-base-en": 100,
+    "BAAI/bge-large-en": 60,
+    "clip/ViT-B-32-textual": 2000,
+    "clip/ViT-B-32-visual": 50,
+    "openai/text-embedding-ada-002": 500,
+    "openai/text-embedding-3-small": 500,
+    "cohere/embed-english-v3.0": 5000,
+}
+
+
+def hash_embed_batch(texts: List[Optional[str]], dim: int) -> List[Optional[List[float]]]:
+    """Deterministic offline embedding: md5-seeded unit-norm vector per
+    token, mean-pooled (FIXTURES.md F6's 'seeded hash of tokens').
+    Stable across processes/platforms (hashlib, not hash())."""
+    out: List[Optional[List[float]]] = []
+    for t in texts:
+        if t is None or (isinstance(t, str) and t.strip() == ""):
+            out.append(None)  # skip semantics, mod.rs:203-208
+            continue
+        toks = t.lower().split()
+        acc = np.zeros(dim, dtype=np.float64)
+        for tok in toks:
+            h = hashlib.md5(tok.encode("utf-8")).digest()
+            seed = int.from_bytes(h[:8], "little")
+            rng = np.random.RandomState(seed % (2**32))
+            v = rng.standard_normal(dim)
+            acc += v / np.linalg.norm(v)
+        if toks:
+            acc /= len(toks)
+        out.append([float(x) for x in acc])
+    return out
+
+
+def _runtime_fn(spec: RuntimeSpec) -> Callable[[List[Optional[str]]], List]:
+    """Resolve a runtime name to a batch-embedding function.
+
+    'ort' / 'openai' / 'cohere' require optional deps / network —
+    import-gated; 'hash' is the deterministic offline runtime.
+    """
+    if spec.name == "hash":
+        return lambda texts: hash_embed_batch(texts, spec.dim)
+    if spec.name == "ort":
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "ort runtime requires onnxruntime (not in this container); "
+                "use the 'hash' runtime offline"
+            ) from e
+        raise NotImplementedError("ort runtime: model loading not wired in v1")
+    if spec.name in ("openai", "cohere"):
+        try:
+            import urllib.request  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError from e
+        raise NotImplementedError(
+            f"{spec.name} runtime requires network credentials; "
+            "use the 'hash' runtime offline"
+        )
+    raise ValueError(f"unknown runtime {spec.name!r}")
+
+
+def get_available_runtimes() -> List[str]:
+    """embeddings.rs:201-229 analog."""
+    return ["hash", "ort", "openai", "cohere"]
+
+
+def get_available_models() -> Dict[str, int]:
+    """Model → default batch size (ort_runtime.rs:283-303 registry)."""
+    return dict(MODEL_BATCH_SIZES)
+
+
+def embed_column(
+    df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    runtime: RuntimeSpec,
+) -> DataFrame:
+    """Batch embedding job: ``create-embeddings`` analog.
+
+    mapInPandas iterator-of-batches: runtime state initializes once per
+    python worker, batches re-chunk to runtime.batch_size.
+    """
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField(dst_col, T.ArrayType(T.FloatType()))]
+    )
+    bs = runtime.batch_size
+    spec = runtime
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _runtime_fn(spec)  # once per worker — model-load analog
+        for pdf in batches:
+            n = len(pdf)
+            vecs: List = []
+            for i in range(0, n, bs):
+                chunk = pdf[src_col].iloc[i : i + bs].tolist()
+                vecs.extend(fn(chunk))
+            pdf = pdf.copy()
+            pdf[dst_col] = vecs
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def embed_with_failures(
+    df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    runtime: RuntimeSpec,
+) -> tuple:
+    """(ok_df, failed_df): rows whose input couldn't be embedded (NULL /
+    empty → NULL output) land in failed_df — the failed-rows CTE
+    analog (embeddings/mod.rs:280-382)."""
+    out = embed_column(df, src_col, dst_col, runtime)
+    ok = out.filter(F.col(dst_col).isNotNull())
+    failed = out.filter(F.col(dst_col).isNull()).drop(dst_col)
+    return ok, failed
+
+
+def llm_embedding(col, model: str = "hash-16", dim: int = 16):
+    """Scalar embedding Column function (llm_embedding analog,
+    lantern_extras/src/embeddings.rs:154-184) using the offline hash
+    runtime. Real API runtimes plug in via embed_column."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(s: pd.Series) -> pd.Series:
+        return pd.Series(hash_embed_batch(s.tolist(), dim))
+
+    c = col if not isinstance(col, str) else F.col(col)
+    return _embed(c)
+
+
+def llm_completion(col, model: str = "echo", system_prompt: str = ""):
+    """llm_completion analog (embeddings.rs:129-152). Offline runtime:
+    deterministic 'echo' transform (real runtimes need network creds —
+    NotImplementedError, import-gated like ort)."""
+    if model != "echo":
+        raise NotImplementedError(
+            "only the offline 'echo' completion runtime is available "
+            "in this container"
+        )
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.concat(F.lit(f"[{system_prompt}] " if system_prompt else ""), c)

@@ -1,0 +1,332 @@
+"""Batch ANN index: IVF partitioning with partition-pruned search.
+
+Reference mapping (SURVEY §2.B/§2.C):
+- ``CREATE INDEX … USING lantern_hnsw`` (build.c:472-648) → ``build_index``:
+  one Spark job that k-means-clusters the vectors (nlist centroids),
+  assigns every row to its nearest list, and writes the table
+  partitioned by ``list_id`` with a manifest (the HnswIndexHeaderPage
+  analog, external_index.h:38-56). The external-index socket protocol
+  (external_index_socket.c / server.rs) is replaced by Spark task
+  parallelism — executors partition-build shards concurrently.
+- Top-k ANN scan (scan.c:167-338) → ``search``: pick the ``nprobe``
+  nearest centroids DRIVER-side (centroids are tiny), then scan only
+  those list partitions — Catalyst partition pruning keeps the read to
+  nprobe/nlist of the data — and take an exact top-k within.
+  ``ef``-style recall control maps to ``nprobe``.
+- aminsert (insert.c) → ``add_delta``: append-only delta rows, searched
+  exactly and unioned (Spark artifacts are immutable; periodic
+  ``rebuild`` folds deltas in — the delta+rebuild design from SURVEY §7).
+- ambulkdelete (delete.c:15-73) → ``delete``: tombstone ids anti-joined
+  at search time; space reclaimed at rebuild (the reference likewise
+  only marks labels invalid and reclaims on reindex).
+- validate_index (validate_index.c:436) → ``validate``: structural
+  checks + recall self-check vs the exact oracle on sampled queries.
+
+Scale notes (100 TB): the build shuffles the data exactly once (the
+partitionBy write); search reads nprobe lists only (partition pruning —
+verify via .explain PartitionFilters); centroids/manifest are O(nlist·dim)
+— broadcast-size by construction. Skewed lists are bounded by k-means
+balance; AQE handles residual skew at search.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lantern_spark.functions.distances import distance
+from lantern_spark.functions.vectors import vec_lit
+from lantern_spark.operators.pq import _kmeans_fit
+from lantern_spark.types import IndexManifest, Metric
+
+
+def _train_centroids(
+    df: DataFrame, column: str, nlist: int, seed: int, train_limit: int
+) -> np.ndarray:
+    """Seeded k-means over a bounded sample (driver-side numpy fit on a
+    ≤train_limit sample; the sample is the only data that leaves
+    executors — same bounded-collection discipline as PQ codebooks)."""
+    sample = (
+        df.select(column)
+        .where(F.col(column).isNotNull())
+        .limit(train_limit)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    order = np.lexsort(x.T[::-1])
+    cents = _kmeans_fit(x[order], nlist, seed=seed)
+    return cents[np.lexsort(cents.T[::-1])]
+
+
+def _assign_expr(column: str, cents: np.ndarray, metric: Metric):
+    """pandas UDF: nearest-centroid list id per row (vectorized numpy)."""
+    c = cents.astype(np.float64)
+    cos = metric is Metric.COS
+    if cos:
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        x = np.asarray(vs.tolist(), dtype=np.float64)
+        if cos:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            d = -(x @ c.T)
+        else:
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _assign(F.col(column))
+
+
+class IVFIndex:
+    """Handle over a persisted IVF index artifact."""
+
+    def __init__(self, path: str, manifest: IndexManifest):
+        self.path = path
+        self.manifest = manifest
+
+    # -- build ----------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        column: str,
+        id_column: str,
+        path: str,
+        metric: str = "l2sq",
+        nlist: int = 16,
+        seed: int = 42,
+        train_limit: int = 20000,
+        extra_columns: Optional[Sequence[str]] = None,
+    ) -> "IVFIndex":
+        m = Metric.resolve(metric)
+        dim_row = df.select(F.size(F.col(column)).alias("d")).first()
+        dim = int(dim_row["d"])
+        cents = _train_centroids(df, column, nlist, seed, train_limit)
+        nlist = cents.shape[0]
+
+        cols = [id_column, column] + list(extra_columns or [])
+        assigned = df.select(*cols).withColumn(
+            "list_id", _assign_expr(column, cents, m)
+        )
+        # ONE shuffle: cluster-partitioned write (the shard build)
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+            os.path.join(path, "lists")
+        )
+        spark = df.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, c.tolist()) for i, c in enumerate(cents)],
+            "list_id int, centroid array<double>",
+        )
+        cent_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+        n = assigned.count()
+        manifest = IndexManifest(
+            kind="ivf",
+            column=column,
+            id_column=id_column,
+            metric=m.value,
+            dim=dim,
+            num_vectors=n,
+            nlist=nlist,
+            params={"seed": seed, "train_limit": train_limit},
+        )
+        manifest.save(path)
+        return cls(path, manifest)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        return cls(path, IndexManifest.load(path))
+
+    # -- read paths -----------------------------------------------------
+
+    def centroids(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "centroids"))
+
+    def lists(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "lists"))
+
+    def _probe_lists(self, spark: SparkSession, query, nprobe: int) -> list:
+        cents = self.centroids(spark).collect()  # O(nlist) — tiny
+        q = np.asarray(list(query), dtype=np.float64)
+        c = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
+        ids = np.asarray([r["list_id"] for r in cents])
+        if Metric.resolve(self.manifest.metric) is Metric.COS:
+            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+            qn = q / max(np.linalg.norm(q), 1e-30)
+            d = -(cn @ qn)
+        else:
+            d = ((c - q) ** 2).sum(axis=1)
+        take = ids[np.argsort(d, kind="stable")][:nprobe]
+        return [int(i) for i in take]
+
+    def search(
+        self,
+        spark: SparkSession,
+        query,
+        k: int = 10,
+        nprobe: int = 4,
+        include_delta: bool = True,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """ANN top-k: prune to nprobe lists → exact top-k within.
+
+        nprobe plays the role of the ``ef`` GUC (options.c:337-348):
+        higher → better recall, more data scanned.
+        """
+        mf = self.manifest
+        probes = self._probe_lists(spark, query, nprobe)
+        base = self.lists(spark).filter(F.col("list_id").isin(probes))
+        scans = [base]
+        delta_path = os.path.join(self.path, "delta")
+        if include_delta and _path_has_parquet(delta_path):
+            scans.append(spark.read.parquet(delta_path))
+        out = None
+        for s in scans:
+            s = s.withColumn(
+                dist_col,
+                distance(F.col(mf.column), vec_lit(list(query)), mf.metric),
+            ).select(mf.id_column, mf.column, dist_col)
+            out = s if out is None else out.unionByName(s)
+        tomb_path = os.path.join(self.path, "tombstones")
+        if _path_has_parquet(tomb_path):
+            tombs = spark.read.parquet(tomb_path)
+            out = out.join(
+                F.broadcast(tombs), on=mf.id_column, how="left_anti"
+            )
+        return out.orderBy(F.col(dist_col).asc(), F.col(mf.id_column).asc()).limit(k)
+
+    # -- lifecycle (insert/delete/rebuild) ------------------------------
+
+    def add_delta(self, df: DataFrame) -> None:
+        """aminsert analog: append rows to the delta set (insert.c) —
+        searched exactly until the next rebuild folds them in."""
+        df.select(self.manifest.id_column, self.manifest.column).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "delta"))
+
+    def delete(self, ids_df: DataFrame) -> None:
+        """ambulkdelete analog: tombstone ids (delete.c:15-73 marks
+        labels invalid without reclaiming — same contract)."""
+        ids_df.select(self.manifest.id_column).write.mode("append").parquet(
+            os.path.join(self.path, "tombstones")
+        )
+
+    def rebuild(self, spark: SparkSession, path: Optional[str] = None) -> "IVFIndex":
+        """Fold delta − tombstones into a fresh index (reindex analog)."""
+        mf = self.manifest
+        base = self.lists(spark).drop("list_id")
+        if _path_has_parquet(os.path.join(self.path, "delta")):
+            base = base.unionByName(
+                spark.read.parquet(os.path.join(self.path, "delta"))
+            )
+        if _path_has_parquet(os.path.join(self.path, "tombstones")):
+            base = base.join(
+                F.broadcast(spark.read.parquet(os.path.join(self.path, "tombstones"))),
+                on=mf.id_column,
+                how="left_anti",
+            )
+        return IVFIndex.build(
+            base.dropDuplicates([mf.id_column]),
+            mf.column,
+            mf.id_column,
+            path or self.path,
+            metric=mf.metric,
+            nlist=mf.nlist,
+            seed=mf.params.get("seed", 42),
+            train_limit=mf.params.get("train_limit", 20000),
+        )
+
+    # -- validation -----------------------------------------------------
+
+    def validate(
+        self,
+        spark: SparkSession,
+        sample_queries: int = 10,
+        k: int = 10,
+        nprobe: Optional[int] = None,
+    ) -> dict:
+        """validate_index analog (validate_index.c:436): structural
+        invariants + recall@k vs exact scan on sampled query vectors
+        (the reference autotune's recall method, index_autotune/mod.rs:188-218).
+        """
+        mf = self.manifest
+        lists = self.lists(spark)
+        stats = lists.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("list_id").alias("nlists"),
+            F.min(F.size(mf.column)).alias("dmin"),
+            F.max(F.size(mf.column)).alias("dmax"),
+        ).first()
+        problems = []
+        if stats["dmin"] != mf.dim or stats["dmax"] != mf.dim:
+            problems.append(f"dim drift: [{stats['dmin']},{stats['dmax']}] != {mf.dim}")
+        if stats["n"] != mf.num_vectors:
+            problems.append(f"count drift: {stats['n']} != {mf.num_vectors}")
+        if stats["nlists"] > mf.nlist:
+            problems.append(f"list_id overflow: {stats['nlists']} > {mf.nlist}")
+
+        qs = [r[0] for r in lists.select(mf.column).limit(sample_queries).collect()]
+        recall = recall_at_k(
+            self, spark, qs, k=k, nprobe=nprobe or max(1, mf.nlist // 4)
+        )
+        return {
+            "num_vectors": stats["n"],
+            "nlist": stats["nlists"],
+            "dim_ok": not problems,
+            "problems": problems,
+            "recall_at_k": recall,
+        }
+
+
+def _path_has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def recall_at_k(
+    index: IVFIndex,
+    spark: SparkSession,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> float:
+    """Mean recall@k of ANN vs exact ground truth (the reference recall
+    harness: utils/calculate_recall.sql + index_autotune/mod.rs:220-254).
+    """
+    mf = index.manifest
+    base = index.lists(spark)
+    hits = 0
+    total = 0
+    for q in queries:
+        exact = {
+            r[0]
+            for r in base.withColumn(
+                "d", distance(F.col(mf.column), vec_lit(list(q)), mf.metric)
+            )
+            .orderBy(F.col("d").asc(), F.col(mf.id_column).asc())
+            .limit(k)
+            .select(mf.id_column)
+            .collect()
+        }
+        approx = {
+            r[0]
+            for r in index.search(spark, q, k=k, nprobe=nprobe)
+            .select(mf.id_column)
+            .collect()
+        }
+        hits += len(exact & approx)
+        total += k
+    return hits / total if total else 1.0

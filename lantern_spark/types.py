@@ -170,7 +170,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark, sf_dir: str, name: str):
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_events(spark, sf_dir: str):
+    """The events table carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects by default; read nanos as long and convert to a
+    microsecond timestamp (exact integer division — double division
+    would lose precision at ns-epoch magnitude)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
 
 
 def load_tables(spark, sf_dir: str, names: Optional[list] = None) -> dict:

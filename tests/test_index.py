@@ -1,0 +1,119 @@
+"""IVF index build / search / lifecycle / validate tests.
+
+Reference analogs: build (build.c BuildIndex), scan recall
+(calculate_recall.sql), insert/delete lifecycle (insert.c, delete.c),
+validate_index (validate_index.c).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.index import IVFIndex, recall_at_k
+
+Q = [float((i * 37 % 97) / 97.0) for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf"))
+    return IVFIndex.build(
+        emb, "embedding", "vec_id", path, metric="l2sq", nlist=8, seed=42
+    )
+
+
+def test_manifest_roundtrip(index):
+    loaded = IVFIndex.load(index.path)
+    assert loaded.manifest.dim == 64
+    assert loaded.manifest.nlist == 8
+    assert loaded.manifest.num_vectors == 500
+    assert loaded.manifest.metric == "l2sq"
+
+
+def test_search_returns_k(spark, index):
+    out = index.search(spark, Q, k=10, nprobe=8).collect()
+    assert len(out) == 10
+    dists = [r["dist"] for r in out]
+    assert dists == sorted(dists)
+
+
+def test_full_probe_equals_exact(spark, emb, index):
+    """nprobe == nlist must reproduce the exact top-k (recall 1.0)."""
+    qs = [r[0] for r in emb.select("embedding").limit(5).collect()]
+    rec = recall_at_k(index, spark, qs, k=10, nprobe=8)
+    assert rec == 1.0
+
+
+def test_recall_monotone_in_nprobe(spark, emb, index):
+    """Recall must grow with nprobe (the ef-knob contract,
+    options.c:337-348). The driver embeddings are geometrically
+    UNclustered (label ⟂ geometry), so absolute recall at low nprobe is
+    data-limited; the ≥0.95 BASELINE target is met by autotune choosing
+    nprobe (see test_autotune) — here we assert the knob works."""
+    qs = [r[0] for r in emb.select("embedding").limit(10).collect()]
+    r2 = recall_at_k(index, spark, qs, k=10, nprobe=2)
+    r6 = recall_at_k(index, spark, qs, k=10, nprobe=6)
+    assert r2 < r6 <= 1.0
+    assert r6 >= 0.8
+
+
+def test_partition_pruning(spark, index):
+    """The probe filter must prune list partitions at the scan."""
+    plan = (
+        index.lists(spark)
+        .filter(F.col("list_id").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_delta_and_tombstones(spark, index):
+    """insert.c / delete.c analogs: delta rows appear in results,
+    tombstoned ids disappear."""
+    # a delta row exactly at the query point → must rank first
+    delta = spark.createDataFrame(
+        [Row(vec_id=999001, embedding=[float(x) for x in Q])]
+    )
+    index.add_delta(delta)
+    top = index.search(spark, Q, k=3, nprobe=2).collect()
+    assert top[0]["vec_id"] == 999001
+    assert top[0]["dist"] == pytest.approx(0.0, abs=1e-12)
+
+    index.delete(spark.createDataFrame([(999001,)], "vec_id long"))
+    after = index.search(spark, Q, k=3, nprobe=2).collect()
+    assert all(r["vec_id"] != 999001 for r in after)
+
+
+def test_rebuild_folds_lifecycle(spark, index, tmp_path_factory):
+    path2 = str(tmp_path_factory.mktemp("ivf2"))
+    rebuilt = index.rebuild(spark, path2)
+    # delta row was tombstoned before rebuild → gone; base rows intact
+    assert rebuilt.manifest.num_vectors == 500
+    top = rebuilt.search(spark, Q, k=3, nprobe=8).collect()
+    assert all(r["vec_id"] != 999001 for r in top)
+
+
+def test_validate(spark, index):
+    report = index.validate(spark, sample_queries=5, k=5)
+    assert report["nlist"] <= 8
+    assert report["recall_at_k"] > 0.5
+    assert report["num_vectors"] == 500 or report["problems"]
+
+
+def test_cosine_metric_index(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_cos"))
+    idx = IVFIndex.build(
+        emb, "embedding", "vec_id", path, metric="cos", nlist=4, seed=1
+    )
+    out = idx.search(spark, Q, k=5, nprobe=4).collect()
+    assert len(out) == 5
+    qs = [r[0] for r in emb.select("embedding").limit(5).collect()]
+    assert recall_at_k(idx, spark, qs, k=5, nprobe=4) == 1.0
