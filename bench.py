@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+The headline set covers every operator family: exact KNN + KNN join,
+weighted search, IVF ANN, PQ/SQ quantization, BM25, dedup (exact,
+minhash/LSH), text analysis, embedding generation, and the relational
+substrate (TPC-H-style agg, joins, sessionization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "knn_l2sq_top10",
+    "knn_cos_top10",
+    "knn_join_top3",
+    "weighted_search_exact",
+    "ivf_fullprobe_top10",
+    "ivf_pruned_top10",
+    "pq_adc_topk",
+    "sq_i8_roundtrip",
+    "bm25_search_top20",
+    "tokenize_docs",
+    "dedup_exact_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "embedding_near_pairs",
+    "text_stats_all",
+    "token_counts",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "events_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lantern-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lantern_spark import registry
+
+    qs = registry.queries()
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        spark.sparkContext.setJobDescription(f"bench:{name}")
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()  # materialize the full plan
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+        except Exception as e:  # a failing query shows as -1, not a crash
+            timings[name] = -1.0
+            print(f"# bench {name} FAILED: {e}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,9 @@ def build_bm25_stats(
     (oracle-checkable). ``tokens_col`` lets callers supply pre-computed
     tokens.
     """
+    from lantern_spark.types import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if tokens_col is not None:
         toks = df.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks"))
     else:

@@ -1,0 +1,399 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extensions beyond the reference surface (BASELINE.json):
+exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard similarity,
+embedding-cosine near-dup. All engine-portable by construction: every
+hash primitive is md5-hex (identical bytes in Spark and any ANSI oracle),
+so correctness is hash-checkable cross-engine.
+
+Scale design (100 TB):
+- exact dedup: one groupBy shuffle on a 128-bit content hash — never on
+  the content itself.
+- MinHash+LSH: signatures are a map-only pass (shingle → n_hashes mins);
+  candidate generation explodes to (band_key, doc) and groupBy's band
+  keys — the classic O(n·bands) shuffle instead of O(n²) pairs; exact
+  Jaccard verification runs only on bucket-collided candidates.
+- SimHash: map-only 64-bit fingerprint; near-dup = band join on rotated
+  fingerprint chunks (Hamming ≤ r via pigeonhole).
+- embedding near-dup: blocked pairwise (block key = LSH bucket or a
+  provided blocking column) — never an unblocked cross join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lantern_spark.functions.text import tokenize
+
+SEP = "\x1f"  # hash-input field separator (no collisions with tokens)
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+
+def content_hash(col) -> Column:
+    """md5 content hash (engine-portable exact-dup key)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.md5(c)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min_id"
+) -> DataFrame:
+    """Keep one representative per exact content duplicate group.
+
+    keep='min_id': deterministic winner (lowest id) — reproducible
+    across runs/engines, unlike dropDuplicates' arbitrary row.
+    """
+    h = content_hash(text_col).alias("__h")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", content_hash(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(content_hash, n_dups, doc_ids) for groups with >1 member."""
+    return (
+        df.groupBy(content_hash(text_col).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ----------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ----------------------------------------------------------------------
+
+def shingles(tokens_col, k: int = 3) -> Column:
+    """Distinct word k-shingles from a token array (1-based element_at)."""
+    t = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0)))
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, parts))
+
+
+def shingle_hash_pairs(shingles_col) -> Column:
+    """Per shingle, ONE md5 → two 48-bit halves (h1, h2).
+
+    MinHash functions derive as hash_i = h1 + i·h2 (Kirsch-Mitzenmacher
+    double hashing — the standard construction for families of hashes
+    from one strong hash). 48-bit halves keep h1 + i·h2 < 2^53: exact
+    in int64 AND in float64, so any oracle engine agrees bit-for-bit.
+    """
+    s = shingles_col if isinstance(shingles_col, Column) else F.col(shingles_col)
+    return F.transform(
+        s,
+        lambda sh: F.struct(
+            F.conv(F.substring(F.md5(sh), 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(sh), 17, 12), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+
+def minhash_signature(shingles_col, n_hashes: int = 16) -> Column:
+    """MinHash signature: sig[i] = min over shingles of (h1 + i·h2).
+
+    Implemented as ONE ``aggregate`` fold with an array accumulator so
+    the md5 evaluates exactly once per shingle — n separate
+    ``array_min(transform(...))`` branches would each re-evaluate the
+    hash transform after Catalyst's CollapseProject inlines it
+    (measured ~n× slower at sf0.1).
+    """
+    pairs = shingle_hash_pairs(shingles_col)
+    seq = F.sequence(F.lit(0).cast("long"), F.lit(n_hashes - 1).cast("long"))
+    init = F.array_repeat(F.lit(1 << 62).cast("long"), n_hashes)
+    return F.aggregate(
+        pairs,
+        init,
+        lambda acc, p: F.zip_with(
+            acc, seq, lambda m, i: F.least(m, p["h1"] + i * p["h2"])
+        ),
+    )
+
+
+def minhash_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig) signatures; docs with < shingle_k tokens are dropped
+    (no shingle support — cannot participate in MinHash).
+
+    The support filter tests the CHEAP token count, not the shingle
+    array: a filter on the shingle expression would make Catalyst
+    evaluate the full shingle+hash pipeline twice per row (predicate
+    pushdown rewrites the filter in terms of the inlined expression).
+    """
+    from lantern_spark.types import ensure_parallelism
+
+    toks_df = ensure_parallelism(df).select(
+        F.col(id_col), tokenize(text_col).alias("__t")
+    ).filter(F.size("__t") >= shingle_k)
+    return toks_df.select(
+        id_col,
+        minhash_signature(shingles("__t", shingle_k), n_hashes).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    persist_sigs: bool = False,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Plan: explode to (band, key, id) → ONE groupBy shuffle collecting
+    bucket members → in-bucket pair expansion as a column expression.
+    A self-join here would recompute the signature pipeline for both
+    sides and shuffle twice; the groupBy form hashes each signature
+    once and shuffles O(n·bands) rows. Bucket pair expansion is
+    quadratic only within a bucket — the LSH contract already requires
+    buckets to be small (hot buckets mean the banding params are wrong
+    for the corpus).
+
+    ``persist_sigs=True`` caches the signature DataFrame first: the band
+    explode references ``sig`` once per band, and if ``sigs`` is an
+    unmaterialized expression pipeline Catalyst re-inlines it per band.
+    At scale, persist (or pre-write) signatures that feed LSH.
+    """
+    if persist_sigs:
+        sigs = sigs.persist()
+    band_cols = []
+    for b in range(bands):
+        chunk = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(SEP, chunk.cast("array<string>"))).alias("key"),
+            )
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    buckets = (
+        exploded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all ordered pairs within a bucket: for i<j emit (ids[i], ids[j])
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).distinct()
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: Optional[DataFrame] = None,
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    ``pairs`` defaults to LSH candidates; passing an explicit pair set
+    (e.g. same-source blocking) keeps the join bounded at scale.
+    Returns (id_a, id_b, jaccard).
+    """
+    from lantern_spark.types import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col),
+        shingles(tokenize(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    if pairs is None:
+        sigs = minhash_docs(df, text_col, id_col)
+        pairs = lsh_candidate_pairs(sigs, id_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
+    verify ≥ threshold → greedy keep-lowest-id per connected pair.
+
+    (Union-find of full components is driver-hostile at scale; the
+    standard one-round approximation drops any doc that has a smaller
+    near-duplicate — deterministic and shuffle-bounded. Chained
+    components resolve over repeated application.)
+    """
+    sigs = minhash_docs(df, text_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
+    verified = ngram_jaccard(df, text_col, id_col, cands, shingle_k, threshold)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+def simhash64(tokens: list) -> int:
+    """64-bit SimHash over tokens (md5-derived bit vectors, ±1 votes)."""
+    import hashlib
+
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(
+            hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+        )
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out - (1 << 64) if out >= 1 << 63 else out  # two's complement long
+
+
+def simhash_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) via a vectorized pandas UDF (python md5 loop per
+    batch; acceptable — one 64-bit fingerprint per doc, map-only)."""
+
+    from lantern_spark.types import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import re
+
+        def one(t):
+            if t is None:
+                return None
+            toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+            if not toks:
+                return None
+            return simhash64(toks)
+
+        return texts.map(one)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    hashes: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
+    band join: split 64 bits into ``chunks`` bands; any pair within
+    distance < chunks must share at least one exact band."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for i in range(chunks)
+    ]
+    exploded = hashes.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.select("band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    b = exploded.select("band", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    # exact Hamming verify on candidates (64-bit popcount of xor)
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------------------------
+# embedding-cosine near-dup
+# ----------------------------------------------------------------------
+
+def embedding_near_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) pairs with cosine similarity ≥ threshold.
+
+    ``block_col`` bounds the join (pairs only within a block); without
+    it the pairwise join is quadratic — callers at scale MUST block
+    (label, LSH bucket, cluster id from IVF assignment, …).
+    """
+    from lantern_spark.functions.distances import cos_dist
+
+    keys = [block_col] if block_col else []
+    a = df.select(
+        *keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = df.select(
+        *keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    joined = a.join(b, keys) if keys else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", 1.0 - cos_dist("v_a", "v_b"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,171 @@
+"""Multimodal column plumbing: image / audio / video as binary columns.
+
+North-star extension (BASELINE.json). The container has no image/audio
+codecs, so the DECODE kernels are stubbed (NotImplementedError or the
+deterministic fake), but the Spark-side plumbing — schema, batch shape,
+partitioning, UDF signatures — is real and tested:
+
+- media columns are opaque ``binary`` + a typed metadata struct
+  (media_type, width/height/duration, format), the Spark analog of
+  keeping vectors as ordinary columns in the reference's heap tables.
+- decode / feature-extract / resize / frame-sample run as
+  ``mapInPandas`` batch kernels: bytes in via Arrow, fixed-shape float
+  features out. Real codecs (PIL/ffmpeg) drop into ``_decode_image``
+  etc. without touching the plan.
+
+Scale notes: media bytes never shuffle — every operator is map-only;
+feature vectors (small) are what downstream joins/indexes consume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+
+def media_schema(extra_fields=()) -> T.StructType:
+    """Canonical multimodal table schema: (id, content, meta, …)."""
+    return T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_TYPE),
+            *extra_fields,
+        ]
+    )
+
+
+def _decode_image(buf: bytes, meta) -> np.ndarray:
+    """Stub decode: real deployments plug PIL/turbojpeg here.
+
+    Offline fake: deterministic pixel field seeded by content hash —
+    shape honors meta.width/height so downstream kernels see real
+    shapes.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode not wired in this container"
+        )
+    except ImportError:
+        pass
+    w = int(meta["width"] or 8)
+    h = int(meta["height"] or 8)
+    seed = int.from_bytes(hashlib.md5(buf).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    meta_col: str = "meta",
+    dim: int = 16,
+    out_col: str = "features",
+) -> DataFrame:
+    """Decode → pooled feature vector, one mapInPandas pass.
+
+    Feature = per-channel mean/std pooling of the decoded pixels,
+    hashed-projected to ``dim`` (deterministic offline stand-in for a
+    CLIP-visual embedding; the batch shape matches the reference's
+    clip/ViT-B-32-visual runtime with batch 50, embeddings/mod.rs:584).
+    """
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf, meta in zip(pdf[content_col], pdf[meta_col]):
+                if buf is None:
+                    feats.append(None)
+                    continue
+                img = _decode_image(bytes(buf), meta)
+                pooled = np.concatenate(
+                    [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
+                )  # 6 dims
+                reps = int(np.ceil(dim / pooled.size))
+                feats.append(
+                    np.tile(pooled, reps)[:dim].astype(np.float32).tolist()
+                )
+            out = pdf.copy()
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Resize plumbing: updates meta dims; pixel resample is part of the
+    stubbed decode kernel (map-only; bytes pass through untouched in
+    the offline fake)."""
+    return df.withColumn(
+        meta_col,
+        F.struct(
+            F.col(f"{meta_col}.media_type").alias("media_type"),
+            F.col(f"{meta_col}.format").alias("format"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col(f"{meta_col}.duration_ms").alias("duration_ms"),
+        ),
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int,
+    content_col: str = "content",
+    meta_col: str = "meta",
+    out_col: str = "frame_offsets_ms",
+) -> DataFrame:
+    """Frame-sampling plumbing for video rows: computes the frame
+    timestamp grid from duration (decode of actual frames is the
+    stubbed kernel). Pure column expression."""
+    dur = F.coalesce(F.col(f"{meta_col}.duration_ms"), F.lit(0))
+    return df.withColumn(
+        out_col,
+        F.when(
+            dur > 0,
+            F.sequence(F.lit(0), dur - 1, F.lit(every_ms)),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+
+
+def synthetic_media_df(spark, n: int = 32, media_type: str = "image") -> DataFrame:
+    """Deterministic fixture: binary payloads derived from md5(i)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.md5(f"media-{i}".encode()).digest() * 4
+        rows.append(
+            (
+                i,
+                bytearray(payload),
+                (media_type, "fake", 8, 8, 1000 * (i % 5 + 1)),
+            )
+        )
+    return spark.createDataFrame(rows, media_schema())

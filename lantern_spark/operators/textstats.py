@@ -1,0 +1,125 @@
+"""Text analysis operators for training-data pipelines.
+
+North-star extensions (BASELINE.json): language ID, quality scoring,
+token counting, document fingerprinting. Every operator is a PURE
+column expression (whole-stage codegen; no UDFs) and each has a 1:1
+ANSI-SQL oracle form — these run as map-only passes at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lantern_spark.functions.text import STOPWORDS, tokenize
+
+# n-gram heuristic evidence set: high-frequency English function words
+# (the tokenizer stopword list doubles as the language evidence set)
+EN_MARKERS = STOPWORDS
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(col))
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish subword count: runs of letters, runs of digits, and
+    individual punctuation marks each count as one token — the classic
+    pre-tokenizer regex."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(_c(col)), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0
+        )
+    )
+
+
+def stopword_ratio(col) -> Column:
+    toks = tokenize(col)
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(EN_MARKERS)))
+    return F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col) -> Column:
+    """Non-alphanumeric, non-space chars / total chars."""
+    c = _c(col)
+    total = F.length(c)
+    clean = F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    return F.when(total > 0, (total - clean) / total).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col) -> Column:
+    toks = tokenize(col)
+    n = F.size(toks)
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, chars.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def lang_id_en(col, min_ratio: float = 0.05) -> Column:
+    """n-gram-heuristic language ID: classify 'en' when the English
+    function-word ratio clears ``min_ratio``, else 'unk'. (A real
+    deployment plugs per-language marker sets into the same expression.)
+    """
+    return F.when(stopword_ratio(col) >= min_ratio, F.lit("en")).otherwise(
+        F.lit("unk")
+    )
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality score from length / punctuation /
+    stopword signals (Gopher/C4-style heuristic filters, re-expressed
+    as one codegen'd expression):
+      - length term: saturating token count (n/64 capped at 1)
+      - punctuation term: 1 − punct_ratio
+      - naturalness term: stopword ratio capped at 4× weight
+    """
+    n = token_count_ws(col).cast("double")
+    length_term = F.least(n / 64.0, F.lit(1.0))
+    punct_term = 1.0 - punct_ratio(col)
+    natural_term = F.least(4.0 * stopword_ratio(col), F.lit(1.0))
+    return F.round((length_term + punct_term + natural_term) / 3.0, 6)
+
+
+def doc_fingerprint(col) -> Column:
+    """Normalized-content fingerprint: md5 of (lowercased, whitespace-
+    collapsed, punctuation-stripped) text — stable under formatting
+    noise; equal fingerprints ⇒ same normalized content."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]+", " ")
+    )
+    return F.md5(norm)
+
+
+def rolling_min_hash(col, k: int = 5) -> Column:
+    """Winnowing-lite fingerprint: minimum md5 over character k-grams of
+    the normalized text — robust to local edits (one changed char
+    perturbs only k grams)."""
+    norm = F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    return F.array_min(F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16)))
+
+
+def text_stats(df, text_col: str, id_col: str):
+    """All stats in one map-only projection."""
+    from lantern_spark.types import ensure_parallelism
+
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        token_count_ws(text_col).alias("n_tokens_ws"),
+        token_count_bpe(text_col).alias("n_tokens_bpe"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(mean_word_len(text_col), 6).alias("mean_word_len"),
+        lang_id_en(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,178 @@
+"""Registered dedup queries (north-star pipeline extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.dedup import (
+    content_hash,
+    embedding_near_pairs,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_docs,
+    ngram_jaccard,
+    simhash_docs,
+    simhash_near_pairs,
+)
+from lantern_spark.queries.common import load_table
+from lantern_spark.registry import register
+
+_TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SH = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _minhash_sql(i: int) -> str:
+    # Kirsch-Mitzenmacher double hashing: h1 + i*h2 from ONE md5 per
+    # shingle, 48-bit halves (matches operators.dedup.minhash_signature)
+    return (
+        "list_min(list_transform(s, x -> "
+        "('0x' || substr(md5(x), 1, 12))::BIGINT"
+        f" + {i} * ('0x' || substr(md5(x), 17, 12))::BIGINT))"
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_exact_survivors",
+    """
+    SELECT count(*)::BIGINT AS n_docs, count(DISTINCT md5(text))::BIGINT AS n_unique
+    FROM documents
+    """,
+)
+def dedup_exact_survivors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(content_hash("text")).alias("n_unique"),
+    )
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH} AS s FROM t)
+    SELECT doc_id, {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+           {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
+    FROM sh WHERE len(s) > 0
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 hashes shown as columns for hashability)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_docs(docs, "text", "doc_id", n_hashes=4)
+    return sigs.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("m0"),
+        F.element_at("sig", 2).alias("m1"),
+        F.element_at("sig", 3).alias("m2"),
+        F.element_at("sig", 4).alias("m3"),
+    )
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH} AS s FROM t),
+    sig AS (
+      SELECT doc_id, [{", ".join(_minhash_sql(i) for i in range(8))}] AS sig
+      FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(list_transform(sig[b.band*2+1 : b.band*2+2],
+                 x -> x::VARCHAR), chr(31))) AS key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def lsh_pairs_q(spark, sf_dir):
+    """LSH banding candidates: 8 minhashes × 4 bands × 2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_docs(docs, "text", "doc_id", n_hashes=8)
+    return lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
+
+
+@register(
+    "ngram_jaccard_same_source",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOK} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {_SH} AS s FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 5
+    WHERE len(a.s) > 0 AND len(b.s) > 0
+    """,
+)
+def ngram_jaccard_same_source(spark, sf_dir):
+    """Exact n-gram Jaccard on blocked pairs (same source, near ids —
+    a deterministic bounded pair set for the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source")
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 5),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    out = ngram_jaccard(docs, "text", "doc_id", pairs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "embedding_near_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
+             / sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x->x*x))
+                  * list_sum(list_transform(b.embedding::DOUBLE[], x->x*x))), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
+             / sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x->x*x))
+                  * list_sum(list_transform(b.embedding::DOUBLE[], x->x*x))) >= 0.3
+    """,
+)
+def embedding_near_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_pairs(emb, "embedding", "vec_id", threshold=0.3, block_col="label")
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register("simhash_fingerprints")  # rows-only (python md5 bit loop)
+def simhash_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_docs(docs, "text", "doc_id")
+
+
+@register("simhash_near_pairs")  # rows-only
+def simhash_near_pairs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = simhash_docs(docs, "text", "doc_id")
+    return simhash_near_pairs(hashes, "doc_id", max_hamming=8, chunks=4)

@@ -1,0 +1,86 @@
+"""Registered text-analysis queries (north-star pipeline extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lantern_spark.functions.text import STOPWORDS
+from lantern_spark.operators.textstats import text_stats, token_count_bpe, token_count_ws
+from lantern_spark.queries.common import load_table
+from lantern_spark.registry import register
+
+_STOP = ",".join(f"'{s}'" for s in STOPWORDS)
+_TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "text_stats_all",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOK} AS toks,
+             len({_TOK}) AS n,
+             len(list_filter({_TOK}, x -> list_contains([{_STOP}], x))) AS sw,
+             length(text) AS total,
+             length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           n AS n_tokens_ws,
+           round(CASE WHEN n > 0 THEN sw::DOUBLE / n ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN total > 0 THEN (total - clean)::DOUBLE / total ELSE 0.0 END, 6) AS punct_ratio,
+           CASE WHEN (CASE WHEN n > 0 THEN sw::DOUBLE / n ELSE 0 END) >= 0.05
+                THEN 'en' ELSE 'unk' END AS lang_pred,
+           round((least(n / 64.0, 1.0)
+                + (1.0 - CASE WHEN total > 0 THEN (total - clean)::DOUBLE / total ELSE 0.0 END)
+                + least(4.0 * CASE WHEN n > 0 THEN sw::DOUBLE / n ELSE 0.0 END, 1.0)) / 3.0, 6) AS quality,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM t
+    """,
+)
+def text_stats_all(spark, sf_dir):
+    """Language-ID + quality + token counts + fingerprint, one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs, "text", "doc_id").drop("n_tokens_bpe", "mean_word_len")
+
+
+@register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           len({_TOK}) AS n_tokens_ws,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "corpus_token_histogram",
+    f"""
+    WITH t AS (SELECT unnest({_TOK}) AS term FROM documents)
+    SELECT term, count(*)::BIGINT AS n
+    FROM t GROUP BY term
+    ORDER BY n DESC, term LIMIT 30
+    """,
+)
+def corpus_token_histogram(spark, sf_dir):
+    """Corpus-level token frequency (the explode+groupBy shuffle shape
+    shared with the BM25 postings build)."""
+    from lantern_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(30)
+    )

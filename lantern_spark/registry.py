@@ -24,7 +24,18 @@ _ORACLES: Dict[str, str] = {}
 
 def register(name: str, oracle: Optional[str] = None):
     def deco(fn):
-        _QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            # Python UDFs deserialize by importing lantern_spark on the
+            # workers — ship the package first (idempotent, no-op cost).
+            from lantern_spark._ship import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn

@@ -175,6 +175,21 @@ def load_table(spark, sf_dir: str, name: str):
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def ensure_parallelism(df, min_partitions: int = 0):
+    """Repartition a DataFrame whose scan is under-parallelized.
+
+    A single large unsplittable file (one parquet row group) yields one
+    task no matter how many cores exist — CPU-heavy text/vector kernels
+    then run 1-way. This helper repartitions only when the current
+    partition count is below the session's default parallelism, so at
+    real scale (many input files) it is a no-op and adds NO shuffle.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_events(spark, sf_dir: str):
     """The events table carries TIMESTAMP(NANOS) which Spark's parquet
     reader rejects by default; read nanos as long and convert to a

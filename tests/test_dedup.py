@@ -1,0 +1,168 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, Jaccard,
+embedding near-dup — including cross-engine md5-hash parity."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.dedup import (
+    content_hash,
+    embedding_near_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_docs,
+    near_dedup_minhash,
+    ngram_jaccard,
+    simhash64,
+    simhash_docs,
+    simhash_near_pairs,
+)
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumps over the lazy dog tonight"),  # near dup (J=7/8)
+            (4, "completely different content about spark engines"),
+            (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(dup_docs):
+    kept = sorted(r.doc_id for r in exact_dedup(dup_docs, "text", "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_exact_dup_groups(dup_docs):
+    groups = exact_dup_groups(dup_docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [1, 2, 5]
+
+
+def test_content_hash_matches_duckdb(docs, duck):
+    sdf = docs.select("doc_id", content_hash("text").alias("h"))
+    assert_matches_oracle(sdf, duck, "SELECT doc_id, md5(text) AS h FROM documents")
+
+
+def test_minhash_identical_for_exact_dups(dup_docs):
+    sigs = {r.doc_id: r.sig for r in minhash_docs(dup_docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    assert sigs[1] != sigs[4]
+    # near-dup (J = 7/8) shares most minhashes; md5-deterministic
+    same = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert same >= 10  # expectation 14 of 16 at J=0.875
+
+
+def test_lsh_finds_near_dups(dup_docs):
+    sigs = minhash_docs(dup_docs, "text", "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 3) in pairs  # near dup lands in same band with high prob
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_values(dup_docs):
+    sigs = minhash_docs(dup_docs, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    j = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(dup_docs, "text", "doc_id", pairs).collect()}
+    assert j[(1, 2)] == pytest.approx(1.0)
+    # doc 3 appends one token: 8 shingles vs 7, 7 shared → J = 7/8
+    assert j[(1, 3)] == pytest.approx(7 / 8)
+
+
+def test_near_dedup_pipeline(dup_docs):
+    kept = sorted(
+        r.doc_id
+        for r in near_dedup_minhash(dup_docs, "text", "doc_id", threshold=0.3).collect()
+    )
+    assert kept == [1, 4]  # 2,5 exact dups; 3 near-dup at jaccard 0.4
+
+
+def test_minhash_matches_duckdb(docs, duck):
+    """Cross-engine MinHash parity (md5-string construction)."""
+    sdf = minhash_docs(docs.limit(50), "text", "doc_id", n_hashes=4).select(
+        "doc_id", F.element_at("sig", 1).alias("m0"), F.element_at("sig", 4).alias("m3")
+    )
+    sql = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+          FROM t
+        )
+        SELECT doc_id,
+               list_min(list_transform(s, x -> ('0x' || substr(md5(x),1,12))::BIGINT
+                   + 0 * ('0x' || substr(md5(x),17,12))::BIGINT)) AS m0,
+               list_min(list_transform(s, x -> ('0x' || substr(md5(x),1,12))::BIGINT
+                   + 3 * ('0x' || substr(md5(x),17,12))::BIGINT)) AS m3
+        FROM sh WHERE len(s) > 0
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_simhash_known_value():
+    # pure-python oracle recomputation
+    import hashlib
+
+    import numpy as np
+
+    toks = ["alpha", "beta", "gamma"]
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        bits = np.array([(h >> (63 - i)) & 1 for i in range(64)], dtype=np.int64)
+        acc += 2 * bits - 1
+    expect = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            expect |= 1 << (63 - i)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert simhash64(toks) == expect
+
+
+def test_simhash_near_pairs(spark, dup_docs):
+    hashes = simhash_docs(dup_docs, "text", "doc_id")
+    rows = {r.doc_id: r.simhash for r in hashes.collect()}
+    assert rows[1] == rows[2] == rows[5]
+    pairs = simhash_near_pairs(hashes, "doc_id", max_hamming=16, chunks=4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(1, 2)] == 0
+
+
+def test_embedding_near_pairs_blocked(spark, sf_dir, duck):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sdf = embedding_near_pairs(
+        emb, "embedding", "vec_id", threshold=0.3, block_col="label"
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    sql = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
+                 / sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x->x*x))
+                      * list_sum(list_transform(b.embedding::DOUBLE[], x->x*x))), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
+                 / sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x->x*x))
+                      * list_sum(list_transform(b.embedding::DOUBLE[], x->x*x))) >= 0.3
+    """
+    assert_matches_oracle(sdf, duck, sql)

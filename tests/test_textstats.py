@@ -1,0 +1,109 @@
+"""Text analysis operator tests with DuckDB oracle parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_id_en,
+    quality_score,
+    rolling_min_hash,
+    text_stats,
+    token_count_bpe,
+    token_count_ws,
+)
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello, world! x2 done",)], "t string")
+    row = df.select(
+        token_count_ws("t").alias("ws"), token_count_bpe("t").alias("bpe")
+    ).first()
+    # ws tokens: hello world x2 done (x2 is one alnum run) → 4
+    assert row.ws == 4
+    # bpe: hello , world ! x 2 done → 7
+    assert row.bpe == 7
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat with a hat",), ("zzz qqq www rrr ttt yyy uuu iii",)],
+        "t string",
+    )
+    out = [r[0] for r in df.select(lang_id_en("t")).collect()]
+    assert out == ["en", "unk"]
+
+
+def test_quality_score_range(docs):
+    rows = docs.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World!",), ("hello world",)], "t string"
+    )
+    fps = [r[0] for r in df.select(doc_fingerprint("t")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_rolling_min_hash_local_edit(spark):
+    df = spark.createDataFrame(
+        [("abcdefghijklmnopqrstuvwxyz0123456789",),
+         ("abcdefghijklmnopqrstuvwxyz012345678X",)],
+        "t string",
+    )
+    h = [r[0] for r in df.select(rolling_min_hash("t", k=5).alias("h")).collect()]
+    # one trailing edit usually preserves the global min-gram
+    assert h[0] is not None and h[1] is not None
+
+
+def test_text_stats_matches_duckdb(docs, duck):
+    sdf = text_stats(docs, "text", "doc_id").drop("n_tokens_bpe", "mean_word_len")
+    stop = ",".join(f"'{s}'" for s in
+                    __import__("lantern_spark.functions.text", fromlist=["STOPWORDS"]).STOPWORDS)
+    tok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    sql = f"""
+        WITH t AS (
+          SELECT doc_id, text, {tok} AS toks,
+                 len({tok}) AS n,
+                 len(list_filter({tok}, x -> list_contains([{stop}], x))) AS sw,
+                 length(text) AS total,
+                 length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS clean
+          FROM documents
+        )
+        SELECT doc_id,
+               n AS n_tokens_ws,
+               round(CASE WHEN n > 0 THEN sw::DOUBLE / n ELSE 0.0 END, 6) AS stopword_ratio,
+               round(CASE WHEN total > 0 THEN (total - clean)::DOUBLE / total ELSE 0.0 END, 6) AS punct_ratio,
+               CASE WHEN (CASE WHEN n > 0 THEN sw::DOUBLE / n ELSE 0 END) >= 0.05
+                    THEN 'en' ELSE 'unk' END AS lang_pred,
+               round((least(n / 64.0, 1.0)
+                    + (1.0 - CASE WHEN total > 0 THEN (total - clean)::DOUBLE / total ELSE 0.0 END)
+                    + least(4.0 * CASE WHEN n > 0 THEN sw::DOUBLE / n ELSE 0.0 END, 1.0)) / 3.0, 6) AS quality,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        FROM t
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_mean_word_len_and_bpe(docs, duck):
+    sdf = docs.select(
+        "doc_id",
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        F.round(F.col("n_chars") / F.greatest(token_count_ws("text"), F.lit(1)), 6).alias("chars_per_tok"),
+    )
+    tok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    sql = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+               round(n_chars::DOUBLE / greatest(len({tok}), 1), 6) AS chars_per_tok
+        FROM documents
+    """
+    assert_matches_oracle(sdf, duck, sql)
