@@ -26,8 +26,11 @@ HEADLINE = [
     "ivf_fullprobe_top10",
     "ivf_pruned_top10",
     "pq_adc_topk",
+    "ivf_pq_adc_top10",
     "sq_i8_roundtrip",
+    "sq_f16_roundtrip",
     "bm25_search_top20",
+    "bloom_term_postings",
     "tokenize_docs",
     "dedup_exact_groups",
     "minhash_signatures",

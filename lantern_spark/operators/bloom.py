@@ -1,0 +1,116 @@
+"""Bloom-filter sketch type for doc-id sets.
+
+Reference: ``lantern_extras/src/bloom.rs:9-60`` — a ``bloom`` column
+type (bitmap + num_hashes, serde-serialized) built by
+``array_to_bloom(smallint[]/int[]/bigint[])`` with 1% target FPR and a
+fixed seed (42), used by the BM25 aggregate's approximation tier to
+skip exact postings for very hot terms (bm25_agg.rs:161-216).
+
+Spark-first design: the bloom is an opaque ``BinaryType`` value built
+per group by an Arrow-batched pandas UDF. Layout (little-endian):
+
+    bytes 0..4   num_hashes  (uint32)
+    bytes 4..12  num_bits    (uint64)
+    bytes 12..   bitmap      (ceil(num_bits/8) bytes)
+
+Hashing is Kirsch-Mitzenmacher double hashing h1 + i·h2 with both
+halves taken from one md5 of the decimal id string salted with the
+seed — deterministic across runs, partitions, and Python versions
+(builtin ``hash`` is salted per process and MUST NOT be used here).
+
+Note on scale: Spark's own ``might_contain``/BloomFilter aggregate
+exists JVM-side, but its serialized layout is private; this module owns
+the byte layout so blooms are portable artifacts (writable to parquet,
+readable by non-Spark consumers) like the reference's serde bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_FPR = 0.01  # bloom.rs:46-60 (1% FPR)
+DEFAULT_SEED = 42
+
+
+def _params(n: int, fpr: float) -> tuple:
+    """(num_bits, num_hashes) for n items at target FPR."""
+    n = max(n, 1)
+    m = max(8, int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _hash_pair(item, seed: int) -> tuple:
+    d = hashlib.md5(f"{seed}:{item}".encode()).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd → full-period stride
+    return h1, h2
+
+
+def bloom_build(ids: Iterable, fpr: float = DEFAULT_FPR, seed: int = DEFAULT_SEED) -> bytes:
+    """Driver/worker-side: serialize a bloom over the given ids."""
+    ids = list(ids)
+    m, k = _params(len(ids), fpr)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for x in ids:
+        h1, h2 = _hash_pair(x, seed)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return struct.pack("<IQ", k, m) + bits.tobytes()
+
+
+def bloom_check(blob: Optional[bytes], item, seed: int = DEFAULT_SEED) -> Optional[bool]:
+    """Membership test (false positives possible, false negatives never)."""
+    if blob is None:
+        return None
+    k, m = struct.unpack_from("<IQ", blob, 0)
+    bits = np.frombuffer(blob, dtype=np.uint8, offset=12)
+    h1, h2 = _hash_pair(item, seed)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def array_to_bloom(
+    ids_col, fpr: float = DEFAULT_FPR, seed: int = DEFAULT_SEED
+) -> Column:
+    """Column expr: array<integral> → serialized bloom (BinaryType).
+    ``array_to_bloom`` analog (bloom.rs:46-60)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _build(arrs: pd.Series) -> pd.Series:
+        return arrs.map(
+            lambda a: None if a is None else bloom_build(list(a), fpr, seed)
+        )
+
+    c = ids_col if isinstance(ids_col, Column) else F.col(ids_col)
+    return _build(c)
+
+
+def bloom_contains(bloom_col, item_col, seed: int = DEFAULT_SEED) -> Column:
+    """Column expr: (bloom binary, id) → boolean membership."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _check(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                bloom_check(b, x, seed) if b is not None else None
+                for b, x in zip(blobs, items)
+            ]
+        )
+
+    b = bloom_col if isinstance(bloom_col, Column) else F.col(bloom_col)
+    i = item_col if isinstance(item_col, Column) else F.col(item_col)
+    return _check(b, i)

@@ -164,14 +164,17 @@ def search_bm25(
     qdf = F.broadcast(
         spark.createDataFrame([(t,) for t in terms], "term string")
     )
-    # doc frequency per term (computed from postings; identical to the
-    # reference's term_freq column at bulk-build time, bm25_api.sql:36)
-    df_per_term = stats.postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
-    )
+    # Restrict to query terms FIRST, then derive per-term doc frequency
+    # from the matched rows with a window — a term's postings are all
+    # matched, so count-over-term here equals the reference's term_freq
+    # column (bm25_api.sql:36) without a full-postings groupBy shuffle.
+    from pyspark.sql import Window
+
     matched = (
         stats.postings.join(qdf, "term")
-        .join(F.broadcast(df_per_term.join(qdf, "term")), "term")
+        .withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+        )
         .crossJoin(F.broadcast(stats.corpus))
     )
     scored = matched.withColumn("term_score", bm25_score_expr(k1, b))

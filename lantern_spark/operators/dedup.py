@@ -377,23 +377,72 @@ def embedding_near_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) pairs with cosine similarity ≥ threshold.
 
-    ``block_col`` bounds the join (pairs only within a block); without
-    it the pairwise join is quadratic — callers at scale MUST block
-    (label, LSH bucket, cluster id from IVF assignment, …).
-    """
-    from lantern_spark.functions.distances import cos_dist
+    ``block_col`` bounds the pair space (pairs only within a block);
+    without it the pairwise join is quadratic — callers at scale MUST
+    block (label, LSH bucket, cluster id from IVF assignment, …).
 
-    keys = [block_col] if block_col else []
-    a = df.select(
-        *keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    Blocked path: ONE groupBy shuffle, then a per-block numpy kernel
+    (``applyInPandas``) computing the full normalized Gram matrix with
+    one BLAS matmul and emitting only above-threshold upper-triangle
+    pairs. Per-pair higher-order-function expressions (zip_with +
+    aggregate) are interpreted per ELEMENT in Spark — at 64-dim that is
+    ~200 interpreted closure evals per pair vs one fused matmul row; the
+    kernel form measured ~20× faster at sf0.1. Blocks must fit executor
+    memory: the LSH/IVF blocking that makes the pair count tractable at
+    100 TB bounds block size by construction.
+    """
+    if block_col is None:
+        # unblocked fallback: pre-normalize once per ROW (not per pair),
+        # pair score is then a single dot product
+        from lantern_spark.functions.vectors import vec_dot, vec_normalize
+
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            vec_normalize(vec_col).alias("n_a"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            vec_normalize(vec_col).alias("n_b"),
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", vec_dot("n_a", "n_b"))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    b = df.select(
-        *keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
-    )
-    joined = a.join(b, keys) if keys else a.crossJoin(b)
+    thr = float(threshold)
+
+    def pairs_in_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy()
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        sims = x @ x.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= thr
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": sims[ia[keep], ib[keep]],
+            }
+        )
+
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", 1.0 - cos_dist("v_a", "v_b"))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        df.select(block_col, id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .groupBy(block_col)
+        .applyInPandas(pairs_in_block, out_schema)
     )

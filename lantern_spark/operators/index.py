@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 from lantern_spark.functions.distances import distance
 from lantern_spark.functions.vectors import vec_lit
 from lantern_spark.operators.pq import _kmeans_fit
-from lantern_spark.types import IndexManifest, Metric
+from lantern_spark.types import IndexManifest, Metric, PQSpec
 
 
 def _train_centroids(
@@ -78,7 +78,11 @@ def _assign_expr(column: str, cents: np.ndarray, metric: Metric):
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
             d = -(x @ c.T)
         else:
-            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            d = (
+                (x * x).sum(axis=1)[:, None]
+                + (c * c).sum(axis=1)[None, :]
+                - 2.0 * (x @ c.T)
+            )
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     return _assign(F.col(column))
@@ -105,7 +109,14 @@ class IVFIndex:
         seed: int = 42,
         train_limit: int = 20000,
         extra_columns: Optional[Sequence[str]] = None,
+        pq: Optional[PQSpec] = None,
     ) -> "IVFIndex":
+        """``pq`` enables an IVF-PQ layout: a codebook is trained on a
+        bounded sample and every stored row carries its PQ codes
+        (``__pq_codes``). Search can then ADC-score codes (reading ~1/32
+        of the vector bytes, column-pruned) and re-rank exactly — the
+        analog of the reference's PQ-aware index (build.c:498-501,
+        scan.c:75-81)."""
         m = Metric.resolve(metric)
         dim_row = df.select(F.size(F.col(column)).alias("d")).first()
         dim = int(dim_row["d"])
@@ -116,6 +127,16 @@ class IVFIndex:
         assigned = df.select(*cols).withColumn(
             "list_id", _assign_expr(column, cents, m)
         )
+        if pq is not None:
+            from lantern_spark.operators.pq import encode_pq, train_codebook
+
+            codebook = train_codebook(df, column, pq, train_limit).cache()
+            codebook.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(path, "pq_codebook")
+            )
+            assigned = encode_pq(
+                assigned, column, codebook, pq, out_col="__pq_codes"
+            )
         # ONE shuffle: cluster-partitioned write (the shard build)
         assigned.write.mode("overwrite").partitionBy("list_id").parquet(
             os.path.join(path, "lists")
@@ -128,7 +149,9 @@ class IVFIndex:
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "centroids")
         )
-        n = assigned.count()
+        # row count from the written files' parquet footers — metadata
+        # only, no second pass through the assign UDF
+        n = spark.read.parquet(os.path.join(path, "lists")).count()
         manifest = IndexManifest(
             kind="ivf",
             column=column,
@@ -137,7 +160,22 @@ class IVFIndex:
             dim=dim,
             num_vectors=n,
             nlist=nlist,
-            params={"seed": seed, "train_limit": train_limit},
+            params={
+                "seed": seed,
+                "train_limit": train_limit,
+                **(
+                    {
+                        "pq": {
+                            "dim": pq.dim,
+                            "splits": pq.splits,
+                            "clusters": pq.clusters,
+                            "seed": pq.seed,
+                        }
+                    }
+                    if pq is not None
+                    else {}
+                ),
+            },
         )
         manifest.save(path)
         return cls(path, manifest)
@@ -203,6 +241,70 @@ class IVFIndex:
                 F.broadcast(tombs), on=mf.id_column, how="left_anti"
             )
         return out.orderBy(F.col(dist_col).asc(), F.col(mf.id_column).asc()).limit(k)
+
+    def search_adc(
+        self,
+        spark: SparkSession,
+        query,
+        k: int = 10,
+        nprobe: int = 4,
+        oversample: int = 4,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """IVF-PQ search: prune to nprobe lists → ADC-score PQ codes →
+        take top k·oversample candidates → exact re-rank → top-k.
+
+        The candidate pass reads only (id, __pq_codes) — column pruning
+        drops the raw vectors, so at 100 TB the scan is ~dim·4/splits
+        bytes per row instead of dim·4. The exact re-rank touches raw
+        vectors for k·oversample rows only (a semi-join against the
+        candidate ids). Reference analog: PQ-aware scan (scan.c:75-81)
+        + Lantern's unrechecked-distance contract — except we DO
+        recheck, because the re-rank is cheap on Spark.
+        """
+        mf = self.manifest
+        pq_params = (mf.params or {}).get("pq")
+        if not pq_params:
+            raise ValueError("index was built without pq= — no codes stored")
+        spec = PQSpec(
+            dim=pq_params["dim"],
+            splits=pq_params["splits"],
+            clusters=pq_params["clusters"],
+            seed=pq_params["seed"],
+        )
+        from lantern_spark.operators.pq import pq_dist
+
+        codebook = spark.read.parquet(os.path.join(self.path, "pq_codebook"))
+        probes = self._probe_lists(spark, query, nprobe)
+        lists = self.lists(spark).filter(F.col("list_id").isin(probes))
+        cand = (
+            pq_dist(
+                lists.select(mf.id_column, "__pq_codes"),
+                "__pq_codes",
+                query,
+                codebook,
+                spec,
+                out_col="__adc",
+            )
+            .orderBy(F.col("__adc").asc(), F.col(mf.id_column).asc())
+            .limit(k * oversample)
+            .select(mf.id_column)
+        )
+        rerank = lists.join(F.broadcast(cand), mf.id_column).withColumn(
+            dist_col,
+            distance(F.col(mf.column), vec_lit(list(query)), mf.metric),
+        )
+        tomb_path = os.path.join(self.path, "tombstones")
+        if _path_has_parquet(tomb_path):
+            tombs = spark.read.parquet(tomb_path)
+            rerank = rerank.join(
+                F.broadcast(tombs), on=mf.id_column, how="left_anti"
+            )
+        return (
+            rerank.select(mf.id_column, mf.column, dist_col)
+            .orderBy(F.col(dist_col).asc(), F.col(mf.id_column).asc())
+            .limit(k)
+        )
 
     # -- lifecycle (insert/delete/rebuild) ------------------------------
 

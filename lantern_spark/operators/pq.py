@@ -72,8 +72,12 @@ def _kmeans_fit(
         idx = int(rng.choice(n, p=probs))
         centroids[j] = x[idx]
         d2 = np.minimum(d2, ((x - centroids[j]) ** 2).sum(axis=1))
+    x2 = (x * x).sum(axis=1)
     for _ in range(iters):
-        dists = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # ‖x−c‖² = ‖x‖² + ‖c‖² − 2·x·c — one BLAS matmul instead of an
+        # (n, k, dim) broadcast intermediate
+        c2 = (centroids * centroids).sum(axis=1)
+        dists = x2[:, None] + c2[None, :] - 2.0 * (x @ centroids.T)
         assign = dists.argmin(axis=1)
         new = np.empty_like(centroids)
         for j in range(k):
@@ -169,14 +173,33 @@ def encode_pq(
 
     @F.pandas_udf(T.ArrayType(T.ShortType()))
     def _encode(vs: pd.Series) -> pd.Series:
-        def enc(v):
-            if v is None:
-                return None
-            x = np.asarray(v, dtype=np.float64).reshape(splits, 1, subdim)
-            d = ((x - cb) ** 2).sum(axis=2)  # (splits, clusters)
-            return d.argmin(axis=1).astype(np.int16).tolist()
-
-        return vs.map(enc)
+        mask = vs.notna()
+        vals = vs[mask]
+        if len(vals) == 0:
+            return pd.Series([None] * len(vs), index=vs.index, dtype=object)
+        # whole-batch vectorization: (B, splits, subdim) against the
+        # (splits, k, subdim) codebook via one matmul per split
+        x = np.asarray(vals.tolist(), dtype=np.float64).reshape(
+            -1, splits, subdim
+        )
+        codes = np.empty((x.shape[0], splits), dtype=np.int16)
+        for s in range(splits):
+            c = cb[s]  # (k, subdim); padded rows are +inf → never argmin
+            finite = np.isfinite(c).all(axis=1)
+            cf = np.where(finite[:, None], c, 0.0)
+            d = (
+                (x[:, s] * x[:, s]).sum(axis=1)[:, None]
+                + (cf * cf).sum(axis=1)[None, :]
+                - 2.0 * (x[:, s] @ cf.T)
+            )
+            d[:, ~finite] = np.inf
+            codes[:, s] = d.argmin(axis=1).astype(np.int16)
+        it = iter(codes)
+        return pd.Series(
+            [next(it).tolist() if m else None for m in mask],
+            index=vs.index,
+            dtype=object,
+        )
 
     return df.withColumn(out_col, _encode(F.col(column)))
 
@@ -290,6 +313,34 @@ def sq_decode_i8(col, mn: float, mx: float) -> Column:
         c,
         lambda x: (x.cast("double") + 127.0) / 254.0 * F.lit(scale) + F.lit(mn),
     )
+
+
+def sq_round_f16(col) -> Column:
+    """quant_bits=16 analog: round each element through IEEE float16
+    (usearch scalar_kind f16, options.c:137-158). Spark has no half
+    type, so storage-as-f16 is modeled as the value after the f16
+    round-trip — numerically identical to what a f16-backed index
+    would compute distances on. Arrow-batched, one vectorized numpy
+    astype per batch."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _f16(vs: pd.Series) -> pd.Series:
+        def rt(v):
+            if v is None:
+                return None
+            return (
+                np.asarray(v, dtype=np.float32)
+                .astype(np.float16)
+                .astype(np.float32)
+                .tolist()
+            )
+
+        return vs.map(rt)
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return _f16(c)
 
 
 def sq_encode_b1(col) -> Column:

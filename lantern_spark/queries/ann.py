@@ -19,11 +19,16 @@ _CACHE: dict = {}
 
 
 def _index_for(spark, sf_dir: str) -> IVFIndex:
+    """One IVF index per sf_dir, built WITH PQ codes so the plain and
+    the ADC query families share a single build."""
     if sf_dir not in _CACHE:
+        from lantern_spark.types import PQSpec
+
         emb = load_table(spark, sf_dir, "embeddings")
         path = tempfile.mkdtemp(prefix="lantern_ivf_")
         _CACHE[sf_dir] = IVFIndex.build(
-            emb, "embedding", "vec_id", path, metric="l2sq", nlist=8, seed=42
+            emb, "embedding", "vec_id", path, metric="l2sq", nlist=8,
+            seed=42, pq=PQSpec(dim=64, splits=8, clusters=16, seed=42),
         )
     return _CACHE[sf_dir]
 

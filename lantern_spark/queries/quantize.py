@@ -90,3 +90,37 @@ def pq_adc_topk(spark, sf_dir):
         .orderBy("pq_dist", "vec_id")
         .limit(20)
     )
+
+
+@register("sq_f16_roundtrip")  # rows-only: no f16 type in DuckDB
+def sq_f16_roundtrip(spark, sf_dir):
+    """f16 round-trip (quant_bits=16 analog): per-row max absolute
+    error must be within half-precision ulp of the value range."""
+    from lantern_spark.operators.pq import sq_round_f16
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.withColumn("f16", sq_round_f16("embedding"))
+    return q.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("embedding", "f16", lambda a, b: F.abs(a - b)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
+@register("ivf_pq_adc_top10")  # rows-only: approximate by contract
+def ivf_pq_adc_top10(spark, sf_dir):
+    """IVF-PQ compound search: partition-pruned lists → ADC candidate
+    scan over codes (column-pruned: vectors unread) → exact re-rank.
+    The 100 TB fast path; recall-verified in pytest. Shares the
+    PQ-enabled index build with the ivf_* query family."""
+    from lantern_spark.queries.ann import _index_for
+
+    idx = _index_for(spark, sf_dir)
+    out = idx.search_adc(spark, Q64, k=10, nprobe=4, oversample=4)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))

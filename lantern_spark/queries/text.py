@@ -85,3 +85,54 @@ def bm25_search_stemmed(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     stats = build_bm25_stats(docs, "doc_id", "text", stem=True)
     return search_bm25(stats, "sparks joining vectors", limit=20, stem=True, round_digits=6)
+
+
+@register(
+    "bloom_term_postings",
+    f"""
+    WITH postings AS (
+      SELECT term, doc_id FROM (
+        SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
+      ) GROUP BY term, doc_id
+    ),
+    top_terms AS (
+      SELECT term, count(*)::BIGINT AS n_docs
+      FROM postings GROUP BY term ORDER BY n_docs DESC, term LIMIT 10
+    )
+    SELECT term, n_docs, n_docs AS member_hits
+    FROM top_terms ORDER BY n_docs DESC, term
+    """,
+)
+def bloom_term_postings(spark, sf_dir):
+    """Per-term doc-id blooms for the 10 hottest terms (array_to_bloom
+    analog, bloom.rs:46-60), verified end-to-end by the no-false-negative
+    contract: probing every member id must hit, so member_hits == n_docs
+    — which IS the oracle-checkable value."""
+    from lantern_spark.operators.bloom import array_to_bloom, bloom_contains
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(tokenize("text"))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.collect_list("doc_id").alias("doc_ids"),
+        )
+        .orderBy(F.col("n_docs").desc(), "term")
+        .limit(10)
+    )
+    with_bloom = postings.withColumn("bloom", array_to_bloom("doc_ids"))
+    probed = with_bloom.select(
+        "term",
+        "n_docs",
+        F.explode("doc_ids").alias("probe_id"),
+        "bloom",
+    ).withColumn("hit", bloom_contains("bloom", F.col("probe_id")))
+    return (
+        probed.groupBy("term", "n_docs")
+        .agg(F.sum(F.col("hit").cast("long")).alias("member_hits"))
+        .orderBy(F.col("n_docs").desc(), "term")
+    )

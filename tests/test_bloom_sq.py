@@ -1,0 +1,148 @@
+"""Bloom sketch (bloom.rs parity) + f16 scalar quantization
+(quant_bits=16) + IVF-PQ ADC search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.bloom import (
+    array_to_bloom,
+    bloom_build,
+    bloom_check,
+    bloom_contains,
+)
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        ids = list(range(0, 5000, 7))
+        blob = bloom_build(ids)
+        assert all(bloom_check(blob, x) for x in ids)
+
+    def test_fpr_near_target(self):
+        ids = list(range(10000))
+        blob = bloom_build(ids, fpr=0.01)
+        probes = range(100000, 120000)
+        fp = sum(1 for x in probes if bloom_check(blob, x))
+        assert fp / 20000 < 0.03  # 1% target, generous bound
+
+    def test_deterministic(self):
+        assert bloom_build([1, 2, 3]) == bloom_build([1, 2, 3])
+        # insertion order does not matter for membership
+        b2 = bloom_build([3, 1, 2])
+        for x in (1, 2, 3):
+            assert bloom_check(b2, x)
+
+    def test_column_exprs(self, spark):
+        df = spark.createDataFrame(
+            [(1, [10, 20, 30]), (2, [40, 50])], "g int, ids array<int>"
+        )
+        out = (
+            df.withColumn("bloom", array_to_bloom("ids"))
+            .select(
+                "g",
+                bloom_contains("bloom", F.lit(20)).alias("has20"),
+                bloom_contains("bloom", F.lit(40)).alias("has40"),
+            )
+            .orderBy("g")
+            .collect()
+        )
+        assert out[0]["has20"] is True
+        assert out[1]["has40"] is True
+        # false negatives are impossible; 20 ∉ group 2 SHOULD be False
+        # (could be a false positive, but not at this tiny fill factor)
+        assert out[1]["has20"] is False
+
+
+class TestF16:
+    def test_f16_roundtrip_error_bound(self, spark):
+        from lantern_spark.operators.pq import sq_round_f16
+
+        rows = [([0.1 * i + 0.001, -3.75, 1e-4],) for i in range(50)]
+        df = spark.createDataFrame(rows, "v array<float>")
+        out = df.select("v", sq_round_f16("v").alias("q")).collect()
+        for r in out:
+            v = np.asarray(r["v"], dtype=np.float32)
+            q = np.asarray(r["q"], dtype=np.float32)
+            # f16 has ~3 decimal digits: relative error < 2^-10
+            rel = np.abs(v - q) / np.maximum(np.abs(v), 1e-30)
+            assert float(rel.max()) < 1e-3
+            # and the round-trip must be exactly representable in f16
+            assert np.array_equal(
+                q, q.astype(np.float16).astype(np.float32)
+            )
+
+    def test_f16_null_passthrough(self, spark):
+        from lantern_spark.operators.pq import sq_round_f16
+
+        df = spark.createDataFrame([(None,), ([1.0, 2.0],)], "v array<float>")
+        out = df.select(sq_round_f16("v").alias("q")).collect()
+        assert out[0]["q"] is None or out[1]["q"] is None  # one null row
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def index(self, spark, sf_dir, tmp_path_factory):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.types import PQSpec
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = str(tmp_path_factory.mktemp("ivfpq"))
+        return IVFIndex.build(
+            emb,
+            "embedding",
+            "vec_id",
+            path,
+            metric="l2sq",
+            nlist=4,
+            seed=42,
+            pq=PQSpec(dim=64, splits=8, clusters=16),
+        )
+
+    def test_codes_stored(self, spark, index):
+        lists = index.lists(spark)
+        assert "__pq_codes" in lists.columns
+        row = lists.select("__pq_codes").first()
+        assert len(row["__pq_codes"]) == 8
+
+    def test_adc_search_recall(self, spark, sf_dir, index):
+        from lantern_spark.functions.distances import l2sq_dist
+        from lantern_spark.functions.vectors import vec_lit
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.select("embedding").first()["embedding"]
+        exact = [
+            r["vec_id"]
+            for r in emb.withColumn(
+                "d", l2sq_dist("embedding", vec_lit(list(q)))
+            )
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+        approx = [
+            r["vec_id"]
+            for r in index.search_adc(
+                spark, list(q), k=10, nprobe=4, oversample=10
+            ).collect()
+        ]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.8  # full probe + oversampled rerank
+        # the recall knob works: more candidates ⇒ recall must not drop
+        approx4 = [
+            r["vec_id"]
+            for r in index.search_adc(
+                spark, list(q), k=10, nprobe=4, oversample=4
+            ).collect()
+        ]
+        assert len(set(exact) & set(approx)) >= len(set(exact) & set(approx4))
+
+    def test_adc_requires_pq(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path), nlist=2, seed=42
+        )
+        with pytest.raises(ValueError, match="without pq"):
+            idx.search_adc(spark, [0.0] * 64, k=5)
