@@ -121,7 +121,7 @@ def lsh_pairs_q(spark, sf_dir):
            round(len(list_intersect(a.s, b.s))::DOUBLE
                / len(list_distinct(a.s || b.s)), 6) AS jaccard
     FROM sh a JOIN sh b
-      ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 5
+      ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 40
     WHERE len(a.s) > 0 AND len(b.s) > 0
     """,
 )
@@ -136,7 +136,7 @@ def ngram_jaccard_same_source(spark, sf_dir):
             d.alias("b"),
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 5),
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 40),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
@@ -176,3 +176,29 @@ def simhash_near_pairs_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     hashes = simhash_docs(docs, "text", "doc_id")
     return simhash_near_pairs(hashes, "doc_id", max_hamming=8, chunks=4)
+
+
+@register(
+    "dedup_prefix_groups",
+    """
+    SELECT md5(substr(text, 1, 64)) AS head_hash, count(*)::BIGINT AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM documents GROUP BY md5(substr(text, 1, 64)) HAVING count(*) > 1
+    """,
+)
+def dedup_prefix_groups(spark, sf_dir):
+    """Head-prefix dedup groups: exact-hash grouping keyed on the first
+    64 chars — the boilerplate/template-collision detector (full-text
+    exact dedup on this corpus is all-unique, so this is the variant
+    with non-trivial groups to verify the grouping machinery)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.md5(F.substring("text", 1, 64)).alias("head_hash")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

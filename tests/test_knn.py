@@ -131,3 +131,35 @@ def test_knn_plan_is_take_ordered(emb):
     heaps + driver merge, no global sort/shuffle of the base data."""
     plan = knn_search(emb, "embedding", Q64, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+class TestArrowImpl:
+    def test_arrow_matches_expr(self, spark, sf_dir):
+        """Arrow kernel and expression path agree after round(·, 6)."""
+        from lantern_spark.operators.knn import knn_search
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.select("embedding").first()["embedding"]
+        for metric in ("l2sq", "cos"):
+            a = knn_search(
+                emb, "embedding", list(q), k=10, metric=metric,
+                tie_break="vec_id",
+            ).select("vec_id", F.round("dist", 6).alias("d")).collect()
+            b = knn_search(
+                emb, "embedding", list(q), k=10, metric=metric,
+                tie_break="vec_id", impl="arrow",
+            ).select("vec_id", F.round("dist", 6).alias("d")).collect()
+            assert [(r["vec_id"], r["d"]) for r in a] == [
+                (r["vec_id"], r["d"]) for r in b
+            ]
+
+    def test_arrow_dim_mismatch_raises(self, spark, sf_dir):
+        import pytest
+        from lantern_spark.operators.knn import knn_search
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(Exception, match="dimension mismatch"):
+            knn_search(
+                emb, "embedding", [0.0] * 32, k=5, impl="arrow"
+            ).collect()

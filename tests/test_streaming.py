@@ -1,0 +1,207 @@
+"""Structured Streaming: stateful sessionization + incremental embed.
+
+The sessionizer function is unit-tested directly (no streaming query
+needed — it is a plain generator over pandas frames + a state object),
+then end-to-end through applyInPandasWithState on a file stream.
+"""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class FakeState:
+    """Minimal GroupState stand-in for driving the sessionizer fn."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _pdf(ts_list, values=None):
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts_list),
+            "value": values or [1.0] * len(ts_list),
+        }
+    )
+
+
+class TestSessionizerFn:
+    def test_single_session_stays_open(self):
+        from lantern_spark.streaming.sessionize import make_sessionizer
+
+        fn = make_sessionizer(gap_seconds=1800)
+        st = FakeState()
+        out = list(fn((7,), iter([_pdf(["2026-01-01 10:00", "2026-01-01 10:10"])]), st))
+        assert out == []  # nothing closed
+        start_us, last_us, n, sv = st.get
+        assert n == 2 and sv == 2.0
+
+    def test_gap_closes_session(self):
+        from lantern_spark.streaming.sessionize import make_sessionizer
+
+        fn = make_sessionizer(gap_seconds=1800)
+        st = FakeState()
+        out = list(
+            fn(
+                (7,),
+                iter(
+                    [
+                        _pdf(
+                            [
+                                "2026-01-01 10:00",
+                                "2026-01-01 10:10",
+                                "2026-01-01 12:00",  # > 30 min gap
+                            ]
+                        )
+                    ]
+                ),
+                st,
+            )
+        )
+        assert len(out) == 1
+        closed = out[0].iloc[0]
+        assert closed["n_events"] == 2 and closed["closed_by"] == "gap"
+        # open session carries the last event
+        assert st.get[2] == 1
+
+    def test_state_spans_batches(self):
+        from lantern_spark.streaming.sessionize import make_sessionizer
+
+        fn = make_sessionizer(gap_seconds=1800)
+        st = FakeState()
+        list(fn((7,), iter([_pdf(["2026-01-01 10:00"])]), st))
+        out = list(fn((7,), iter([_pdf(["2026-01-01 10:20"])]), st))
+        assert out == []
+        assert st.get[2] == 2  # same session continued across batches
+
+    def test_timeout_flushes_open_session(self):
+        from lantern_spark.streaming.sessionize import make_sessionizer
+
+        fn = make_sessionizer(gap_seconds=1800)
+        st = FakeState()
+        list(fn((7,), iter([_pdf(["2026-01-01 10:00"])]), st))
+        st.hasTimedOut = True
+        out = list(fn((7,), iter([]), st))
+        assert len(out) == 1
+        assert out[0].iloc[0]["closed_by"] == "timeout"
+        assert st.removed
+
+    def test_matches_batch_sessionization(self, spark, sf_dir):
+        """Feeding ALL events through the stateful fn per user must
+        reproduce the batch window-based session count."""
+        from lantern_spark.streaming.sessionize import make_sessionizer
+        from lantern_spark.types import load_events
+
+        ev = (
+            load_events(spark, sf_dir)
+            .select("user_id", "ts", "value")
+            .orderBy("ts")
+            .limit(2000)
+            .toPandas()
+        )
+        gap = 1800
+        # stream path: one batch per user + forced timeout flush
+        n_stream = 0
+        fn = make_sessionizer(gap_seconds=gap)
+        for uid, grp in ev.groupby("user_id"):
+            st = FakeState()
+            n_stream += len(
+                list(fn((uid,), iter([grp[["ts", "value"]]]), st))
+            )
+            st.hasTimedOut = True
+            n_stream += len(list(fn((uid,), iter([]), st)))
+        # batch path: lag/gap cumsum
+        ev = ev.sort_values(["user_id", "ts"], kind="stable")
+        gaps = (
+            ev.groupby("user_id")["ts"].diff().dt.total_seconds() > gap
+        )
+        n_batch = int(gaps.sum()) + ev["user_id"].nunique()
+        assert n_stream == n_batch
+
+
+class TestStreamingEndToEnd:
+    def test_file_stream_sessionize(self, spark, sf_dir, tmp_path):
+        from lantern_spark.streaming.sessionize import streaming_sessionize
+        from lantern_spark.types import load_events
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        ev = load_events(spark, sf_dir).select("user_id", "ts", "value")
+        ev.limit(500).coalesce(1).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_sessionize(stream, gap_seconds=600)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM sess_test").collect()
+            # closed sessions must be well-formed
+            for r in rows:
+                assert r["session_end"] >= r["session_start"]
+                assert r["n_events"] >= 1
+        finally:
+            q.stop()
+
+    def test_incremental_embed_exactly_once(self, spark, tmp_path):
+        from lantern_spark.streaming.embed_stream import (
+            incremental_embedding_job,
+        )
+
+        src = str(tmp_path / "in")
+        out_p = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(src)
+        df1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "id long, body string"
+        )
+        df1.coalesce(1).write.mode("append").parquet(src)
+        q = incremental_embedding_job(
+            spark, src, df1.schema, "body", "emb", out_p, ckpt, id_col="id"
+        )
+        try:
+            q.processAllAvailable()
+            n1 = spark.read.parquet(out_p).count()
+            assert n1 == 2
+            # new file → only the new rows embed
+            spark.createDataFrame(
+                [(3, "gamma")], "id long, body string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = spark.read.parquet(out_p)
+            assert got.count() == 3
+            assert got.filter(F.col("emb").isNull()).count() == 0
+        finally:
+            q.stop()
