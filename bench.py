@@ -23,6 +23,10 @@ HEADLINE = [
     "knn_cos_top10",
     "knn_join_top3",
     "weighted_search_exact",
+    "weighted_search_approx",
+    "sq_b1_hamming_top10",
+    "ivf_delta_tombstone_top10",
+    "vector_arithmetic",
     "ivf_fullprobe_top10",
     "ivf_pruned_top10",
     "pq_adc_topk",

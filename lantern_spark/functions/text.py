@@ -38,6 +38,24 @@ STOPWORDS = [
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
+# set_user_stopwords / get_user_stopwords analog (stemmers.rs:24-64 —
+# the reference persists a userdefined.stop dictionary file; here it is
+# session config honored by every tokenize/stem call made after it)
+_USER_STOPWORDS: list = []
+
+
+def set_user_stopwords(words):
+    global _USER_STOPWORDS
+    _USER_STOPWORDS = sorted({str(w).lower() for w in words})
+
+
+def get_user_stopwords():
+    return list(_USER_STOPWORDS)
+
+
+def all_stopwords():
+    return STOPWORDS + [w for w in _USER_STOPWORDS if w not in STOPWORDS]
+
 
 def _c(x) -> Column:
     return x if isinstance(x, Column) else F.col(x)
@@ -53,7 +71,7 @@ def tokenize(col, drop_stopwords: bool = False) -> Column:
         F.split(F.lower(_c(col)), TOKEN_SPLIT_RE), lambda x: x != ""
     )
     if drop_stopwords:
-        toks = F.filter(toks, lambda x: ~x.isin(STOPWORDS))
+        toks = F.filter(toks, lambda x: ~x.isin(all_stopwords()))
     return toks
 
 
@@ -217,7 +235,7 @@ def stem_token_list(tokens: Iterable[str], drop_stopwords: bool = True) -> List[
     out = []
     for t in tokens:
         s = porter_stem(t)
-        if drop_stopwords and s in STOPWORDS:
+        if drop_stopwords and s in all_stopwords():
             continue
         out.append(s)
     return out

@@ -189,6 +189,35 @@ def search_bm25(
     )
 
 
+def merge_bm25_stats(a: BM25Stats, b: BM25Stats) -> BM25Stats:
+    """Fold two stats builds into one (consolidate_bm25_table analog,
+    bm25_api.sql:110-159 — the reference merges duplicate term rows
+    created by incremental inserts; with normalized postings the merge
+    is a union + one groupBy re-sum).
+
+    A doc present in both inputs (re-indexed) keeps summed frequencies —
+    callers replacing docs should anti-join the old postings out first.
+    """
+    postings = (
+        a.postings.unionByName(b.postings)
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.sum("fq").cast("int").alias("fq"))
+        .select("term", "doc_id", "fq", "doc_len")
+    )
+    ca, cb = a.corpus, b.corpus
+    corpus = (
+        ca.unionByName(cb)
+        .agg(
+            F.sum("num_docs").cast("long").alias("num_docs"),
+            (
+                F.sum(F.col("avg_doc_len") * F.col("num_docs"))
+                / F.sum("num_docs")
+            ).alias("avg_doc_len"),
+        )
+    )
+    return BM25Stats(postings=postings, corpus=corpus)
+
+
 def bm25_score_one(
     stats: BM25Stats, document_tokens, query_terms, k1=BM25_DEFAULT_K1, b=BM25_DEFAULT_B
 ) -> float:

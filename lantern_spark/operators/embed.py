@@ -196,3 +196,33 @@ def llm_completion(col, model: str = "echo", system_prompt: str = ""):
         )
     c = col if not isinstance(col, str) else F.col(col)
     return F.concat(F.lit(f"[{system_prompt}] " if system_prompt else ""), c)
+
+
+def measure_model_speed(
+    df: DataFrame,
+    src_col: str,
+    runtime: RuntimeSpec,
+    sample_rows: int = 1000,
+) -> dict:
+    """Throughput probe (measure-model-speed analog,
+    embeddings/measure_speed.rs): embed a bounded sample and report
+    rows/sec + the effective batch size. Driver-side timing around a
+    count() materialization — the sample bound keeps it cheap at any
+    table size."""
+    import time
+
+    sample = df.select(src_col).where(F.col(src_col).isNotNull()).limit(
+        sample_rows
+    )
+    n = sample.count()
+    out = embed_column(sample, src_col, "__emb", runtime)
+    t0 = time.time()
+    out.select(F.count("__emb")).collect()
+    dt = max(time.time() - t0, 1e-9)
+    return {
+        "model": runtime.name,
+        "rows": n,
+        "seconds": round(dt, 3),
+        "rows_per_sec": round(n / dt, 1),
+        "batch_size": runtime.batch_size,
+    }

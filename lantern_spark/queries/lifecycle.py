@@ -1,0 +1,207 @@
+"""Registered queries: weighted approx search, binary-quantized hamming
+search, index delta+tombstone lifecycle, vector arithmetic (SURVEY
+§2.C/§2.D/§2.G parity)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lantern_spark.functions.distances import hamming_dist, l2sq_dist
+from lantern_spark.functions.vectors import (
+    vec_add,
+    vec_dot,
+    vec_lit,
+    vec_norm,
+    vec_scale,
+)
+from lantern_spark.operators.knn import weighted_vector_search
+from lantern_spark.operators.pq import sq_encode_b1
+from lantern_spark.queries.common import (
+    Q64,
+    Q64_B,
+    duck_l2sq,
+    duck_lit,
+    load_table,
+)
+from lantern_spark.registry import register
+
+_QL = duck_lit(Q64)
+_QLB = duck_lit(Q64_B)
+
+
+# --- 2.G weighted search, approx mode ----------------------------------
+
+@register(
+    "weighted_search_approx",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, embedding,
+             {duck_l2sq('embedding::DOUBLE[]', _QL)} AS d1,
+             {duck_l2sq('embedding::DOUBLE[]', _QLB)} AS d2
+      FROM embeddings
+    ),
+    c1 AS (SELECT * FROM scored ORDER BY d1, vec_id LIMIT 50),
+    c2 AS (SELECT * FROM scored ORDER BY d2, vec_id LIMIT 50),
+    cand AS (
+      SELECT DISTINCT vec_id, d1, d2
+      FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    )
+    SELECT vec_id, round(0.7*d1 + 0.3*d2, 6) AS joint_dist
+    FROM cand
+    ORDER BY round(0.7*d1 + 0.3*d2, 6), vec_id
+    LIMIT 10
+    """,
+)
+def weighted_search_approx(spark, sf_dir):
+    """Reference approx mode (lantern.sql:673-819): per-term top-ef
+    candidates → union → dedup → joint re-rank. Deterministic here
+    because candidate generation is exact top-ef — hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = weighted_vector_search(
+        emb,
+        [(0.7, "embedding", Q64), (0.3, "embedding", Q64_B)],
+        k=10,
+        metric="l2sq",
+        id_col="vec_id",
+        ef=50,
+        exact=False,
+    )
+    return out.select(
+        "vec_id", F.round("joint_dist", 6).alias("joint_dist")
+    ).orderBy("joint_dist", "vec_id")
+
+
+# --- 2.D binary quantization search path -------------------------------
+
+# sign-bit packing into int32 words with two's-complement wrap, as a
+# pure nested-lambda expression (DuckDB lambdas cannot contain
+# correlated subqueries): wrap(s) = ((s + 2^31) % 2^32) − 2^31
+_B1_PACK_SQL = """
+      list_transform(range(0, 2), w ->
+        ((list_sum(list_transform(range(0, 32),
+             i -> CASE WHEN e[w*32 + i + 1] - 0.5 > 0
+                  THEN (2 ** i)::BIGINT ELSE 0 END))
+          + 2147483648) % 4294967296) - 2147483648)
+"""
+
+
+@register(
+    "sq_b1_hamming_top10",
+    f"""
+    WITH centered AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    packed AS (
+      SELECT vec_id, {_B1_PACK_SQL} AS words FROM centered
+    ),
+    qp AS (
+      SELECT {_B1_PACK_SQL} AS words FROM (SELECT {_QL} AS e)
+    )
+    SELECT p.vec_id,
+           list_sum(list_transform(list_zip(p.words, q.words),
+             x -> bit_count(xor(x[1], x[2]) & 4294967295)))::BIGINT AS hd
+    FROM packed p, qp q
+    ORDER BY hd, p.vec_id
+    LIMIT 10
+    """,
+)
+def sq_b1_hamming_top10(spark, sf_dir):
+    """quant_bits=1 search path: center, pack sign bits into int32
+    words (hnsw.c:308-318 layout), search by packed hamming distance.
+    Fully deterministic → oracle hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centered = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") - 0.5).alias("c"),
+    )
+    packed = centered.select("vec_id", sq_encode_b1("c").alias("words"))
+    import numpy as np
+
+    q = np.asarray(Q64) - 0.5
+    qwords = []
+    for w in range(2):
+        acc = 0
+        for i in range(32):
+            if q[w * 32 + i] > 0:
+                acc |= 1 << i
+        if acc >= 2**31:
+            acc -= 2**32
+        qwords.append(acc)
+    out = packed.select(
+        "vec_id",
+        hamming_dist(
+            "words", F.array(*[F.lit(w).cast("int") for w in qwords])
+        ).cast("long").alias("hd"),
+    )
+    return out.orderBy("hd", "vec_id").limit(10)
+
+
+# --- 2.C index lifecycle: delta + tombstones ---------------------------
+
+_LIFECYCLE_CACHE: dict = {}
+
+
+@register(
+    "ivf_delta_tombstone_top10",
+    f"""
+    SELECT vec_id, round({duck_l2sq('embedding::DOUBLE[]', _QL)}, 6) AS dist
+    FROM embeddings
+    WHERE vec_id % 7 <> 0
+    ORDER BY round({duck_l2sq('embedding::DOUBLE[]', _QL)}, 6), vec_id
+    LIMIT 10
+    """,
+)
+def ivf_delta_tombstone_top10(spark, sf_dir):
+    """aminsert/ambulkdelete lifecycle (insert.c, delete.c): index built
+    on 80% of rows, the rest appended as delta, multiples of 7
+    tombstoned. A full-probe search over base+delta−tombstones must
+    EXACTLY equal exact KNN over the surviving rows — hash-checkable."""
+    from lantern_spark.operators.index import IVFIndex
+
+    if sf_dir not in _LIFECYCLE_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        rest = emb.filter(F.col("vec_id") % 5 == 0)
+        path = tempfile.mkdtemp(prefix="lantern_life_")
+        idx = IVFIndex.build(
+            base, "embedding", "vec_id", path, metric="l2sq", nlist=4, seed=42
+        )
+        idx.add_delta(rest)
+        idx.delete(emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+        _LIFECYCLE_CACHE[sf_dir] = idx
+    idx = _LIFECYCLE_CACHE[sf_dir]
+    out = idx.search(spark, Q64, k=10, nprobe=idx.manifest.nlist)
+    return (
+        out.select("vec_id", F.round("dist", 6).alias("dist"))
+        .orderBy("dist", "vec_id")
+    )
+
+
+# --- vector arithmetic (pgvector-interop op surface) -------------------
+
+@register(
+    "vector_arithmetic",
+    f"""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(
+             list_transform(list_zip(embedding::DOUBLE[], {_QLB}),
+                            x -> x[1] + 0.5 * x[2]), y -> y*y))), 6) AS norm_mix,
+           round(list_sum(list_transform(list_zip(embedding::DOUBLE[], {_QLB}),
+                            x -> x[1] * x[2])), 6) AS dot_qb
+    FROM embeddings
+    """,
+)
+def vector_arithmetic(spark, sf_dir):
+    """Element-wise vector ops as column exprs (the pgvector-interop
+    arithmetic surface): ‖v + 0.5·q‖ and v·q per row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qb = vec_lit(Q64_B)
+    return emb.select(
+        "vec_id",
+        F.round(vec_norm(vec_add("embedding", vec_scale(qb, 0.5))), 6).alias(
+            "norm_mix"
+        ),
+        F.round(vec_dot("embedding", qb), 6).alias("dot_qb"),
+    )

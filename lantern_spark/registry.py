@@ -89,6 +89,10 @@ def _ensure_loaded():
     except ImportError:
         pass
     try:
+        from lantern_spark.queries import lifecycle as _q_life  # noqa: F401
+    except ImportError:
+        pass
+    try:
         from lantern_spark.queries import pipeline as _q_pipe  # noqa: F401
     except ImportError:
         pass

@@ -163,3 +163,87 @@ def test_bm25_oracle_on_documents(spark, duck, sf_dir):
         ORDER BY bm25_score DESC, doc_id LIMIT 20
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+class TestUserStopwords:
+    def test_set_get_and_tokenize(self, spark):
+        from lantern_spark.functions.text import (
+            get_user_stopwords,
+            set_user_stopwords,
+            tokenize,
+        )
+        from pyspark.sql import functions as F
+
+        try:
+            set_user_stopwords(["foo", "BAR"])
+            assert get_user_stopwords() == ["bar", "foo"]
+            df = spark.createDataFrame(
+                [("the foo jumps over bar quickly",)], "t string"
+            )
+            toks = df.select(
+                tokenize("t", drop_stopwords=True).alias("toks")
+            ).first()["toks"]
+            assert "foo" not in toks and "bar" not in toks
+            assert "jumps" in toks and "quickly" in toks
+        finally:
+            set_user_stopwords([])
+
+
+class TestBM25Merge:
+    def test_merge_equals_full_build(self, spark, sf_dir):
+        """consolidate analog: stats built on two halves then merged
+        must rank identically to a single full build."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.bm25 import (
+            build_bm25_stats,
+            merge_bm25_stats,
+            search_bm25,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        full = build_bm25_stats(docs, "doc_id", "text", stem=False)
+        h1 = build_bm25_stats(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", stem=False
+        )
+        h2 = build_bm25_stats(
+            docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", stem=False
+        )
+        merged = merge_bm25_stats(h1, h2)
+        q = "data model spark"
+        a = search_bm25(full, q, limit=10, stem=False, round_digits=6).collect()
+        b = search_bm25(merged, q, limit=10, stem=False, round_digits=6).collect()
+        assert [(r["doc_id"], r["bm25_score"]) for r in a] == [
+            (r["doc_id"], r["bm25_score"]) for r in b
+        ]
+
+
+class TestMaskedExplain:
+    def test_masks_vector_literals(self, spark, sf_dir):
+        from lantern_spark.functions.distances import l2sq_dist
+        from lantern_spark.functions.vectors import vec_lit
+        from lantern_spark.plans.explain import masked_explain, physical_summary
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        df = (
+            emb.withColumn("d", l2sq_dist("embedding", vec_lit([0.25] * 64)))
+            .orderBy("d")
+            .limit(5)
+        )
+        text = masked_explain(df)
+        assert "[…vector…]" in text
+        assert "0.25, 0.25, 0.25" not in text
+        summary = physical_summary(df)
+        assert summary["take_ordered"] is True
+        assert summary["python_evals"] == 0
+
+
+class TestModelSpeed:
+    def test_measure_model_speed(self, spark, sf_dir):
+        from lantern_spark.operators.embed import RuntimeSpec, measure_model_speed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rep = measure_model_speed(
+            docs, "text", RuntimeSpec(name="hash", dim=16), sample_rows=200
+        )
+        assert rep["rows"] == 200 and rep["rows_per_sec"] > 0
