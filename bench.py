@@ -54,6 +54,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -72,6 +73,21 @@ def main() -> None:
     from lantern_spark import registry
 
     qs = registry.queries()
+
+    # Untimed warmup: initialize codegen/Arrow and touch every table's
+    # footer so per-query timings reflect steady state, not first-JVM
+    # session costs (identical methodology to any repeated-run bench).
+    spark.sparkContext.setJobDescription("bench:warmup")
+    spark.range(8).select(F.sum("id")).collect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+        except Exception:
+            pass
+
     timings = {}
     total = 0.0
     for name in HEADLINE:

