@@ -205,3 +205,29 @@ def vector_arithmetic(spark, sf_dir):
         ),
         F.round(vec_dot("embedding", qb), 6).alias("dot_qb"),
     )
+
+
+# --- pipeline composition: text → embed → search -----------------------
+
+@register("text_query_vector_search")  # rows-only (hash embedding)
+def text_query_vector_search(spark, sf_dir):
+    """The reference HTTP server's query_text entry
+    (http_server/search.rs:60-133: embed the query text with the
+    collection's model, then ORDER BY dist LIMIT k) composed from our
+    operators: embed documents (deterministic hash runtime) → embed the
+    query string → exact KNN over the embedded column."""
+    from lantern_spark.operators.embed import (
+        RuntimeSpec,
+        embed_column,
+        hash_embed_batch,
+    )
+    from lantern_spark.operators.knn import knn_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    rt = RuntimeSpec(name="hash", dim=32)
+    embedded = embed_column(docs, "text", "emb", rt)
+    qvec = hash_embed_batch(["spark vector search"], 32)[0]
+    out = knn_search(
+        embedded, "emb", qvec, k=10, metric="cos", tie_break="doc_id"
+    )
+    return out.select("doc_id", F.round("dist", 6).alias("dist"))
