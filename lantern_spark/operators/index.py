@@ -291,6 +291,12 @@ class IVFIndex:
         candidate ids). Reference analog: PQ-aware scan (scan.c:75-81)
         + Lantern's unrechecked-distance contract — except we DO
         recheck, because the re-rank is cheap on Spark.
+
+        Caveat: near-duplicate rows share PQ codes, so the candidate
+        top-(k·oversample) can fill up with copies of few distinct
+        points. Corpora with high duplicate multiplicity m need
+        oversample ≳ m (or dedup upstream — operators/dedup) to keep
+        recall.
         """
         mf = self.manifest
         pq_params = (mf.params or {}).get("pq")
