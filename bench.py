@@ -35,6 +35,7 @@ HEADLINE = [
     "sq_f16_roundtrip",
     "bm25_search_top20",
     "bloom_term_postings",
+    "hybrid_rrf_top10",
     "tokenize_docs",
     "dedup_exact_groups",
     "minhash_signatures",

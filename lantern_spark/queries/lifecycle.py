@@ -231,3 +231,71 @@ def text_query_vector_search(spark, sf_dir):
         embedded, "emb", qvec, k=10, metric="cos", tie_break="doc_id"
     )
     return out.select("doc_id", F.round("dist", 6).alias("dist"))
+
+
+# --- hybrid search: BM25 ⊕ vector via reciprocal-rank fusion ------------
+
+@register(
+    "hybrid_rrf_top10",
+    f"""
+    WITH tl AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tl2 AS (SELECT doc_id, toks, len(toks) AS doc_len FROM tl),
+    postings AS (
+      SELECT term, doc_id, count(*) AS fq, any_value(doc_len) AS doc_len
+      FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM tl2)
+      GROUP BY term, doc_id
+    ),
+    corpus AS (SELECT count(*) AS num_docs, avg(doc_len) AS avg_doc_len FROM tl2),
+    q AS (SELECT unnest(['spark','join','vector']) AS term),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    bm25 AS (
+      SELECT doc_id, round(sum(
+        ln((c.num_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+          * (p.fq * 2.2) / (p.fq + 1.2*(1 - 0.75 + 0.75*p.doc_len/c.avg_doc_len))), 6) AS s
+      FROM postings p JOIN q USING(term) JOIN dfreq d USING(term) CROSS JOIN corpus c
+      GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20
+    ),
+    knn AS (
+      SELECT vec_id AS doc_id, round({duck_l2sq('embedding::DOUBLE[]', _QL)}, 6) AS dist
+      FROM embeddings ORDER BY round({duck_l2sq('embedding::DOUBLE[]', _QL)}, 6), vec_id LIMIT 20
+    ),
+    r1 AS (SELECT doc_id, 1.0/(60 + row_number() OVER (ORDER BY s DESC, doc_id)) AS rrf FROM bm25),
+    r2 AS (SELECT doc_id, 1.0/(60 + row_number() OVER (ORDER BY dist ASC, doc_id)) AS rrf FROM knn)
+    SELECT doc_id, round(sum(rrf), 6) AS rrf_score
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    GROUP BY doc_id ORDER BY round(sum(rrf), 6) DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_top10(spark, sf_dir):
+    """Hybrid text+vector search: BM25 top-20 ⊕ exact-KNN top-20 fused
+    by reciprocal rank (the production composition of the reference's
+    query_text / query_vector entry points). Both input rankings and
+    the fusion are deterministic → oracle hash-checked."""
+    from lantern_spark.operators.hybrid import rrf_fuse
+    from lantern_spark.operators.knn import knn_search
+    from lantern_spark.queries.text import _stats_for
+    from lantern_spark.operators.bm25 import search_bm25
+
+    bm25 = search_bm25(
+        _stats_for(spark, sf_dir, stem=False),
+        "spark join vector",
+        limit=20,
+        stem=False,
+        round_digits=6,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = (
+        knn_search(emb, "embedding", Q64, k=20, tie_break="vec_id")
+        .select(F.col("vec_id").alias("doc_id"), F.round("dist", 6).alias("dist"))
+    )
+    fused = rrf_fuse(
+        [bm25, knn],
+        id_col="doc_id",
+        order_cols=["bm25_score", "dist"],
+        k=10,
+        ascending=[False, True],
+    )
+    return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))

@@ -163,3 +163,32 @@ class TestArrowImpl:
             knn_search(
                 emb, "embedding", [0.0] * 32, k=5, impl="arrow"
             ).collect()
+
+
+class TestRRF:
+    def test_rrf_fuse_math(self, spark):
+        from lantern_spark.operators.hybrid import rrf_fuse
+        from pyspark.sql import functions as F
+
+        a = spark.createDataFrame(
+            [(1, 9.0), (2, 7.0), (3, 5.0)], "id long, score double"
+        )
+        b = spark.createDataFrame(
+            [(3, 0.1), (1, 0.4), (4, 0.9)], "id long, dist double"
+        )
+        out = rrf_fuse(
+            [a, b], "id", ["score", "dist"], k=4,
+            ascending=[False, True],
+        ).collect()
+        got = {r["id"]: round(r["rrf_score"], 6) for r in out}
+        # a-ranks: 1->1, 2->2, 3->3 ; b-ranks: 3->1, 1->2, 4->3
+        exp = {
+            1: round(1 / 61 + 1 / 62, 6),
+            3: round(1 / 63 + 1 / 61, 6),
+            2: round(1 / 62, 6),
+            4: round(1 / 63, 6),
+        }
+        assert got == exp
+        # doc appearing in both lists outranks single-list docs
+        order = [r["id"] for r in out]
+        assert order[0] in (1, 3) and order[1] in (1, 3)
