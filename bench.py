@@ -43,6 +43,8 @@ HEADLINE = [
     "embedding_near_pairs",
     "text_stats_all",
     "token_counts",
+    "asof_purchase_attribution",
+    "events_rollup_type_hour",
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
     "events_sessionization",

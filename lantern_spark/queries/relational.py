@@ -198,3 +198,81 @@ def events_sessionization(spark, sf_dir):
     )
     sess = gaps.withColumn("session_id", F.sum("new_session").over(wcum))
     return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "asof_purchase_attribution",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id, c.user_id, v.view_id, v.view_value,
+           v.view_ts AS view_ts_r
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.view_ts
+    """,
+)
+def asof_purchase_attribution(spark, sf_dir):
+    """As-of join (point-in-time attribution): every purchase event
+    matched to the user's most recent view at-or-before it. Spark has
+    no native ASOF JOIN — composed as union-tag + one window (see
+    operators/asof.py); oracle = DuckDB's native ASOF LEFT JOIN."""
+    from lantern_spark.operators.asof import asof_join
+    from lantern_spark.types import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="view_ts",
+        right_cols=["view_id", "view_value"],
+    ).select("event_id", "user_id", "view_id", "view_value", "view_ts_r")
+
+
+@register(
+    "events_rollup_type_hour",
+    """
+    SELECT event_type,
+           CASE WHEN GROUPING(hour) = 1 THEN NULL ELSE hour END AS hour,
+           count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value,
+           GROUPING(event_type)::INT + 2*GROUPING(hour)::INT AS lvl
+    FROM (SELECT event_type, date_part('hour', ts)::INT AS hour, value FROM events)
+    GROUP BY ROLLUP(event_type, hour)
+    """,
+)
+def events_rollup_type_hour(spark, sf_dir):
+    """ROLLUP grouping-sets aggregate (the Catalyst-freebie §2.J
+    surface exercised explicitly): per (type, hour), per type, grand
+    total, with grouping level markers."""
+    from lantern_spark.types import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.hour("ts").alias("hour"), "value"
+    )
+    return (
+        ev.rollup("event_type", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            (
+                F.grouping("event_type").cast("int")
+                + 2 * F.grouping("hour").cast("int")
+            ).alias("lvl"),
+        )
+        .select("event_type", "hour", "n", "sum_value", "lvl")
+    )

@@ -60,8 +60,11 @@ def _canon(rows, columns, ndigits=6):
             return tuple(canon_val(x) for x in v)
         return v
 
+    # None-safe ordering: sort by string form (comparison only needs to
+    # be consistent across both sides; equality still uses the values)
     canon_rows = sorted(
-        tuple(canon_val(r[i]) for i in idx) for r in rows
+        (tuple(canon_val(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple(str(v) for v in t),
     )
     return [columns[i] for i in idx], canon_rows
 
