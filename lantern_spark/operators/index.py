@@ -171,14 +171,6 @@ class IVFIndex:
         assigned.write.mode("overwrite").partitionBy("list_id").parquet(
             os.path.join(path, "lists")
         )
-        spark = df.sparkSession
-        cent_df = spark.createDataFrame(
-            [(i, c.tolist()) for i, c in enumerate(cents)],
-            "list_id int, centroid array<double>",
-        )
-        cent_df.repartition(1).write.mode("overwrite").parquet(
-            os.path.join(path, "centroids")
-        )
         # row count piggybacks on the write job via Observation — no
         # second pass, no extra job
         n = int(obs.get["n"])
@@ -190,6 +182,7 @@ class IVFIndex:
             dim=dim,
             num_vectors=n,
             nlist=nlist,
+            centroids=[c.tolist() for c in cents],
             params={
                 "seed": seed,
                 "train_limit": train_limit,
@@ -217,16 +210,28 @@ class IVFIndex:
     # -- read paths -----------------------------------------------------
 
     def centroids(self, spark: SparkSession) -> DataFrame:
+        """Centroids as a DataFrame. Inline in the manifest since v1.1
+        (HnswIndexHeaderPage analog); falls back to the legacy parquet
+        artifact for indexes written before that."""
+        if self.manifest.centroids:
+            return spark.createDataFrame(
+                [(i, c) for i, c in enumerate(self.manifest.centroids)],
+                "list_id int, centroid array<double>",
+            )
         return spark.read.parquet(os.path.join(self.path, "centroids"))
 
     def lists(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "lists"))
 
     def _probe_lists(self, spark: SparkSession, query, nprobe: int) -> list:
-        cents = self.centroids(spark).collect()  # O(nlist) — tiny
+        if self.manifest.centroids:
+            c = np.asarray(self.manifest.centroids, dtype=np.float64)
+            ids = np.arange(c.shape[0])
+        else:  # legacy parquet centroids
+            cents = self.centroids(spark).collect()  # O(nlist) — tiny
+            c = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
+            ids = np.asarray([r["list_id"] for r in cents])
         q = np.asarray(list(query), dtype=np.float64)
-        c = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
-        ids = np.asarray([r["list_id"] for r in cents])
         if Metric.resolve(self.manifest.metric) is Metric.COS:
             cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
             qn = q / max(np.linalg.norm(q), 1e-30)

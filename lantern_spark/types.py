@@ -112,6 +112,10 @@ class IndexManifest:
     num_vectors: int
     nlist: int = 0  # IVF partition count (0 = flat)
     params: dict = field(default_factory=dict)
+    # IVF centroids inline (nlist×dim floats — header-page-sized by
+    # construction, like usearch_header living inside
+    # HnswIndexHeaderPage): probing then needs NO Spark job at all
+    centroids: list = field(default_factory=list)
     version: int = 1
     magic: str = "lantern-spark-index"  # header magicNumber analog
 
