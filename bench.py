@@ -46,6 +46,8 @@ HEADLINE = [
     "asof_purchase_attribution",
     "events_rollup_type_hour",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
     "revenue_by_nation",
     "events_sessionization",
 ]

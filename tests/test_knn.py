@@ -192,3 +192,38 @@ class TestRRF:
         # doc appearing in both lists outranks single-list docs
         order = [r["id"] for r in out]
         assert order[0] in (1, 3) and order[1] in (1, 3)
+
+
+class TestSaltedTopK:
+    def test_salted_equals_plain(self, spark, sf_dir):
+        from lantern_spark.operators.topk import topk_per_group
+        from lantern_spark.types import load_events
+
+        ev = load_events(spark, sf_dir).select(
+            "event_type", "event_id", "value"
+        )
+        plain = topk_per_group(
+            ev, ["event_type"], "value", k=5,
+            ascending=False, tie_break="event_id",
+        )
+        salted = topk_per_group(
+            ev, ["event_type"], "value", k=5,
+            ascending=False, tie_break="event_id", salt=8,
+        )
+        a = sorted((r["event_type"], r["event_id"]) for r in plain.collect())
+        b = sorted((r["event_type"], r["event_id"]) for r in salted.collect())
+        assert a == b and len(a) > 0
+
+    def test_salted_has_two_bounded_shuffles(self, spark, sf_dir):
+        from lantern_spark.operators.topk import topk_per_group
+        from lantern_spark.types import load_events
+
+        ev = load_events(spark, sf_dir).select(
+            "event_type", "event_id", "value"
+        )
+        salted = topk_per_group(
+            ev, ["event_type"], "value", k=5,
+            ascending=False, tie_break="event_id", salt=8,
+        )
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange ") == 2

