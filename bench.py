@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "dedup_components",
     "embedding_near_pairs",
     "text_stats_all",
     "token_counts",

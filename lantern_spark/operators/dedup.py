@@ -446,3 +446,114 @@ def embedding_near_pairs(
         .groupBy(block_col)
         .applyInPandas(pairs_in_block, out_schema)
     )
+
+
+# ----------------------------------------------------------------------
+# connected components (dedup clusters)
+# ----------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 12,
+) -> DataFrame:
+    """(id, component) labeling of the undirected graph given by
+    (id_a, id_b) candidate pairs; component = min id reachable.
+
+    Distributed min-label propagation with pointer jumping: each round
+    (a) every node takes the min label among its neighbors, (b) labels
+    chase their own label's label (path halving), so convergence is
+    O(log diameter) rounds — the DataFrame rendition of the
+    large-star/small-star CC algorithm. Each round is two joins + one
+    groupBy over the EDGE list (never materializes components as rows
+    on the driver); ``max_iter`` bounds the job count, and the loop
+    exits early on a fixed point (one count() action per round).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("nmin"))
+            .select(F.col("src").alias("id"), "nmin")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+        )
+        # pointer jumping: comp <- label(comp)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("j"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("id"),
+                F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()  # truncate lineage (see docstring)
+        )
+        changed = (
+            jumped.join(
+                labels.select("id", F.col("comp").alias("old")), "id"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Full cluster-aware near-dedup: MinHash → LSH → exact-Jaccard
+    verify → connected components → keep the min-id doc per component.
+    Unlike the one-round greedy (near_dedup_minhash), chained
+    duplicates (a~b, b~c but a≁c) collapse to ONE survivor."""
+    sigs = minhash_docs(df, text_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
+    verified = ngram_jaccard(df, text_col, id_col, cands, shingle_k, threshold)
+    comps = connected_components(
+        verified.select("id_a", "id_b"), max_iter=max_iter
+    )
+    losers = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -202,3 +202,52 @@ def dedup_prefix_groups(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH} AS s FROM t),
+    sig AS (
+      SELECT doc_id, [{", ".join(_minhash_sql(i) for i in range(8))}] AS sig
+      FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(list_transform(sig[b.band*2+1 : b.band*2+2],
+                 x -> x::VARCHAR), chr(31))) AS key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+    )
+    SELECT id, min(comp)::BIGINT AS comp
+    FROM walk GROUP BY id ORDER BY id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Connected components over the LSH candidate graph (the dedup
+    clustering step): distributed min-label propagation + pointer
+    jumping vs a DuckDB recursive-CTE reachability oracle."""
+    from lantern_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_docs(docs, "text", "doc_id", n_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
+    return (
+        connected_components(pairs)
+        .select(F.col("id"), F.col("comp").cast("long").alias("comp"))
+        .orderBy("id")
+    )

@@ -166,3 +166,52 @@ def test_embedding_near_pairs_blocked(spark, sf_dir, duck):
                       * list_sum(list_transform(b.embedding::DOUBLE[], x->x*x))) >= 0.3
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from lantern_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "id_a long, id_b long",
+        )
+        comps = {
+            r["id"]: r["comp"]
+            for r in connected_components(pairs).collect()
+        }
+        assert comps == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10,
+            20: 20, 21: 20, 22: 20,
+        }
+
+    def test_long_chain_converges(self, spark):
+        from lantern_spark.operators.dedup import connected_components
+
+        n = 64  # pointer jumping: converges in O(log n) rounds << n
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        comps = connected_components(pairs, max_iter=10).collect()
+        assert {r["comp"] for r in comps} == {0}
+        assert len(comps) == n + 1
+
+    def test_cluster_dedup_collapses_chains(self, spark):
+        from lantern_spark.operators.dedup import dedup_clusters
+
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        rows = [
+            (1, base),
+            (2, base + "alpha"),           # ~ 1
+            (3, base + "alpha beta"),      # ~ 2 (and transitively 1)
+            (4, "completely different text about spark engines " * 6),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_clusters(
+                df, "text", "doc_id", threshold=0.5
+            ).collect()
+        )
+        assert kept == [1, 4]
