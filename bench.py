@@ -29,6 +29,7 @@ HEADLINE = [
     "vector_arithmetic",
     "ivf_fullprobe_top10",
     "ivf_pruned_top10",
+    "ivf_filtered_top5",
     "pq_adc_topk",
     "ivf_pq_adc_top10",
     "sq_i8_roundtrip",

@@ -186,6 +186,7 @@ class IVFIndex:
             params={
                 "seed": seed,
                 "train_limit": train_limit,
+                "extra_columns": list(extra_columns or []),
                 **(
                     {
                         "pq": {
@@ -249,14 +250,25 @@ class IVFIndex:
         nprobe: int = 4,
         include_delta: bool = True,
         dist_col: str = "dist",
+        where=None,
+        oversample: int = 1,
     ) -> DataFrame:
         """ANN top-k: prune to nprobe lists → exact top-k within.
 
         nprobe plays the role of the ``ef`` GUC (options.c:337-348):
         higher → better recall, more data scanned.
+
+        ``where``: predicate over stored columns (id/vector plus any
+        build-time ``extra_columns``), applied to the probed candidate
+        set BEFORE top-k — the reference's post-filter contract
+        (test/sql/hnsw_select.sql:51: WHERE + ORDER BY still uses the
+        index; filters run on the candidates, so scarce matches may
+        underfill k). ``oversample`` multiplies nprobe when filtering,
+        the SURVEY §7 mitigation: probe more lists to refill k.
         """
         mf = self.manifest
-        probes = self._probe_lists(spark, query, nprobe)
+        n_lists = nprobe * (oversample if where is not None else 1)
+        probes = self._probe_lists(spark, query, n_lists)
         base = self.lists(spark).filter(F.col("list_id").isin(probes))
         scans = [base]
         delta_path = os.path.join(self.path, "delta")
@@ -264,6 +276,8 @@ class IVFIndex:
             scans.append(spark.read.parquet(delta_path))
         out = None
         for s in scans:
+            if where is not None:
+                s = s.filter(where)
             s = s.withColumn(
                 dist_col,
                 distance(F.col(mf.column), vec_lit(list(query)), mf.metric),
@@ -351,10 +365,16 @@ class IVFIndex:
 
     def add_delta(self, df: DataFrame) -> None:
         """aminsert analog: append rows to the delta set (insert.c) —
-        searched exactly until the next rebuild folds them in."""
-        df.select(self.manifest.id_column, self.manifest.column).write.mode(
-            "append"
-        ).parquet(os.path.join(self.path, "delta"))
+        searched exactly until the next rebuild folds them in. Carries
+        the build's extra_columns so filtered search sees one schema."""
+        extras = [
+            c
+            for c in (self.manifest.params or {}).get("extra_columns", [])
+            if c in df.columns
+        ]
+        df.select(
+            self.manifest.id_column, self.manifest.column, *extras
+        ).write.mode("append").parquet(os.path.join(self.path, "delta"))
 
     def delete(self, ids_df: DataFrame) -> None:
         """ambulkdelete analog: tombstone ids (delete.c:15-73 marks
@@ -366,10 +386,12 @@ class IVFIndex:
     def rebuild(self, spark: SparkSession, path: Optional[str] = None) -> "IVFIndex":
         """Fold delta − tombstones into a fresh index (reindex analog)."""
         mf = self.manifest
-        base = self.lists(spark).drop("list_id")
+        # codes are re-derived by build (delta rows have none)
+        base = self.lists(spark).drop("list_id", "__pq_codes")
         if _path_has_parquet(os.path.join(self.path, "delta")):
             base = base.unionByName(
-                spark.read.parquet(os.path.join(self.path, "delta"))
+                spark.read.parquet(os.path.join(self.path, "delta")),
+                allowMissingColumns=True,
             )
         if _path_has_parquet(os.path.join(self.path, "tombstones")):
             base = base.join(
@@ -386,6 +408,10 @@ class IVFIndex:
             nlist=mf.nlist,
             seed=mf.params.get("seed", 42),
             train_limit=mf.params.get("train_limit", 20000),
+            extra_columns=mf.params.get("extra_columns") or None,
+            pq=(
+                PQSpec(**mf.params["pq"]) if mf.params.get("pq") else None
+            ),
         )
 
     # -- validation -----------------------------------------------------

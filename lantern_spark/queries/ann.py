@@ -29,6 +29,7 @@ def _index_for(spark, sf_dir: str) -> IVFIndex:
         _CACHE[sf_dir] = IVFIndex.build(
             emb, "embedding", "vec_id", path, metric="l2sq", nlist=8,
             seed=42, pq=PQSpec(dim=64, splits=8, clusters=16, seed=42),
+            extra_columns=["label"],
         )
     return _CACHE[sf_dir]
 
@@ -94,4 +95,36 @@ def autotune_report(spark, sf_dir):
     return spark.createDataFrame(
         [(r.nlist, r.nprobe, round(r.recall, 4)) for r in results],
         "nlist int, nprobe int, recall double",
+    )
+
+
+@register(
+    "ivf_filtered_top5",
+    f"""
+    SELECT vec_id, label, round({duck_l2sq('embedding::DOUBLE[]', _QL)}, 6) AS dist
+    FROM embeddings
+    WHERE label = 3
+    ORDER BY round({duck_l2sq('embedding::DOUBLE[]', _QL)}, 6), vec_id
+    LIMIT 5
+    """,
+)
+def ivf_filtered_top5(spark, sf_dir):
+    """Filtered ANN (post-filter contract, hnsw_select.sql:51): filter
+    applied to probed candidates before top-k; at full probe this
+    equals exact filtered KNN — hash-checkable. The label column rides
+    in the index via build-time extra_columns."""
+    idx = _index_for(spark, sf_dir)
+    out = idx.search(
+        spark,
+        Q64,
+        k=5,
+        nprobe=idx.manifest.nlist,
+        where=F.col("label") == 3,
+    )
+    # search projects (id, vector, dist); re-join label for the output
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        out.join(F.broadcast(emb), "vec_id")
+        .select("vec_id", "label", F.round("dist", 6).alias("dist"))
+        .orderBy("dist", "vec_id")
     )

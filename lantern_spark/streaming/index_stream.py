@@ -1,0 +1,69 @@
+"""Continuous index maintenance: stream new rows into an IVF index.
+
+Daemon parity (SURVEY §2.E last row / daemon/*): the reference daemon
+watches for new rows and keeps indexes in sync (init + continuous).
+The Spark rendition: readStream over the source → ``foreachBatch``
+appending each micro-batch to the index's delta set (exactly-once via
+the checkpoint), searched immediately; a size-triggered ``rebuild``
+folds deltas into fresh lists when they grow past a threshold — the
+streaming twin of Lantern's insert-then-reindex lifecycle
+(insert.c + reindex).
+
+Scale notes: each micro-batch append is a bounded map-only write; only
+the rebuild (amortized) re-shuffles, and it runs from the foreachBatch
+driver thread with plain batch semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lantern_spark.operators.index import IVFIndex, _path_has_parquet
+
+
+def incremental_index_job(
+    spark: SparkSession,
+    index: IVFIndex,
+    source_path: str,
+    source_schema,
+    checkpoint_path: str,
+    rebuild_threshold_rows: Optional[int] = None,
+    rebuild_path: Optional[str] = None,
+    max_files_per_trigger: int = 4,
+):
+    """Start a stream appending new source rows to ``index``'s delta.
+
+    Returns (query, state) where ``state["index"]`` always points at
+    the live index handle (it changes identity after an automatic
+    rebuild). Drain with ``query.processAllAvailable()`` in tests.
+    """
+    state = {"index": index, "rebuilds": 0}
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        idx = state["index"]
+        idx.add_delta(batch_df)
+        if rebuild_threshold_rows:
+            delta_path = os.path.join(idx.path, "delta")
+            if _path_has_parquet(delta_path):
+                n = spark.read.parquet(delta_path).count()
+                if n >= rebuild_threshold_rows:
+                    new_path = rebuild_path or idx.path + f"_r{state['rebuilds'] + 1}"
+                    state["index"] = idx.rebuild(spark, new_path)
+                    state["rebuilds"] += 1
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    return query, state

@@ -205,3 +205,65 @@ class TestStreamingEndToEnd:
             assert got.filter(F.col("emb").isNull()).count() == 0
         finally:
             q.stop()
+
+
+class TestIncrementalIndex:
+    def test_stream_feeds_index_and_rebuilds(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.streaming.index_stream import incremental_index_job
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = emb.filter("vec_id < 300")
+        rest = emb.filter("vec_id >= 300")
+        idx = IVFIndex.build(
+            base, "embedding", "vec_id", str(tmp_path / "idx"),
+            nlist=4, seed=42,
+        )
+        src = str(tmp_path / "src")
+        import os
+        os.makedirs(src)
+        q, state = incremental_index_job(
+            spark, idx, src, base.schema, str(tmp_path / "ck"),
+            rebuild_threshold_rows=150,
+        )
+        try:
+            rest.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        live = state["index"]
+        assert state["rebuilds"] == 1  # 200 delta rows >= 150 threshold
+        assert live.manifest.num_vectors == emb.count()
+        # a streamed row is searchable in the rebuilt index
+        probe = emb.filter("vec_id = 450").first()["embedding"]
+        top = live.search(spark, list(probe), k=1, nprobe=4).first()
+        assert top["vec_id"] == 450 and top["dist"] == 0.0
+
+    def test_below_threshold_stays_delta(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.streaming.index_stream import incremental_index_job
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 480"), "embedding", "vec_id",
+            str(tmp_path / "idx"), nlist=4, seed=42,
+        )
+        src = str(tmp_path / "src")
+        import os
+        os.makedirs(src)
+        q, state = incremental_index_job(
+            spark, idx, src, emb.schema, str(tmp_path / "ck"),
+            rebuild_threshold_rows=10_000,
+        )
+        try:
+            emb.filter("vec_id >= 480").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert state["rebuilds"] == 0
+        # delta rows searchable without rebuild (include_delta path)
+        probe = emb.filter("vec_id = 490").first()["embedding"]
+        top = state["index"].search(spark, list(probe), k=1, nprobe=4).first()
+        assert top["vec_id"] == 490
