@@ -169,3 +169,66 @@ def synthetic_media_df(spark, n: int = 32, media_type: str = "image") -> DataFra
             )
         )
     return spark.createDataFrame(rows, media_schema())
+
+
+def _decode_audio(buf: bytes, meta) -> np.ndarray:
+    """Stub decode: real deployments plug soundfile/ffmpeg here.
+    Offline fake: deterministic waveform seeded by content hash;
+    length honors meta.duration_ms at a fixed 16 kHz rate."""
+    try:
+        import soundfile  # noqa: F401
+
+        raise NotImplementedError(
+            "real audio decode not wired in this container"
+        )
+    except ImportError:
+        pass
+    dur_ms = int(meta["duration_ms"] or 1000)
+    n = max(16, dur_ms * 16)  # 16 kHz
+    seed = int.from_bytes(hashlib.md5(buf).digest()[4:8], "little")
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(min(n, 160_000)).astype(np.float32)
+
+
+def audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    meta_col: str = "meta",
+    n_bands: int = 8,
+    n_frames: int = 4,
+    out_col: str = "audio_features",
+) -> DataFrame:
+    """Decode → framed band-energy features (a deterministic offline
+    stand-in for a log-mel spectrogram), one mapInPandas pass: the
+    waveform is split into ``n_frames`` windows × ``n_bands`` FFT
+    band energies → a fixed (n_frames·n_bands) vector — the shape a
+    CLAP/wav2vec-style audio tower consumes. Same batch discipline as
+    image_features; bytes never shuffle."""
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for buf, meta in zip(pdf[content_col], pdf[meta_col]):
+                if buf is None:
+                    feats.append(None)
+                    continue
+                wav = _decode_audio(bytes(buf), meta)
+                frames = np.array_split(wav, n_frames)
+                v = []
+                for fr in frames:
+                    spec = np.abs(np.fft.rfft(fr))
+                    bands = np.array_split(spec, n_bands)
+                    v.extend(
+                        float(np.log1p(b.mean())) if len(b) else 0.0
+                        for b in bands
+                    )
+                feats.append(np.asarray(v, dtype=np.float32).tolist())
+            out = pdf.copy()
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(run, out_schema)

@@ -75,3 +75,52 @@ class TestMultimodal:
         )
         row = image_features(df, dim=8).select("features").first()
         assert row["features"] is None
+
+
+class TestAudio:
+    def test_audio_features_shape_and_determinism(self, spark):
+        from lantern_spark.operators.multimodal import (
+            audio_features,
+            synthetic_media_df,
+        )
+
+        df = synthetic_media_df(spark, n=8, media_type="audio")
+        rows = (
+            audio_features(df, n_bands=8, n_frames=4)
+            .select("media_id", "audio_features")
+            .orderBy("media_id")
+            .collect()
+        )
+        assert len(rows) == 8
+        for r in rows:
+            assert len(r["audio_features"]) == 32  # 4 frames × 8 bands
+        rows2 = (
+            audio_features(
+                synthetic_media_df(spark, n=8, media_type="audio"),
+                n_bands=8,
+                n_frames=4,
+            )
+            .select("media_id", "audio_features")
+            .orderBy("media_id")
+            .collect()
+        )
+        import numpy as np
+
+        for a, b in zip(rows, rows2):
+            assert np.allclose(a["audio_features"], b["audio_features"])
+
+    def test_audio_features_feed_knn(self, spark):
+        from lantern_spark.operators.knn import knn_search
+        from lantern_spark.operators.multimodal import (
+            audio_features,
+            synthetic_media_df,
+        )
+
+        feats = audio_features(
+            synthetic_media_df(spark, n=8, media_type="audio")
+        )
+        q = feats.select("audio_features").first()["audio_features"]
+        top = knn_search(
+            feats, "audio_features", list(q), k=2, tie_break="media_id"
+        ).collect()
+        assert top[0]["dist"] == 0.0
