@@ -38,11 +38,12 @@ HEADLINE = [
     "bloom_term_postings",
     "hybrid_rrf_top10",
     "tokenize_docs",
-    "dedup_exact_groups",
+    "dedup_prefix_groups",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "dedup_components",
     "embedding_near_pairs",
+    "simhash_near_pairs",
     "text_stats_all",
     "token_counts",
     "asof_purchase_attribution",
@@ -53,6 +54,34 @@ HEADLINE = [
     "revenue_by_nation",
     "events_sessionization",
 ]
+
+
+def _build_phases(spark, sf_dir):
+    """One-time artifact builds, timed as separate bench entries so
+    query timings measure SEARCH, not first-call build (round-1
+    methodology fix). Order matters: queries run after these hit warm
+    caches."""
+
+    def ivf_pq_index():
+        from lantern_spark.queries.ann import _index_for
+
+        _index_for(spark, sf_dir)
+
+    def lifecycle_index():
+        from lantern_spark.queries.lifecycle import _lifecycle_index_for
+
+        _lifecycle_index_for(spark, sf_dir)
+
+    def bm25_postings():
+        from lantern_spark.queries.text import _stats_for
+
+        _stats_for(spark, sf_dir, stem=False)
+
+    return [
+        ("build:ivf_pq_index", ivf_pq_index),
+        ("build:lifecycle_index", lifecycle_index),
+        ("build:bm25_postings", bm25_postings),
+    ]
 
 
 def main() -> None:
@@ -97,6 +126,18 @@ def main() -> None:
 
     timings = {}
     total = 0.0
+    for name, build in _build_phases(spark, sf_dir):
+        spark.sparkContext.setJobDescription(f"bench:{name}")
+        t0 = time.time()
+        try:
+            build()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+        except Exception as e:
+            timings[name] = -1.0
+            print(f"# bench {name} FAILED: {e}", file=sys.stderr)
+
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -105,7 +146,14 @@ def main() -> None:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()  # materialize the full plan
+            # Materialize by hashing EVERY column: a bare count() lets
+            # Catalyst prune the computed columns on map-only queries,
+            # timing a parquet row-count instead of the operator
+            # (round-1 methodology fix). bit_xor, not sum: ANSI mode
+            # raises on int64 sum overflow.
+            df.select(
+                F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
+            ).agg(F.expr("bit_xor(__h)")).collect()
             dt = time.time() - t0
             timings[name] = round(dt, 3)
             total += dt

@@ -70,11 +70,15 @@ def arrow_cos_dist(col, query: Sequence[float]) -> Column:
                 raise ValueError(
                     f"cos_dist: dimension mismatch ({x.shape[1]} vs {q.size})"
                 )
-            xn = x / np.maximum(
-                np.linalg.norm(x, axis=1, keepdims=True), 1e-30
-            )
-            out[np.flatnonzero(mask.to_numpy())] = 1.0 - xn @ qn
-        return pd.Series(out).where(pd.Series(mask.to_numpy()), None)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            xn = x / np.maximum(norms, 1e-30)
+            d = 1.0 - xn @ qn
+            # zero-norm vectors have undefined cosine → NULL, matching
+            # the expression path's try_divide (ADVICE r1)
+            d[norms[:, 0] == 0.0] = np.nan
+            out[np.flatnonzero(mask.to_numpy())] = d
+        valid = pd.Series(mask.to_numpy() & ~np.isnan(out))
+        return pd.Series(out).where(valid, None)
 
     return _k(_col(col))
 

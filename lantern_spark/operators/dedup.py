@@ -374,8 +374,15 @@ def embedding_near_pairs(
     id_col: str,
     threshold: float = 0.95,
     block_col: Optional[str] = None,
+    round_digits: Optional[int] = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) pairs with cosine similarity ≥ threshold.
+
+    ``round_digits``: apply the threshold to the ROUNDED similarity (and
+    emit the rounded value) — pairs sitting exactly at the boundary then
+    select identically in any oracle that thresholds on round(cos, n)
+    despite summation-order float noise (the repo's round-6 parity
+    convention).
 
     ``block_col`` bounds the pair space (pairs only within a block);
     without it the pairwise join is quadratic — callers at scale MUST
@@ -404,10 +411,13 @@ def embedding_near_pairs(
             F.col(id_col).alias("id_b"),
             vec_normalize(vec_col).alias("n_b"),
         )
+        sim = vec_dot("n_a", "n_b")
+        if round_digits is not None:
+            sim = F.round(sim, round_digits)
         return (
             a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_sim", vec_dot("n_a", "n_b"))
+            .withColumn("cos_sim", sim)
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim")
         )
@@ -430,6 +440,8 @@ def embedding_near_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         sims = x @ x.T
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= thr
         return pd.DataFrame(
@@ -466,7 +478,10 @@ def connected_components(
     large-star/small-star CC algorithm. Each round is two joins + one
     groupBy over the EDGE list (never materializes components as rows
     on the driver); ``max_iter`` bounds the job count, and the loop
-    exits early on a fixed point (one count() action per round).
+    exits early on a fixed point. The fixed-point check runs every
+    OTHER round: each check is a full count() action, rounds 0-1
+    essentially never converge, and skipping alternate checks halves
+    the action count at identical worst-case depth +1.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -486,7 +501,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(
@@ -520,15 +535,17 @@ def connected_components(
             )
             .localCheckpoint()  # truncate lineage (see docstring)
         )
-        changed = (
-            jumped.join(
-                labels.select("id", F.col("comp").alias("old")), "id"
+        check = it % 2 == 1 or it == max_iter - 1
+        if check:
+            changed = (
+                jumped.join(
+                    labels.select("id", F.col("comp").alias("old")), "id"
+                )
+                .filter(F.col("comp") != F.col("old"))
+                .count()
             )
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        if check and changed == 0:
             break
     return labels
 

@@ -252,6 +252,8 @@ class IVFIndex:
         dist_col: str = "dist",
         where=None,
         oversample: int = 1,
+        select_columns: Optional[Sequence[str]] = None,
+        round_digits: Optional[int] = None,
     ) -> DataFrame:
         """ANN top-k: prune to nprobe lists → exact top-k within.
 
@@ -265,8 +267,19 @@ class IVFIndex:
         index; filters run on the candidates, so scarce matches may
         underfill k). ``oversample`` multiplies nprobe when filtering,
         the SURVEY §7 mitigation: probe more lists to refill k.
+
+        ``select_columns``: stored extra columns to carry through the
+        projection — avoids re-joining the base table to decorate the
+        k-row result (a round-1 scale defect: that join broadcast the
+        full table).
+
+        ``round_digits``: round the distance BEFORE the top-k
+        order/limit, so boundary ties at the k-th row break identically
+        to a ``round(dist, n)``-ordered oracle (the repo-wide
+        (rounded value, id) tie-break convention).
         """
         mf = self.manifest
+        extras = list(select_columns or [])
         n_lists = nprobe * (oversample if where is not None else 1)
         probes = self._probe_lists(spark, query, n_lists)
         base = self.lists(spark).filter(F.col("list_id").isin(probes))
@@ -281,8 +294,10 @@ class IVFIndex:
             s = s.withColumn(
                 dist_col,
                 distance(F.col(mf.column), vec_lit(list(query)), mf.metric),
-            ).select(mf.id_column, mf.column, dist_col)
+            ).select(mf.id_column, mf.column, *extras, dist_col)
             out = s if out is None else out.unionByName(s)
+        if round_digits is not None:
+            out = out.withColumn(dist_col, F.round(dist_col, round_digits))
         tomb_path = os.path.join(self.path, "tombstones")
         if _path_has_parquet(tomb_path):
             tombs = spark.read.parquet(tomb_path)
@@ -299,6 +314,7 @@ class IVFIndex:
         nprobe: int = 4,
         oversample: int = 4,
         dist_col: str = "dist",
+        round_digits: Optional[int] = None,
     ) -> DataFrame:
         """IVF-PQ search: prune to nprobe lists → ADC-score PQ codes →
         take top k·oversample candidates → exact re-rank → top-k.
@@ -332,16 +348,21 @@ class IVFIndex:
         codebook = spark.read.parquet(os.path.join(self.path, "pq_codebook"))
         probes = self._probe_lists(spark, query, nprobe)
         lists = self.lists(spark).filter(F.col("list_id").isin(probes))
+        cand = pq_dist(
+            lists.select(mf.id_column, "__pq_codes"),
+            "__pq_codes",
+            query,
+            codebook,
+            spec,
+            out_col="__adc",
+        )
+        if round_digits is not None:
+            # candidate cutoff also tie-breaks on the rounded ADC score
+            # so an oracle replaying the stored codes selects the same
+            # candidate set at the k·oversample boundary
+            cand = cand.withColumn("__adc", F.round("__adc", round_digits))
         cand = (
-            pq_dist(
-                lists.select(mf.id_column, "__pq_codes"),
-                "__pq_codes",
-                query,
-                codebook,
-                spec,
-                out_col="__adc",
-            )
-            .orderBy(F.col("__adc").asc(), F.col(mf.id_column).asc())
+            cand.orderBy(F.col("__adc").asc(), F.col(mf.id_column).asc())
             .limit(k * oversample)
             .select(mf.id_column)
         )
@@ -349,6 +370,10 @@ class IVFIndex:
             dist_col,
             distance(F.col(mf.column), vec_lit(list(query)), mf.metric),
         )
+        if round_digits is not None:
+            rerank = rerank.withColumn(
+                dist_col, F.round(dist_col, round_digits)
+            )
         tomb_path = os.path.join(self.path, "tombstones")
         if _path_has_parquet(tomb_path):
             tombs = spark.read.parquet(tomb_path)
@@ -384,7 +409,14 @@ class IVFIndex:
         )
 
     def rebuild(self, spark: SparkSession, path: Optional[str] = None) -> "IVFIndex":
-        """Fold delta − tombstones into a fresh index (reindex analog)."""
+        """Fold delta − tombstones into a fresh index (reindex analog).
+
+        In-place rebuild (``path`` omitted) stages the merged rows to a
+        temp parquet first: ``build`` would otherwise overwrite the
+        ``lists`` directory it is still lazily reading from, which Spark
+        rejects. The folded-in delta/tombstone artifacts are then
+        removed so the fresh index does not re-apply them.
+        """
         mf = self.manifest
         # codes are re-derived by build (delta rows have none)
         base = self.lists(spark).drop("list_id", "__pq_codes")
@@ -398,6 +430,19 @@ class IVFIndex:
                 F.broadcast(spark.read.parquet(os.path.join(self.path, "tombstones"))),
                 on=mf.id_column,
                 how="left_anti",
+            )
+        if path is None or path == self.path:
+            import shutil
+            import tempfile
+
+            stage = os.path.join(
+                tempfile.mkdtemp(prefix="lantern_rebuild_"), "base"
+            )
+            base.write.parquet(stage)
+            base = spark.read.parquet(stage)
+            shutil.rmtree(os.path.join(self.path, "delta"), ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(self.path, "tombstones"), ignore_errors=True
             )
         return IVFIndex.build(
             base.dropDuplicates([mf.id_column]),

@@ -139,6 +139,9 @@ def weighted_vector_search(
     exact: bool = True,
     dist_col: str = "joint_dist",
     tie_break: Optional[str] = None,
+    indexes: Optional[Sequence] = None,
+    nprobe: Optional[int] = None,
+    round_digits: Optional[int] = None,
 ) -> DataFrame:
     """Weighted multi-vector search (≤3 terms in the reference).
 
@@ -150,18 +153,27 @@ def weighted_vector_search(
     exact mode — a single ``ORDER BY Σ wᵢ·(colᵢ <op> qᵢ)``).
 
     exact=False: reference approx mode — per-term top-``ef`` candidate
-    CTEs, UNION ALL, DISTINCT ON (id), re-rank by the joint metric. Here:
-    per-term exact top-ef → unionByName → dropDuplicates(id) → joint
-    re-rank. With an ANN index the per-term candidate step would use it;
-    candidate generation is exact top-ef in v1 (a superset guarantee).
+    CTEs, UNION ALL, DISTINCT ON (id), re-rank by the joint metric
+    (lantern.sql's index-scan CTE shape). ``indexes`` supplies an
+    optional ``IVFIndex`` per term (None entries fall back to an exact
+    top-ef scan): candidates then come from partition-pruned index
+    probes at ``nprobe`` (default: full probe, which is exactly the
+    top-ef set). The candidate ids — O(ef·terms) rows — are broadcast
+    back against the base table for the joint re-rank, so the base is
+    scanned once and never shuffled.
 
     ``max_dist``: post-filter on the joint score (reference applies
     ``WHERE joint < max_dist``).
+
+    ``round_digits``: round the joint score before the top-k
+    order/limit (oracle tie-break parity, the repo-wide convention).
     """
     if not terms:
         raise ValueError("at least one (weight, column, query) term required")
     if len(terms) > 3:
         raise ValueError("reference supports at most 3 weighted terms (lantern.sql:673)")
+    if indexes is not None and len(indexes) != len(terms):
+        raise ValueError("indexes must align 1:1 with terms")
 
     def joint(frame: DataFrame) -> Column:
         expr = F.lit(0.0)
@@ -172,20 +184,31 @@ def weighted_vector_search(
     if exact:
         cand = df
     else:
-        parts = []
-        for w_, col_, q_ in terms:
-            parts.append(
-                knn_search(
-                    df, col_, q_, k=ef, metric=metric, dist_col="__term_dist",
-                    tie_break=tie_break or id_col,
-                ).drop("__term_dist")
-            )
-        cand = parts[0]
-        for p in parts[1:]:
-            cand = cand.unionByName(p)
-        cand = cand.dropDuplicates([id_col])
+        id_parts = []
+        for i, (w_, col_, q_) in enumerate(terms):
+            idx = indexes[i] if indexes is not None else None
+            if idx is not None:
+                probes = nprobe if nprobe is not None else idx.manifest.nlist
+                id_parts.append(
+                    idx.search(
+                        df.sparkSession, list(q_), k=ef, nprobe=probes
+                    ).select(F.col(idx.manifest.id_column).alias(id_col))
+                )
+            else:
+                id_parts.append(
+                    knn_search(
+                        df, col_, q_, k=ef, metric=metric,
+                        dist_col="__term_dist", tie_break=tie_break or id_col,
+                    ).select(id_col)
+                )
+        ids = id_parts[0]
+        for p in id_parts[1:]:
+            ids = ids.unionByName(p)
+        cand = df.join(F.broadcast(ids.distinct()), id_col)
 
     out = cand.withColumn(dist_col, joint(cand))
+    if round_digits is not None:
+        out = out.withColumn(dist_col, F.round(dist_col, round_digits))
     if max_dist is not None:
         out = out.filter(F.col(dist_col) < float(max_dist))
     order = [F.col(dist_col).asc_nulls_last()]

@@ -211,7 +211,12 @@ def encode_pq(
                 - 2.0 * (x[:, s] @ cf.T)
             )
             d[:, ~finite] = np.inf
-            codes[:, s] = d.argmin(axis=1).astype(np.int16)
+            # round-6 before argmin: the repo-wide (rounded value, id)
+            # tie-break — argmin takes the LOWEST centroid_id among
+            # rounded-equal distances, so a SQL oracle replicating the
+            # encode (ORDER BY round(d,6), centroid_id) picks the same
+            # code even when BLAS vs fold summation differ at ~1e-13
+            codes[:, s] = np.round(d, 6).argmin(axis=1).astype(np.int16)
         it = iter(codes)
         return pd.Series(
             [next(it).tolist() if m else None for m in mask],

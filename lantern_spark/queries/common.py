@@ -2,9 +2,24 @@
 
 from __future__ import annotations
 
+import os
+
 from lantern_spark.types import load_table  # noqa: F401
 
 DIM = 64  # driver testdata embeddings dim
+
+# Deterministic artifact root: queries persist small derived artifacts
+# (PQ codebook, IVF centroids/lists) here so the DuckDB oracle can
+# read_parquet the SAME bytes and replicate argmin-encode/probe/ADC in
+# SQL — this is what converts the PQ/IVF family from rows-only to
+# hash-checked. Oracles hardcode the sf0.01 path (the driver's
+# verification SF per the contract).
+ARTIFACTS = "/tmp/lantern_artifacts"
+
+
+def artifact_dir(sf_dir: str, name: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(ARTIFACTS, sf, name)
 
 # Deterministic query vectors (seed-free closed form, identical across runs)
 Q64 = [float((i * 37 % 97) / 97.0) for i in range(DIM)]

@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 from lantern_spark.operators.dedup import (
     content_hash,
     embedding_near_pairs,
-    exact_dup_groups,
     lsh_candidate_pairs,
     minhash_docs,
     ngram_jaccard,
@@ -32,19 +31,6 @@ def _minhash_sql(i: int) -> str:
         "('0x' || substr(md5(x), 1, 12))::BIGINT"
         f" + {i} * ('0x' || substr(md5(x), 17, 12))::BIGINT))"
     )
-
-
-@register(
-    "dedup_exact_groups",
-    """
-    SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
-           list_sort(list(doc_id)) AS doc_ids
-    FROM documents GROUP BY md5(text) HAVING count(*) > 1
-    """,
-)
-def dedup_exact_groups(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_dup_groups(docs, "text", "doc_id")
 
 
 @register(
@@ -153,22 +139,20 @@ def ngram_jaccard_same_source(spark, sf_dir):
                   * list_sum(list_transform(b.embedding::DOUBLE[], x->x*x))), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
+    WHERE round(list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
              / sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x->x*x))
-                  * list_sum(list_transform(b.embedding::DOUBLE[], x->x*x))) >= 0.3
+                  * list_sum(list_transform(b.embedding::DOUBLE[], x->x*x))), 6) >= 0.3
     """,
 )
 def embedding_near_pairs_q(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label."""
+    """Embedding-cosine near-dup pairs, blocked by label. Thresholds on
+    the ROUNDED similarity on both sides (ADVICE r1: boundary pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = embedding_near_pairs(emb, "embedding", "vec_id", threshold=0.3, block_col="label")
-    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-
-
-@register("simhash_fingerprints")  # rows-only (python md5 bit loop)
-def simhash_fingerprints(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_docs(docs, "text", "doc_id")
+    out = embedding_near_pairs(
+        emb, "embedding", "vec_id", threshold=0.3, block_col="label",
+        round_digits=6,
+    )
+    return out.select("id_a", "id_b", "cos_sim")
 
 
 @register("simhash_near_pairs")  # rows-only
@@ -182,7 +166,8 @@ def simhash_near_pairs_q(spark, sf_dir):
     "dedup_prefix_groups",
     """
     SELECT md5(substr(text, 1, 64)) AS head_hash, count(*)::BIGINT AS n_docs,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_transform(list_sort(list(doc_id)),
+                                          x -> x::VARCHAR), ',') AS doc_ids
     FROM documents GROUP BY md5(substr(text, 1, 64)) HAVING count(*) > 1
     """,
 )
@@ -190,7 +175,11 @@ def dedup_prefix_groups(spark, sf_dir):
     """Head-prefix dedup groups: exact-hash grouping keyed on the first
     64 chars — the boilerplate/template-collision detector (full-text
     exact dedup on this corpus is all-unique, so this is the variant
-    with non-trivial groups to verify the grouping machinery)."""
+    with non-trivial groups to verify the grouping machinery).
+
+    doc_ids is serialized to a CSV string: the driver's canonicalizer
+    cannot sort raw array columns (round-1 crash).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy(
@@ -198,7 +187,13 @@ def dedup_prefix_groups(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )

@@ -161,7 +161,7 @@ def events_hourly_rollup(spark, sf_dir):
     "events_sessionization",
     """
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -170,8 +170,8 @@ def events_hourly_rollup(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*)::BIGINT AS n_events
@@ -180,19 +180,27 @@ def events_hourly_rollup(spark, sf_dir):
 )
 def events_sessionization(spark, sf_dir):
     """Gap-based sessionization (lag + cumulative sum) — the batch
-    equivalent of session_window in streaming."""
+    equivalent of session_window in streaming.
+
+    Hash-parity notes (round-1 fixes): both the lag and the cumulative
+    windows order by (ts, event_id) so timestamp ties assign sessions
+    identically in Spark and the oracle; the gap compares microseconds
+    (unix_micros) so sub-second precision matches DuckDB's exact
+    ``ts - lag(ts) > INTERVAL 30 MINUTE``.
+    """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    us = F.unix_micros(F.col("ts"))
     gaps = events.withColumn(
         "new_session",
         F.when(
-            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
-            | F.lag(F.col("ts")).over(w).isNull(),
+            (us - F.lag(us).over(w) > 1800 * 1_000_000)
+            | F.lag(us).over(w).isNull(),
             1,
         ).otherwise(0),
     )

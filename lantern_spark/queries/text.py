@@ -89,17 +89,16 @@ def bm25_search_top20(spark, sf_dir):
 
 @register("stem_docs")  # rows-only: Porter stemming is not SQL-expressible
 def stem_docs(spark, sf_dir):
-    """Full text_to_stem_array pipeline over documents (stemmers.rs)."""
+    """Full text_to_stem_array pipeline over documents (stemmers.rs).
+
+    The stem array is serialized with concat_ws — the driver's pandas
+    canonicalizer cannot sort raw array columns (round-1 crash).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", text_to_stem_array("text").alias("stemmed")
+        "doc_id",
+        F.concat_ws(" ", text_to_stem_array("text")).alias("stemmed"),
     )
-
-
-@register("bm25_search_stemmed")  # rows-only (stemmed postings)
-def bm25_search_stemmed(spark, sf_dir):
-    stats = _stats_for(spark, sf_dir, stem=True)
-    return search_bm25(stats, "sparks joining vectors", limit=20, stem=True, round_digits=6)
 
 
 @register(
