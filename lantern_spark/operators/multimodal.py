@@ -1,9 +1,10 @@
 """Multimodal column plumbing: image / audio / video as binary columns.
 
-North-star extension (BASELINE.json). The container has no image/audio
-codecs, so the DECODE kernels are stubbed (NotImplementedError or the
-deterministic fake), but the Spark-side plumbing — schema, batch shape,
-partitioning, UDF signatures — is real and tested:
+North-star extension (BASELINE.json). The decode kernels use the real
+codec (PIL / soundfile) when importable and fall back to a
+deterministic fake when absent (this container ships no codecs); the
+Spark-side plumbing — schema, batch shape, partitioning, UDF
+signatures — is identical either way and fully tested:
 
 - media columns are opaque ``binary`` + a typed metadata struct
   (media_type, width/height/duration, format), the Spark analog of
@@ -52,25 +53,24 @@ def media_schema(extra_fields=()) -> T.StructType:
 
 
 def _decode_image(buf: bytes, meta) -> np.ndarray:
-    """Stub decode: real deployments plug PIL/turbojpeg here.
-
-    Offline fake: deterministic pixel field seeded by content hash —
-    shape honors meta.width/height so downstream kernels see real
-    shapes.
+    """Image decode kernel. Uses PIL when importable (real deployments;
+    invalid bytes then raise); falls back to a deterministic fake —
+    pixel field seeded by content hash, shape honoring meta
+    width/height — when no codec is present (this container), so
+    downstream kernels still see real shapes.
     """
     try:
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired in this container"
-        )
+        import PIL.Image
     except ImportError:
-        pass
-    w = int(meta["width"] or 8)
-    h = int(meta["height"] or 8)
-    seed = int.from_bytes(hashlib.md5(buf).digest()[:4], "little")
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        w = int(meta["width"] or 8)
+        h = int(meta["height"] or 8)
+        seed = int.from_bytes(hashlib.md5(buf).digest()[:4], "little")
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    import io
+
+    img = PIL.Image.open(io.BytesIO(buf)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def image_features(
@@ -172,22 +172,25 @@ def synthetic_media_df(spark, n: int = 32, media_type: str = "image") -> DataFra
 
 
 def _decode_audio(buf: bytes, meta) -> np.ndarray:
-    """Stub decode: real deployments plug soundfile/ffmpeg here.
-    Offline fake: deterministic waveform seeded by content hash;
-    length honors meta.duration_ms at a fixed 16 kHz rate."""
+    """Audio decode kernel. Uses soundfile when importable (real
+    deployments; invalid bytes then raise); falls back to a
+    deterministic fake waveform seeded by content hash — length honors
+    meta.duration_ms at a fixed 16 kHz rate — when no codec is present
+    (this container)."""
     try:
-        import soundfile  # noqa: F401
-
-        raise NotImplementedError(
-            "real audio decode not wired in this container"
-        )
+        import soundfile
     except ImportError:
-        pass
-    dur_ms = int(meta["duration_ms"] or 1000)
-    n = max(16, dur_ms * 16)  # 16 kHz
-    seed = int.from_bytes(hashlib.md5(buf).digest()[4:8], "little")
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal(min(n, 160_000)).astype(np.float32)
+        dur_ms = int(meta["duration_ms"] or 1000)
+        n = max(16, dur_ms * 16)  # 16 kHz
+        seed = int.from_bytes(hashlib.md5(buf).digest()[4:8], "little")
+        rng = np.random.RandomState(seed)
+        return rng.standard_normal(min(n, 160_000)).astype(np.float32)
+    import io
+
+    wav, _sr = soundfile.read(io.BytesIO(buf), dtype="float32")
+    if wav.ndim > 1:
+        wav = wav.mean(axis=1)  # downmix to mono
+    return wav.astype(np.float32)
 
 
 def audio_features(

@@ -155,11 +155,39 @@ def embedding_near_pairs_q(spark, sf_dir):
     return out.select("id_a", "id_b", "cos_sim")
 
 
-@register("simhash_near_pairs")  # rows-only
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, tk -> md5(tk)) AS hs
+          FROM t WHERE len(toks) > 0),
+    bits AS (
+      SELECT doc_id, list_transform(range(0, 64), i ->
+        CASE WHEN list_sum(list_transform(hs, s ->
+          2*((('0x' || s[i//4 + 1])::INT >> (3 - (i % 4))) & 1) - 1)) > 0
+        THEN 1 ELSE 0 END) AS b
+      FROM h),
+    pairs AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN a.b[i] <> c.b[i] THEN 1 ELSE 0 END))::BIGINT AS hamming
+      FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+      WHERE a.b[49:64] = c.b[49:64] OR a.b[33:48] = c.b[33:48]
+         OR a.b[17:32] = c.b[17:32] OR a.b[1:16] = c.b[1:16])
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
+    """,
+)
 def simhash_near_pairs_q(spark, sf_dir):
+    """SimHash near-pairs, hash-checked (round-2): md5 bit-votes are
+    SQL-expressible, and the oracle replays the pigeonhole band join —
+    band j of the int64 fingerprint (LSB-first 16-bit chunks) equals
+    bit-array positions 49-16j..64-16j (MSB-first)."""
     docs = load_table(spark, sf_dir, "documents")
     hashes = simhash_docs(docs, "text", "doc_id")
-    return simhash_near_pairs(hashes, "doc_id", max_hamming=8, chunks=4)
+    out = simhash_near_pairs(hashes, "doc_id", max_hamming=8, chunks=4)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @register(
