@@ -1,0 +1,407 @@
+"""Per-partition HNSW graph index — the high-recall ANN mode.
+
+Reference: the entire lantern_hnsw core is an HNSW graph
+(lantern_hnsw/src/hnsw/build.c:472-648, scan.c:167-338, on usearch).
+Spark mapping (SURVEY §7 step 5): each partition builds an independent
+in-memory graph — the analog of the external-index server shards
+(lantern_cli/src/external_index/server.rs:311-435), with Spark task
+parallelism replacing the socket protocol. Search fans the query to
+every shard (mapInPandas over the persisted graph rows), each shard
+answers its local top-k in ~O(ef·log n) distance evaluations, and a
+global TakeOrdered merges the P·k candidate tuples — the base vectors
+never shuffle.
+
+Why this exists next to IVF: at high dimension / high recall, IVF needs
+nprobe → nlist (scan fraction → 1) where a graph reaches the same
+recall visiting a few percent of the points. ``search`` returns the
+per-shard distance-evaluation count so the recall-vs-scan-fraction
+contract is measurable (tests/test_scale.py pins recall@10 ≥ 0.99 at a
+scan fraction below what IVF needs for the same recall on the same
+fixture).
+
+Algorithm: pure-numpy implementation of the published HNSW paper
+(Malkov & Yashunin 2016) — hnswlib is not available in this container.
+Level ~ floor(-ln(U)·mL) with mL = 1/ln(M); greedy descent through
+upper layers; ef-bounded best-first search per layer; M-bounded
+bidirectional links (2M at layer 0). Deterministic: seeded RNG per
+shard, insertion in ascending id order. Neighbor expansion is
+vectorized (one gather + einsum per popped node) so the Python loop is
+O(nodes popped), not O(distances).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+import pickle
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lantern_spark.types import Metric
+
+
+class HnswGraph:
+    """Single-shard in-memory HNSW graph (numpy buffer + adjacency)."""
+
+    def __init__(
+        self,
+        dim: int,
+        m: int = 16,
+        ef_construction: int = 100,
+        seed: int = 42,
+        metric: str = "l2sq",
+    ):
+        self.dim = dim
+        self.m = m
+        self.m0 = 2 * m
+        self.efc = ef_construction
+        self.ml = 1.0 / math.log(m)
+        self.seed = seed
+        self.metric = Metric.resolve(metric).value
+        self.rng = np.random.RandomState(seed)
+        self._buf = np.empty((256, dim), dtype=np.float32)
+        self.ids: list = []
+        self.adj: list = []  # adj[i][level] = list[int]
+        self.levels: list = []
+        self.entry = -1
+        self.max_level = -1
+        self.n_dist = 0  # distance evaluations (scan-fraction metric)
+
+    # -- internals ------------------------------------------------------
+
+    @property
+    def n(self) -> int:
+        return len(self.ids)
+
+    def _norm(self, v: np.ndarray) -> np.ndarray:
+        if self.metric == "cos":
+            return v / max(float(np.linalg.norm(v)), 1e-30)
+        return v
+
+    def _dists(self, q: np.ndarray, idxs) -> np.ndarray:
+        idxs = np.asarray(idxs, dtype=np.int64)
+        self.n_dist += len(idxs)
+        d = self._buf[idxs] - q
+        return np.einsum("ij,ij->i", d, d)
+
+    def _search_layer(self, q, eps, ef: int, level: int):
+        """Best-first ef-bounded search (paper Alg. 2). Returns
+        [(dist, idx)] ascending, ≤ ef entries."""
+        d0 = self._dists(q, eps)
+        visited = set(eps)
+        cand = list(zip(d0.tolist(), eps))
+        heapq.heapify(cand)
+        best = [(-d, e) for d, e in cand]
+        heapq.heapify(best)
+        while len(best) > ef:
+            heapq.heappop(best)
+        while cand:
+            d, c = heapq.heappop(cand)
+            if len(best) >= ef and d > -best[0][0]:
+                break
+            neigh = [e for e in self.adj[c][level] if e not in visited]
+            if not neigh:
+                continue
+            visited.update(neigh)
+            nd = self._dists(q, neigh)
+            for dd, e in zip(nd.tolist(), neigh):
+                if len(best) < ef or dd < -best[0][0]:
+                    heapq.heappush(cand, (dd, e))
+                    heapq.heappush(best, (-dd, e))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted((-d, e) for d, e in best)
+
+    # -- build ----------------------------------------------------------
+
+    def add(self, vid, vec: Sequence[float]) -> None:
+        i = self.n
+        if i == len(self._buf):
+            self._buf = np.vstack([self._buf, np.empty_like(self._buf)])
+        v = self._norm(np.asarray(vec, dtype=np.float32))
+        if v.shape[0] != self.dim:
+            raise ValueError(
+                f"hnsw: dimension mismatch ({v.shape[0]} vs {self.dim})"
+            )
+        self._buf[i] = v
+        self.ids.append(vid)
+        level = int(-math.log(max(self.rng.random_sample(), 1e-12)) * self.ml)
+        self.levels.append(level)
+        self.adj.append([[] for _ in range(level + 1)])
+        if self.entry < 0:
+            self.entry, self.max_level = i, level
+            return
+        q = self._buf[i]
+        ep = [self.entry]
+        for lc in range(self.max_level, level, -1):
+            ep = [self._search_layer(q, ep, 1, lc)[0][1]]
+        for lc in range(min(level, self.max_level), -1, -1):
+            cands = self._search_layer(q, ep, self.efc, lc)
+            mmax = self.m0 if lc == 0 else self.m
+            sel = [e for _d, e in cands[: self.m]]
+            self.adj[i][lc] = list(sel)
+            for s in sel:
+                lst = self.adj[s][lc]
+                lst.append(i)
+                if len(lst) > mmax:
+                    ds = self._dists(self._buf[s], lst)
+                    order = np.argsort(ds, kind="stable")[:mmax]
+                    self.adj[s][lc] = [lst[j] for j in order]
+            ep = [e for _d, e in cands]
+        if level > self.max_level:
+            self.entry, self.max_level = i, level
+
+    # -- search ---------------------------------------------------------
+
+    def search(self, query: Sequence[float], k: int = 10, ef: int = 64):
+        """Local top-k: [(id, dist)] ascending + #distance evals."""
+        if self.entry < 0:
+            return [], 0
+        q = self._norm(np.asarray(query, dtype=np.float32))
+        self.n_dist = 0
+        ep = [self.entry]
+        for lc in range(self.max_level, 0, -1):
+            ep = [self._search_layer(q, ep, 1, lc)[0][1]]
+        res = self._search_layer(q, ep, max(ef, k), 0)
+        out = []
+        for d, i in res[:k]:
+            if self.metric == "cos":
+                # normalized l2sq = 2·(1 − cos_sim) → cos distance
+                d = d / 2.0
+            out.append((self.ids[i], float(d)))
+        return out, self.n_dist
+
+    # -- (de)serialization (plain dict payload — no class pickling) -----
+
+    def to_payload(self) -> bytes:
+        return pickle.dumps(
+            {
+                "dim": self.dim,
+                "m": self.m,
+                "efc": self.efc,
+                "seed": self.seed,
+                "metric": self.metric,
+                "buf": self._buf[: self.n].copy(),
+                "ids": self.ids,
+                "adj": self.adj,
+                "levels": self.levels,
+                "entry": self.entry,
+                "max_level": self.max_level,
+            },
+            protocol=4,
+        )
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "HnswGraph":
+        d = pickle.loads(payload)
+        g = cls(d["dim"], d["m"], d["efc"], d["seed"], d["metric"])
+        g._buf = d["buf"]
+        g.ids = d["ids"]
+        g.adj = d["adj"]
+        g.levels = d["levels"]
+        g.entry = d["entry"]
+        g.max_level = d["max_level"]
+        return g
+
+
+_GRAPH_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+class HNSWIndex:
+    """Persisted per-partition HNSW index (one graph row per shard)."""
+
+    def __init__(self, path: str, manifest: dict):
+        self.path = path
+        self.manifest = manifest
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        column: str,
+        id_column: str,
+        path: str,
+        m: int = 16,
+        ef_construction: int = 100,
+        shards: int = 8,
+        metric: str = "l2sq",
+        seed: int = 42,
+    ) -> "HNSWIndex":
+        """ONE shuffle (hash-repartition by id into ``shards``), then a
+        map-only graph build per shard; each shard serializes to a
+        single parquet row. At 100 TB, ``shards`` scales with executor
+        count and each graph holds 1/shards of the data in memory —
+        the same sharding contract as the reference's external-index
+        protocol, minus the socket."""
+        mval = Metric.resolve(metric).value
+        first = df.select(column).where(F.col(column).isNotNull()).first()
+        if first is None:
+            raise ValueError(f"no non-null vectors in {column!r}")
+        dim = len(first[0])
+
+        def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            ids: list = []
+            vecs: list = []
+            for pdf in batches:
+                ids.extend(pdf[id_column].tolist())
+                vecs.extend(pdf[column].tolist())
+            if not ids:
+                return
+            order = np.argsort(np.asarray(ids), kind="stable")
+            g = HnswGraph(dim, m, ef_construction, seed + pid, mval)
+            for j in order:
+                g.add(ids[j], vecs[j])
+            yield pd.DataFrame(
+                {
+                    "shard_id": [pid],
+                    "n": [g.n],
+                    "payload": [g.to_payload()],
+                }
+            )
+
+        (
+            df.select(id_column, column)
+            .repartition(shards, F.col(id_column))
+            .mapInPandas(build_shard, _GRAPH_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "graphs"))
+        )
+        manifest = {
+            "kind": "hnsw",
+            "column": column,
+            "id_column": id_column,
+            "metric": mval,
+            "dim": dim,
+            "m": m,
+            "ef_construction": ef_construction,
+            "shards": shards,
+            "seed": seed,
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return cls(path, manifest)
+
+    @classmethod
+    def load(cls, path: str) -> "HNSWIndex":
+        with open(os.path.join(path, "manifest.json")) as f:
+            return cls(path, json.load(f))
+
+    def search(
+        self,
+        spark: SparkSession,
+        query: Sequence[float],
+        k: int = 10,
+        ef: int = 64,
+        with_stats: bool = False,
+        limit_result: bool = True,
+    ) -> DataFrame:
+        """Global top-k: every shard answers locally (map-only over the
+        graph rows), then TakeOrdered merges P·k tuples. ``with_stats``
+        adds per-row (shard_id, n_dist) — shard distance evaluations —
+        for scan-fraction accounting; ``limit_result=False`` returns
+        all P·k local candidates (stats probes need every shard's
+        contribution, which the global limit would drop)."""
+        mf = self.manifest
+        q = list(float(x) for x in query)
+        id_field = T.LongType()
+        schema = T.StructType(
+            [
+                T.StructField(mf["id_column"], id_field),
+                T.StructField("dist", T.DoubleType()),
+                T.StructField("shard_id", T.IntegerType()),
+                T.StructField("n_dist", T.LongType()),
+            ]
+        )
+
+        def search_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                    g = HnswGraph.from_payload(bytes(payload))
+                    res, nd = g.search(q, k=k, ef=ef)
+                    if not res:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            mf["id_column"]: [r[0] for r in res],
+                            "dist": [r[1] for r in res],
+                            "shard_id": [int(sid)] * len(res),
+                            "n_dist": [nd] * len(res),
+                        }
+                    )
+
+        graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
+        out = graphs.mapInPandas(search_shard, schema)
+        cols = [mf["id_column"], "dist"] + (
+            ["shard_id", "n_dist"] if with_stats else []
+        )
+        out = out.select(*cols).orderBy(
+            F.col("dist").asc(), F.col(mf["id_column"]).asc()
+        )
+        return out.limit(k) if limit_result else out
+
+
+def hnsw_recall_and_scan_fraction(
+    index: HNSWIndex,
+    spark: SparkSession,
+    base: DataFrame,
+    column: str,
+    id_column: str,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    ef: int = 64,
+) -> tuple:
+    """(mean recall@k, mean scan fraction) vs the exact scan — the
+    graph-vs-IVF tradeoff probe (reference recall harness:
+    utils/calculate_recall.sql).
+
+    Recall is tie-tolerant (standard ANN-benchmark practice): a
+    returned id counts as a hit if its EXACT distance is within ε of
+    the k-th exact distance — the graph stores float32 vectors, so
+    exact ties (e.g. symmetric near-duplicates) are otherwise split
+    arbitrarily versus the float64 ground truth and no ef can recover
+    them."""
+    from lantern_spark.functions.distances import distance
+    from lantern_spark.functions.vectors import vec_lit
+
+    n_total = base.count()
+    hits, evals = 0, 0
+    for qv in queries:
+        exact_rows = (
+            base.withColumn(
+                "d", distance(F.col(column), vec_lit(list(qv)), index.manifest["metric"])
+            )
+            .orderBy(F.col("d").asc(), F.col(id_column).asc())
+            .limit(k + 32)
+            .select(id_column, "d")
+            .collect()
+        )
+        d_k = float(exact_rows[k - 1]["d"])
+        thr = d_k * (1.0 + 1e-5) + 1e-6
+        acceptable = {r[0] for r in exact_rows if float(r["d"]) <= thr}
+        rows = index.search(
+            spark, qv, k=k, ef=ef, with_stats=True, limit_result=False
+        ).collect()
+        approx = [r[0] for r in rows[:k]]  # rows arrive (dist, id)-sorted
+        # n_dist is reported once per shard — dedupe by shard_id
+        shard_evals = {r["shard_id"]: r["n_dist"] for r in rows}
+        hits += sum(1 for a in approx if a in acceptable)
+        evals += sum(shard_evals.values())
+    recall = hits / (k * len(queries)) if queries else 1.0
+    frac = evals / (n_total * len(queries)) if queries else 0.0
+    return recall, frac

@@ -107,6 +107,40 @@ def ivf_pruned_top10(spark, sf_dir):
     return out.select("vec_id", "dist")
 
 
+_HNSW_CACHE: dict = {}
+
+
+def _hnsw_for(spark, sf_dir: str):
+    """One per-partition HNSW index per sf_dir (high-recall mode)."""
+    from lantern_spark.operators.hnsw import HNSWIndex
+
+    if sf_dir not in _HNSW_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _HNSW_CACHE[sf_dir] = HNSWIndex.build(
+            emb,
+            "embedding",
+            "vec_id",
+            artifact_dir(sf_dir, "hnsw"),
+            m=16,
+            ef_construction=100,
+            shards=8,
+            seed=42,
+        )
+    return _HNSW_CACHE[sf_dir]
+
+
+@register("hnsw_top10")  # rows-only: result depends on graph build order
+def hnsw_top10(spark, sf_dir):
+    """Per-partition HNSW graph search (the reference's native index
+    structure, build.c:472-648 / scan.c:167-338): every shard answers
+    locally in ~O(ef·log n) distance evals, global TakeOrdered merge.
+    Approximate by contract — the recall-vs-scan-fraction advantage
+    over IVF is pinned in tests/test_scale.py."""
+    idx = _hnsw_for(spark, sf_dir)
+    out = idx.search(spark, Q64, k=10, ef=96)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 @register(
     "ivf_filtered_top5",
     f"""
