@@ -34,7 +34,9 @@ HEADLINE = [
     "ivf_pq_adc_top10",
     "sq_i8_roundtrip",
     "sq_f16_roundtrip",
+    "hnsw_top10",
     "bm25_search_top20",
+    "bm25_consolidated_top20",
     "bloom_term_postings",
     "hybrid_rrf_top10",
     "tokenize_docs",
@@ -77,10 +79,16 @@ def _build_phases(spark, sf_dir):
 
         _stats_for(spark, sf_dir, stem=False)
 
+    def hnsw_index():
+        from lantern_spark.queries.ann import _hnsw_for
+
+        _hnsw_for(spark, sf_dir)
+
     return [
         ("build:ivf_pq_index", ivf_pq_index),
         ("build:lifecycle_index", lifecycle_index),
         ("build:bm25_postings", bm25_postings),
+        ("build:hnsw_index", hnsw_index),
     ]
 
 

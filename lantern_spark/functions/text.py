@@ -37,6 +37,9 @@ STOPWORDS = [
 ]
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# Unicode parity with the reference's rust is_alphanumeric
+# (stemmers.rs:97-120): any Unicode letter or digit is token material.
+TOKEN_SPLIT_RE_UNICODE = r"[^\p{L}\p{N}]+"
 
 # set_user_stopwords / get_user_stopwords analog (stemmers.rs:24-64 —
 # the reference persists a userdefined.stop dictionary file; here it is
@@ -61,14 +64,21 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else F.col(x)
 
 
-def tokenize(col, drop_stopwords: bool = False) -> Column:
+def tokenize(col, drop_stopwords: bool = False, unicode: bool = False) -> Column:
     """Lowercase → strip non-alphanumerics → split. Pure column expr.
+
+    ``unicode=True`` matches the reference rust engine's
+    ``is_alphanumeric`` (stemmers.rs:97-120): any Unicode letter/digit
+    survives (``[^\\p{L}\\p{N}]+`` split). The ASCII default is the
+    fast path used by the oracle-checked queries (driver corpus is
+    ASCII); non-ASCII parity is pinned by golden tests.
 
     Oracle-parity SQL (DuckDB):
     ``list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t <> '')``
     """
+    pattern = TOKEN_SPLIT_RE_UNICODE if unicode else TOKEN_SPLIT_RE
     toks = F.filter(
-        F.split(F.lower(_c(col)), TOKEN_SPLIT_RE), lambda x: x != ""
+        F.split(F.lower(_c(col)), pattern), lambda x: x != ""
     )
     if drop_stopwords:
         toks = F.filter(toks, lambda x: ~x.isin(all_stopwords()))
@@ -248,17 +258,45 @@ def _stem_tokens_udf(tokens: pd.Series) -> pd.Series:
     )
 
 
-def stem_tokens(col) -> Column:
-    """Stem an array<string> column (vectorized pandas UDF)."""
-    return _stem_tokens_udf(_c(col))
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _stem_tokens_keep_stops_udf(tokens: pd.Series) -> pd.Series:
+    return tokens.map(
+        lambda ts: None
+        if ts is None
+        else stem_token_list(list(ts), drop_stopwords=False)
+    )
 
 
-def text_to_stem_array(col) -> Column:
+def stem_tokens(col, drop_stopwords: bool = True) -> Column:
+    """Stem an array<string> column (vectorized pandas UDF).
+    ``drop_stopwords`` filters on the STEMMED form (rust engine
+    semantics); pass False when stopwords were already filtered
+    pre-stem (ts engine semantics)."""
+    if drop_stopwords:
+        return _stem_tokens_udf(_c(col))
+    return _stem_tokens_keep_stops_udf(_c(col))
+
+
+def text_to_stem_array(col, engine: str = "rust") -> Column:
     """Full reference pipeline: tokenize → stem → stopword-filter.
 
-    Reference: text_to_stem_array (rust engine), stemmers.rs:96-117.
+    ``engine`` mirrors the reference's two stemmer engines
+    (stemmer_api.sql:1-50):
+    - ``"rust"`` (stemmers.rs:96-117): Unicode tokenize → stem →
+      filter stopwords on the STEMMED form (stemmers.rs:110-113).
+    - ``"ts"`` (to_tsvector-backed): stopwords are checked on the
+      original lowercased word BEFORE stemming, the Postgres
+      dictionary order. Deviation: Postgres' extra token classes
+      (urls, emails, numerics) are not parsed — plain
+      letter/digit tokens only; plug the full english.stop list via
+      ``set_user_stopwords`` if needed.
     """
-    return stem_tokens(tokenize(col))
+    if engine == "rust":
+        return stem_tokens(tokenize(col, unicode=True))
+    if engine == "ts":
+        toks = tokenize(col, drop_stopwords=True, unicode=True)
+        return stem_tokens(toks, drop_stopwords=False)
+    raise ValueError(f"unknown stemmer engine {engine!r} (rust|ts)")
 
 
 def duck_tokenize_sql(expr: str, drop_stopwords: bool = False) -> str:

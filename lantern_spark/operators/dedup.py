@@ -337,11 +337,26 @@ def simhash_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    hashes: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
+    hashes: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    materialize_hashes: bool = True,
 ) -> DataFrame:
     """Near-pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
     band join: split 64 bits into ``chunks`` bands; any pair within
-    distance < chunks must share at least one exact band."""
+    distance < chunks must share at least one exact band.
+
+    ``materialize_hashes`` eagerly localCheckpoints the (id, simhash) input —
+    the self-join references the fingerprint pipeline on both sides and
+    Catalyst would otherwise recompute the hash UDF 4× (measured: the
+    executed plan holds 4 ArrowEvalPython nodes without it). The
+    materialized relation is 16 bytes/doc — at 100 TB of text this is
+    the tiny side, and a pre-written signature table serves the same
+    role (pass materialize_hashes=False when ``hashes`` is already a
+    stored artifact)."""
+    if materialize_hashes:
+        hashes = hashes.localCheckpoint()
     width = 64 // chunks
     mask = (1 << width) - 1
     band_cols = [

@@ -185,6 +185,25 @@ def llm_embedding(col, model: str = "hash-16", dim: int = 16):
     return _embed(c)
 
 
+def text_embedding(model: str, col, dim: int = 16):
+    """SQL-surface alias of llm_embedding with the reference's
+    (model, text) argument order (embeddings.rs:186-191
+    ``lantern.text_embedding``)."""
+    return llm_embedding(col, model=model, dim=dim)
+
+
+def openai_embedding(model: str, col, dim: int = 16):
+    """``lantern.openai_embedding`` alias (embeddings.rs:193-196).
+    Routes to the offline hash runtime in this container; a real
+    OpenAI runtime plugs in via embed_column(RuntimeSpec('openai'))."""
+    return llm_embedding(col, model=model, dim=dim)
+
+
+def cohere_embedding(model: str, col, dim: int = 16):
+    """``lantern.cohere_embedding`` alias (embeddings.rs:197-199)."""
+    return llm_embedding(col, model=model, dim=dim)
+
+
 def llm_completion(col, model: str = "echo", system_prompt: str = ""):
     """llm_completion analog (embeddings.rs:129-152). Offline runtime:
     deterministic 'echo' transform (real runtimes need network creds —

@@ -288,6 +288,22 @@ def pq_dist(
     return df.withColumn(out_col, _adc(F.col(code_col)))
 
 
+def drop_quantization(
+    df: DataFrame, column: str, codebook_path: Optional[str] = None
+) -> DataFrame:
+    """``lantern.drop_quantization`` analog (lantern.sql:431-452): the
+    reference drops the codebook table and restores the real-vector
+    column; here the codes column (``<col>_pq``) is dropped from the
+    projection — the raw vector column was never replaced — and the
+    codebook artifact directory is removed when given."""
+    out = df.drop(f"{column}_pq")
+    if codebook_path is not None:
+        import shutil
+
+        shutil.rmtree(codebook_path, ignore_errors=True)
+    return out
+
+
 def reconstruction_mse(
     df: DataFrame, column: str, codebook: DataFrame, spec: PQSpec
 ) -> float:

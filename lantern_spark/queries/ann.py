@@ -31,11 +31,11 @@ def _index_for(spark, sf_dir: str) -> IVFIndex:
     the ADC query families share a single build. Centroids are also
     persisted as parquet (`centroids_oracle`) so the oracle can replay
     driver-side probe selection."""
+    path = artifact_dir(sf_dir, "ivf")  # also repoints the oracle symlink
     if sf_dir not in _CACHE:
         from lantern_spark.types import PQSpec
 
         emb = load_table(spark, sf_dir, "embeddings")
-        path = artifact_dir(sf_dir, "ivf")
         idx = IVFIndex.build(
             emb, "embedding", "vec_id", path, metric="l2sq", nlist=8,
             seed=42, pq=PQSpec(dim=64, splits=8, clusters=16, seed=42),
@@ -79,7 +79,7 @@ def ivf_fullprobe_top10(spark, sf_dir):
     "ivf_pruned_top10",
     f"""
     WITH cent AS (SELECT list_id, centroid
-                  FROM read_parquet('/tmp/lantern_artifacts/sf0.01/ivf/centroids_oracle/*.parquet')),
+                  FROM read_parquet('/tmp/lantern_artifacts/oracle/ivf/centroids_oracle/*.parquet')),
     probes AS (
       SELECT list_id FROM cent
       ORDER BY list_sum(list_transform(list_zip(centroid, {duck_lit(Q64)}),
@@ -87,7 +87,7 @@ def ivf_fullprobe_top10(spark, sf_dir):
       LIMIT 4),
     rows_ AS (
       SELECT vec_id, embedding::DOUBLE[] AS e
-      FROM read_parquet('/tmp/lantern_artifacts/sf0.01/ivf/lists/*/*.parquet', hive_partitioning=1)
+      FROM read_parquet('/tmp/lantern_artifacts/oracle/ivf/lists/*/*.parquet', hive_partitioning=1)
       WHERE list_id IN (SELECT list_id FROM probes))
     SELECT vec_id, round({duck_l2sq('e', duck_lit(Q64))}, 6) AS dist
     FROM rows_

@@ -12,14 +12,27 @@ DIM = 64  # driver testdata embeddings dim
 # (PQ codebook, IVF centroids/lists) here so the DuckDB oracle can
 # read_parquet the SAME bytes and replicate argmin-encode/probe/ADC in
 # SQL — this is what converts the PQ/IVF family from rows-only to
-# hash-checked. Oracles hardcode the sf0.01 path (the driver's
-# verification SF per the contract).
+# hash-checked. Oracle SQL strings are fixed at registration time, so
+# they read through the ``oracle`` symlink, which every artifact_dir()
+# call repoints at the sf currently being queried (the engine query
+# always runs — and writes its artifacts — before its oracle executes,
+# per the driver/pytest compare order).
 ARTIFACTS = "/tmp/lantern_artifacts"
+ORACLE_ART = os.path.join(ARTIFACTS, "oracle")
 
 
 def artifact_dir(sf_dir: str, name: str) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(ARTIFACTS, sf, name)
+    target = os.path.join(ARTIFACTS, sf)
+    os.makedirs(target, exist_ok=True)
+    link_tmp = ORACLE_ART + ".tmp"
+    try:
+        os.remove(link_tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(target, link_tmp)
+    os.replace(link_tmp, ORACLE_ART)
+    return os.path.join(target, name)
 
 # Deterministic query vectors (seed-free closed form, identical across runs)
 Q64 = [float((i * 37 % 97) / 97.0) for i in range(DIM)]

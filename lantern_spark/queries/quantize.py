@@ -25,7 +25,7 @@ from lantern_spark.operators.pq import (
     train_codebook,
 )
 from lantern_spark.queries.common import (
-    ARTIFACTS,
+    ORACLE_ART,
     Q64,
     artifact_dir,
     duck_lit,
@@ -37,9 +37,10 @@ from lantern_spark.types import PQSpec
 _SPEC = PQSpec(dim=64, splits=8, clusters=16, seed=42)
 _QL = duck_lit(Q64)
 
-# oracle artifact paths (the driver verifies at sf0.01 per contract)
-_CB_SQL_PATH = f"{ARTIFACTS}/sf0.01/pq_codebook"
-_IVF_SQL_PATH = f"{ARTIFACTS}/sf0.01/ivf"
+# oracle artifact paths — resolved through the ``oracle`` symlink,
+# which the engine query repoints at its sf before the oracle runs
+_CB_SQL_PATH = f"{ORACLE_ART}/pq_codebook"
+_IVF_SQL_PATH = f"{ORACLE_ART}/ivf"
 
 _CB_CACHE: dict = {}
 
@@ -48,10 +49,10 @@ def _codebook_for(spark, sf_dir):
     """Train-once-per-sf codebook, persisted to the artifact dir and
     read BACK from parquet so engine and oracle consume identical
     bytes."""
+    path = artifact_dir(sf_dir, "pq_codebook")  # repoints oracle symlink
     if sf_dir not in _CB_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         cb = train_codebook(emb, "embedding", _SPEC)
-        path = artifact_dir(sf_dir, "pq_codebook")
         cb.repartition(1).write.mode("overwrite").parquet(path)
         _CB_CACHE[sf_dir] = spark.read.parquet(path)
     return _CB_CACHE[sf_dir]

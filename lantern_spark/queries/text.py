@@ -102,6 +102,52 @@ def stem_docs(spark, sf_dir):
 
 
 @register(
+    "bm25_consolidated_top20",
+    f"""
+    WITH tl AS (
+      SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS doc_len FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, count(*) AS fq, any_value(doc_len) AS doc_len
+      FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM tl)
+      GROUP BY term, doc_id
+    ),
+    corpus AS (SELECT count(*) AS num_docs, avg(doc_len) AS avg_doc_len FROM tl),
+    q AS (SELECT unnest(['spark','join','vector']) AS term),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+        ln((c.num_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+          * (p.fq * 2.2) / (p.fq + 1.2*(1 - 0.75 + 0.75*p.doc_len/c.avg_doc_len)) AS s
+      FROM postings p JOIN q USING(term) JOIN dfreq d USING(term) CROSS JOIN corpus c
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25_score
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_consolidated_top20(spark, sf_dir):
+    """consolidate_bm25_table analog (bm25_api.sql:108-160): postings
+    built on two disjoint halves of the corpus, merged with
+    merge_bm25_stats, then searched. The oracle scores against a
+    SINGLE full-corpus build — merge correctness IS the assertion:
+    merged halves must be indistinguishable from one build."""
+    from lantern_spark.operators.bm25 import merge_bm25_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = build_bm25_stats(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", stem=False
+    )
+    b = build_bm25_stats(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", stem=False
+    )
+    merged = merge_bm25_stats(a, b)
+    return search_bm25(
+        merged, "spark join vector", limit=20, stem=False, round_digits=6
+    )
+
+
+@register(
     "bloom_term_postings",
     f"""
     WITH postings AS (

@@ -227,3 +227,62 @@ class TestSaltedTopK:
         )
         plan = salted._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange ") == 2
+
+
+class TestWeightedIndexBacked:
+    """Index-backed approx mode (VERDICT r1 #5): per-term candidates
+    come from IVFIndex.search, matching lantern.sql:673-819's
+    index-CTE shape instead of an exact top-ef scan."""
+
+    @pytest.fixture(scope="class")
+    def ivf(self, emb, tmp_path_factory):
+        from lantern_spark.operators.index import IVFIndex
+
+        path = str(tmp_path_factory.mktemp("weighted_ivf"))
+        return IVFIndex.build(
+            emb, "embedding", "vec_id", path, metric="l2sq", nlist=8, seed=42
+        )
+
+    def test_full_probe_equals_exact_candidates(self, emb, ivf):
+        """At nprobe=nlist the index candidate set IS the exact top-ef
+        set, so results match the scan-based approx path exactly."""
+        q2 = [1.0 - x for x in Q64]
+        terms = [(0.7, "embedding", Q64), (0.3, "embedding", q2)]
+        scan = weighted_vector_search(
+            emb, terms, k=10, id_col="vec_id", ef=50, exact=False
+        )
+        idx = weighted_vector_search(
+            emb, terms, k=10, id_col="vec_id", ef=50, exact=False,
+            indexes=[ivf, ivf],
+        )
+        s = [(r.vec_id, round(r.joint_dist, 9)) for r in scan.collect()]
+        i = [(r.vec_id, round(r.joint_dist, 9)) for r in idx.collect()]
+        assert s == i
+
+    def test_pruned_probe_recall(self, emb, ivf):
+        """At nprobe=4 of 8 the candidate generation is genuinely
+        approximate; joint top-10 must still recall most of the exact
+        answer (the ef/nprobe recall contract)."""
+        q2 = [1.0 - x for x in Q64]
+        terms = [(0.7, "embedding", Q64), (0.3, "embedding", q2)]
+        exact = weighted_vector_search(
+            emb, terms, k=10, id_col="vec_id", exact=True,
+            tie_break="vec_id",
+        )
+        pruned = weighted_vector_search(
+            emb, terms, k=10, id_col="vec_id", ef=50, exact=False,
+            indexes=[ivf, ivf], nprobe=4,
+        )
+        e = {r.vec_id for r in exact.collect()}
+        p = {r.vec_id for r in pruned.collect()}
+        assert len(e & p) / 10 >= 0.6
+
+    def test_candidate_ids_broadcast(self, emb, ivf):
+        """The re-rank join must broadcast the O(ef·terms) id side,
+        never shuffle the base table."""
+        out = weighted_vector_search(
+            emb, [(1.0, "embedding", Q64)], k=5, id_col="vec_id",
+            ef=20, exact=False, indexes=[ivf],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
