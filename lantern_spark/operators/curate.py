@@ -1,0 +1,108 @@
+"""Corpus curation pipeline: the canonical pretraining-data filter.
+
+North-star extension (BASELINE.json): the standard LLM training-data
+recipe — language filter → quality filter → exact dedup → near dedup —
+composed from this repo's operators into one declarative pipeline.
+Every stage is a DataFrame→DataFrame transform, so Catalyst fuses the
+column-expression stages (lang-ID, quality, length) into a single scan
+pass; only the dedup stages shuffle.
+
+Scale notes (100 TB):
+- stages 1-3 (lang/quality/length) are pure column expressions — ONE
+  map-only pass over the corpus, no Python workers;
+- exact dedup shuffles md5 hashes once (never the content);
+- near dedup is MinHash→LSH→verify→connected-components — the
+  O(n·bands) shuffle shape of operators/dedup, never all-pairs;
+- the report aggregates per-stage drop counts with a single pass per
+  stage boundary (one job each) — at scale, run with ``report=False``
+  and the whole filter is (1 scan + dedup shuffles), no extra actions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.dedup import dedup_clusters, exact_dedup
+from lantern_spark.operators.textstats import (
+    lang_id_en,
+    quality_score,
+    token_count_ws,
+)
+
+
+@dataclass
+class CurationConfig:
+    """Thresholds of the standard filter (Gopher/C4-style heuristics —
+    published rules, tuned loose by default)."""
+
+    min_tokens: int = 5
+    max_tokens: int = 100_000
+    min_quality: float = 0.25
+    require_english: bool = False
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    near_threshold: float = 0.8
+    minhash_hashes: int = 16
+    minhash_bands: int = 4
+    shingle_k: int = 3
+    extra_predicates: list = field(default_factory=list)
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    config: Optional[CurationConfig] = None,
+    report: bool = False,
+):
+    """Apply the full curation pipeline; returns the filtered DataFrame,
+    or (DataFrame, report dict) with per-stage surviving counts when
+    ``report=True`` (each report row costs one count() job — leave off
+    in production and read stage counts from the Spark UI instead).
+    """
+    cfg = config or CurationConfig()
+    stages = {}
+
+    def note(name: str, frame: DataFrame) -> DataFrame:
+        if report:
+            stages[name] = frame.count()
+        return frame
+
+    out = note("input", df)
+
+    # 1-3: one fused map-only pass (pure column expressions)
+    toks = token_count_ws(text_col)
+    out = out.filter(
+        F.col(text_col).isNotNull()
+        & (toks >= cfg.min_tokens)
+        & (toks <= cfg.max_tokens)
+    )
+    out = out.filter(quality_score(text_col) >= cfg.min_quality)
+    if cfg.require_english:
+        out = out.filter(lang_id_en(text_col))
+    for pred in cfg.extra_predicates:
+        out = out.filter(pred)
+    out = note("heuristics", out)
+
+    if cfg.exact_dedup:
+        out = note("exact_dedup", exact_dedup(out, text_col, id_col))
+    if cfg.near_dedup:
+        out = note(
+            "near_dedup",
+            dedup_clusters(
+                out,
+                text_col,
+                id_col,
+                threshold=cfg.near_threshold,
+                n_hashes=cfg.minhash_hashes,
+                bands=cfg.minhash_bands,
+                shingle_k=cfg.shingle_k,
+            ),
+        )
+    if report:
+        return out, stages
+    return out
