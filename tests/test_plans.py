@@ -115,6 +115,36 @@ class TestIVFPlans:
         rs = [ln for ln in full_plan(cand).splitlines() if "ReadSchema" in ln]
         assert rs and "embedding" not in rs[0]
 
+    def test_filtered_search_no_base_table_join(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """Filtered search carries stored extra columns through the
+        index projection (select_columns) — the k-row result must NOT
+        be decorated by re-joining the base table (round-1 defect:
+        that join broadcast the FULL embeddings projection)."""
+        from lantern_spark.operators.index import IVFIndex
+        from pyspark.sql import functions as F
+
+        idx = IVFIndex.build(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            "embedding",
+            "vec_id",
+            str(tmp_path_factory.mktemp("ivf_filtered_plan")),
+            nlist=4,
+            seed=42,
+            extra_columns=["label"],
+        )
+        out = idx.search(
+            spark, [0.0] * 64, k=5, nprobe=4,
+            where=F.col("label") == 3, select_columns=["label"],
+            round_digits=6,
+        )
+        assert "label" in out.columns
+        fp = full_plan(out)
+        # one scan of the index lists, zero joins of any kind
+        assert "Join" not in fp
+        assert "BroadcastExchange" not in fp
+
     def test_tombstones_broadcast(self, spark, index):
         """The tombstone anti-join must broadcast the (tiny) tombstone
         side, never shuffle the data side."""

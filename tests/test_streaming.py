@@ -267,3 +267,68 @@ class TestIncrementalIndex:
         probe = emb.filter("vec_id = 490").first()["embedding"]
         top = state["index"].search(spark, list(probe), k=1, nprobe=4).first()
         assert top["vec_id"] == 490
+
+
+class TestStreamingDedup:
+    def test_deduper_fn_first_batch_min_id_wins(self):
+        from lantern_spark.streaming.dedup_stream import make_stream_deduper
+
+        fn = make_stream_deduper("doc_id", "text")
+        st = FakeState()
+        batch = pd.DataFrame({"doc_id": [9, 3, 5], "text": ["x", "x", "x"]})
+        out = list(fn(("h1",), iter([batch]), st))
+        assert len(out) == 1 and out[0]["doc_id"].iloc[0] == 3
+        assert st.get == (3,)
+
+    def test_deduper_fn_seen_hash_drops_all(self):
+        from lantern_spark.streaming.dedup_stream import make_stream_deduper
+
+        fn = make_stream_deduper("doc_id", "text")
+        st = FakeState(value=(1,))
+        batch = pd.DataFrame({"doc_id": [7], "text": ["x"]})
+        assert list(fn(("h1",), iter([batch]), st)) == []
+
+    def test_file_stream_dedup_end_to_end(self, spark, tmp_path):
+        """Two micro-batches with overlapping content: the second batch
+        re-sends a duplicate (dropped: state spans batches) plus a new
+        doc (emitted)."""
+        from lantern_spark.streaming.dedup_stream import streaming_exact_dedup
+
+        src = tmp_path / "src"
+        src.mkdir()
+        chk = str(tmp_path / "chk")
+        schema = "doc_id long, text string"
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "alpha"), (3, "beta")], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        out = streaming_exact_dedup(stream, "text", "doc_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream_t")
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got1 = {
+                (r["doc_id"], r["text"])
+                for r in spark.sql("select * from dedup_stream_t").collect()
+            }
+            assert got1 == {(1, "alpha"), (3, "beta")}
+
+            spark.createDataFrame(
+                [(4, "alpha"), (5, "gamma")], schema
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+            q.processAllAvailable()
+            got2 = {
+                (r["doc_id"], r["text"])
+                for r in spark.sql("select * from dedup_stream_t").collect()
+            }
+            assert got2 == {(1, "alpha"), (3, "beta"), (5, "gamma")}
+        finally:
+            q.stop()
