@@ -281,12 +281,15 @@ def text_query_vector_search(spark, sf_dir):
     """,
 )
 def hybrid_rrf_top10(spark, sf_dir):
-    """Hybrid text+vector search: BM25 top-20 ⊕ exact-KNN top-20 fused
+    """Hybrid text+vector search: BM25 top-20 ⊕ index-KNN top-20 fused
     by reciprocal rank (the production composition of the reference's
-    query_text / query_vector entry points). Both input rankings and
-    the fusion are deterministic → oracle hash-checked."""
+    query_text / query_vector entry points). The vector leg probes the
+    IVF index — at full probe its candidate set provably equals exact
+    KNN, keeping the query hash-checkable while exercising the
+    scale path (pruned probe is the production setting). Both input
+    rankings and the fusion are deterministic → oracle hash-checked."""
     from lantern_spark.operators.hybrid import rrf_fuse
-    from lantern_spark.operators.knn import knn_search
+    from lantern_spark.queries.ann import _index_for
     from lantern_spark.queries.text import _stats_for
     from lantern_spark.operators.bm25 import search_bm25
 
@@ -297,11 +300,10 @@ def hybrid_rrf_top10(spark, sf_dir):
         stem=False,
         round_digits=6,
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    knn = (
-        knn_search(emb, "embedding", Q64, k=20, tie_break="vec_id")
-        .select(F.col("vec_id").alias("doc_id"), F.round("dist", 6).alias("dist"))
-    )
+    idx = _index_for(spark, sf_dir)
+    knn = idx.search(
+        spark, Q64, k=20, nprobe=idx.manifest.nlist, round_digits=6
+    ).select(F.col("vec_id").alias("doc_id"), "dist")
     fused = rrf_fuse(
         [bm25, knn],
         id_col="doc_id",

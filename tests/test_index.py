@@ -117,3 +117,45 @@ def test_cosine_metric_index(spark, emb, tmp_path_factory):
     assert len(out) == 5
     qs = [r[0] for r in emb.select("embedding").limit(5).collect()]
     assert recall_at_k(idx, spark, qs, k=5, nprobe=4) == 1.0
+
+
+def test_rebuild_in_place_default_path(spark, sf_dir, tmp_path):
+    """ADVICE r1: rebuild() into self.path used to overwrite the lists
+    dir while lazily reading from it. The in-place default must stage,
+    fold delta - tombstones in, and clear the folded artifacts."""
+    import os
+
+    from lantern_spark.operators.index import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "inplace")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = IVFIndex.build(base, "embedding", "vec_id", path, nlist=4, seed=42)
+    idx.add_delta(emb.filter(F.col("vec_id") % 5 == 0))
+    idx.delete(emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+
+    rebuilt = idx.rebuild(spark)  # no path → in place
+    assert rebuilt.path == path
+    # folded-in artifacts are gone — a search must not re-apply them
+    assert not os.path.isdir(os.path.join(path, "delta"))
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+
+    # full-probe search equals exact KNN over surviving rows
+    q = [0.25] * 64
+    got = [
+        r["vec_id"]
+        for r in rebuilt.search(spark, q, k=10, nprobe=4).collect()
+    ]
+    from lantern_spark.functions.distances import l2sq_dist
+    from lantern_spark.functions.vectors import vec_lit
+
+    expect = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 7 != 0)
+        .withColumn("d", l2sq_dist("embedding", vec_lit(q)))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    assert got == expect
+    assert rebuilt.manifest.num_vectors == emb.filter(F.col("vec_id") % 7 != 0).count()
