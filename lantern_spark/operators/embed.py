@@ -85,14 +85,92 @@ def hash_embed_batch(texts: List[Optional[str]], dim: int) -> List[Optional[List
     return out
 
 
+def md5_embed_batch(texts: List[Optional[str]], dim: int) -> List[Optional[List[float]]]:
+    """Deterministic offline embedding, SQL-expressible variant: per
+    whitespace token, component i = md5(tok + '#' + i) first 48 bits
+    scaled to [-0.5, 0.5); token vectors unit-normalized then
+    mean-pooled. Unlike ``hash`` (numpy RandomState gaussians), every
+    step is replayable in ANSI SQL — the `md5` runtime is what makes
+    the embed→search composition oracle-hash-checkable. The Spark-side
+    twin is the pure Catalyst expression ``md5_embed_expr``."""
+    out: List[Optional[List[float]]] = []
+    for t in texts:
+        if t is None or (isinstance(t, str) and t.strip() == ""):
+            out.append(None)
+            continue
+        toks = t.lower().split()
+        acc = np.zeros(dim, dtype=np.float64)
+        for tok in toks:
+            raw = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(f"{tok}#{i}".encode("utf-8")).digest()[:6],
+                        "big",
+                    )
+                    / 2.0**48
+                    - 0.5
+                    for i in range(dim)
+                ]
+            )
+            acc += raw / np.linalg.norm(raw)
+        acc /= len(toks)
+        out.append([float(x) for x in acc])
+    return out
+
+
+def md5_embed_expr(col, dim: int):
+    """The `md5` runtime as a PURE Catalyst expression — md5 runs
+    JVM-side, no Python workers (the 'UDFs are the slow path' rule
+    applied to embedding itself). Output matches ``md5_embed_batch``
+    to float precision (summation order differs at ~1e-15; downstream
+    consumers round to 6 per the repo convention)."""
+    from pyspark.sql import Column
+
+    c = col if isinstance(col, Column) else F.col(col)
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    idxs = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def raw_vec(tok):
+        return F.transform(
+            idxs,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat(tok, F.lit("#"), i.cast("string"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long").cast("double")
+            / F.lit(2.0**48)
+            - 0.5,
+        )
+
+    def add_tok(acc, tok):
+        raw = raw_vec(tok)
+        norm = F.sqrt(
+            F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        return F.zip_with(acc, raw, lambda a, x: a + x / norm)
+
+    summed = F.aggregate(
+        toks, F.array_repeat(F.lit(0.0), dim), add_tok
+    )
+    n = F.size(toks)
+    return F.when(
+        c.isNull() | (F.trim(c) == ""), F.lit(None).cast("array<double>")
+    ).otherwise(F.transform(summed, lambda x: x / n))
+
+
 def _runtime_fn(spec: RuntimeSpec) -> Callable[[List[Optional[str]]], List]:
     """Resolve a runtime name to a batch-embedding function.
 
     'ort' / 'openai' / 'cohere' require optional deps / network —
-    import-gated; 'hash' is the deterministic offline runtime.
+    import-gated; 'hash' and 'md5' are the deterministic offline
+    runtimes ('md5' additionally being SQL-replayable).
     """
     if spec.name == "hash":
         return lambda texts: hash_embed_batch(texts, spec.dim)
+    if spec.name == "md5":
+        return lambda texts: md5_embed_batch(texts, spec.dim)
     if spec.name == "ort":
         try:
             import onnxruntime  # noqa: F401
@@ -116,7 +194,7 @@ def _runtime_fn(spec: RuntimeSpec) -> Callable[[List[Optional[str]]], List]:
 
 def get_available_runtimes() -> List[str]:
     """embeddings.rs:201-229 analog."""
-    return ["hash", "ort", "openai", "cohere"]
+    return ["hash", "md5", "ort", "openai", "cohere"]
 
 
 def get_available_models() -> Dict[str, int]:

@@ -220,28 +220,82 @@ def vector_arithmetic(spark, sf_dir):
 
 # --- pipeline composition: text → embed → search -----------------------
 
-@register("text_query_vector_search")  # rows-only (hash embedding)
+_MD5_DIM = 16
+_MD5_COMP = "('0x'||substr(md5(tk||'#'||i),1,12))::BIGINT / 281474976710656.0 - 0.5"
+_Q_TEXT = "spark vector search"
+
+
+def _duck_md5_embed(src: str, out_cte: str) -> str:
+    """CTE chain computing the md5-runtime embedding per doc: token →
+    raw md5 components → unit-normalize → mean-pool (mirrors
+    operators/embed.md5_embed_expr exactly)."""
+    return f"""
+    {out_cte}_tok AS (SELECT doc_id, unnest(toks) AS tk, len(toks) AS n FROM {src} WHERE len(toks) > 0),
+    {out_cte}_tv AS (
+      SELECT doc_id, n,
+             list_transform(range(0, {_MD5_DIM}), i -> {_MD5_COMP}) AS raw
+      FROM {out_cte}_tok),
+    {out_cte}_tn AS (
+      SELECT doc_id, n,
+             list_transform(raw, x -> x / sqrt(list_sum(list_transform(raw, y -> y*y)))) AS nv
+      FROM {out_cte}_tv),
+    {out_cte}_comp AS (
+      SELECT doc_id, ix.i AS i, sum(nv[ix.i+1]) / any_value(n) AS c
+      FROM {out_cte}_tn, (SELECT unnest(range(0, {_MD5_DIM})) AS i) ix
+      GROUP BY doc_id, ix.i),
+    {out_cte} AS (SELECT doc_id, list(c ORDER BY i) AS e FROM {out_cte}_comp GROUP BY doc_id)
+    """
+
+
+@register(
+    "text_query_vector_search",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    qt AS (
+      SELECT 0::BIGINT AS doc_id,
+             list_filter(string_split_regex(lower('{_Q_TEXT}'), '\\s+'), x -> x <> '') AS toks),
+    {_duck_md5_embed('t', 'demb')},
+    {_duck_md5_embed('qt', 'qemb')}
+    SELECT d.doc_id,
+           round(1.0 - list_sum(list_transform(list_zip(d.e, q.e), x -> x[1]*x[2]))
+             / sqrt(list_sum(list_transform(d.e, x -> x*x))
+                  * list_sum(list_transform(q.e, x -> x*x))), 6) AS dist
+    FROM demb d, qemb q
+    ORDER BY round(1.0 - list_sum(list_transform(list_zip(d.e, q.e), x -> x[1]*x[2]))
+             / sqrt(list_sum(list_transform(d.e, x -> x*x))
+                  * list_sum(list_transform(q.e, x -> x*x))), 6), d.doc_id
+    LIMIT 10
+    """,
+)
 def text_query_vector_search(spark, sf_dir):
     """The reference HTTP server's query_text entry
     (http_server/search.rs:60-133: embed the query text with the
     collection's model, then ORDER BY dist LIMIT k) composed from our
-    operators: embed documents (deterministic hash runtime) → embed the
-    query string → exact KNN over the embedded column."""
-    from lantern_spark.operators.embed import (
-        RuntimeSpec,
-        embed_column,
-        hash_embed_batch,
-    )
-    from lantern_spark.operators.knn import knn_search
+    operators: embed documents with the `md5` runtime — a PURE Catalyst
+    expression, md5 JVM-side, no Python workers — embed the query
+    string with the same runtime, exact cos-KNN over the embedded
+    column. Hash-checked (round 2): the md5 runtime is SQL-replayable,
+    so the oracle recomputes both embeddings and the ranking."""
+    from lantern_spark.functions.distances import cos_dist
+    from lantern_spark.functions.vectors import vec_lit
+    from lantern_spark.operators.embed import md5_embed_batch, md5_embed_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    rt = RuntimeSpec(name="hash", dim=32)
-    embedded = embed_column(docs, "text", "emb", rt)
-    qvec = hash_embed_batch(["spark vector search"], 32)[0]
-    out = knn_search(
-        embedded, "emb", qvec, k=10, metric="cos", tie_break="doc_id"
+    embedded = docs.select(
+        "doc_id", md5_embed_expr("text", _MD5_DIM).alias("emb")
     )
-    return out.select("doc_id", F.round("dist", 6).alias("dist"))
+    qvec = md5_embed_batch([_Q_TEXT], _MD5_DIM)[0]
+    return (
+        embedded.withColumn(
+            "dist", F.round(cos_dist("emb", vec_lit(qvec)), 6)
+        )
+        .orderBy("dist", "doc_id")
+        .limit(10)
+        .select("doc_id", "dist")
+    )
 
 
 # --- hybrid search: BM25 ⊕ vector via reciprocal-rank fusion ------------

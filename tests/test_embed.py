@@ -131,3 +131,54 @@ def test_windowed_event_stats_batch(spark, sf_dir):
     assert len(out) > 0
     total = sum(r.n_events for r in out)
     assert total == events.count()
+
+
+class TestMd5Runtime:
+    def test_expr_matches_batch(self, spark):
+        """The Catalyst-expression embedding must equal the python
+        runtime fn (the SQL-replayability contract of the md5 runtime)."""
+        import numpy as np
+
+        from lantern_spark.operators.embed import (
+            md5_embed_batch,
+            md5_embed_expr,
+        )
+
+        texts = ["Spark Vector search", "hello   world", None, "  ", "one"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            r[0] for r in df.select(md5_embed_expr("text", 8).alias("e")).collect()
+        ]
+        exp = md5_embed_batch(texts, 8)
+        for g, e in zip(got, exp):
+            if g is None or e is None:
+                assert g == e
+            else:
+                assert np.allclose(g, e, atol=1e-12)
+
+    def test_md5_runtime_registered(self, spark):
+        from lantern_spark.operators.embed import (
+            RuntimeSpec,
+            embed_column,
+            get_available_runtimes,
+        )
+
+        assert "md5" in get_available_runtimes()
+        df = spark.createDataFrame([(1, "a b"), (2, "c")], "id long, t string")
+        out = embed_column(df, "t", "emb", RuntimeSpec(name="md5", dim=4))
+        rows = out.collect()
+        assert all(len(r["emb"]) == 4 for r in rows)
+
+    def test_expr_stays_jvm_side(self, spark):
+        """No Python workers in the embedding plan — md5 + folds are
+        Catalyst expressions."""
+        from lantern_spark.operators.embed import md5_embed_expr
+
+        df = spark.createDataFrame([("x y",)], "text string")
+        plan = (
+            df.select(md5_embed_expr("text", 4).alias("e"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
