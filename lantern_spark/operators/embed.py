@@ -28,7 +28,6 @@ the python worker, vectors land columnar via Arrow.
 from __future__ import annotations
 
 import hashlib
-import math
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Iterator, List, Optional
 

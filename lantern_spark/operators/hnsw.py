@@ -36,7 +36,7 @@ import json
 import math
 import os
 import pickle
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd

@@ -21,7 +21,7 @@ feature vectors (small) are what downstream joins/indexes consume.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -38,7 +38,7 @@ with a gather-sum, all inside one mapInPandas pass.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from lantern_spark.operators.index import IVFIndex
 from lantern_spark.queries.common import (
+    ORACLE_ART,
     Q64,
     artifact_dir,
     duck_l2sq,
@@ -79,7 +80,7 @@ def ivf_fullprobe_top10(spark, sf_dir):
     "ivf_pruned_top10",
     f"""
     WITH cent AS (SELECT list_id, centroid
-                  FROM read_parquet('/tmp/lantern_artifacts/oracle/ivf/centroids_oracle/*.parquet')),
+                  FROM read_parquet('{ORACLE_ART}/ivf/centroids_oracle/*.parquet')),
     probes AS (
       SELECT list_id FROM cent
       ORDER BY list_sum(list_transform(list_zip(centroid, {duck_lit(Q64)}),
@@ -87,7 +88,7 @@ def ivf_fullprobe_top10(spark, sf_dir):
       LIMIT 4),
     rows_ AS (
       SELECT vec_id, embedding::DOUBLE[] AS e
-      FROM read_parquet('/tmp/lantern_artifacts/oracle/ivf/lists/*/*.parquet', hive_partitioning=1)
+      FROM read_parquet('{ORACLE_ART}/ivf/lists/*/*.parquet', hive_partitioning=1)
       WHERE list_id IN (SELECT list_id FROM probes))
     SELECT vec_id, round({duck_l2sq('e', duck_lit(Q64))}, 6) AS dist
     FROM rows_

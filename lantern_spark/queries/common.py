@@ -13,12 +13,15 @@ DIM = 64  # driver testdata embeddings dim
 # read_parquet the SAME bytes and replicate argmin-encode/probe/ADC in
 # SQL — this is what converts the PQ/IVF family from rows-only to
 # hash-checked. Oracle SQL strings are fixed at registration time, so
-# they read through the ``oracle`` symlink, which every artifact_dir()
-# call repoints at the sf currently being queried (the engine query
-# always runs — and writes its artifacts — before its oracle executes,
-# per the driver/pytest compare order).
+# they read through a per-process ``oracle_<pid>`` symlink, which every
+# artifact_dir() call repoints at the sf currently being queried (the
+# engine query always runs — and writes its artifacts — before its
+# oracle executes, per the driver/pytest compare order). The pid suffix
+# keeps concurrent processes at different SFs (e.g. pytest at sf0.001
+# beside a driver run at sf0.01) from repointing each other's link;
+# oracle strings and artifact writes always share one process.
 ARTIFACTS = "/tmp/lantern_artifacts"
-ORACLE_ART = os.path.join(ARTIFACTS, "oracle")
+ORACLE_ART = os.path.join(ARTIFACTS, f"oracle_{os.getpid()}")
 
 
 def artifact_dir(sf_dir: str, name: str) -> str:

@@ -8,7 +8,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from lantern_spark.functions.distances import hamming_dist, l2sq_dist
+from lantern_spark.functions.distances import hamming_dist
 from lantern_spark.functions.vectors import (
     vec_add,
     vec_dot,

@@ -10,8 +10,6 @@ sides (the repo-wide rounded-value-then-id convention).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
 from lantern_spark.functions.distances import l2sq_dist

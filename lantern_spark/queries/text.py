@@ -10,7 +10,7 @@ from lantern_spark.functions.text import (
     tokenize,
 )
 from lantern_spark.operators.bm25 import build_bm25_stats, search_bm25
-from lantern_spark.queries.common import load_table
+from lantern_spark.queries.common import ORACLE_ART as _ORACLE_ART, load_table
 from lantern_spark.registry import register
 
 _TOK = duck_tokenize_sql("text")
@@ -87,14 +87,64 @@ def bm25_search_top20(spark, sf_dir):
     )
 
 
-@register("stem_docs")  # rows-only: Porter stemming is not SQL-expressible
+@register(
+    "stem_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    d AS (SELECT token, stem
+          FROM read_parquet('{_ORACLE_ART}/stem_dict/*.parquet')),
+    ex AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM t),
+    j AS (
+      SELECT e.doc_id, e.i, d.stem
+      FROM ex e JOIN d ON d.token = e.toks[e.i]
+      WHERE d.stem IS NOT NULL),
+    agg AS (
+      SELECT doc_id, string_agg(stem, ' ' ORDER BY i) AS stemmed
+      FROM j GROUP BY doc_id)
+    SELECT doc_id, coalesce(agg.stemmed, '') AS stemmed
+    FROM documents LEFT JOIN agg USING (doc_id)
+    """,
+)
 def stem_docs(spark, sf_dir):
     """Full text_to_stem_array pipeline over documents (stemmers.rs).
 
-    The stem array is serialized with concat_ws — the driver's pandas
-    canonicalizer cannot sort raw array columns (round-1 crash).
+    Hash-checked (round 2) via the artifact-replay pattern: the
+    distinct token→stem dictionary (stem NULL when the stemmed form is
+    a stopword) is persisted to parquet, and the oracle re-tokenizes in
+    SQL (same Unicode split) and joins the dictionary — verifying
+    tokenization parity, stopword-drop, ordering and serialization.
+    The Porter stemmer itself is pinned by golden tests
+    (test_text.py, stemmers.rs:148-280 ports). The stem array is
+    serialized with concat_ws — the driver's pandas canonicalizer
+    cannot sort raw array columns (round-1 crash).
     """
+    from pyspark.sql import types as T
+
+    from lantern_spark.functions.text import stem_token_list
+    from lantern_spark.queries.common import artifact_dir
+
     docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf(T.StringType())
+    def _stem_one(s):
+        return s.map(lambda t: (stem_token_list([t]) or [None])[0])
+
+    dict_df = (
+        docs.select(
+            F.explode(
+                F.array_distinct(tokenize("text", unicode=True))
+            ).alias("token")
+        )
+        .distinct()
+        .withColumn("stem", _stem_one(F.col("token")))
+    )
+    dict_df.repartition(1).write.mode("overwrite").parquet(
+        artifact_dir(sf_dir, "stem_dict")
+    )
     return docs.select(
         "doc_id",
         F.concat_ws(" ", text_to_stem_array("text")).alias("stemmed"),
