@@ -1,0 +1,165 @@
+"""Training-set assembly: deterministic splits, mixture sampling,
+sequence packing.
+
+North-star extensions (BASELINE.json): after curation
+(operators/curate) a pretraining pipeline still needs to (a) carve
+reproducible train/val/test splits, (b) mix sources at prescribed
+weights, and (c) pack variable-length documents into fixed token
+budgets for the trainer. All three as declarative DataFrame
+transforms:
+
+- ``hash_split``: split membership = md5(id) bucket — deterministic
+  across runs/engines/cluster sizes (never ``rand()``, which is
+  per-task nondeterministic under retries), map-only.
+- ``mixture_sample``: per-source Bernoulli keep with md5-derived
+  uniforms — deterministic sampling at source-level rates, map-only
+  after a broadcast join of the (tiny) weights table.
+- ``pack_sequences``: greedy first-fit-by-order packing of documents
+  into ``max_tokens`` bins WITHIN each partition-local chunk — the
+  global-order greedy pack is inherently sequential, so the contract
+  is per-chunk packing (chunk = salt bucket), which is what
+  distributed trainers do anyway (pack within shard). One window pass
+  computes running token sums; bin id = floor(cumsum / max_tokens)
+  ordered by id — deterministic, no UDFs.
+
+Scale notes (100 TB): hash_split and mixture_sample are pure column
+expressions on top of the scan; pack_sequences shuffles once on the
+chunk key and runs one window per chunk — the same shape as the salted
+top-k operator (operators/topk).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.textstats import token_count_ws
+
+
+def _unit_uniform(col) -> "F.Column":
+    """Deterministic uniform in [0, 1) from md5(value) — engine-portable
+    (same construction as the MinHash 48-bit halves)."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(2**48))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Dict[str, float],
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row to a named split with the given fractions,
+    deterministically by id hash. ``salt`` derives independent splits
+    from the same ids (e.g. per-epoch validation rotation)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    u = _unit_uniform(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with its source's sampling rate (0 ≤ rate ≤ 1),
+    deterministically — the data-mixture step of a pretraining recipe
+    (e.g. upweight wiki by keeping 100%, downsample crawl to 30%).
+    Rates ride in as a broadcast-joined tiny table so the filter stays
+    a single map-only pass over the corpus."""
+    spark = df.sparkSession
+    rate_rows = [(k, float(v)) for k, v in rates.items()]
+    rates_df = spark.createDataFrame(
+        rate_rows, f"{source_col} string, __rate double"
+    )
+    u = _unit_uniform(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return (
+        df.join(F.broadcast(rates_df), source_col, "left")
+        .withColumn("__rate", F.coalesce("__rate", F.lit(float(default_rate))))
+        .filter(u < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int,
+    chunks: int = 256,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign each document a pack id by its START OFFSET in the
+    id-ordered virtual token stream of its chunk — GPT-style
+    concat-then-chunk packing: a document lands in the bin where it
+    begins, so a bin's token total can exceed ``max_tokens`` by less
+    than one document (the trainer truncates or spills the straddling
+    tail). Token counts are clamped to the budget, so an over-long
+    document consumes exactly one bin width.
+
+    Pack id = (chunk, floor((cumsum − tokens) / max_tokens)) over the
+    id-ordered running token sum — a single window per chunk, no UDFs.
+    (Exact ≤-budget first-fit is a sequential recurrence — bin
+    boundaries depend on all previous ones — and optimal packing is
+    NP-hard and order-destroying; start-offset binning is the
+    deterministic, shuffle-once contract trainers actually use.)
+    """
+    toks = F.least(token_count_ws(text_col), F.lit(max_tokens))
+    chunk = F.abs(F.xxhash64(F.col(id_col))) % chunks
+    w = (
+        Window.partitionBy("__chunk")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        df.withColumn("__chunk", chunk)
+        .withColumn("__toks", toks)
+        .withColumn("__cum", F.sum("__toks").over(w))
+        .withColumn(
+            "__bin",
+            F.floor((F.col("__cum") - F.col("__toks")) / max_tokens),
+        )
+        .withColumn(
+            out_col,
+            F.concat_ws(
+                ":", F.col("__chunk").cast("string"), F.col("__bin").cast("string")
+            ),
+        )
+        .drop("__chunk", "__toks", "__cum", "__bin")
+    )
+    return out
+
+
+def pack_stats(
+    packed: DataFrame, text_col: str, pack_col: str = "pack_id"
+) -> DataFrame:
+    """(pack_id, n_docs, total_tokens) — the fill-rate probe."""
+    return packed.groupBy(pack_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(text_col)).alias("total_tokens"),
+    )

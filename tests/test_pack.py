@@ -1,0 +1,121 @@
+"""Training-set assembly: hash splits, mixture sampling, packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.pack import (
+    hash_split,
+    mixture_sample,
+    pack_sequences,
+    pack_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self, docs):
+        out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        n = docs.count()
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] / n == pytest.approx(0.8, abs=0.1)
+        # deterministic: identical assignment on re-run
+        a = {(r["doc_id"], r["split"]) for r in out.collect()}
+        b = {
+            (r["doc_id"], r["split"])
+            for r in hash_split(
+                docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).collect()
+        }
+        assert a == b
+
+    def test_salt_changes_assignment(self, docs):
+        a = {
+            (r["doc_id"], r["split"])
+            for r in hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}).collect()
+        }
+        c = {
+            (r["doc_id"], r["split"])
+            for r in hash_split(
+                docs, "doc_id", {"a": 0.5, "b": 0.5}, salt="epoch2"
+            ).collect()
+        }
+        assert a != c
+
+    def test_bad_fractions_raise(self, docs):
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+    def test_split_is_map_only(self, docs):
+        out = hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestMixtureSample:
+    def test_rates_respected(self, docs):
+        rates = {"web": 0.3, "wiki": 1.0}
+        out = mixture_sample(docs, "source", "doc_id", rates, default_rate=0.5)
+        n_in = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        n_out = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for src, n in n_in.items():
+            rate = rates.get(src, 0.5)
+            kept = n_out.get(src, 0)
+            assert kept / n == pytest.approx(rate, abs=0.25)
+        # deterministic
+        a = {r["doc_id"] for r in out.collect()}
+        b = {
+            r["doc_id"]
+            for r in mixture_sample(
+                docs, "source", "doc_id", rates, default_rate=0.5
+            ).collect()
+        }
+        assert a == b
+
+
+class TestPackSequences:
+    def test_partition_and_budget_contract(self, spark):
+        rows = [(i, " ".join(["w"] * t)) for i, t in enumerate([60, 60, 60, 30, 250, 10])]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        packed = pack_sequences(df, "text", "doc_id", max_tokens=100, chunks=1)
+        got = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+        assert len(got) == 6  # every doc in exactly one pack
+        # start-offset binning: totals exceed the budget by < one doc
+        stats = pack_stats(packed, "text").collect()
+        for r in stats:
+            assert r["total_tokens"] < 2 * 100 + 250  # bounded overflow
+        # docs 0,1 start at offsets 0 and 60 → same bin; doc 2 starts
+        # at 120 → next bin
+        assert got[0] == got[1]
+        assert got[1] != got[2]
+
+    def test_deterministic_and_complete(self, docs):
+        a = {(r["doc_id"], r["pack_id"]) for r in pack_sequences(docs, "text", "doc_id", 512).collect()}
+        b = {(r["doc_id"], r["pack_id"]) for r in pack_sequences(docs, "text", "doc_id", 512).collect()}
+        assert a == b
+        assert len(a) == docs.count()
+
+    def test_fill_rate_reasonable(self, docs):
+        packed = pack_sequences(docs, "text", "doc_id", max_tokens=2048, chunks=8)
+        stats = pack_stats(packed, "text")
+        row = stats.agg(F.avg("total_tokens").alias("avg")).first()
+        # multi-doc bins fill near the budget (docs are ~100-500 toks)
+        assert row["avg"] > 1024
+
+    def test_one_shuffle(self, docs):
+        packed = pack_sequences(docs, "text", "doc_id", 512, chunks=8)
+        plan = packed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange ") <= 1
