@@ -39,6 +39,7 @@ def asof_join(
     right_time: str,
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_r",
+    tolerance_seconds: Optional[float] = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the most recent right row with
     ``right_time <= left_time`` sharing key ``on`` (null-extended when
@@ -46,7 +47,11 @@ def asof_join(
 
     ``right_cols``: right payload columns to carry (default: all except
     the key and time). The right time is carried as ``{right_time}{suffix}``.
-    """
+
+    ``tolerance_seconds``: maximum lookback — matches older than
+    ``left_time − tolerance`` null out (pandas ``merge_asof(tolerance=…)``
+    semantics; applied as a post-window predicate, so the plan shape is
+    unchanged — still one shuffle)."""
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in (on, right_time)
@@ -85,6 +90,14 @@ def asof_join(
         "__last_r", F.last("__r", ignorenulls=True).over(w)
     )
     probes = unioned.filter(F.col("__is_probe") == 1)
+    if tolerance_seconds is not None:
+        in_window = (
+            F.unix_micros(F.col("__t"))
+            - F.unix_micros(F.col(f"__last_r.{right_time}"))
+        ) <= F.lit(int(tolerance_seconds * 1_000_000))
+        probes = probes.withColumn(
+            "__last_r", F.when(in_window, F.col("__last_r"))
+        )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"__last_r.{c}").alias(c) for c in right_cols]
     out_cols.append(

@@ -260,30 +260,53 @@ def pq_dist(
     metric: str = "l2sq",
     out_col: str = "pq_dist",
 ) -> DataFrame:
-    """ADC (asymmetric distance computation): distance(query, code) via a
-    per-query (splits × clusters) lookup table — the Spark analog of
+    """ADC (asymmetric distance computation): distance(query, code) via
+    per-query (splits × clusters) lookup tables — the Spark analog of
     PQ-aware search (pqtable.c:194-333 load_pq_codebook + scan.c:75-81).
 
-    l2sq only: ADC decomposes additively for l2sq; cos over PQ codes is
-    approximated by decode+cos (reference searches PQ graphs with the
-    stored metric on dequantized vectors)."""
+    l2sq: one LUT of per-subvector squared distances (classic additive
+    ADC). cos: ALSO additive — dot(q, decode) = Σ (q_sub · c_sub) and
+    ‖decode‖² = Σ ‖c_sub‖², so two LUTs (dot, norm²) reconstruct
+    1 − dot/(‖q‖·‖decode‖) exactly as decode+cos would, without
+    materializing the decoded vectors."""
     m = Metric.resolve(metric)
-    if m is not Metric.L2SQ:
-        raise ValueError("pq_dist supports l2sq (ADC additive decomposition)")
     cb = _codebook_array(codebook, spec)
     q = np.asarray(list(query), dtype=np.float64).reshape(spec.splits, 1, spec.subdim)
-    lut = ((q - cb) ** 2).sum(axis=2)  # (splits, clusters)
-    lut = np.where(np.isfinite(lut), lut, np.inf)
+    if m is Metric.L2SQ:
+        lut = ((q - cb) ** 2).sum(axis=2)  # (splits, clusters)
+        lut = np.where(np.isfinite(lut), lut, np.inf)
+
+        def score(idx):
+            return float(lut[np.arange(len(idx)), idx].sum())
+
+    elif m is Metric.COS:
+        dot_lut = (q * cb).sum(axis=2)  # (splits, clusters)
+        n2_lut = (cb * cb).sum(axis=2)
+        dot_lut = np.where(np.isfinite(dot_lut), dot_lut, 0.0)
+        n2_lut = np.where(np.isfinite(n2_lut), n2_lut, np.inf)
+        qn = float(np.linalg.norm(q.reshape(-1)))
+
+        def score(idx):
+            r = np.arange(len(idx))
+            dn = qn * float(np.sqrt(n2_lut[r, idx].sum()))
+            if dn == 0.0:
+                return None
+            return 1.0 - float(dot_lut[r, idx].sum()) / dn
+
+    else:
+        raise ValueError(
+            f"pq_dist supports l2sq/cos (got {m.value}): ADC needs an "
+            "additive decomposition"
+        )
 
     @F.pandas_udf(T.DoubleType())
     def _adc(codes: pd.Series) -> pd.Series:
-        def score(c):
+        def one(c):
             if c is None:
                 return None
-            idx = np.asarray(c, dtype=np.int64)
-            return float(lut[np.arange(len(idx)), idx].sum())
+            return score(np.asarray(c, dtype=np.int64))
 
-        return codes.map(score)
+        return codes.map(one)
 
     return df.withColumn(out_col, _adc(F.col(code_col)))
 

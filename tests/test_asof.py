@@ -60,3 +60,26 @@ class TestAsofJoin:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange ") == 1
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    """Matches older than the lookback window null out (pandas
+    merge_asof tolerance semantics); in-window matches are unchanged."""
+    from lantern_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00"), (1, "2026-01-01 12:00:00")],
+        "k long, lt string",
+    ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 09:59:00", "fresh")],
+        "k long, rt string, v string",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "v")
+
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["v"], tolerance_seconds=600,
+    )
+    rows = {r["lt"].hour: r["v"] for r in out.collect()}
+    assert rows[10] == "fresh"  # 1 min old — inside 10-min window
+    assert rows[12] is None  # 2h old — nulled by tolerance

@@ -127,3 +127,46 @@ def test_sq_b1_sign_bits(spark):
     assert len(row.bits) == 2  # 64 dims → 2 int32 words
     # pattern 1,0,1,0,... → 0b...0101 per word
     assert row.bits[0] == 0x55555555 - (1 << 32) or row.bits[0] == 0x55555555
+
+
+def test_pq_cos_adc_matches_decode_then_cos(spark, sf_dir):
+    """cos ADC (two LUTs: dot + norm²) must equal decoding the codes
+    and computing cos exactly — the additive decomposition is lossless
+    relative to decode+cos, not an extra approximation."""
+    import numpy as np
+
+    from lantern_spark.functions.distances import cos_dist
+    from lantern_spark.functions.vectors import vec_lit
+    from lantern_spark.operators.pq import (
+        decode_pq,
+        encode_pq,
+        pq_dist,
+        train_codebook,
+    )
+    from lantern_spark.types import PQSpec
+
+    spec = PQSpec(dim=64, splits=8, clusters=8, seed=7)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    cb = train_codebook(emb, "embedding", spec)
+    cb = cb.cache()
+    cb.count()
+    q = [float((i * 13 % 31) / 31.0) for i in range(64)]
+    enc = encode_pq(emb, "embedding", cb, spec)
+    adc = pq_dist(enc, "embedding_pq", q, cb, spec, metric="cos")
+    dec = decode_pq(adc, "embedding_pq", cb, spec, out_col="back")
+    rows = dec.withColumn(
+        "ref", cos_dist("back", vec_lit(q))
+    ).select("vec_id", "pq_dist", "ref").collect()
+    for r in rows:
+        assert r["pq_dist"] == pytest.approx(r["ref"], abs=1e-9)
+
+
+def test_pq_dist_rejects_unsupported_metric(spark, sf_dir):
+    from lantern_spark.operators.pq import pq_dist, train_codebook
+    from lantern_spark.types import PQSpec
+
+    spec = PQSpec(dim=64, splits=8, clusters=4, seed=7)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    cb = train_codebook(emb, "embedding", spec)
+    with pytest.raises(ValueError, match="additive decomposition"):
+        pq_dist(emb, "embedding", [0.0] * 64, cb, spec, metric="hamming")
