@@ -354,6 +354,7 @@ class IVFIndex:
             query,
             codebook,
             spec,
+            metric=mf.metric,  # candidates ranked under the INDEX metric
             out_col="__adc",
         )
         if round_digits is not None:

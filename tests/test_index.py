@@ -159,3 +159,25 @@ def test_rebuild_in_place_default_path(spark, sf_dir, tmp_path):
     ]
     assert got == expect
     assert rebuilt.manifest.num_vectors == emb.filter(F.col("vec_id") % 7 != 0).count()
+
+
+def test_cos_metric_ivf_pq_adc(spark, emb, tmp_path_factory):
+    """search_adc on a cos-metric index ranks candidates under cos
+    (round-2 fix: the ADC stage previously scored l2sq regardless of
+    the index metric)."""
+    from lantern_spark.operators.index import IVFIndex
+    from lantern_spark.types import PQSpec
+
+    path = str(tmp_path_factory.mktemp("ivf_cos_pq"))
+    idx = IVFIndex.build(
+        emb, "embedding", "vec_id", path, metric="cos", nlist=4, seed=3,
+        pq=PQSpec(dim=64, splits=8, clusters=16, seed=3),
+    )
+    q = [float((i * 11 % 29) / 29.0) for i in range(64)]
+    adc = idx.search_adc(spark, q, k=10, nprobe=4, oversample=8)
+    exact = idx.search(spark, q, k=10, nprobe=4)
+    a = {r["vec_id"] for r in adc.collect()}
+    e = {r["vec_id"] for r in exact.collect()}
+    assert len(a & e) >= 6  # candidates found under the right metric
+    dists = [r["dist"] for r in adc.collect()]
+    assert all(0.0 <= d <= 2.0 for d in dists)  # cos-range dists
