@@ -302,6 +302,68 @@ class HNSWIndex:
         with open(os.path.join(path, "manifest.json")) as f:
             return cls(path, json.load(f))
 
+    def add_delta(self, df: DataFrame) -> None:
+        """aminsert analog (the reference's insert path targets exactly
+        this graph structure, insert.c): append rows to a delta set,
+        searched exactly and unioned until ``rebuild`` folds them into
+        fresh graphs — the same immutable-artifact lifecycle as
+        IVFIndex."""
+        mf = self.manifest
+        df.select(mf["id_column"], mf["column"]).write.mode("append").parquet(
+            os.path.join(self.path, "delta")
+        )
+
+    def rebuild(self, spark: SparkSession, path: str) -> "HNSWIndex":
+        """Fold the delta into fresh per-shard graphs at ``path``."""
+        mf = self.manifest
+        base = self._all_rows(spark)
+        return HNSWIndex.build(
+            base.dropDuplicates([mf["id_column"]]),
+            mf["column"],
+            mf["id_column"],
+            path,
+            m=mf["m"],
+            ef_construction=mf["ef_construction"],
+            shards=mf["shards"],
+            metric=mf["metric"],
+            seed=mf["seed"],
+        )
+
+    def _all_rows(self, spark: SparkSession) -> DataFrame:
+        """Graph-stored rows ∪ delta (vectors re-read from graph
+        payloads via a map-only pass)."""
+        mf = self.manifest
+        schema = T.StructType(
+            [
+                T.StructField(mf["id_column"], T.LongType()),
+                T.StructField(mf["column"], T.ArrayType(T.FloatType())),
+            ]
+        )
+
+        def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for payload in pdf["payload"]:
+                    g = HnswGraph.from_payload(bytes(payload))
+                    yield pd.DataFrame(
+                        {
+                            mf["id_column"]: g.ids,
+                            mf["column"]: [
+                                v.tolist() for v in g._buf[: g.n]
+                            ],
+                        }
+                    )
+
+        out = spark.read.parquet(os.path.join(self.path, "graphs")).mapInPandas(
+            dump, schema
+        )
+        delta_path = os.path.join(self.path, "delta")
+        if os.path.isdir(delta_path):
+            out = out.unionByName(
+                spark.read.parquet(delta_path)
+                .select(mf["id_column"], mf["column"])
+            )
+        return out
+
     def search(
         self,
         spark: SparkSession,
@@ -347,6 +409,29 @@ class HNSWIndex:
 
         graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
         out = graphs.mapInPandas(search_shard, schema)
+        delta_path = os.path.join(self.path, "delta")
+        if os.path.isdir(delta_path):
+            # delta rows are exact-scanned and merge as shard -1 (same
+            # contract as IVF's delta: exact until rebuild folds in).
+            # n_dist=0 so graph scan-fraction accounting is undistorted.
+            from lantern_spark.functions.distances import distance
+            from lantern_spark.functions.vectors import vec_lit
+
+            # metric parity with graph-local dists: l2sq graphs emit
+            # squared L2, cos graphs emit 1−cos — same as distance()
+            dist_expr = distance(
+                F.col(mf["column"]), vec_lit(q), mf["metric"]
+            )
+            delta = (
+                spark.read.parquet(delta_path)
+                .select(
+                    F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+                    dist_expr.cast("double").alias("dist"),
+                )
+                .withColumn("shard_id", F.lit(-1))
+                .withColumn("n_dist", F.lit(0).cast("long"))
+            )
+            out = out.unionByName(delta)
         cols = [mf["id_column"], "dist"] + (
             ["shard_id", "n_dist"] if with_stats else []
         )

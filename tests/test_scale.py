@@ -224,3 +224,35 @@ class TestHnswHighRecall:
 
         with _pt.raises(ValueError, match="dimension mismatch"):
             g.add(1, [1.0, 0.0])
+
+
+class TestHnswLifecycle:
+    def test_delta_then_rebuild(self, spark, sf_dir, tmp_path):
+        """aminsert analog on the graph index: delta rows are exactly
+        searchable immediately; rebuild folds them into fresh graphs
+        and the folded index finds them too."""
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        rest = emb.filter(F.col("vec_id") % 10 == 0)
+        idx = HNSWIndex.build(
+            base, "embedding", "vec_id", str(tmp_path / "g"), shards=4
+        )
+        idx.add_delta(rest)
+
+        # a query AT a delta vector must surface that delta row first
+        probe = rest.select("vec_id", "embedding").first()
+        got = idx.search(spark, probe["embedding"], k=3, ef=64).collect()
+        assert got[0]["vec_id"] == probe["vec_id"]
+        assert got[0]["dist"] == pytest.approx(0.0, abs=1e-9)
+
+        rebuilt = idx.rebuild(spark, str(tmp_path / "g2"))
+        got2 = rebuilt.search(spark, probe["embedding"], k=3, ef=64).collect()
+        assert got2[0]["vec_id"] == probe["vec_id"]
+        n_rows = (
+            spark.read.parquet(str(tmp_path / "g2") + "/graphs")
+            .agg(F.sum("n"))
+            .first()[0]
+        )
+        assert n_rows == emb.count()
