@@ -174,6 +174,15 @@ class IVFIndex:
         # row count piggybacks on the write job via Observation — no
         # second pass, no extra job
         n = int(obs.get["n"])
+        # a reused path may carry stale delta/tombstone dirs from an
+        # earlier index generation — they would silently union into
+        # searches of the fresh build (ADVICE r2). Removed only AFTER
+        # the lists write succeeded, so a crash mid-build never drops
+        # un-folded updates.
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "delta"), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
         manifest = IndexManifest(
             kind="ivf",
             column=column,
@@ -432,33 +441,38 @@ class IVFIndex:
                 on=mf.id_column,
                 how="left_anti",
             )
-        if path is None or path == self.path:
-            import shutil
-            import tempfile
+        import shutil
+        import tempfile
 
-            stage = os.path.join(
-                tempfile.mkdtemp(prefix="lantern_rebuild_"), "base"
+        stage_root = None
+        try:
+            if path is None or path == self.path:
+                # stage the merged rows eagerly: build would otherwise
+                # overwrite the lists dir it is still lazily reading.
+                # delta/tombstones are NOT deleted here — build() folds
+                # them in and clears them only after the fresh lists
+                # land, so a crash mid-build loses nothing (ADVICE r2).
+                stage_root = tempfile.mkdtemp(prefix="lantern_rebuild_")
+                stage = os.path.join(stage_root, "base")
+                base.write.parquet(stage)
+                base = spark.read.parquet(stage)
+            return IVFIndex.build(
+                base.dropDuplicates([mf.id_column]),
+                mf.column,
+                mf.id_column,
+                path or self.path,
+                metric=mf.metric,
+                nlist=mf.nlist,
+                seed=mf.params.get("seed", 42),
+                train_limit=mf.params.get("train_limit", 20000),
+                extra_columns=mf.params.get("extra_columns") or None,
+                pq=(
+                    PQSpec(**mf.params["pq"]) if mf.params.get("pq") else None
+                ),
             )
-            base.write.parquet(stage)
-            base = spark.read.parquet(stage)
-            shutil.rmtree(os.path.join(self.path, "delta"), ignore_errors=True)
-            shutil.rmtree(
-                os.path.join(self.path, "tombstones"), ignore_errors=True
-            )
-        return IVFIndex.build(
-            base.dropDuplicates([mf.id_column]),
-            mf.column,
-            mf.id_column,
-            path or self.path,
-            metric=mf.metric,
-            nlist=mf.nlist,
-            seed=mf.params.get("seed", 42),
-            train_limit=mf.params.get("train_limit", 20000),
-            extra_columns=mf.params.get("extra_columns") or None,
-            pq=(
-                PQSpec(**mf.params["pq"]) if mf.params.get("pq") else None
-            ),
-        )
+        finally:
+            if stage_root is not None:
+                shutil.rmtree(stage_root, ignore_errors=True)
 
     # -- validation -----------------------------------------------------
 

@@ -188,6 +188,19 @@ def weighted_vector_search(
         for i, (w_, col_, q_) in enumerate(terms):
             idx = indexes[i] if indexes is not None else None
             if idx is not None:
+                # a cos-metric call over an l2sq index would silently
+                # break the 'full probe equals exact top-ef' candidate
+                # contract (ADVICE r2) — candidates must be generated
+                # under the same metric the joint score re-ranks with
+                from lantern_spark.types import Metric
+
+                want = Metric.resolve(metric).value
+                if idx.manifest.metric != want:
+                    raise ValueError(
+                        f"index for term {i} was built with metric "
+                        f"{idx.manifest.metric!r} but search metric is "
+                        f"{want!r} — rebuild the index or match metrics"
+                    )
                 probes = nprobe if nprobe is not None else idx.manifest.nlist
                 id_parts.append(
                     idx.search(

@@ -292,6 +292,10 @@ def text_query_vector_search(spark, sf_dir):
         embedded.withColumn(
             "dist", F.round(cos_dist("emb", vec_lit(qvec)), 6)
         )
+        # empty/whitespace docs embed to NULL; the oracle never emits
+        # them — exclude rather than rely on NULLS FIRST default, which
+        # would sort a null dist into the top-10 (ADVICE r2)
+        .where(F.col("dist").isNotNull())
         .orderBy("dist", "doc_id")
         .limit(10)
         .select("doc_id", "dist")
