@@ -195,17 +195,29 @@ def ensure_parallelism(df, min_partitions: int = 0):
 
 
 def load_events(spark, sf_dir: str):
-    """The events table carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default; read nanos as long and convert to a
-    microsecond timestamp (exact integer division — double division
-    would lose precision at ns-epoch magnitude)."""
+    """Load the events table, normalizing `ts` to a timestamp column.
+
+    Testdata generations have shipped `ts` either as a native
+    timestamp[us] (current, surfaces as TIMESTAMP_NTZ) or as
+    TIMESTAMP(NANOS), which Spark's parquet reader only accepts as a
+    nanosecond BIGINT under `nanosAsLong`. Branch on the loaded dtype:
+    a LongType column is treated as ns-epoch and converted with exact
+    integer division (double division would lose precision at ns-epoch
+    magnitude); an NTZ column is cast to TIMESTAMP under a UTC session
+    zone so downstream `unix_micros`/window arithmetic resolves and the
+    epoch values match DuckDB's naive-UTC reading of the same file."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark, sf_dir: str, names: Optional[list] = None) -> dict:
