@@ -99,6 +99,43 @@ def array_to_bloom(
     return _build(c)
 
 
+def bloom_member_hits(bloom_col, ids_col, seed: int = DEFAULT_SEED) -> Column:
+    """Column expr: (bloom binary, array<integral> ids) → long hit count.
+
+    One vectorized probe per row: the serialized bloom crosses into the
+    Arrow batch ONCE per term and every member id is checked worker-side
+    in a single kernel. This replaces the explode-then-probe shape, which
+    duplicated the O(n)-byte bloom onto each of the n exploded rows —
+    O(n²) bytes per hot term at scale.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _hits(blobs: pd.Series, id_arrs: pd.Series) -> pd.Series:
+        out = []
+        for blob, ids in zip(blobs, id_arrs):
+            if blob is None or ids is None:
+                out.append(None)
+                continue
+            k, m = struct.unpack_from("<IQ", blob, 0)
+            bits = np.frombuffer(blob, dtype=np.uint8, offset=12)
+            n_hit = 0
+            for x in ids:
+                h1, h2 = _hash_pair(x, seed)
+                hit = True
+                for i in range(k):
+                    pos = (h1 + i * h2) % m
+                    if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                        hit = False
+                        break
+                n_hit += hit
+            out.append(n_hit)
+        return pd.Series(out, dtype="object")
+
+    b = bloom_col if isinstance(bloom_col, Column) else F.col(bloom_col)
+    i = ids_col if isinstance(ids_col, Column) else F.col(ids_col)
+    return _hits(b, i)
+
+
 def bloom_contains(bloom_col, item_col, seed: int = DEFAULT_SEED) -> Column:
     """Column expr: (bloom binary, id) → boolean membership."""
 

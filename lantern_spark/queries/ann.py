@@ -135,11 +135,39 @@ def hnsw_top10(spark, sf_dir):
     """Per-partition HNSW graph search (the reference's native index
     structure, build.c:472-648 / scan.c:167-338): every shard answers
     locally in ~O(ef·log n) distance evals, global TakeOrdered merge.
-    Approximate by contract — the recall-vs-scan-fraction advantage
-    over IVF is pinned in tests/test_scale.py."""
+    Approximate by contract — WHICH ids come back depends on graph
+    build order (scan.c:332-333), so there is no SQL oracle. The free
+    invariant IS checked: the reported distance of every returned id
+    must equal the exact distance recomputed from the base table
+    (self-consistency; a graph that returns right ids with wrong dists
+    fails here, not silently)."""
+    from lantern_spark.functions.distances import l2sq_dist
+    from lantern_spark.functions.vectors import vec_lit
+
     idx = _hnsw_for(spark, sf_dir)
     out = idx.search(spark, Q64, k=10, ef=96)
-    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+    result = out.select("vec_id", F.round("dist", 6).alias("dist"))
+    # Self-consistency gate: O(k) driver-side check against exact dists.
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        r["vec_id"]: r["d"]
+        for r in emb.join(
+            F.broadcast(result.select("vec_id")), "vec_id"
+        )
+        .select(
+            "vec_id",
+            F.round(l2sq_dist("embedding", vec_lit(Q64)), 6).alias("d"),
+        )
+        .collect()
+    }
+    for r in result.collect():
+        if abs(exact[r["vec_id"]] - r["dist"]) > 1e-4:
+            raise AssertionError(
+                f"hnsw dist self-consistency violated for vec_id="
+                f"{r['vec_id']}: reported {r['dist']}, exact "
+                f"{exact[r['vec_id']]}"
+            )
+    return result
 
 
 @register(

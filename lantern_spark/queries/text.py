@@ -217,8 +217,12 @@ def bloom_term_postings(spark, sf_dir):
     """Per-term doc-id blooms for the 10 hottest terms (array_to_bloom
     analog, bloom.rs:46-60), verified end-to-end by the no-false-negative
     contract: probing every member id must hit, so member_hits == n_docs
-    — which IS the oracle-checkable value."""
-    from lantern_spark.operators.bloom import array_to_bloom, bloom_contains
+    — which IS the oracle-checkable value.
+
+    Probe shape: ONE vectorized (bloom, doc_ids) → hit-count call per
+    term; the serialized bloom never rides an exploded per-id row (that
+    shape is O(n²) bytes per hot term at scale)."""
+    from lantern_spark.operators.bloom import array_to_bloom, bloom_member_hits
 
     docs = load_table(spark, sf_dir, "documents")
     postings = (
@@ -235,14 +239,8 @@ def bloom_term_postings(spark, sf_dir):
         .limit(10)
     )
     with_bloom = postings.withColumn("bloom", array_to_bloom("doc_ids"))
-    probed = with_bloom.select(
+    return with_bloom.select(
         "term",
         "n_docs",
-        F.explode("doc_ids").alias("probe_id"),
-        "bloom",
-    ).withColumn("hit", bloom_contains("bloom", F.col("probe_id")))
-    return (
-        probed.groupBy("term", "n_docs")
-        .agg(F.sum(F.col("hit").cast("long")).alias("member_hits"))
-        .orderBy(F.col("n_docs").desc(), "term")
-    )
+        bloom_member_hits("bloom", "doc_ids").alias("member_hits"),
+    ).orderBy(F.col("n_docs").desc(), "term")

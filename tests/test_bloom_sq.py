@@ -10,6 +10,7 @@ from lantern_spark.operators.bloom import (
     bloom_build,
     bloom_check,
     bloom_contains,
+    bloom_member_hits,
 )
 
 
@@ -52,6 +53,37 @@ class TestBloom:
         # false negatives are impossible; 20 ∉ group 2 SHOULD be False
         # (could be a false positive, but not at this tiny fill factor)
         assert out[1]["has20"] is False
+
+    def test_member_hits_vectorized(self, spark):
+        df = spark.createDataFrame(
+            [(1, list(range(100))), (2, [7, 8, 9]), (3, None)],
+            "g int, ids array<int>",
+        )
+        out = (
+            df.withColumn("bloom", array_to_bloom("ids"))
+            .select("g", bloom_member_hits("bloom", "ids").alias("hits"))
+            .orderBy("g")
+            .collect()
+        )
+        # no-false-negative contract: every member hits
+        assert out[0]["hits"] == 100
+        assert out[1]["hits"] == 3
+        assert out[2]["hits"] is None
+
+    def test_probe_plan_no_explode(self, spark, sf_dir):
+        """The bloom probe must not explode member ids — that shape
+        carries the O(n)-byte serialized bloom once per member row
+        (O(n²) bytes per hot term at scale). One Generate (tokenize)
+        is expected; none may appear downstream of the bloom column."""
+        from lantern_spark.registry import queries
+
+        df = queries()["bloom_term_postings"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only explode in the plan is the term tokenizer, which
+        # runs BEFORE blooms exist; no explode may consume doc_ids
+        assert "explode(doc_ids" not in plan
+        rows = df.collect()
+        assert all(r["member_hits"] == r["n_docs"] for r in rows)
 
 
 class TestF16:
