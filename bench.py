@@ -168,6 +168,36 @@ def main() -> None:
         except Exception as e:  # a failing query shows as -1, not a crash
             timings[name] = -1.0
             print(f"# bench {name} FAILED: {e}", file=sys.stderr)
+    # ANN quality metrics (recall@10 + scan fraction), emitted alongside
+    # wall-times so a plan/quality regression is visible even when
+    # machine-load variance dominates the timings (round-4 advice).
+    quality = {}
+    spark.sparkContext.setJobDescription("bench:quality")
+    try:
+        from lantern_spark.operators.hnsw import hnsw_recall_and_scan_fraction
+        from lantern_spark.operators.index import recall_at_k
+        from lantern_spark.queries.ann import _hnsw_for, _index_for
+        from lantern_spark.queries.common import Q64, Q64_B, load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = [Q64, Q64_B] + [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(4).collect()
+        ]
+        ivf = _index_for(spark, sf_dir)
+        quality["ivf_recall_at10_nprobe4"] = round(
+            recall_at_k(ivf, spark, probes, k=10, nprobe=4), 4
+        )
+        quality["ivf_scan_fraction_nprobe4"] = round(4 / ivf.manifest.nlist, 4)
+        hnsw = _hnsw_for(spark, sf_dir)
+        r, frac = hnsw_recall_and_scan_fraction(
+            hnsw, spark, emb, "embedding", "vec_id", probes, k=10, ef=96
+        )
+        quality["hnsw_recall_at10_ef96"] = round(r, 4)
+        quality["hnsw_scan_fraction_ef96"] = round(frac, 4)
+    except Exception as e:
+        print(f"# bench quality FAILED: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -175,6 +205,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "quality": quality,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
