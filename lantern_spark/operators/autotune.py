@@ -109,6 +109,106 @@ def autotune_index(
     return best, results, index
 
 
+# (m, ef_construction, ef) ladder — the reference's exact 6-variant
+# grid (index_autotune/mod.rs:328-359): small/cheap → large/accurate.
+DEFAULT_HNSW_GRID = [
+    (6, 32, 64),
+    (8, 40, 64),
+    (12, 48, 64),
+    (16, 60, 76),
+    (32, 96, 96),
+    (48, 128, 128),
+]
+
+
+@dataclass
+class HnswAutotuneResult:
+    m: int
+    ef_construction: int
+    ef: int
+    recall: float
+    latency_s: float
+    build_s: float
+
+
+def autotune_hnsw_index(
+    df: DataFrame,
+    column: str,
+    id_column: str,
+    metric: str = "l2sq",
+    k: int = 10,
+    target_recall: float = 0.95,
+    test_data_size: int = 10000,
+    num_queries: int = 10,
+    grid: Optional[Sequence[tuple]] = None,
+    seed: int = 42,
+    shards: int = 4,
+    quant: str = "f32",
+    create_path: Optional[str] = None,
+) -> tuple:
+    """Sweep the HNSW graph params (m, ef_construction, ef) — the
+    reference's native autotune target (index_autotune/mod.rs:328-359
+    sweeps exactly these three; selection mod.rs:161-186, early exit
+    mod.rs:465-467).
+
+    Returns (best: HnswAutotuneResult, results, index: HNSWIndex|None).
+    If ``create_path`` is given, the winning (m, efc) is rebuilt there
+    over the FULL ``df`` (the reference's create_index=true mode);
+    the winning ``ef`` is a search-time knob the caller passes to
+    ``search``.
+    """
+    from lantern_spark.operators.hnsw import (
+        HNSWIndex,
+        hnsw_recall_and_scan_fraction,
+    )
+
+    spark = df.sparkSession
+    sample = df.select(id_column, column).limit(test_data_size).cache()
+    sample.count()
+    qs = [
+        list(r[0])
+        for r in sample.select(column).limit(num_queries).collect()
+    ]
+
+    results: List[HnswAutotuneResult] = []
+    for m, efc, ef in grid or DEFAULT_HNSW_GRID:
+        path = tempfile.mkdtemp(prefix="autotune_hnsw_")
+        t0 = time.time()
+        idx = HNSWIndex.build(
+            sample, column, id_column, path,
+            m=m, ef_construction=efc, shards=shards,
+            metric=metric, seed=seed, quant=quant,
+        )
+        build_s = time.time() - t0
+        t0 = time.time()
+        rec, _frac = hnsw_recall_and_scan_fraction(
+            idx, spark, sample, column, id_column, qs, k=k, ef=ef
+        )
+        latency_s = (time.time() - t0) / max(len(qs), 1)
+        results.append(
+            HnswAutotuneResult(m, efc, ef, rec, latency_s, build_s)
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        if rec >= EARLY_EXIT_RECALL:
+            break  # mod.rs:465-467
+
+    meeting = [r for r in results if r.recall >= target_recall]
+    if meeting:
+        best = min(meeting, key=lambda r: r.latency_s + r.build_s)
+    else:
+        best = max(results, key=lambda r: r.recall)
+
+    index = None
+    if create_path:
+        index = HNSWIndex.build(
+            df, column, id_column, create_path,
+            m=best.m, ef_construction=best.ef_construction,
+            shards=shards, metric=metric, seed=seed, quant=quant,
+        )
+    sample.unpersist()
+    return best, results, index
+
+
 def results_df(spark: SparkSession, results: List[AutotuneResult]) -> DataFrame:
     """Results as a DataFrame (the reference's autotune-results table,
     lantern_cli/README.md:198-231)."""

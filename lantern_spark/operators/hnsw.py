@@ -441,6 +441,7 @@ class HNSWIndex:
             shards=mf["shards"],
             metric=mf["metric"],
             seed=mf["seed"],
+            quant=mf.get("quant", "f32"),
         )
 
     def _all_rows(self, spark: SparkSession) -> DataFrame:
@@ -553,6 +554,167 @@ class HNSWIndex:
             F.col("dist").asc(), F.col(mf["id_column"]).asc()
         )
         return out.limit(k) if limit_result else out
+
+    def validate(self, spark: SparkSession, strict: bool = True) -> dict:
+        """Structural graph validation — ``validate_index`` analog
+        (lantern_hnsw/src/hnsw/validate_index.c:436: walks every node's
+        neighbor lists checking bounds, levels, and link sanity).
+
+        Per shard (map-only over graph rows, violations carried back as
+        strings):
+        - array length consistency (ids / adj / levels / buffer);
+        - entry point in range and at the true max level;
+        - every neighbor index in range, no self-loops;
+        - a node linked at level L must itself reach level L (links
+          live on both endpoints' level-L lists, build.c:472-648);
+        - degree ceilings: ≤ 2·m at level 0, ≤ m above (m0 contract);
+        - no duplicate ids within a shard;
+        - level-0 connectivity: every node reachable from the entry
+          point (undirected BFS — an unreachable island can never be
+          returned by any search).
+
+        Driver-side (global): no id may appear in two shards, and the
+        stored per-shard ``n`` must match each payload. Returns a stats
+        dict; raises ValueError on any violation when ``strict``.
+        """
+        mf = self.manifest
+        stats_schema = T.StructType(
+            [
+                T.StructField("shard_id", T.IntegerType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("n_stored", T.LongType()),
+                T.StructField("n_edges", T.LongType()),
+                T.StructField("max_level", T.IntegerType()),
+                T.StructField("n_unreachable", T.LongType()),
+                T.StructField("violations", T.ArrayType(T.StringType())),
+            ]
+        )
+        m_limit, m0_limit = mf["m"], 2 * mf["m"]
+
+        def validate_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for sid, n_stored, payload in zip(
+                    pdf["shard_id"], pdf["n"], pdf["payload"]
+                ):
+                    g = HnswGraph.from_payload(bytes(payload))
+                    bad: list = []
+                    n = g.n
+                    if not (len(g.adj) == len(g.levels) == n):
+                        bad.append(
+                            f"length mismatch ids={n} adj={len(g.adj)} "
+                            f"levels={len(g.levels)}"
+                        )
+                    if len(g._buf) < n:
+                        bad.append(f"buffer holds {len(g._buf)} < n={n}")
+                    if len(set(g.ids)) != n:
+                        bad.append("duplicate ids within shard")
+                    if n and not (0 <= g.entry < n):
+                        bad.append(f"entry {g.entry} out of range")
+                    true_max = max(g.levels) if g.levels else -1
+                    if g.max_level != true_max:
+                        bad.append(
+                            f"max_level {g.max_level} != max(levels) {true_max}"
+                        )
+                    elif n and g.levels[g.entry] != g.max_level:
+                        bad.append("entry point is not at max_level")
+                    n_edges = 0
+                    for i in range(n):
+                        if len(g.adj[i]) != g.levels[i] + 1:
+                            bad.append(
+                                f"node {i}: {len(g.adj[i])} layers for "
+                                f"level {g.levels[i]}"
+                            )
+                            continue
+                        for lvl, neigh in enumerate(g.adj[i]):
+                            limit = m0_limit if lvl == 0 else m_limit
+                            if len(neigh) > limit:
+                                bad.append(
+                                    f"node {i} level {lvl}: degree "
+                                    f"{len(neigh)} > {limit}"
+                                )
+                            n_edges += len(neigh)
+                            for e in neigh:
+                                if not (0 <= e < n):
+                                    bad.append(
+                                        f"node {i} level {lvl}: neighbor "
+                                        f"{e} out of range"
+                                    )
+                                elif e == i:
+                                    bad.append(f"node {i}: self-loop at level {lvl}")
+                                elif g.levels[e] < lvl:
+                                    bad.append(
+                                        f"node {i} level {lvl}: neighbor {e} "
+                                        f"only reaches level {g.levels[e]}"
+                                    )
+                    # level-0 undirected connectivity from the entry
+                    unreachable = 0
+                    if n and not bad:
+                        undirected: list = [[] for _ in range(n)]
+                        for i in range(n):
+                            for e in g.adj[i][0]:
+                                undirected[i].append(e)
+                                undirected[e].append(i)
+                        seen = np.zeros(n, dtype=bool)
+                        stack = [g.entry]
+                        seen[g.entry] = True
+                        while stack:
+                            c = stack.pop()
+                            for e in undirected[c]:
+                                if not seen[e]:
+                                    seen[e] = True
+                                    stack.append(e)
+                        unreachable = int(n - seen.sum())
+                        if unreachable:
+                            bad.append(
+                                f"{unreachable} nodes unreachable from entry "
+                                "at level 0"
+                            )
+                    if int(n_stored) != n:
+                        bad.append(f"manifest n={n_stored} != payload n={n}")
+                    yield pd.DataFrame(
+                        {
+                            "shard_id": [int(sid)],
+                            "n": [n],
+                            "n_stored": [int(n_stored)],
+                            "n_edges": [n_edges],
+                            "max_level": [g.max_level],
+                            "n_unreachable": [unreachable],
+                            "violations": [bad],
+                        }
+                    )
+
+        graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
+        rows = graphs.mapInPandas(validate_shard, stats_schema).collect()
+        violations = [
+            f"shard {r['shard_id']}: {v}" for r in rows for v in r["violations"]
+        ]
+        # cross-shard id uniqueness (map-only dump + one small groupBy)
+        dupes = (
+            self._all_rows(spark)
+            .groupBy(mf["id_column"])
+            .count()
+            .where(F.col("count") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dupes:
+            violations.append(
+                "ids present in multiple shards/delta: "
+                + ", ".join(str(r[0]) for r in dupes)
+            )
+        stats = {
+            "shards": len(rows),
+            "n_total": sum(r["n"] for r in rows),
+            "n_edges": sum(r["n_edges"] for r in rows),
+            "n_unreachable": sum(r["n_unreachable"] for r in rows),
+            "violations": violations,
+        }
+        if strict and violations:
+            raise ValueError(
+                f"hnsw validate failed ({len(violations)} violations): "
+                + "; ".join(violations[:10])
+            )
+        return stats
 
 
 def hnsw_recall_and_scan_fraction(

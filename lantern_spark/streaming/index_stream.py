@@ -1,13 +1,18 @@
-"""Continuous index maintenance: stream new rows into an IVF index.
+"""Continuous index maintenance: stream new rows into an ANN index.
 
 Daemon parity (SURVEY §2.E last row / daemon/*): the reference daemon
 watches for new rows and keeps indexes in sync (init + continuous).
 The Spark rendition: readStream over the source → ``foreachBatch``
 appending each micro-batch to the index's delta set (exactly-once via
 the checkpoint), searched immediately; a size-triggered ``rebuild``
-folds deltas into fresh lists when they grow past a threshold — the
-streaming twin of Lantern's insert-then-reindex lifecycle
+folds deltas into fresh lists/graphs when they grow past a threshold —
+the streaming twin of Lantern's insert-then-reindex lifecycle
 (insert.c + reindex).
+
+Works against ANY index obeying the delta lifecycle contract
+(``add_delta(df)`` / ``rebuild(spark, path)`` / ``.path``): both
+``IVFIndex`` and ``HNSWIndex`` qualify — the daemon's continuous sync
+applies to the graph index exactly as to the list index.
 
 Scale notes: each micro-batch append is a bounded map-only write; only
 the rebuild (amortized) re-shuffles, and it runs from the foreachBatch
@@ -26,7 +31,7 @@ from lantern_spark.operators.index import IVFIndex, _path_has_parquet
 
 def incremental_index_job(
     spark: SparkSession,
-    index: IVFIndex,
+    index,  # IVFIndex | HNSWIndex (delta-lifecycle duck type)
     source_path: str,
     source_schema,
     checkpoint_path: str,

@@ -256,3 +256,70 @@ class TestHnswLifecycle:
             .first()[0]
         )
         assert n_rows == emb.count()
+
+    def test_rebuild_preserves_quant(self, spark, sf_dir, tmp_path):
+        """A quantized graph must stay quantized across the delta-fold
+        rebuild (quant_bits persists through reindex, options.c)."""
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "q"), shards=2, quant="f16",
+        )
+        idx.add_delta(emb.filter("vec_id >= 400"))
+        rebuilt = idx.rebuild(spark, str(tmp_path / "q2"))
+        assert rebuilt.manifest["quant"] == "f16"
+
+
+class TestHnswValidate:
+    """validate_index.c:436 analog: structural graph checks."""
+
+    def test_fresh_build_validates(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = HNSWIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "v"), shards=4
+        )
+        stats = idx.validate(spark)
+        assert stats["violations"] == []
+        assert stats["n_total"] == emb.count()
+        assert stats["shards"] == 4
+        assert stats["n_unreachable"] == 0
+        assert stats["n_edges"] > 0
+
+    def test_quantized_build_validates(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = HNSWIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "vq"),
+            shards=2, quant="i8",
+        )
+        assert idx.validate(spark)["violations"] == []
+
+    def test_corruption_detected(self, spark, sf_dir, tmp_path):
+        """Tampered adjacency (out-of-range neighbor) must fail
+        validation loudly — the reference's broken-index error path."""
+        import glob
+
+        from lantern_spark.operators.hnsw import HnswGraph, HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = HNSWIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "bad"), shards=1
+        )
+        graphs_dir = str(tmp_path / "bad" / "graphs")
+        pdf = spark.read.parquet(graphs_dir).toPandas()
+        g = HnswGraph.from_payload(bytes(pdf["payload"][0]))
+        g.adj[0][0].append(g.n + 5)  # dangling edge
+        pdf["payload"] = [g.to_payload()]
+        import shutil
+
+        shutil.rmtree(graphs_dir)
+        spark.createDataFrame(pdf).repartition(1).write.parquet(graphs_dir)
+        with pytest.raises(ValueError, match="out of range"):
+            idx.validate(spark)
+        stats = idx.validate(spark, strict=False)
+        assert any("out of range" in v for v in stats["violations"])

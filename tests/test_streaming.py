@@ -268,6 +268,47 @@ class TestIncrementalIndex:
         top = state["index"].search(spark, list(probe), k=1, nprobe=4).first()
         assert top["vec_id"] == 490
 
+    def test_hnsw_stream_sync_and_rebuild(self, spark, sf_dir, tmp_path):
+        """Daemon continuous-sync parity for the GRAPH index: streamed
+        rows land in the delta (searchable immediately), and the
+        size-triggered rebuild folds them into fresh graphs — same
+        lifecycle as IVF, same job function (duck-typed)."""
+        from lantern_spark.operators.hnsw import HNSWIndex
+        from lantern_spark.streaming.index_stream import incremental_index_job
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = emb.filter("vec_id < 300")
+        rest = emb.filter("vec_id >= 300")
+        idx = HNSWIndex.build(
+            base, "embedding", "vec_id", str(tmp_path / "hidx"),
+            shards=2, seed=42,
+        )
+        src = str(tmp_path / "hsrc")
+        import os
+
+        os.makedirs(src)
+        q, state = incremental_index_job(
+            spark, idx, src, base.schema, str(tmp_path / "hck"),
+            rebuild_threshold_rows=150,
+        )
+        try:
+            rest.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        live = state["index"]
+        assert state["rebuilds"] == 1
+        # the rebuilt graph index holds every row and validates clean
+        stats = live.validate(spark)
+        assert stats["n_total"] == emb.count()
+        # a streamed row is searchable in the rebuilt graphs
+        probe = emb.filter("vec_id = 450").first()["embedding"]
+        top = live.search(spark, list(probe), k=1, ef=64).first()
+        assert top["vec_id"] == 450
+        import pytest as _pt
+
+        assert top["dist"] == _pt.approx(0.0, abs=1e-9)
+
 
 class TestStreamingDedup:
     def test_deduper_fn_first_batch_min_id_wins(self):
