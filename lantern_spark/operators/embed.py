@@ -180,14 +180,21 @@ def _runtime_fn(spec: RuntimeSpec) -> Callable[[List[Optional[str]]], List]:
             ) from e
         raise NotImplementedError("ort runtime: model loading not wired in v1")
     if spec.name in ("openai", "cohere"):
-        try:
-            import urllib.request  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError from e
-        raise NotImplementedError(
-            f"{spec.name} runtime requires network credentials; "
-            "use the 'hash' runtime offline"
-        )
+        # Real HTTP runtimes (openai_runtime.rs / cohere_runtime.rs
+        # parity: token-budget batching, linear-backoff retries, Azure
+        # detection — operators/http_runtime.py). Credentials arrive
+        # via spec.params; absent credentials fail like the reference
+        # ("'api_token' is required").
+        params = dict(spec.params)
+        if not (params.get("api_token") or params.get("azure_entra_token")):
+            raise NotImplementedError(
+                f"{spec.name} runtime requires an api_token (network "
+                "credentials); use the 'hash'/'md5' runtimes offline"
+            )
+        from lantern_spark.operators.http_runtime import make_http_runtime
+
+        rt = make_http_runtime(spec.name, params)
+        return rt.embed
     raise ValueError(f"unknown runtime {spec.name!r}")
 
 
