@@ -47,7 +47,12 @@ from pyspark.sql import types as T
 from lantern_spark.types import Metric
 
 
-_QUANT_DTYPES = {"f32": np.float32, "f16": np.float16, "i8": np.int8}
+_QUANT_DTYPES = {
+    "f32": np.float32,
+    "f16": np.float16,
+    "i8": np.int8,
+    "pq": np.uint8,  # one code byte per subspace; codebook rides the shard
+}
 
 
 def _resolve_quant(quant: str) -> str:
@@ -91,8 +96,12 @@ class HnswGraph:
         self.quant = _resolve_quant(quant)
         self.i8_lo = -1.0  # overridden by set_i8_bounds before inserts
         self.i8_hi = 1.0
+        self.codebook = None  # (splits, clusters, subdim) — pq only
+        self._adc_q = None  # identity key for the per-query ADC table
+        self._adc_table = None
         self.rng = np.random.RandomState(seed)
-        self._buf = np.empty((256, dim), dtype=_QUANT_DTYPES[self.quant])
+        width = dim  # pq reallocates to (cap, splits) in set_pq_codebook
+        self._buf = np.empty((256, width), dtype=_QUANT_DTYPES[self.quant])
         self.ids: list = []
         self.adj: list = []  # adj[i][level] = list[int]
         self.levels: list = []
@@ -114,12 +123,42 @@ class HnswGraph:
         self.i8_lo = float(lo)
         self.i8_hi = float(hi) if hi > lo else float(lo) + 1.0
 
+    def set_pq_codebook(self, codebook: np.ndarray) -> None:
+        """PQ codebook (splits, clusters, subdim) — must be set before
+        the first insert (build.c:498-501: the graph loads quantized
+        elements; the codebook is the index's shared side structure).
+        The code buffer holds one uint8 per subspace — dim·4/splits ×
+        compression vs f32."""
+        if self.quant != "pq":
+            raise ValueError("codebook only applies to quant='pq'")
+        if self.n:
+            raise ValueError("pq codebook must be set before inserts")
+        cb = np.asarray(codebook, dtype=np.float32)
+        splits = cb.shape[0]
+        if cb.ndim != 3 or self.dim % splits != 0 or cb.shape[2] != self.dim // splits:
+            raise ValueError(
+                f"codebook shape {cb.shape} inconsistent with dim {self.dim}"
+            )
+        if cb.shape[1] > 256:
+            raise ValueError("pq clusters > 256 do not fit uint8 codes")
+        self.codebook = cb
+        self._buf = np.empty((256, splits), dtype=np.uint8)
+
     def _encode(self, v: np.ndarray) -> np.ndarray:
         """f32 row → storage dtype."""
         if self.quant == "i8":
             scale = (self.i8_hi - self.i8_lo) or 1.0
             q = np.round((v - self.i8_lo) / scale * 254.0 - 127.0)
             return np.clip(q, -127, 127).astype(np.int8)
+        if self.quant == "pq":
+            if self.codebook is None:
+                raise ValueError("set_pq_codebook must run before inserts")
+            cb = self.codebook
+            splits, _clusters, subdim = cb.shape
+            sub = v.reshape(splits, subdim)
+            # per-subspace nearest centroid → uint8 code
+            d = ((cb - sub[:, None, :]) ** 2).sum(axis=2)
+            return d.argmin(axis=1).astype(np.uint8)
         return v.astype(_QUANT_DTYPES[self.quant])
 
     def _decode_rows(self, rows: np.ndarray) -> np.ndarray:
@@ -128,6 +167,12 @@ class HnswGraph:
             scale = (self.i8_hi - self.i8_lo) or 1.0
             return (
                 (rows.astype(np.float32) + 127.0) / 254.0 * scale + self.i8_lo
+            )
+        if self.quant == "pq":
+            cb = self.codebook
+            splits = cb.shape[0]
+            return np.concatenate(
+                [cb[s][rows[:, s]] for s in range(splits)], axis=1
             )
         if self.quant == "f16":
             return rows.astype(np.float32)
@@ -146,6 +191,21 @@ class HnswGraph:
     def _dists(self, q: np.ndarray, idxs) -> np.ndarray:
         idxs = np.asarray(idxs, dtype=np.int64)
         self.n_dist += len(idxs)
+        if self.quant == "pq":
+            # ADC (scan.c:75-81): per-query table of ‖q_s − centroid‖²
+            # per subspace, then distances are table lookups summed over
+            # subspaces — no row reconstruction in the hot loop. The
+            # table is built once per query (identity-cached; one search
+            # or insert reuses the same array object throughout).
+            if self._adc_q is not q:
+                cb = self.codebook
+                splits, _clusters, subdim = cb.shape
+                sub = q.reshape(splits, 1, subdim)
+                self._adc_table = ((cb - sub) ** 2).sum(axis=2)
+                self._adc_q = q
+            codes = self._buf[idxs]
+            splits = self.codebook.shape[0]
+            return self._adc_table[np.arange(splits), codes].sum(axis=1)
         d = self._decode_rows(self._buf[idxs]) - q
         return np.einsum("ij,ij->i", d, d)
 
@@ -252,6 +312,7 @@ class HnswGraph:
                 "quant": self.quant,
                 "i8_lo": self.i8_lo,
                 "i8_hi": self.i8_hi,
+                "codebook": self.codebook,
                 "buf": self._buf[: self.n].copy(),
                 "ids": self.ids,
                 "adj": self.adj,
@@ -271,6 +332,7 @@ class HnswGraph:
         )
         g.i8_lo = d.get("i8_lo", -1.0)
         g.i8_hi = d.get("i8_hi", 1.0)
+        g.codebook = d.get("codebook")
         g._buf = d["buf"]
         g.ids = d["ids"]
         g.adj = d["adj"]
@@ -316,6 +378,8 @@ class HNSWIndex:
         metric: str = "l2sq",
         seed: int = 42,
         quant: str = "f32",
+        pq_splits: int = 8,
+        pq_clusters: int = 16,
         max_payload_bytes: int = MAX_PAYLOAD_BYTES,
     ) -> "HNSWIndex":
         """ONE shuffle (hash-repartition by id into ``shards``), then a
@@ -325,12 +389,15 @@ class HNSWIndex:
         the same sharding contract as the reference's external-index
         protocol, minus the socket.
 
-        ``quant`` ∈ {"f32", "f16", "i8"} — the ``quant_bits`` reloption
-        analog (options.c:137-158): vectors inside the graph are stored
-        at reduced precision (build.c:498-501 loads quantized elements
-        into the index), cutting per-shard memory — the binding
-        constraint at 100 TB — by 2× (f16) or 4× (i8) at a small recall
-        cost (pinned in tests/test_scale.py).
+        ``quant`` ∈ {"f32", "f16", "i8", "pq"} — the ``quant_bits``
+        reloption analog (options.c:137-158): vectors inside the graph
+        are stored at reduced precision (build.c:498-501 loads
+        quantized elements into the index), cutting per-shard memory —
+        the binding constraint at 100 TB — by 2× (f16), 4× (i8), or
+        dim·4/pq_splits× (pq: one uint8 code per subspace against a
+        shard-local codebook, searched via ADC distance tables inside
+        the graph walk, scan.c:75-81) at a recall cost pinned in
+        tests/test_scale.py.
 
         ``max_payload_bytes``: per-shard serialized-graph ceiling; a
         shard exceeding it raises with an "increase shards" message
@@ -355,15 +422,40 @@ class HNSWIndex:
                 return
             order = np.argsort(np.asarray(ids), kind="stable")
             g = HnswGraph(dim, m, ef_construction, seed + pid, mval, quant=qval)
-            if qval == "i8":
-                # shard-local min/max bounds (all rows are in hand —
+            if qval in ("i8", "pq"):
+                # shard-local stats (all rows are in hand —
                 # build_shard collects the partition before inserting)
                 arr = np.asarray(vecs, dtype=np.float32)
                 if mval == "cos":
                     arr = arr / np.maximum(
                         np.linalg.norm(arr, axis=1, keepdims=True), 1e-30
                     )
-                g.set_i8_bounds(float(arr.min()), float(arr.max()))
+                if qval == "i8":
+                    g.set_i8_bounds(float(arr.min()), float(arr.max()))
+                else:
+                    # shard-local PQ codebook: seeded k-means per
+                    # subspace over the shard's own rows (the in-graph
+                    # PQ tier; codebook serializes with the graph)
+                    from lantern_spark.operators.pq import _kmeans_fit
+
+                    subdim = dim // pq_splits
+                    if dim % pq_splits:
+                        raise ValueError(
+                            f"dim {dim} not divisible by pq_splits {pq_splits}"
+                        )
+                    cb = np.stack(
+                        [
+                            _kmeans_fit(
+                                arr[:, s * subdim : (s + 1) * subdim]
+                                .astype(np.float64),
+                                pq_clusters,
+                                seed=seed + s,
+                                iters=25,
+                            ).astype(np.float32)
+                            for s in range(pq_splits)
+                        ]
+                    )
+                    g.set_pq_codebook(cb)
             for j in order:
                 g.add(ids[j], vecs[j])
             payload = g.to_payload()
@@ -406,6 +498,8 @@ class HNSWIndex:
             "shards": shards,
             "seed": seed,
             "quant": qval,
+            "pq_splits": pq_splits,
+            "pq_clusters": pq_clusters,
         }
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -442,6 +536,8 @@ class HNSWIndex:
             metric=mf["metric"],
             seed=mf["seed"],
             quant=mf.get("quant", "f32"),
+            pq_splits=mf.get("pq_splits", 8),
+            pq_clusters=mf.get("pq_clusters", 16),
         )
 
     def _all_rows(self, spark: SparkSession) -> DataFrame:
@@ -459,11 +555,15 @@ class HNSWIndex:
             for pdf in batches:
                 for payload in pdf["payload"]:
                     g = HnswGraph.from_payload(bytes(payload))
+                    # DEQUANTIZED rows — for i8/pq the raw buffer holds
+                    # codes, not coordinates; dumping it verbatim would
+                    # feed garbage into a rebuild (lossy round-trip is
+                    # the quantized-index contract, vectors() doc)
                     yield pd.DataFrame(
                         {
                             mf["id_column"]: g.ids,
                             mf["column"]: [
-                                v.tolist() for v in g._buf[: g.n]
+                                v.tolist() for v in g.vectors()
                             ],
                         }
                     )
