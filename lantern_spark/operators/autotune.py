@@ -109,6 +109,59 @@ def autotune_index(
     return best, results, index
 
 
+def tune_nprobe(
+    index: IVFIndex,
+    spark: SparkSession,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    target_recall: float = 0.95,
+) -> tuple:
+    """Closed-form nprobe selection on an already-built index — the
+    reference's search-knob (``ef``) selection (index_autotune/
+    mod.rs:161-186) without any rebuild.
+
+    One exact top-k scan per query records which list every true
+    neighbor lives in; because IVF search is exact WITHIN the probed
+    lists, recall(nprobe) for EVERY nprobe is then just the fraction of
+    true neighbors whose list's probe rank (by centroid distance) is
+    < nprobe — the full recall-vs-nprobe curve from len(queries) Spark
+    jobs, no per-variant searches.
+
+    Returns (nprobe, recall) — the smallest nprobe meeting
+    ``target_recall``, else (nlist, 1.0) (full probe is exact).
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lantern_spark.functions.distances import distance
+    from lantern_spark.functions.vectors import vec_lit
+
+    mf = index.manifest
+    lists = index.lists(spark)
+    ranks: List[np.ndarray] = []
+    for q in queries:
+        rows = (
+            lists.withColumn(
+                "__d", distance(F.col(mf.column), vec_lit(list(q)), mf.metric)
+            )
+            .orderBy(F.col("__d").asc(), F.col(mf.id_column).asc())
+            .limit(k)
+            .select("list_id")
+            .collect()
+        )
+        probe_order = index._probe_lists(spark, q, mf.nlist)
+        rank = {lid: i for i, lid in enumerate(probe_order)}
+        ranks.append(
+            np.asarray([rank[r["list_id"]] for r in rows], dtype=np.int64)
+        )
+    for nprobe in range(1, mf.nlist + 1):
+        rec = float(np.mean([(r < nprobe).mean() for r in ranks]))
+        if rec >= target_recall:
+            return nprobe, rec
+    return mf.nlist, 1.0
+
+
 # (m, ef_construction, ef) ladder — the reference's exact 6-variant
 # grid (index_autotune/mod.rs:328-359): small/cheap → large/accurate.
 DEFAULT_HNSW_GRID = [

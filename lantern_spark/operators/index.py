@@ -116,7 +116,7 @@ class IVFIndex:
         id_column: str,
         path: str,
         metric: str = "l2sq",
-        nlist: int = 16,
+        nlist: Optional[int] = None,
         seed: int = 42,
         train_limit: int = 20000,
         extra_columns: Optional[Sequence[str]] = None,
@@ -127,12 +127,28 @@ class IVFIndex:
         (``__pq_codes``). Search can then ADC-score codes (reading ~1/32
         of the vector bytes, column-pruned) and re-rank exactly — the
         analog of the reference's PQ-aware index (build.c:498-501,
-        scan.c:75-81)."""
+        scan.c:75-81).
+
+        ``nlist=None`` (default) scales the coarse-cell count with the
+        corpus: round(√n) clamped to [4, 4096] — the standard IVF
+        heuristic (the reference autotune likewise sizes its grid from
+        the sampled corpus, index_autotune/mod.rs:38-67). A fixed small
+        nlist is the 100 TB scale-killer the r5 quality telemetry
+        caught: 8 cells over any corpus forces nprobe/8 of ALL data
+        per probe."""
         m = Metric.resolve(metric)
         sample = _collect_sample(df, column, train_limit)
         if sample.size == 0:
             raise ValueError(f"no non-null vectors in column {column!r}")
         dim = int(sample.shape[1])
+        if nlist is None:
+            # exact n when the sample captured the whole corpus, else
+            # one count job (trivial next to the build's write pass)
+            n_est = (
+                len(sample) if len(sample) < train_limit else df.count()
+            )
+            nlist = int(min(max(4, round(n_est ** 0.5)), 4096))
+        nlist = min(nlist, len(sample))
         cents = _train_centroids_from(sample, nlist, seed)
         nlist = cents.shape[0]
 

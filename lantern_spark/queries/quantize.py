@@ -242,11 +242,16 @@ def sq_f16_roundtrip(spark, sf_dir):
     f"""
     WITH cent AS (SELECT list_id, centroid
                   FROM read_parquet('{_IVF_SQL_PATH}/centroids_oracle/*.parquet')),
+    ranked AS (
+      SELECT list_id,
+             row_number() OVER (
+               ORDER BY list_sum(list_transform(list_zip(centroid, {_QL}),
+                        x -> (x[1]-x[2])*(x[1]-x[2]))), list_id) AS rn
+      FROM cent),
     probes AS (
-      SELECT list_id FROM cent
-      ORDER BY list_sum(list_transform(list_zip(centroid, {_QL}),
-               x -> (x[1]-x[2])*(x[1]-x[2]))), list_id
-      LIMIT 4),
+      SELECT list_id FROM ranked
+      WHERE rn <= (SELECT nprobe
+                   FROM read_parquet('{_IVF_SQL_PATH}/params_oracle/*.parquet'))),
     rows_ AS (
       SELECT vec_id, embedding::DOUBLE[] AS e, __pq_codes
       FROM read_parquet('{_IVF_SQL_PATH}/lists/*/*.parquet', hive_partitioning=1)
@@ -282,11 +287,13 @@ def ivf_pq_adc_top10(spark, sf_dir):
     The 100 TB fast path. Hash-checked (round-2): the oracle replays
     probe selection + ADC from the persisted centroids/lists/codebook
     parquet — the approximation is pinned by the shared artifact.
-    Shares the PQ-enabled index build with the ivf_* query family."""
-    from lantern_spark.queries.ann import _index_for
+    Shares the PQ-enabled index build (and its tuned nprobe) with the
+    ivf_* query family."""
+    from lantern_spark.queries.ann import _index_for, _tuned_nprobe
 
     idx = _index_for(spark, sf_dir)
     out = idx.search_adc(
-        spark, Q64, k=10, nprobe=4, oversample=4, round_digits=6
+        spark, Q64, k=10, nprobe=_tuned_nprobe(spark, sf_dir),
+        oversample=4, round_digits=6,
     )
     return out.select("vec_id", "dist")

