@@ -56,16 +56,39 @@ def _hash_pair(item, seed: int) -> tuple:
     return h1, h2
 
 
+def _positions(ids, seed: int, m: int, k: int) -> np.ndarray:
+    """(n, k) bit-position matrix for all ids at once — the vectorized
+    double-hash kernel shared by build and probe. Only the md5 calls
+    remain per-id; stride expansion, modulo, and gather are numpy.
+
+    Exactness note: ``_hash_pair`` computes ``(h1 + i*h2) % m`` in
+    arbitrary-precision Python ints; uint64 arithmetic would wrap mod
+    2^64 FIRST and land on different bits. Reducing both hashes mod m
+    up front is exact — ``(h1 + i*h2) % m == ((h1%m) + i*(h2%m)) % m``
+    — and overflow-free: the largest intermediate is < m·k (< 2^40 for
+    any realistic bloom)."""
+    digests = b"".join(
+        hashlib.md5(f"{seed}:{x}".encode()).digest() for x in ids
+    )
+    dv = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
+    h1 = dv[:, 0] % m
+    h2 = (dv[:, 1] | 1) % m
+    strides = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + strides[None, :] * h2[:, None]) % m
+
+
 def bloom_build(ids: Iterable, fpr: float = DEFAULT_FPR, seed: int = DEFAULT_SEED) -> bytes:
     """Driver/worker-side: serialize a bloom over the given ids."""
     ids = list(ids)
     m, k = _params(len(ids), fpr)
     bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-    for x in ids:
-        h1, h2 = _hash_pair(x, seed)
-        for i in range(k):
-            pos = (h1 + i * h2) % m
-            bits[pos >> 3] |= 1 << (pos & 7)
+    if ids:
+        pos = _positions(ids, seed, m, k)
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+        )
     return struct.pack("<IQ", k, m) + bits.tobytes()
 
 
@@ -116,19 +139,19 @@ def bloom_member_hits(bloom_col, ids_col, seed: int = DEFAULT_SEED) -> Column:
             if blob is None or ids is None:
                 out.append(None)
                 continue
+            if len(ids) == 0:
+                out.append(0)
+                continue
             k, m = struct.unpack_from("<IQ", blob, 0)
             bits = np.frombuffer(blob, dtype=np.uint8, offset=12)
-            n_hit = 0
-            for x in ids:
-                h1, h2 = _hash_pair(x, seed)
-                hit = True
-                for i in range(k):
-                    pos = (h1 + i * h2) % m
-                    if not (bits[pos >> 3] >> (pos & 7)) & 1:
-                        hit = False
-                        break
-                n_hit += hit
-            out.append(n_hit)
+            # loop-free probe: (n, k) position matrix, one gather, one
+            # all-reduce (only the md5 digests are per-id)
+            pos = _positions(list(ids), seed, m, k)
+            present = (
+                bits[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            out.append(int(present.all(axis=1).sum()))
         return pd.Series(out, dtype="object")
 
     b = bloom_col if isinstance(bloom_col, Column) else F.col(bloom_col)

@@ -70,6 +70,47 @@ class TestBloom:
         assert out[1]["hits"] == 3
         assert out[2]["hits"] is None
 
+    def test_probe_kernel_loop_free(self):
+        """The probe kernel is numpy-vectorized (r6: the old per-id ×
+        per-hash Python loop was ~56k interpreted iterations per hot
+        term at the reference's 8000-posting threshold). Pins (a) exact
+        agreement with the scalar bloom_check for members and
+        non-members, (b) build/probe byte-parity with the scalar
+        double-hash, and (c) throughput: a hot-term-sized probe must
+        clear far faster than the interpreted loop ever could."""
+        import struct
+        import time
+
+        import numpy as np
+
+        from lantern_spark.operators.bloom import _hash_pair, _positions
+
+        ids = list(range(0, 16000, 2))
+        blob = bloom_build(ids)
+        k, m = struct.unpack_from("<IQ", blob, 0)
+        # (b) vectorized positions == scalar arbitrary-precision math
+        pos = _positions(ids[:50], 42, m, k)
+        for row, x in zip(pos, ids[:50]):
+            h1, h2 = _hash_pair(x, 42)
+            assert row.tolist() == [(h1 + i * h2) % m for i in range(k)]
+        # (a) probe agreement over members AND non-members
+        bits = np.frombuffer(blob, dtype=np.uint8, offset=12)
+        probe = list(range(16000))
+        pall = _positions(probe, 42, m, k)
+        present = (
+            (
+                bits[(pall >> np.uint64(3)).astype(np.int64)]
+                >> (pall & np.uint64(7)).astype(np.uint8)
+            )
+            & np.uint8(1)
+        ).all(axis=1)
+        assert present.tolist() == [bloom_check(blob, x) for x in probe]
+        assert all(present[::2])  # no false negatives
+        # (c) 50k-id probe in well under a second (old loop: several s)
+        t0 = time.time()
+        _positions(list(range(50_000)), 42, m, k)
+        assert time.time() - t0 < 1.0
+
     def test_probe_plan_no_explode(self, spark, sf_dir):
         """The bloom probe must not explode member ids — that shape
         carries the O(n)-byte serialized bloom once per member row
