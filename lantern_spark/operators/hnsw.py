@@ -285,7 +285,11 @@ class HnswGraph:
         """Local top-k: [(id, dist)] ascending + #distance evals."""
         if self.entry < 0:
             return [], 0
-        q = self._norm(np.asarray(query, dtype=np.float32))
+        # np.array (not asarray): always copy — the ADC table cache is
+        # keyed by object identity, so a caller reusing and MUTATING one
+        # ndarray across searches must not alias the cached key
+        # (ADVICE r5)
+        q = self._norm(np.array(query, dtype=np.float32))
         self.n_dist = 0
         ep = [self.entry]
         for lc in range(self.max_level, 0, -1):
@@ -487,6 +491,21 @@ class HNSWIndex:
         import shutil
 
         shutil.rmtree(os.path.join(path, "delta"), ignore_errors=True)
+        if qval != "f32":
+            # Quantized graphs are LOSSY — a rebuild fed from
+            # dequantized rows would re-quantize the reconstruction and
+            # compound the error on every delta-fold (ADVICE r5 medium;
+            # the reference's reindex re-reads original heap vectors).
+            # Persist the exact originals as the heap analog; search
+            # never touches this dir, only rebuild does (map-only
+            # write, no shuffle).
+            df.select(id_column, column).write.mode("overwrite").parquet(
+                os.path.join(path, "vectors")
+            )
+        else:
+            # f32 payload dumps are exact; a stale vectors dir from an
+            # earlier quantized generation must not shadow them
+            shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
         manifest = {
             "kind": "hnsw",
             "column": column,
@@ -541,9 +560,27 @@ class HNSWIndex:
         )
 
     def _all_rows(self, spark: SparkSession) -> DataFrame:
-        """Graph-stored rows ∪ delta (vectors re-read from graph
-        payloads via a map-only pass)."""
+        """Graph-stored rows ∪ delta. For quantized builds the exact
+        originals come from the persisted ``vectors`` heap analog
+        (rebuild must not re-quantize a lossy reconstruction, ADVICE
+        r5); f32 builds dump graph payloads via a map-only pass."""
         mf = self.manifest
+        vec_path = os.path.join(self.path, "vectors")
+        if os.path.isdir(vec_path):
+            out = spark.read.parquet(vec_path).select(
+                F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+                F.col(mf["column"]).cast("array<float>").alias(mf["column"]),
+            )
+            delta_path = os.path.join(self.path, "delta")
+            if os.path.isdir(delta_path):
+                out = out.unionByName(
+                    spark.read.parquet(delta_path)
+                    .select(
+                        F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+                        F.col(mf["column"]).cast("array<float>").alias(mf["column"]),
+                    )
+                )
+            return out
         schema = T.StructType(
             [
                 T.StructField(mf["id_column"], T.LongType()),

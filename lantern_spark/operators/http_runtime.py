@@ -100,23 +100,38 @@ def post_with_retries(
 ):
     """utils.rs:80-124 parity: linear backoff (interval·(attempt+1)),
     retrying transport errors AND parse errors; aggregate error after
-    the last attempt."""
+    the last attempt.
+
+    Two refinements over the reference's loop (ADVICE r5): no sleep
+    after the FINAL attempt (the backoff buys nothing once the error is
+    being raised), and non-transient HTTP 4xx — everything but 408/429
+    — fails fast: a bad api_token surfaces immediately instead of after
+    the full ~60 s backoff ladder."""
     last_error = ""
     for i in range(max_retries):
+        err = None
+        raw = None
         try:
             req = urllib.request.Request(
                 url, data=body, headers=headers, method="POST"
             )
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 raw = resp.read()
+        except urllib.error.HTTPError as e:
+            if 400 <= e.code < 500 and e.code not in (408, 429):
+                raise RuntimeError(
+                    f"Request failed with non-retryable status {e.code}: {e}"
+                ) from e
+            err = str(e)
         except (urllib.error.URLError, OSError) as e:
-            last_error = str(e)
-            time.sleep(starting_interval_ms * (i + 1) / 1000.0)
-            continue
-        try:
-            return parse_fn(raw)
-        except Exception as e:  # parse errors also retry (utils.rs:104-111)
-            last_error = str(e)
+            err = str(e)
+        if err is None:
+            try:
+                return parse_fn(raw)
+            except Exception as e:  # parse errors also retry (utils.rs:104-111)
+                err = str(e)
+        last_error = err
+        if i < max_retries - 1:
             time.sleep(starting_interval_ms * (i + 1) / 1000.0)
     raise RuntimeError(
         f"All {max_retries} requests failed. Last error was: {last_error}"
@@ -135,6 +150,10 @@ class HttpRuntimeConfig:
     max_retries: int = DEFAULT_MAX_RETRIES
     starting_interval_ms: int = DEFAULT_STARTING_INTERVAL_MS
     extra_headers: dict = field(default_factory=dict)
+    # cohere body param (embeddings.rs input_type) — an explicit field,
+    # NOT smuggled through extra_headers (ADVICE r5: a header sentinel
+    # was sent to the endpoint as a literal header)
+    input_type: str = "search_document"
 
 
 class OpenAIEmbeddingRuntime:
@@ -233,9 +252,7 @@ class CohereEmbeddingRuntime:
             {
                 "model": self.cfg.model,
                 "texts": inputs,
-                "input_type": self.cfg.extra_headers.get(
-                    "x-input-type", "search_document"
-                ),
+                "input_type": self.cfg.input_type,
             }
         ).encode("utf-8")
 

@@ -203,9 +203,21 @@ def load_events(spark, sf_dir: str):
     nanosecond BIGINT under `nanosAsLong`. Branch on the loaded dtype:
     a LongType column is treated as ns-epoch and converted with exact
     integer division (double division would lose precision at ns-epoch
-    magnitude); an NTZ column is cast to TIMESTAMP under a UTC session
-    zone so downstream `unix_micros`/window arithmetic resolves and the
-    epoch values match DuckDB's naive-UTC reading of the same file."""
+    magnitude); an NTZ column is converted via pure NTZ arithmetic —
+    ``timestampdiff(MICROSECOND, epoch, ts)`` → ``timestamp_micros`` —
+    which treats the stored wall time as UTC regardless of session
+    timezone (a plain ``cast("timestamp")`` would re-interpret under
+    whatever zone the session happens to use).
+
+    SESSION-WIDE SIDE EFFECT (deliberate, ADVICE r5): this sets
+    ``spark.sql.session.timeZone=UTC`` for the session and does NOT
+    restore it. The conversion above no longer needs it, but every
+    registered events query downstream (hourly rollup, sessionize,
+    as-of) date_truncs and renders this column, and those operations
+    ARE session-zone-dependent — they must match the DuckDB oracle's
+    naive-UTC reading of the same file. Restoring the previous zone
+    after returning would silently shift the lazily-evaluated
+    downstream plans instead."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
@@ -216,7 +228,15 @@ def load_events(spark, sf_dir: str):
     if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 

@@ -27,6 +27,7 @@ class FakeHandler(BaseHTTPRequestHandler):
 
     fail_first = 0
     garbage_first = 0
+    status_first: list = []  # explicit HTTP status codes, one per request
     requests: list = []
 
     def do_POST(self):
@@ -37,6 +38,12 @@ class FakeHandler(BaseHTTPRequestHandler):
         cls.requests.append(
             {"body": body, "headers": dict(self.headers.items())}
         )
+        if cls.status_first:
+            code = cls.status_first.pop(0)
+            self.send_response(code)
+            self.end_headers()
+            self.wfile.write(b"err")
+            return
         if cls.fail_first > 0:
             cls.fail_first -= 1
             self.send_response(500)
@@ -73,6 +80,7 @@ class FakeHandler(BaseHTTPRequestHandler):
 def server():
     FakeHandler.fail_first = 0
     FakeHandler.garbage_first = 0
+    FakeHandler.status_first = []
     FakeHandler.requests = []
     srv = HTTPServer(("127.0.0.1", 0), FakeHandler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -193,7 +201,9 @@ class TestCohereRuntime:
 
 class TestBackoffTiming:
     def test_linear_backoff_intervals(self, server, monkeypatch):
-        """utils.rs:87-97: sleep is starting_interval·(attempt+1)."""
+        """utils.rs:87-97: sleep is starting_interval·(attempt+1) —
+        but NOT after the final attempt (ADVICE r5: the last backoff
+        bought nothing; the error is about to be raised)."""
         import lantern_spark.operators.http_runtime as hr
 
         sleeps = []
@@ -204,7 +214,42 @@ class TestBackoffTiming:
                 server, b"{}", {"Content-Type": "application/json"},
                 json.loads, max_retries=3, starting_interval_ms=4000,
             )
-        assert sleeps == [4.0, 8.0, 12.0]
+        assert sleeps == [4.0, 8.0]
+
+    def test_non_retryable_4xx_fails_fast(self, server, monkeypatch):
+        """A bad api_token (401) must surface immediately — no retry,
+        no sleep (ADVICE r5: the old loop burned the full backoff
+        ladder on a deterministic auth failure)."""
+        import lantern_spark.operators.http_runtime as hr
+
+        sleeps = []
+        monkeypatch.setattr(hr.time, "sleep", lambda s: sleeps.append(s))
+        FakeHandler.status_first = [401]
+        with pytest.raises(RuntimeError, match="non-retryable status 401"):
+            post_with_retries(
+                server, b"{}", {"Content-Type": "application/json"},
+                json.loads, max_retries=5, starting_interval_ms=4000,
+            )
+        assert sleeps == []
+
+    def test_429_retries(self, server, monkeypatch):
+        """Rate limiting (429) IS transient — it must retry and then
+        succeed."""
+        import lantern_spark.operators.http_runtime as hr
+
+        sleeps = []
+        monkeypatch.setattr(hr.time, "sleep", lambda s: sleeps.append(s))
+        FakeHandler.status_first = [429]
+        out = post_with_retries(
+            server,
+            json.dumps({"texts": ["ab"]}).encode(),
+            {"Content-Type": "application/json"},
+            json.loads,
+            max_retries=3,
+            starting_interval_ms=4000,
+        )
+        assert out["embeddings"]
+        assert sleeps == [4.0]
 
 
 class TestSparkIntegration:

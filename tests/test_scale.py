@@ -267,6 +267,47 @@ class TestHnswLifecycle:
         )
         assert n_rows == emb.count()
 
+    def test_quantized_rebuild_reads_originals(self, spark, sf_dir, tmp_path):
+        """A quantized graph rebuild must re-read EXACT original
+        vectors (the persisted heap analog), not re-quantize the lossy
+        reconstruction — chained delta-fold rebuilds would compound the
+        error (ADVICE r5 medium; the reference's reindex re-reads heap
+        rows)."""
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = HNSWIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "i8"),
+            shards=2, quant="i8",
+        )
+        # _all_rows must return the exact float32 originals
+        got = {
+            r["vec_id"]: r["embedding"]
+            for r in idx._all_rows(spark).collect()
+        }
+        import numpy as np
+
+        for r in emb.limit(50).collect():
+            assert np.allclose(
+                got[r["vec_id"]],
+                np.asarray(r["embedding"], dtype=np.float32),
+                rtol=0, atol=0,
+            ), f"vec {r['vec_id']} drifted through _all_rows"
+        # two chained rebuilds: the final index's stored originals are
+        # still bit-identical to the source (no error compounding)
+        r1 = idx.rebuild(spark, str(tmp_path / "r1"))
+        r2 = r1.rebuild(spark, str(tmp_path / "r2"))
+        got2 = {
+            r["vec_id"]: r["embedding"]
+            for r in r2._all_rows(spark).collect()
+        }
+        for r in emb.limit(50).collect():
+            assert np.allclose(
+                got2[r["vec_id"]],
+                np.asarray(r["embedding"], dtype=np.float32),
+                rtol=0, atol=0,
+            ), f"vec {r['vec_id']} drifted across chained rebuilds"
+
     def test_rebuild_preserves_quant(self, spark, sf_dir, tmp_path):
         """A quantized graph must stay quantized across the delta-fold
         rebuild (quant_bits persists through reindex, options.c)."""
