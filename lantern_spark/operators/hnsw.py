@@ -519,6 +519,9 @@ class HNSWIndex:
             "quant": qval,
             "pq_splits": pq_splits,
             "pq_clusters": pq_clusters,
+            # upgrade-compat gate (test_updates.py analog) — see
+            # types.check_format_version
+            "format_version": "1.1",
         }
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -526,8 +529,12 @@ class HNSWIndex:
 
     @classmethod
     def load(cls, path: str) -> "HNSWIndex":
+        from lantern_spark.types import check_format_version
+
         with open(os.path.join(path, "manifest.json")) as f:
-            return cls(path, json.load(f))
+            manifest = json.load(f)
+        check_format_version(manifest.setdefault("format_version", "1.0"), path)
+        return cls(path, manifest)
 
     def add_delta(self, df: DataFrame) -> None:
         """aminsert analog (the reference's insert path targets exactly

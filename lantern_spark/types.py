@@ -118,6 +118,11 @@ class IndexManifest:
     centroids: list = field(default_factory=list)
     version: int = 1
     magic: str = "lantern-spark-index"  # header magicNumber analog
+    # artifact format version "major.minor" (the extension-upgrade
+    # compatibility gate the reference tests in test_updates.py): a
+    # reader refuses unknown MAJORS with a clear error instead of
+    # failing obscurely mid-search; minors are read-compatible
+    format_version: str = "1.1"
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -130,7 +135,29 @@ class IndexManifest:
             d = json.load(f)
         if d.get("magic") != "lantern-spark-index":
             raise ValueError(f"Not a lantern-spark index at {path}")
+        check_format_version(d.setdefault("format_version", "1.0"), path)
         return cls(**d)
+
+
+FORMAT_MAJOR = 1
+
+
+def check_format_version(fv, path: str) -> None:
+    """Refuse artifacts written under an unknown format MAJOR (the
+    test_updates.py upgrade-path analog). Manifests predating the field
+    are read as 1.0 — same major, accepted."""
+    try:
+        major = int(str(fv).split(".", 1)[0])
+    except ValueError:
+        raise ValueError(
+            f"index at {path} has unparseable format_version {fv!r}"
+        )
+    if major != FORMAT_MAJOR:
+        raise ValueError(
+            f"index at {path} has format_version {fv} (major {major}); "
+            f"this reader supports major {FORMAT_MAJOR} only — rebuild "
+            "the index or upgrade lantern_spark"
+        )
 
 
 @dataclass(frozen=True)

@@ -34,6 +34,63 @@ def test_manifest_roundtrip(index):
     assert loaded.manifest.nlist == 8
     assert loaded.manifest.num_vectors == 500
     assert loaded.manifest.metric == "l2sq"
+    assert loaded.manifest.format_version == "1.1"
+
+
+class TestFormatVersion:
+    """Artifact upgrade-compat gate (the reference's test_updates.py
+    analog): same-major artifacts load, unknown majors refuse with an
+    actionable error, pre-field manifests read as 1.0 (compatible)."""
+
+    def _tamper(self, path, fv):
+        import json
+        import os
+
+        mp = os.path.join(path, "manifest.json")
+        with open(mp) as f:
+            d = json.load(f)
+        if fv is None:
+            d.pop("format_version", None)
+        else:
+            d["format_version"] = fv
+        with open(mp, "w") as f:
+            json.dump(d, f)
+
+    def test_unknown_major_refused_ivf(self, index):
+        self._tamper(index.path, "2.0")
+        try:
+            with pytest.raises(ValueError, match="format_version 2.0"):
+                IVFIndex.load(index.path)
+        finally:
+            self._tamper(index.path, "1.1")
+
+    def test_legacy_manifest_reads_as_1_0(self, index):
+        self._tamper(index.path, None)
+        try:
+            loaded = IVFIndex.load(index.path)
+            assert loaded.manifest.format_version == "1.0"
+        finally:
+            self._tamper(index.path, "1.1")
+
+    def test_minor_drift_accepted(self, index):
+        self._tamper(index.path, "1.7")
+        try:
+            assert IVFIndex.load(index.path).manifest.format_version == "1.7"
+        finally:
+            self._tamper(index.path, "1.1")
+
+    def test_unknown_major_refused_hnsw(self, spark, emb, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.limit(50), "embedding", "vec_id", str(tmp_path / "h"),
+            shards=1,
+        )
+        assert idx.manifest["format_version"] == "1.1"
+        assert HNSWIndex.load(idx.path).manifest["format_version"] == "1.1"
+        self._tamper(idx.path, "3.0")
+        with pytest.raises(ValueError, match="major 3"):
+            HNSWIndex.load(idx.path)
 
 
 def test_search_returns_k(spark, index):
