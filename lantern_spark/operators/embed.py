@@ -171,14 +171,30 @@ def _runtime_fn(spec: RuntimeSpec) -> Callable[[List[Optional[str]]], List]:
     if spec.name == "md5":
         return lambda texts: md5_embed_batch(texts, spec.dim)
     if spec.name == "ort":
-        try:
-            import onnxruntime  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "ort runtime requires onnxruntime (not in this container); "
-                "use the 'hash' runtime offline"
-            ) from e
-        raise NotImplementedError("ort runtime: model loading not wired in v1")
+        # Real local-ONNX runtime (ort_runtime.rs analog): session over
+        # a model path, hash-bucket tokenize, masked mean/cls pooling,
+        # chunked batch inference. The ONLY gate is `import
+        # onnxruntime` inside the default session factory; tests inject
+        # a duck-typed session via params['session_factory'] and run
+        # the identical path.
+        from lantern_spark.operators.ort_runtime import (
+            MODEL_POOLING,
+            OrtConfig,
+            OrtEmbeddingRuntime,
+        )
+
+        params = dict(spec.params)
+        model = params.pop("model", None)
+        cfg = OrtConfig(
+            model_path=params.pop("model_path", model or ""),
+            dim=spec.dim,
+            pooling=params.pop(
+                "pooling", MODEL_POOLING.get(model or "", "mean")
+            ),
+            batch_size=spec.batch_size,
+            **params,
+        )
+        return OrtEmbeddingRuntime(cfg).embed
     if spec.name in ("openai", "cohere"):
         # Real HTTP runtimes (openai_runtime.rs / cohere_runtime.rs
         # parity: token-budget batching, linear-backoff retries, Azure
