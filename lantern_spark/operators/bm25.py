@@ -16,11 +16,20 @@ Spark-first design: the reference packs postings into per-term arrays
 on Spark the natural 100 TB shape is a NORMALIZED postings DataFrame
 ``(term, doc_id, fq, doc_len)`` partitioned by term — scoring is then a
 broadcast join of (tiny) query terms against postings, a map-side
-per-term score expression, and one groupBy(doc_id) shuffle. The
-bloom-filter approximation tier (bm25_agg.rs:161-216, threshold 8000
-postings) exists because Postgres must materialize giant arrays per
-term; Spark's shuffle handles hot terms natively, so the approximation
-is unnecessary — exact scores at any scale (semantics superset).
+per-term score expression, and one groupBy(doc_id) shuffle. Exact
+scoring handles hot terms natively via the shuffle, so exact search is
+the default at any scale (semantics superset).
+
+The reference's bloom approximation tier (bm25_agg.rs:161-216) is ALSO
+provided (``search_bm25_approx`` + ``hot_term_blooms``) for behavior
+parity: terms with more than ``lantern_extras.bm25_default_
+approximation_threshhold`` postings (default 8000, GUC range
+5000–100000, lib.rs:46,142-150) are not scored per-posting — each
+contributes a CONSTANT score bm25(fq=1, doc_len=avg_doc_len)
+(maybe_use_bloom_filter, bm25_agg.rs:162-188) added at finalize to
+every candidate in the top limit·10 exact pool whose doc_id passes the
+term's bloom (finalize_base, bm25_agg.rs:314-355). Blooms are built at
+TABLE BUILD time for hot terms only (bm25_api.sql:55).
 
 Scale notes: postings build = one explode + one groupBy shuffle;
 corpus stats = single tiny aggregate, broadcast at query time; query
@@ -41,6 +50,32 @@ from lantern_spark.functions.text import text_to_stem_array, tokenize
 
 BM25_DEFAULT_K1 = 1.2  # lib.rs:44
 BM25_DEFAULT_B = 0.75  # lib.rs:45
+
+# lantern_extras.bm25_default_approximation_threshhold (lib.rs:46):
+# postings count beyond which a term switches to bloom-approximate
+# scoring; the GUC clamps user settings to [5000, 100000]
+# (lib.rs:142-150)
+BM25_DEFAULT_APPROXIMATION_THRESHOLD = 8000
+BM25_APPROXIMATION_THRESHOLD_RANGE = (5000, 100_000)
+
+_approximation_threshold = BM25_DEFAULT_APPROXIMATION_THRESHOLD
+
+
+def set_bm25_approximation_threshold(value: int) -> None:
+    """GUC-setter analog: clamped range [5000, 100000] like the
+    reference's DefineCustomIntVariable bounds (lib.rs:142-150)."""
+    global _approximation_threshold
+    lo, hi = BM25_APPROXIMATION_THRESHOLD_RANGE
+    if not (lo <= value <= hi):
+        raise ValueError(
+            f"bm25 approximation threshold {value} outside GUC range "
+            f"[{lo}, {hi}]"
+        )
+    _approximation_threshold = value
+
+
+def get_bm25_approximation_threshold() -> int:
+    return _approximation_threshold
 
 
 @dataclass
@@ -142,34 +177,44 @@ def search_bm25(
     returned — same as the reference aggregate, which only sees rows of
     matching terms).
     """
-    from lantern_spark.functions.text import stem_token_list
-
-    spark = stats.postings.sparkSession
-    toks = [
-        t
-        for t in __import__("re").split("[^a-z0-9]+", query.lower())
-        if t
-    ]
-    if stem:
-        terms = sorted(set(stem_token_list(toks)))
-    else:
-        terms = sorted(set(toks))
+    terms = _resolve_terms(query, stem)
     if not terms:
         return (
             stats.postings.select(
                 F.col("doc_id"), F.lit(0.0).alias("bm25_score")
             ).limit(0)
         )
+    agg = _exact_doc_scores(stats, terms, k1, b)
+    if round_digits is not None:
+        agg = agg.withColumn("bm25_score", F.round("bm25_score", round_digits))
+    return (
+        agg.orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )
 
+
+def _resolve_terms(query: str, stem: bool) -> list:
+    from lantern_spark.functions.text import stem_token_list
+
+    import re
+
+    toks = [t for t in re.split("[^a-z0-9]+", query.lower()) if t]
+    return sorted(set(stem_token_list(toks) if stem else toks))
+
+
+def _exact_doc_scores(stats: BM25Stats, terms, k1, b) -> DataFrame:
+    """Per-doc summed exact scores for the given terms: (doc_id,
+    bm25_score). Restrict to query terms FIRST, then derive per-term
+    doc frequency from the matched rows with a window — a term's
+    postings are all matched, so count-over-term here equals the
+    reference's term_freq column (bm25_api.sql:36) without a
+    full-postings groupBy shuffle."""
+    from pyspark.sql import Window
+
+    spark = stats.postings.sparkSession
     qdf = F.broadcast(
         spark.createDataFrame([(t,) for t in terms], "term string")
     )
-    # Restrict to query terms FIRST, then derive per-term doc frequency
-    # from the matched rows with a window — a term's postings are all
-    # matched, so count-over-term here equals the reference's term_freq
-    # column (bm25_api.sql:36) without a full-postings groupBy shuffle.
-    from pyspark.sql import Window
-
     matched = (
         stats.postings.join(qdf, "term")
         .withColumn(
@@ -178,15 +223,146 @@ def search_bm25(
         .crossJoin(F.broadcast(stats.corpus))
     )
     scored = matched.withColumn("term_score", bm25_score_expr(k1, b))
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("term_score").alias("bm25_score")
     )
-    if round_digits is not None:
-        agg = agg.withColumn("bm25_score", F.round("bm25_score", round_digits))
+
+
+def hot_term_blooms(
+    stats: BM25Stats, threshold: Optional[int] = None
+) -> DataFrame:
+    """(term, df, bloom) for terms with more than ``threshold``
+    postings — the build-time bloom column of the reference's _bm25
+    table (bm25_api.sql:55: ``SET doc_ids_bloom = array_to_bloom(
+    doc_ids) WHERE cardinality(doc_ids) > threshold``). Cold terms get
+    no bloom (NULL in the reference; absent rows here).
+
+    Scale shape: one groupBy over postings; only hot terms materialize
+    their doc_id arrays (the reference stores those same arrays for
+    EVERY term)."""
+    from lantern_spark.operators.bloom import array_to_bloom
+
+    thr = _approximation_threshold if threshold is None else threshold
     return (
-        agg.orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
-        .limit(limit)
+        stats.postings.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.collect_list("doc_id").alias("__doc_ids"),
+        )
+        .filter(F.col("df") > thr)
+        .select("term", "df", array_to_bloom("__doc_ids").alias("bloom"))
     )
+
+
+def _approx_term_score_expr(k1: float, b: float):
+    """The constant score a hot term contributes to any bloom-passing
+    doc: bm25 with fq=1 and doc_len=avg_doc_len (maybe_use_bloom_filter,
+    bm25_agg.rs:174-184). With doc_len/avg_doc_len = 1 the denominator
+    is 1+k1, so the constant reduces to idf(term) — kept in full form
+    for k1/b readability."""
+    idf = F.log(
+        (F.col("num_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return idf * (1.0 * (k1 + 1.0)) / (1.0 + k1 * (1.0 - b + b * 1.0))
+
+
+def search_bm25_approx(
+    stats: BM25Stats,
+    query: str,
+    limit: int = 10,
+    k1: float = BM25_DEFAULT_K1,
+    b: float = BM25_DEFAULT_B,
+    stem: bool = True,
+    threshold: Optional[int] = None,
+    blooms: Optional[DataFrame] = None,
+    round_digits: Optional[int] = None,
+) -> DataFrame:
+    """search_bm25 with the reference's hot-term approximation tier
+    (bm25_agg.rs:161-216 + finalize_base:314-355):
+
+    - query terms with ≤ threshold postings score EXACTLY;
+    - hotter terms contribute a constant bm25(fq=1, doc_len=avg_doc_len)
+      to each candidate doc whose id passes the term's bloom;
+    - candidates are the top ``limit·10`` docs by exact partial score
+      (the reference's bloom_limit heap), then constants are blended,
+      re-sorted, truncated to ``limit``.
+
+    Guard parity (bm25_agg.rs:205-213: approximation only engages once
+    exact postings have produced a candidate baseline): when NO query
+    term is cold, or none is hot, scoring falls back to fully exact.
+
+    ``blooms``: the persisted build-time ``hot_term_blooms`` table; when
+    omitted it is derived on the fly (correct, but at scale pass the
+    prebuilt one — the reference builds blooms at create_bm25_table
+    time, bm25_api.sql:55).
+    """
+    thr = _approximation_threshold if threshold is None else threshold
+    terms = _resolve_terms(query, stem)
+    if not terms:
+        return (
+            stats.postings.select(
+                F.col("doc_id"), F.lit(0.0).alias("bm25_score")
+            ).limit(0)
+        )
+    spark = stats.postings.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in terms], "term string")
+    )
+    # per-term posting counts: one tiny job over the matched slice
+    dfs = {
+        r["term"]: r["df"]
+        for r in stats.postings.join(qdf, "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+    hot = sorted(t for t, d in dfs.items() if d > thr)
+    cold = sorted(t for t, d in dfs.items() if d <= thr)
+    if not hot or not cold:
+        # tier inactive (nothing hot) or no exact baseline (all hot) —
+        # exact scoring both ways (the reference likewise scores
+        # exactly until a baseline of collected postings exists)
+        return search_bm25(
+            stats, query, limit=limit, k1=k1, b=b, stem=stem,
+            round_digits=round_digits,
+        )
+    candidates = (
+        _exact_doc_scores(stats, cold, k1, b)
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
+        .limit(limit * 10)  # bloom_limit = limit·10, finalize_base:314
+    )
+    if blooms is None:
+        blooms = hot_term_blooms(stats, thr)
+    hot_df = (
+        blooms.join(qdf, "term")
+        .filter(F.col("df") > thr)
+        .crossJoin(F.broadcast(stats.corpus))
+        .withColumn("approx_score", _approx_term_score_expr(k1, b))
+        .select("term", "bloom", "approx_score")
+    )
+    from lantern_spark.operators.bloom import bloom_contains
+
+    blended = (
+        candidates.crossJoin(F.broadcast(hot_df))
+        .withColumn("__hit", bloom_contains("bloom", "doc_id"))
+        .groupBy("doc_id", "bm25_score")
+        .agg(
+            F.sum(
+                F.when(F.col("__hit"), F.col("approx_score")).otherwise(0.0)
+            ).alias("__bonus")
+        )
+        .select(
+            "doc_id",
+            (F.col("bm25_score") + F.col("__bonus")).alias("bm25_score"),
+        )
+    )
+    if round_digits is not None:
+        blended = blended.withColumn(
+            "bm25_score", F.round("bm25_score", round_digits)
+        )
+    return blended.orderBy(
+        F.col("bm25_score").desc(), F.col("doc_id").asc()
+    ).limit(limit)
 
 
 def merge_bm25_stats(a: BM25Stats, b: BM25Stats) -> BM25Stats:

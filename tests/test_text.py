@@ -218,6 +218,143 @@ class TestBM25Merge:
         ]
 
 
+class TestBM25Approx:
+    """Hot-term bloom approximation tier (bm25_agg.rs:161-216 +
+    finalize_base:314-355; threshold GUC lib.rs:46,142-150)."""
+
+    def test_tier_inactive_matches_exact(self, fruit_stats):
+        from lantern_spark.operators.bm25 import (
+            search_bm25,
+            search_bm25_approx,
+        )
+
+        exact = search_bm25(
+            fruit_stats, "apple banana", limit=10, round_digits=6
+        ).collect()
+        approx = search_bm25_approx(
+            fruit_stats, "apple banana", limit=10, threshold=1000,
+            round_digits=6,
+        ).collect()
+        assert [(r.doc_id, r.bm25_score) for r in exact] == [
+            (r.doc_id, r.bm25_score) for r in approx
+        ]
+
+    def test_hot_term_blend_golden(self, fruit_stats):
+        """threshold=3 makes banana (df=4) hot and appl (df=2) cold.
+        Expected scores computed by hand: exact cold partial + the
+        constant bm25(fq=1, doc_len=avg_doc_len) = idf(df_hot) for
+        every candidate doc containing banana (bloom has no false
+        negatives; all 4 docs contain banana)."""
+        from lantern_spark.operators.bm25 import search_bm25_approx
+
+        res = {
+            r.doc_id: r.bm25_score
+            for r in search_bm25_approx(
+                fruit_stats, "apple banana", limit=10, threshold=3
+            ).collect()
+        }
+        n, avg, k1, b = 4, 3.0, 1.2, 0.75
+
+        def idf(df_):
+            return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1)
+
+        def ts(fq, df_, dl):
+            return idf(df_) * fq * (k1 + 1) / (fq + k1 * (1 - b + b * dl / avg))
+
+        const = idf(4) * (k1 + 1) / (1 + k1)  # = idf(4)
+        # candidates come from the cold term 'appl' (docs 1 and 2)
+        assert set(res) == {1, 2}
+        assert res[2] == pytest.approx(ts(2, 2, 3) + const, rel=1e-6)
+        assert res[1] == pytest.approx(ts(1, 2, 3) + const, rel=1e-6)
+
+    def test_hot_term_no_false_negatives(self, spark):
+        """Every candidate doc that truly contains the hot term gets
+        the constant added (bloom false negatives are impossible);
+        docs NOT containing it can only gain, never lose (false
+        positives only add)."""
+        from lantern_spark.operators.bm25 import (
+            build_bm25_stats,
+            search_bm25,
+            search_bm25_approx,
+        )
+
+        rows = [(i, "common " + ("rare " if i < 3 else "filler")) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        stats = build_bm25_stats(df, "doc_id", "text", stem=False)
+        # 'common' df=30 hot at threshold 10; 'rare' df=3 cold
+        approx = {
+            r.doc_id: r.bm25_score
+            for r in search_bm25_approx(
+                stats, "rare common", limit=10, threshold=10,
+                stem=False,
+            ).collect()
+        }
+        cold_only = {
+            r.doc_id: r.bm25_score
+            for r in search_bm25(
+                stats, "rare", limit=100, stem=False
+            ).collect()
+        }
+        assert set(approx) <= set(cold_only)
+        for doc_id, score in approx.items():
+            assert score > cold_only[doc_id]  # constant was added
+
+    def test_pure_hot_query_falls_back_exact(self, fruit_stats):
+        from lantern_spark.operators.bm25 import (
+            search_bm25,
+            search_bm25_approx,
+        )
+
+        exact = search_bm25(
+            fruit_stats, "banana", limit=10, round_digits=6
+        ).collect()
+        approx = search_bm25_approx(
+            fruit_stats, "banana", limit=10, threshold=3, round_digits=6
+        ).collect()
+        assert [(r.doc_id, r.bm25_score) for r in exact] == [
+            (r.doc_id, r.bm25_score) for r in approx
+        ]
+
+    def test_prebuilt_blooms_used(self, fruit_stats):
+        """Passing the persisted build-time bloom table yields the
+        same result as deriving blooms on the fly."""
+        from lantern_spark.operators.bm25 import (
+            hot_term_blooms,
+            search_bm25_approx,
+        )
+
+        blooms = hot_term_blooms(fruit_stats, threshold=3)
+        rows = blooms.collect()
+        assert [r["term"] for r in rows] == ["banana"]
+        assert rows[0]["df"] == 4
+        a = search_bm25_approx(
+            fruit_stats, "apple banana", limit=10, threshold=3,
+            round_digits=6,
+        ).collect()
+        b = search_bm25_approx(
+            fruit_stats, "apple banana", limit=10, threshold=3,
+            blooms=blooms, round_digits=6,
+        ).collect()
+        assert [(r.doc_id, r.bm25_score) for r in a] == [
+            (r.doc_id, r.bm25_score) for r in b
+        ]
+
+    def test_threshold_guc_range(self):
+        from lantern_spark.operators.bm25 import (
+            get_bm25_approximation_threshold,
+            set_bm25_approximation_threshold,
+        )
+
+        assert get_bm25_approximation_threshold() == 8000
+        with pytest.raises(ValueError, match="GUC range"):
+            set_bm25_approximation_threshold(100)
+        with pytest.raises(ValueError, match="GUC range"):
+            set_bm25_approximation_threshold(200_000)
+        set_bm25_approximation_threshold(5000)
+        assert get_bm25_approximation_threshold() == 5000
+        set_bm25_approximation_threshold(8000)
+
+
 class TestMaskedExplain:
     def test_masks_vector_literals(self, spark, sf_dir):
         from lantern_spark.functions.distances import l2sq_dist
