@@ -53,12 +53,20 @@ def media_schema(extra_fields=()) -> T.StructType:
 
 
 def _decode_image(buf: bytes, meta) -> np.ndarray:
-    """Image decode kernel. Uses PIL when importable (real deployments;
-    invalid bytes then raise); falls back to a deterministic fake —
-    pixel field seeded by content hash, shape honoring meta
-    width/height — when no codec is present (this container), so
-    downstream kernels still see real shapes.
+    """Image decode kernel, real-codec-first:
+
+    1. BMP streams (sniffed by magic) decode via the pure-python codec
+       (operators/codecs.py) — ALWAYS real, no external deps;
+    2. other formats use PIL when importable (real deployments;
+       invalid bytes then raise);
+    3. otherwise a deterministic fake — pixel field seeded by content
+       hash, shape honoring meta width/height — so downstream kernels
+       still see real shapes for codec-gated formats (JPEG, PNG, …).
     """
+    from lantern_spark.operators.codecs import decode_bmp, is_bmp
+
+    if is_bmp(buf):
+        return decode_bmp(buf)
     try:
         import PIL.Image
     except ImportError:
@@ -172,11 +180,20 @@ def synthetic_media_df(spark, n: int = 32, media_type: str = "image") -> DataFra
 
 
 def _decode_audio(buf: bytes, meta) -> np.ndarray:
-    """Audio decode kernel. Uses soundfile when importable (real
-    deployments; invalid bytes then raise); falls back to a
-    deterministic fake waveform seeded by content hash — length honors
-    meta.duration_ms at a fixed 16 kHz rate — when no codec is present
-    (this container)."""
+    """Audio decode kernel, real-codec-first:
+
+    1. WAV streams (sniffed by RIFF/WAVE magic) decode via the
+       pure-python codec (operators/codecs.py) — ALWAYS real;
+    2. other formats use soundfile when importable (real deployments;
+       invalid bytes then raise);
+    3. otherwise a deterministic fake waveform seeded by content hash
+       — length honors meta.duration_ms at 16 kHz — for codec-gated
+       formats (MP3, FLAC, …)."""
+    from lantern_spark.operators.codecs import decode_wav, is_wav
+
+    if is_wav(buf):
+        frames, _sr = decode_wav(buf)
+        return frames.mean(axis=1).astype(np.float32)  # downmix to mono
     try:
         import soundfile
     except ImportError:
