@@ -250,6 +250,69 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(qroot, ignore_errors=True)
+
+        # IVF-PQ ADC path on the NATURAL (near-uniform) embeddings —
+        # the corpus where row-pruning cannot hold recall because true
+        # neighbors spread across all cells. The 100 TB answer there is
+        # to scan COMPACT CODES for every row (full probe, column-
+        # pruned to 1 byte/subspace) and exactly re-rank a k·oversample
+        # pool; reported as BYTES read relative to a full raw-vector
+        # scan (the quantity a 100 TB cluster actually pays for).
+        from lantern_spark.functions.distances import l2sq_dist
+        from lantern_spark.functions.vectors import vec_lit
+        from lantern_spark.queries.ann import _index_for
+
+        ivf_nat = _index_for(spark, sf_dir)  # PQ-enabled build (cached)
+        n_nat = emb.count()
+        nat_probes = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy(SF.crc32(SF.col("vec_id").cast("string")))
+            .limit(6)
+            .collect()
+        ]
+        exact_sets = []
+        for q in nat_probes:
+            exact_sets.append(
+                {
+                    r["vec_id"]
+                    for r in emb.withColumn(
+                        "d", l2sq_dist("embedding", vec_lit(q))
+                    )
+                    .orderBy("d", "vec_id")
+                    .limit(10)
+                    .select("vec_id")
+                    .collect()
+                }
+            )
+        # oversample is the ADC knob (re-rank is exact, so recall is
+        # monotone in it): pick the smallest power-of-two pool meeting
+        # the 0.95 bar, the same selection discipline as tune_nprobe.
+        # At 100 TB the k·oversample re-rank is CONSTANT per query while
+        # the code scan stays ~code_bytes/vec_bytes of a raw scan.
+        for oversample in (8, 16, 32, 64, 128):
+            hits, total = 0, 0
+            for q, exact in zip(nat_probes, exact_sets):
+                got = {
+                    r["vec_id"]
+                    for r in ivf_nat.search_adc(
+                        spark, q, k=10,
+                        nprobe=ivf_nat.manifest.nlist, oversample=oversample,
+                    ).collect()
+                }
+                hits += len(exact & got)
+                total += 10
+            rec = hits / max(total, 1)
+            if rec >= 0.95 or 10 * oversample >= n_nat:
+                break
+        pq_params = ivf_nat.manifest.params["pq"]
+        code_bytes = pq_params["splits"]  # one uint8 code per subspace
+        vec_bytes = ivf_nat.manifest.dim * 8  # stored as double
+        byte_frac = (
+            n_nat * code_bytes + min(10 * oversample, n_nat) * vec_bytes
+        ) / (n_nat * vec_bytes)
+        quality["ivf_pq_recall_at10"] = round(rec, 4)
+        quality["ivf_pq_oversample"] = oversample
+        quality["ivf_pq_byte_scan_fraction"] = round(byte_frac, 4)
     except Exception as e:
         print(f"# bench quality FAILED: {e}", file=sys.stderr)
 

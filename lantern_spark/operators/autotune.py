@@ -155,8 +155,12 @@ def tune_nprobe(
         ranks.append(
             np.asarray([rank[r["list_id"]] for r in rows], dtype=np.int64)
         )
+    # integer hits / total, the SAME arithmetic as recall_at_k — a
+    # mean-of-means drifts a ulp below round targets (0.9 via
+    # np.mean([1.0, .9, .8, .9]) < 0.9) and off-by-ones the knob
+    total = sum(len(r) for r in ranks)
     for nprobe in range(1, mf.nlist + 1):
-        rec = float(np.mean([(r < nprobe).mean() for r in ranks]))
+        rec = sum(int((r < nprobe).sum()) for r in ranks) / max(total, 1)
         if rec >= target_recall:
             return nprobe, rec
     return mf.nlist, 1.0

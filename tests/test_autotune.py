@@ -42,6 +42,61 @@ def test_results_df(spark):
     assert set(df.columns) == {"nlist", "nprobe", "recall", "latency_s", "build_s"}
 
 
+class TestTuneNprobe:
+    """Closed-form search-knob selection on a built index (round 6):
+    the recall-vs-nprobe curve derived from true-neighbor list ranks
+    must agree with the measured end-to-end recall_at_k."""
+
+    @pytest.fixture(scope="class")
+    def index(self, spark, emb, tmp_path_factory):
+        from lantern_spark.operators.index import IVFIndex
+
+        path = str(tmp_path_factory.mktemp("tune_ivf"))
+        return IVFIndex.build(
+            emb, "embedding", "vec_id", path, metric="l2sq",
+            nlist=16, seed=42,
+        )
+
+    def test_matches_measured_recall(self, spark, emb, index):
+        from lantern_spark.operators.autotune import tune_nprobe
+        from lantern_spark.operators.index import recall_at_k
+
+        qs = [r[0] for r in emb.select("embedding").limit(4).collect()]
+        nprobe, predicted = tune_nprobe(
+            index, spark, qs, k=10, target_recall=0.9
+        )
+        measured = recall_at_k(index, spark, qs, k=10, nprobe=nprobe)
+        assert predicted == pytest.approx(measured, abs=1e-9)
+        assert predicted >= 0.9
+        # minimality: one fewer probe must miss the target (unless
+        # already at the floor)
+        if nprobe > 1:
+            assert recall_at_k(index, spark, qs, k=10, nprobe=nprobe - 1) < 0.9
+
+    def test_full_probe_fallback(self, spark, index):
+        """An unreachable target returns (nlist, 1.0) — full probe is
+        exact."""
+        from lantern_spark.operators.autotune import tune_nprobe
+        from lantern_spark.queries.common import Q64
+
+        nprobe, rec = tune_nprobe(
+            index, spark, [Q64], k=10, target_recall=1.1
+        )
+        assert nprobe == index.manifest.nlist
+        assert rec == 1.0
+
+    def test_auto_nlist_scales_sqrt_n(self, spark, emb, tmp_path):
+        """nlist=None defaults to round(sqrt(n)) clamped [4, 4096]."""
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "auto"),
+            metric="l2sq", nlist=None, seed=42,
+        )
+        n = emb.count()
+        assert idx.manifest.nlist == round(n ** 0.5)
+
+
 class TestHnswAutotune:
     """(m, efc, ef) sweep — the reference's native autotune target
     (index_autotune/mod.rs:328-359)."""
