@@ -309,6 +309,54 @@ class TestIncrementalIndex:
 
         assert top["dist"] == _pt.approx(0.0, abs=1e-9)
 
+    def test_quantized_hnsw_stream_rebuild_no_drift(self, spark, sf_dir, tmp_path):
+        """The ADVICE-r5 scenario end-to-end: a QUANTIZED graph index in
+        the streaming rebuild chain must re-read exact originals from
+        its persisted heap vectors — the rebuilt index's stored
+        originals stay bit-identical to the source instead of
+        compounding quantization error per rebuild."""
+        import os
+
+        import numpy as np
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+        from lantern_spark.streaming.index_stream import incremental_index_job
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = emb.filter("vec_id < 300")
+        idx = HNSWIndex.build(
+            base, "embedding", "vec_id", str(tmp_path / "qidx"),
+            shards=2, seed=42, quant="i8",
+        )
+        src = str(tmp_path / "qsrc")
+        os.makedirs(src)
+        q, state = incremental_index_job(
+            spark, idx, src, base.schema, str(tmp_path / "qck"),
+            rebuild_threshold_rows=150,
+        )
+        try:
+            emb.filter("vec_id >= 300").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        live = state["index"]
+        assert state["rebuilds"] == 1
+        assert live.manifest["quant"] == "i8"
+        # the rebuilt artifact carries its own heap vectors dir and
+        # they are EXACT originals, not dequantized reconstructions
+        assert os.path.isdir(os.path.join(live.path, "vectors"))
+        got = {
+            r["vec_id"]: r["embedding"]
+            for r in live._all_rows(spark).collect()
+        }
+        for r in emb.limit(40).collect():
+            assert np.array_equal(
+                np.asarray(got[r["vec_id"]], dtype=np.float32),
+                np.asarray(r["embedding"], dtype=np.float32),
+            ), f"vec {r['vec_id']} drifted through streaming rebuild"
+
 
 class TestStreamingDedup:
     def test_deduper_fn_first_batch_min_id_wins(self):

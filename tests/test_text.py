@@ -339,6 +339,22 @@ class TestBM25Approx:
             (r.doc_id, r.bm25_score) for r in b
         ]
 
+    def test_approx_plan_shape(self, fruit_stats):
+        """The blend stage must broadcast the (few) hot-term blooms
+        against the bounded candidate pool — no shuffle of bloom bytes,
+        no explode of member ids (the r2 O(n²)-bytes shape)."""
+        from lantern_spark.operators.bm25 import search_bm25_approx
+
+        df = search_bm25_approx(
+            fruit_stats, "apple banana", limit=10, threshold=3
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only explode allowed is the postings-build tokenizer;
+        # member doc_ids must never explode against the bloom bytes
+        assert "explode(doc_ids" not in plan
+        assert "explode(__doc_ids" not in plan
+        assert "BroadcastExchange" in plan
+
     def test_threshold_guc_range(self):
         from lantern_spark.operators.bm25 import (
             get_bm25_approximation_threshold,
