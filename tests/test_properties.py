@@ -107,6 +107,44 @@ class TestBloomProperties:
         assert bloom_build(ids) == bloom_build(list(ids))
 
 
+class TestCodecProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=12),
+        w=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_bmp_roundtrip_lossless(self, h, w, seed):
+        import numpy as np
+
+        from lantern_spark.operators.codecs import decode_bmp, encode_bmp
+
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3)
+        ).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        ch=st.integers(min_value=1, max_value=3),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_wav_pcm16_roundtrip_within_quantum(self, n, ch, rate, seed):
+        import numpy as np
+
+        from lantern_spark.operators.codecs import decode_wav, encode_wav
+
+        x = (
+            np.random.RandomState(seed).standard_normal((n, ch)) * 0.4
+        ).clip(-1, 1)
+        frames, got_rate = decode_wav(encode_wav(x, rate=rate, bits=16))
+        assert got_rate == rate
+        assert frames.shape == (n, ch)
+        assert np.abs(frames - x).max() <= 1 / 32768 + 1e-12
+
+
 class TestQuantizationProperties:
     @settings(max_examples=30, deadline=None)
     @given(v=vec(16))
