@@ -120,40 +120,119 @@ def tune_nprobe(
     reference's search-knob (``ef``) selection (index_autotune/
     mod.rs:161-186) without any rebuild.
 
-    One exact top-k scan per query records which list every true
-    neighbor lives in; because IVF search is exact WITHIN the probed
-    lists, recall(nprobe) for EVERY nprobe is then just the fraction of
-    true neighbors whose list's probe rank (by centroid distance) is
-    < nprobe — the full recall-vs-nprobe curve from len(queries) Spark
-    jobs, no per-variant searches.
+    ONE exact scan over the stored lists records which list every true
+    neighbor lives in, for ALL queries at once: a ``mapInPandas`` kernel
+    keeps each query's local top-k per Arrow batch (map-side combine —
+    the only rows that leave an executor are ≤ batches·|Q|·k
+    candidates), and the global per-query top-k is a driver-side numpy
+    reduce over that small candidate set. Because IVF search is exact
+    WITHIN the probed lists, recall(nprobe) for EVERY nprobe is then
+    just the fraction of true neighbors whose list's probe rank (by
+    centroid distance) is < nprobe — the full recall-vs-nprobe curve
+    from one Spark job, no per-variant searches and no per-query scans.
 
     Returns (nprobe, recall) — the smallest nprobe meeting
     ``target_recall``, else (nlist, 1.0) (full probe is exact).
     """
     import numpy as np
+    import pandas as pd
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    from lantern_spark.functions.distances import distance
-    from lantern_spark.functions.vectors import vec_lit
+    from lantern_spark.types import Metric
 
     mf = index.manifest
     lists = index.lists(spark)
-    ranks: List[np.ndarray] = []
-    for q in queries:
-        rows = (
-            lists.withColumn(
-                "__d", distance(F.col(mf.column), vec_lit(list(q)), mf.metric)
-            )
-            .orderBy(F.col("__d").asc(), F.col(mf.id_column).asc())
-            .limit(k)
-            .select("list_id")
-            .collect()
+    q_arr = np.asarray([list(q) for q in queries], dtype=np.float64)
+    metric = Metric.resolve(mf.metric)
+    n_q = q_arr.shape[0]
+    kk = int(k)
+    col, id_col = mf.column, mf.id_column
+    if metric is Metric.COS:
+        q_ready = q_arr / np.maximum(
+            np.linalg.norm(q_arr, axis=1, keepdims=True), 1e-30
         )
+    else:
+        q_ready = q_arr
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.IntegerType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("__d", T.DoubleType()),
+            T.StructField("__id", lists.schema[id_col].dataType),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if metric is Metric.HAMMING:
+                # 32-bit-masked xor popcount, matching hamming_dist
+                xi = np.ascontiguousarray(
+                    np.asarray(pdf[col].tolist(), dtype=np.int64)
+                    .astype(np.uint32)
+                )
+                qi = q_ready.astype(np.int64).astype(np.uint32)
+                n_rows = xi.shape[0]
+                d_all = np.empty((n_rows, n_q), dtype=np.float64)
+                for j in range(n_q):
+                    xor = np.ascontiguousarray(np.bitwise_xor(xi, qi[j]))
+                    d_all[:, j] = (
+                        np.unpackbits(xor.view(np.uint8))
+                        .reshape(n_rows, -1)
+                        .sum(axis=1)
+                    )
+            else:
+                x = np.asarray(pdf[col].tolist(), dtype=np.float64)
+                if metric is Metric.COS:
+                    xn = x / np.maximum(
+                        np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+                    )
+                    d_all = 1.0 - xn @ q_ready.T  # (n, Q)
+                elif metric is Metric.INNER:
+                    d_all = -(x @ q_ready.T)
+                else:  # l2sq
+                    d_all = np.empty((x.shape[0], n_q), dtype=np.float64)
+                    for j in range(n_q):
+                        d_all[:, j] = ((x - q_ready[j]) ** 2).sum(axis=1)
+            take = min(kk, len(pdf))
+            frames = []
+            batch_ids = pdf[id_col].to_numpy()
+            for j in range(n_q):
+                # (distance, id) lexsort keeps boundary ties
+                # deterministic — same tie-break as the global merge
+                loc = np.lexsort((batch_ids, d_all[:, j]))[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": j,
+                            "list_id": pdf["list_id"].to_numpy()[loc],
+                            "__d": d_all[loc, j],
+                            "__id": batch_ids[loc],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    cand = (
+        lists.select(id_col, col, "list_id")
+        .mapInPandas(local_topk, out_schema)
+        .collect()
+    )
+    ranks: List[np.ndarray] = []
+    for j, q in enumerate(queries):
+        mine = [r for r in cand if r["qid"] == j]
+        # global top-k: (distance, id) tie-break, the repo convention
+        mine.sort(key=lambda r: (r["__d"], r["__id"]))
         probe_order = index._probe_lists(spark, q, mf.nlist)
         rank = {lid: i for i, lid in enumerate(probe_order)}
         ranks.append(
-            np.asarray([rank[r["list_id"]] for r in rows], dtype=np.int64)
+            np.asarray(
+                [rank[r["list_id"]] for r in mine[:kk]], dtype=np.int64
+            )
         )
     # integer hits / total, the SAME arithmetic as recall_at_k — a
     # mean-of-means drifts a ulp below round targets (0.9 via
