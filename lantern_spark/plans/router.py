@@ -1,0 +1,345 @@
+"""Cost-based ANN access-path routing — the amcostestimate analog.
+
+The reference registers ``hnswcostestimate`` with Postgres' planner
+(lantern_hnsw/src/hnsw.c:150-209, wired at hnsw.c:270): for an
+``ORDER BY v <-> q LIMIT k`` the planner compares the index path's
+estimated tuple/block accesses against a sequential scan and picks the
+cheaper one. Spark exposes no Python planner hook, so the same decision
+happens at API level: an :class:`IndexCatalog` records which index
+artifacts exist for which (table, column, metric), and
+:func:`ann_search` consults it, estimates tuples visited per access
+path with the reference's own formulas, and dispatches to the cheapest
+path that clears the caller's recall floor.
+
+Cost model (tuples visited per query — the unit the reference's
+estimator bounds before converting to block accesses):
+
+- exact scan: ``n`` (every row is distance-evaluated once).
+- IVF: ``nlist + n * nprobe / nlist`` — the centroid probe plus the
+  probed lists, assuming balanced lists (the build's k-means objective).
+- HNSW: the reference's closed-form walk bound
+  (hnsw.c:97-133, from the HNSW paper §4.1-4.2): with
+  ``mL = 1/ln(M)`` and expected per-layer steps ``S = 1/(1-e^-mL)``,
+  a search visits ``S*M`` tuples per non-base level,
+  ``ef * S * M * 2`` on the base level, over
+  ``ceil(ln(1+n) * mL)`` levels, capped at ``n/3`` (the reference's
+  always-prefer-index floor for small corpora). Our graphs are
+  per-shard, so the bound applies per shard and multiplies by the
+  shard count (every shard answers locally; the P·k merge is free by
+  comparison).
+
+Recall gating: unlike Postgres (where the index is assumed good
+enough), the catalog stores each entry's MEASURED operating-point
+recall (from ``tune_nprobe`` / the autotune harness); a route must
+clear ``recall_floor`` or fall back to the exact scan. This keeps the
+router honest at 100 TB — a cheap path that misses neighbors is not a
+cheaper path, it is a wrong answer.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import asdict, dataclass, field
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "CatalogEntry",
+    "IndexCatalog",
+    "RouteDecision",
+    "estimate_exact_tuples",
+    "estimate_ivf_tuples",
+    "estimate_hnsw_tuples",
+    "route",
+    "ann_search",
+]
+
+
+# ----------------------------------------------------------------------
+# tuple-access estimators
+# ----------------------------------------------------------------------
+
+def estimate_exact_tuples(n: int) -> float:
+    """A sequential scan distance-evaluates every row once."""
+    return float(n)
+
+
+def estimate_ivf_tuples(n: int, nlist: int, nprobe: int) -> float:
+    """Centroid probe (nlist, driver-side) + the probed share of the
+    corpus under the balanced-lists assumption of the k-means build."""
+    if n <= 0 or nlist <= 0:
+        return 0.0
+    nprobe = min(max(1, nprobe), nlist)
+    return float(nlist) + float(n) * nprobe / nlist
+
+
+def estimate_hnsw_tuples(
+    n: int, m: int, ef: int, shards: int = 1
+) -> float:
+    """The reference's closed-form HNSW walk bound (hnsw.c:97-133),
+    applied per shard: mL = 1/ln(M); S = 1/(1-e^-mL); S*M tuples per
+    non-base level; ef*S*M*2 on the base level; ceil(ln(1+n_shard)*mL)
+    levels; min(total, n_shard/3) — then × shards (map-only fan-out)."""
+    if n <= 0:
+        return 0.0
+    shards = max(1, int(shards))
+    n_shard = max(1.0, n / shards)
+    m = max(2, int(m))
+    mL = 1.0 / math.log(m)
+    s = 1.0 / (1.0 - math.exp(-mL))  # hnsw.c:113
+    per_level = s * m
+    base_level = ef * s * m * 2.0
+    levels = max(1.0, math.ceil(math.log(1.0 + n_shard) * mL))
+    total = per_level * (levels - 1.0) + base_level
+    return float(min(total, n_shard / 3.0)) * shards
+
+
+# ----------------------------------------------------------------------
+# catalog
+# ----------------------------------------------------------------------
+
+@dataclass
+class CatalogEntry:
+    """One registered index artifact and its measured operating point."""
+
+    table: str
+    column: str
+    metric: str
+    kind: str  # "ivf" | "hnsw"
+    index_path: str
+    num_vectors: int
+    # measured recall@k at the stored operating point (tune_nprobe /
+    # autotune output); 0.0 = never measured, clears no recall floor
+    recall_estimate: float = 0.0
+    # operating point: {"nprobe": …} for ivf, {"ef": …} for hnsw plus
+    # whatever structure params the estimator needs (m, shards, nlist)
+    params: dict = field(default_factory=dict)
+
+
+class IndexCatalog:
+    """Persistent (table, column, metric) → index registry — the
+    pg_index analog for explicit-API routing. JSON on local/shared
+    storage; entries are small (no centroids/codebooks, just paths and
+    operating points)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._entries: List[CatalogEntry] = []
+        self._load()
+
+    @property
+    def _file(self) -> str:
+        return os.path.join(self.root, "catalog.json")
+
+    def _load(self) -> None:
+        if os.path.exists(self._file):
+            with open(self._file) as f:
+                self._entries = [CatalogEntry(**e) for e in json.load(f)]
+
+    def save(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._file, "w") as f:
+            json.dump([asdict(e) for e in self._entries], f, indent=2)
+
+    def register(self, entry: CatalogEntry, save: bool = True) -> None:
+        """Add or replace (same table+column+metric+kind replaces)."""
+        self._entries = [
+            e
+            for e in self._entries
+            if not (
+                e.table == entry.table
+                and e.column == entry.column
+                and e.metric == entry.metric
+                and e.kind == entry.kind
+            )
+        ] + [entry]
+        if save:
+            self.save()
+
+    def register_ivf(
+        self,
+        index,
+        table: str,
+        nprobe: int,
+        recall_estimate: float = 0.0,
+        save: bool = True,
+    ) -> CatalogEntry:
+        """Register an IVFIndex; structure params come off its manifest."""
+        mf = index.manifest
+        e = CatalogEntry(
+            table=table,
+            column=mf.column,
+            metric=mf.metric,
+            kind="ivf",
+            index_path=index.path,
+            num_vectors=int(mf.num_vectors),
+            recall_estimate=float(recall_estimate),
+            params={"nlist": int(mf.nlist), "nprobe": int(nprobe)},
+        )
+        self.register(e, save=save)
+        return e
+
+    def register_hnsw(
+        self,
+        index,
+        table: str,
+        ef: int,
+        num_vectors: int,
+        recall_estimate: float = 0.0,
+        save: bool = True,
+    ) -> CatalogEntry:
+        """Register an HNSWIndex. Its manifest stores no row count
+        (graphs are opaque per-shard payloads), so the caller passes
+        ``num_vectors`` — typically the build input's count."""
+        mf = index.manifest
+        e = CatalogEntry(
+            table=table,
+            column=mf["column"],
+            metric=mf["metric"],
+            kind="hnsw",
+            index_path=index.path,
+            num_vectors=int(num_vectors),
+            recall_estimate=float(recall_estimate),
+            params={
+                "ef": int(ef),
+                "m": int(mf["m"]),
+                "shards": int(mf["shards"]),
+            },
+        )
+        self.register(e, save=save)
+        return e
+
+    def lookup(
+        self, table: str, column: str, metric: str
+    ) -> List[CatalogEntry]:
+        return [
+            e
+            for e in self._entries
+            if e.table == table and e.column == column and e.metric == metric
+        ]
+
+
+# ----------------------------------------------------------------------
+# routing
+# ----------------------------------------------------------------------
+
+@dataclass
+class RouteDecision:
+    """The planner's pick plus the full decision table (the analog of
+    the reference's ldb_dlog cost dump, hnsw.c:202-208)."""
+
+    access_path: str  # "exact" | "ivf" | "hnsw"
+    est_tuples: float
+    entry: Optional[CatalogEntry]
+    reason: str
+    # every candidate considered: [(path, est_tuples, eligible, why)]
+    candidates: list = field(default_factory=list)
+
+
+def route(
+    catalog: Optional[IndexCatalog],
+    table: str,
+    column: str,
+    metric: str,
+    n_rows: int,
+    recall_floor: float = 0.9,
+) -> RouteDecision:
+    """Pick the cheapest access path whose measured recall clears
+    ``recall_floor``. The exact scan is always a candidate (recall 1.0,
+    cost n) — the sequential-scan path the reference's planner weighs
+    the index against."""
+    cands = [("exact", estimate_exact_tuples(n_rows), True, "always eligible", None)]
+    for e in catalog.lookup(table, column, metric) if catalog else []:
+        n = e.num_vectors or n_rows
+        if e.kind == "ivf":
+            est = estimate_ivf_tuples(
+                n, e.params.get("nlist", 1), e.params.get("nprobe", 1)
+            )
+        elif e.kind == "hnsw":
+            est = estimate_hnsw_tuples(
+                n,
+                e.params.get("m", 16),
+                e.params.get("ef", 64),
+                e.params.get("shards", 1),
+            )
+        else:
+            cands.append((e.kind, float("inf"), False, "unknown kind", e))
+            continue
+        if e.recall_estimate < recall_floor:
+            cands.append(
+                (
+                    e.kind,
+                    est,
+                    False,
+                    f"recall {e.recall_estimate:.3f} < floor {recall_floor}",
+                    e,
+                )
+            )
+        else:
+            cands.append((e.kind, est, True, "eligible", e))
+    eligible = [c for c in cands if c[2]]
+    # deterministic: min cost, then prefer the more accurate path on
+    # ties (exact > hnsw > ivf), then name
+    order = {"exact": 0, "hnsw": 1, "ivf": 2}
+    best = min(eligible, key=lambda c: (c[1], order.get(c[0], 9)))
+    picked = best[4]
+    reason = (
+        f"{best[0]}: est {best[1]:.0f} tuples vs exact {n_rows} "
+        f"({len(eligible)} eligible of {len(cands)} candidates)"
+    )
+    return RouteDecision(
+        access_path=best[0],
+        est_tuples=best[1],
+        entry=picked,
+        reason=reason,
+        candidates=[(c[0], c[1], c[2], c[3]) for c in cands],
+    )
+
+
+def ann_search(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    column: str,
+    query: Sequence[float],
+    k: int = 10,
+    metric: str = "l2sq",
+    id_column: str = "id",
+    recall_floor: float = 0.9,
+    catalog: Optional[IndexCatalog] = None,
+    explain: bool = False,
+):
+    """Routed top-k: consult the catalog, estimate costs, dispatch.
+
+    Returns the result DataFrame, or ``(DataFrame, RouteDecision)``
+    with ``explain=True`` (the masked_explain convention: show the
+    decision, never the vectors)."""
+    n_rows = None
+    for e in catalog.lookup(table, column, metric) if catalog else []:
+        if e.num_vectors:
+            n_rows = max(n_rows or 0, e.num_vectors)
+    if n_rows is None:
+        n_rows = df.count()
+    decision = route(catalog, table, column, metric, n_rows, recall_floor)
+    if decision.access_path == "ivf":
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.load(decision.entry.index_path)
+        out = idx.search(
+            spark, query, k=k, nprobe=decision.entry.params["nprobe"]
+        )
+    elif decision.access_path == "hnsw":
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.load(decision.entry.index_path)
+        out = idx.search(spark, query, k=k, ef=decision.entry.params["ef"])
+    else:
+        from lantern_spark.operators.knn import knn_search
+
+        out = knn_search(
+            df, column, query, k=k, metric=metric, tie_break=id_column
+        )
+    return (out, decision) if explain else out

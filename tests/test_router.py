@@ -1,0 +1,297 @@
+"""Cost-based access-path routing (plans/router.py) — the
+amcostestimate analog (lantern_hnsw/src/hnsw.c:97-209)."""
+
+import math
+import os
+
+import pytest
+
+from lantern_spark.plans.router import (
+    CatalogEntry,
+    IndexCatalog,
+    ann_search,
+    estimate_exact_tuples,
+    estimate_hnsw_tuples,
+    estimate_ivf_tuples,
+    route,
+)
+from tests.conftest import SF_DIR
+
+
+# ----------------------------------------------------------------------
+# estimator formulas
+# ----------------------------------------------------------------------
+
+class TestEstimators:
+    def test_exact_is_n(self):
+        assert estimate_exact_tuples(12345) == 12345.0
+
+    def test_ivf_balanced_lists(self):
+        # nlist probe cost + probed share of corpus
+        assert estimate_ivf_tuples(10000, 100, 4) == 100 + 400
+        # nprobe clamps to [1, nlist]
+        assert estimate_ivf_tuples(10000, 100, 0) == 100 + 100
+        assert estimate_ivf_tuples(10000, 100, 999) == 100 + 10000
+
+    def test_hnsw_reference_formula(self):
+        # hand-evaluate hnsw.c:97-133 for n=100k, M=16, ef=64
+        n, m, ef = 100_000, 16, 64
+        mL = 1.0 / math.log(m)
+        s = 1.0 / (1.0 - math.exp(-mL))
+        levels = math.ceil(math.log(1.0 + n) * mL)
+        expect = s * m * (levels - 1) + ef * s * m * 2
+        expect = min(expect, n / 3.0)
+        assert estimate_hnsw_tuples(n, m, ef) == pytest.approx(expect)
+
+    def test_hnsw_small_corpus_cap(self):
+        # the n/3 floor (hnsw.c:131-132): tiny corpora cap the bound
+        assert estimate_hnsw_tuples(30, 16, 64) == pytest.approx(10.0)
+
+    def test_hnsw_sublinear_at_scale(self):
+        # the walk bound grows ~log n: 100× data, way under 100× cost
+        small = estimate_hnsw_tuples(10_000, 16, 64)
+        big = estimate_hnsw_tuples(1_000_000, 16, 64)
+        assert big < small * 3
+
+    def test_hnsw_shards_multiply(self):
+        one = estimate_hnsw_tuples(80_000, 16, 64, shards=1)
+        eight = estimate_hnsw_tuples(80_000, 16, 64, shards=8)
+        assert eight > one  # per-shard walks add up
+
+    def test_hnsw_monotone_in_ef(self):
+        assert estimate_hnsw_tuples(1e6, 16, 128) > estimate_hnsw_tuples(
+            1e6, 16, 32
+        )
+
+
+# ----------------------------------------------------------------------
+# catalog persistence
+# ----------------------------------------------------------------------
+
+class TestCatalog:
+    def test_round_trip(self, tmp_path):
+        cat = IndexCatalog(str(tmp_path))
+        e = CatalogEntry(
+            table="embeddings",
+            column="embedding",
+            metric="l2sq",
+            kind="ivf",
+            index_path="/x/ivf",
+            num_vectors=5000,
+            recall_estimate=0.97,
+            params={"nlist": 71, "nprobe": 8},
+        )
+        cat.register(e)
+        cat2 = IndexCatalog(str(tmp_path))
+        got = cat2.lookup("embeddings", "embedding", "l2sq")
+        assert got == [e]
+
+    def test_register_replaces_same_key(self, tmp_path):
+        cat = IndexCatalog(str(tmp_path))
+        for nprobe in (4, 8):
+            cat.register(
+                CatalogEntry(
+                    "t", "v", "l2sq", "ivf", "/x", 100,
+                    params={"nlist": 10, "nprobe": nprobe},
+                )
+            )
+        got = cat.lookup("t", "v", "l2sq")
+        assert len(got) == 1 and got[0].params["nprobe"] == 8
+
+    def test_lookup_filters_metric(self, tmp_path):
+        cat = IndexCatalog(str(tmp_path))
+        cat.register(CatalogEntry("t", "v", "cos", "ivf", "/x", 100))
+        assert cat.lookup("t", "v", "l2sq") == []
+
+
+# ----------------------------------------------------------------------
+# routing decisions
+# ----------------------------------------------------------------------
+
+def _cat(tmp_path, *entries):
+    cat = IndexCatalog(str(tmp_path))
+    for e in entries:
+        cat.register(e, save=False)
+    return cat
+
+
+class TestRoute:
+    def test_no_catalog_is_exact(self):
+        d = route(None, "t", "v", "l2sq", 1000)
+        assert d.access_path == "exact" and d.est_tuples == 1000
+
+    def test_index_wins_when_cheaper_and_recall_ok(self, tmp_path):
+        cat = _cat(
+            tmp_path,
+            CatalogEntry(
+                "t", "v", "l2sq", "ivf", "/x", 100_000,
+                recall_estimate=0.96,
+                params={"nlist": 316, "nprobe": 8},
+            ),
+        )
+        d = route(cat, "t", "v", "l2sq", 100_000, recall_floor=0.9)
+        assert d.access_path == "ivf"
+        assert d.est_tuples < 100_000
+
+    def test_recall_floor_forces_exact(self, tmp_path):
+        cat = _cat(
+            tmp_path,
+            CatalogEntry(
+                "t", "v", "l2sq", "ivf", "/x", 100_000,
+                recall_estimate=0.7,  # below the floor
+                params={"nlist": 316, "nprobe": 8},
+            ),
+        )
+        d = route(cat, "t", "v", "l2sq", 100_000, recall_floor=0.9)
+        assert d.access_path == "exact"
+        # the rejected candidate is visible in the decision table
+        rejected = [c for c in d.candidates if c[0] == "ivf"][0]
+        assert not rejected[2] and "recall" in rejected[3]
+
+    def test_unmeasured_recall_never_routes(self, tmp_path):
+        # recall_estimate defaults to 0.0 = unmeasured: honest routers
+        # do not trust an index nobody has validated
+        cat = _cat(
+            tmp_path,
+            CatalogEntry(
+                "t", "v", "l2sq", "ivf", "/x", 100_000,
+                params={"nlist": 316, "nprobe": 8},
+            ),
+        )
+        assert route(cat, "t", "v", "l2sq", 100_000).access_path == "exact"
+
+    def test_cheapest_of_two_indexes(self, tmp_path):
+        n = 1_000_000
+        ivf = CatalogEntry(
+            "t", "v", "l2sq", "ivf", "/ivf", n,
+            recall_estimate=0.95,
+            params={"nlist": 1000, "nprobe": 50},  # 1000 + 50k tuples
+        )
+        hnsw = CatalogEntry(
+            "t", "v", "l2sq", "hnsw", "/hnsw", n,
+            recall_estimate=0.95,
+            params={"m": 16, "ef": 64, "shards": 1},  # ~log n walk
+        )
+        d = route(_cat(tmp_path, ivf, hnsw), "t", "v", "l2sq", n)
+        assert d.access_path == "hnsw"  # single walk beats the 5% scan
+        assert [c[0] for c in d.candidates] == ["exact", "ivf", "hnsw"]
+        # with 8 shards the per-shard fan-out multiplies the walk bound
+        # past IVF's probed share — the router flips, as it should
+        hnsw8 = CatalogEntry(
+            "t", "v", "l2sq", "hnsw", "/hnsw", n,
+            recall_estimate=0.95,
+            params={"m": 16, "ef": 64, "shards": 8},
+        )
+        d8 = route(_cat(tmp_path, ivf, hnsw8), "t", "v", "l2sq", n)
+        assert d8.access_path == "ivf"
+
+    def test_tiny_corpus_prefers_exact_over_ivf(self, tmp_path):
+        # 40 rows, nlist 20, nprobe 10: 20 + 20 = 40 ties the scan;
+        # the tie-break prefers the accurate path (exact)
+        cat = _cat(
+            tmp_path,
+            CatalogEntry(
+                "t", "v", "l2sq", "ivf", "/x", 40,
+                recall_estimate=1.0,
+                params={"nlist": 20, "nprobe": 10},
+            ),
+        )
+        assert route(cat, "t", "v", "l2sq", 40).access_path == "exact"
+
+    def test_metric_mismatch_excluded(self, tmp_path):
+        cat = _cat(
+            tmp_path,
+            CatalogEntry(
+                "t", "v", "cos", "ivf", "/x", 100_000,
+                recall_estimate=0.99,
+                params={"nlist": 316, "nprobe": 4},
+            ),
+        )
+        assert route(cat, "t", "v", "l2sq", 100_000).access_path == "exact"
+
+
+# ----------------------------------------------------------------------
+# end-to-end dispatch
+# ----------------------------------------------------------------------
+
+class TestAnnSearchDispatch:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    @pytest.fixture(scope="class")
+    def query(self, emb):
+        row = emb.orderBy("vec_id").first()
+        return [float(x) for x in row["embedding"]]
+
+    def test_exact_route_matches_knn_search(self, spark, emb, query):
+        from lantern_spark.operators.knn import knn_search
+
+        out, d = ann_search(
+            spark, emb, "embeddings", "embedding", query, k=5,
+            id_column="vec_id", explain=True,
+        )
+        assert d.access_path == "exact"
+        got = [r["vec_id"] for r in out.collect()]
+        want = [
+            r["vec_id"]
+            for r in knn_search(
+                emb, "embedding", query, k=5, tie_break="vec_id"
+            ).collect()
+        ]
+        assert got == want
+
+    def test_ivf_route_executes_registered_index(
+        self, spark, emb, query, tmp_path
+    ):
+        from lantern_spark.operators.autotune import tune_nprobe
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "ivf"),
+            metric="l2sq", nlist=8, seed=42,
+        )
+        nprobe, rec = tune_nprobe(
+            idx, spark, [query], k=5, target_recall=0.95
+        )
+        cat = IndexCatalog(str(tmp_path))
+        cat.register_ivf(idx, "embeddings", nprobe=nprobe, recall_estimate=rec)
+        out, d = ann_search(
+            spark, emb, "embeddings", "embedding", query, k=5,
+            id_column="vec_id", catalog=cat, explain=True,
+        )
+        assert d.access_path == "ivf"
+        assert d.entry.params["nprobe"] == nprobe
+        ids = {r["vec_id"] for r in out.collect()}
+        direct = {
+            r["vec_id"]
+            for r in idx.search(spark, query, k=5, nprobe=nprobe).collect()
+        }
+        assert ids == direct
+
+    def test_hnsw_route_executes_registered_index(
+        self, spark, emb, query, tmp_path
+    ):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        n = emb.count()
+        idx = HNSWIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "hnsw"),
+            m=8, ef_construction=48, shards=2, seed=42,
+        )
+        cat = IndexCatalog(str(tmp_path))
+        cat.register_hnsw(
+            idx, "embeddings", ef=48, num_vectors=n, recall_estimate=0.99
+        )
+        # force the graph to win: raise n so the exact scan looks huge
+        for e in cat._entries:
+            e.num_vectors = 1_000_000
+        out, d = ann_search(
+            spark, emb, "embeddings", "embedding", query, k=5,
+            id_column="vec_id", catalog=cat, explain=True,
+        )
+        assert d.access_path == "hnsw"
+        rows = out.collect()
+        assert len(rows) == 5
+        # the probe vector itself must surface at distance ~0
+        assert rows[0]["dist"] == pytest.approx(0.0, abs=1e-9)
