@@ -1,0 +1,159 @@
+"""Storage layout utilities (sources/layout.py): partition pruning,
+bucketed no-shuffle joins, small-file compaction — all verified by
+PLAN/IO inspection, not just values (the 100 TB contracts)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_spark.sources.layout import (
+    compact_small_files,
+    read_time_range,
+    write_bucketed,
+    write_time_partitioned,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+
+class TestTimePartitioned:
+    @pytest.fixture(scope="class")
+    def layout(self, spark, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("events_by_day") / "events")
+        ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        write_time_partitioned(ev, path, "ts", granularity="day")
+        return path
+
+    def test_values_survive_round_trip(self, spark, layout, events):
+        got = read_time_range(spark, layout)
+        assert got.count() == events.count()
+        assert sorted(got.columns) == sorted(events.columns)
+
+    def test_range_read_prunes_partitions(self, spark, layout, events):
+        jan_week = read_time_range(
+            spark, layout, start="2024-01-08", end="2024-01-15"
+        )
+        want = events.filter(
+            (F.to_date("ts") >= "2024-01-08") & (F.to_date("ts") < "2024-01-15")
+        ).count()
+        assert jan_week.count() == want
+        # pruning contract: the scan touches ~7 of ~30 day directories.
+        # inputFiles() is pruning-blind (verify skill gotcha); partition
+        # count after pruning is the observable.
+        pruned = read_time_range(
+            spark, layout, start="2024-01-08", end="2024-01-15",
+            drop_partition_col=False,
+        )
+        n_days = pruned.select("__pt").distinct().count()
+        assert n_days == 7
+        # PartitionFilters reach the scan node
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "__pt" in plan
+
+    def test_day_dirs_one_file_each(self, layout):
+        # repartition-before-write: one writer per bucket, no
+        # tasks x days fragmentation
+        days = [d for d in os.listdir(layout) if d.startswith("__pt=")]
+        assert 28 <= len(days) <= 31
+        for d in days:
+            files = [
+                f
+                for f in os.listdir(os.path.join(layout, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d}: {len(files)} files"
+
+    def test_bad_granularity_raises(self, events):
+        with pytest.raises(ValueError, match="granularity"):
+            write_time_partitioned(events, "/tmp/x", "ts", granularity="week")
+
+
+class TestBucketedJoin:
+    @pytest.fixture(scope="class")
+    def tables(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("warehouse"))
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS layout_test LOCATION '{wh}'")
+        spark.sql("USE layout_test")
+        orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        lineitem = spark.read.parquet(
+            os.path.join(SF_DIR, "lineitem.parquet")
+        )
+        write_bucketed(
+            orders, "layout_test.orders_b", "o_orderkey", 4,
+            sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            lineitem, "layout_test.lineitem_b", "l_orderkey", 4,
+            sort_cols=["l_orderkey"],
+        )
+        yield "layout_test.orders_b", "layout_test.lineitem_b"
+        spark.sql("DROP DATABASE layout_test CASCADE")
+        spark.sql("USE default")
+
+    def test_join_has_no_exchange(self, spark, tables):
+        ot, lt = tables
+        # force SMJ so the assertion targets the bucket layout, not a
+        # broadcast that would hide the shuffle question entirely
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = with_conf.get("spark.sql.adaptive.enabled")
+        try:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            with_conf.set("spark.sql.adaptive.enabled", "false")
+            j = spark.table(ot).join(
+                spark.table(lt),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # sortBy on the bucket key also removes the Sort
+            n = j.count()
+            assert n > 0
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            with_conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    def test_join_values_match_unbucketed(self, spark, tables):
+        ot, lt = tables
+        orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        lineitem = spark.read.parquet(
+            os.path.join(SF_DIR, "lineitem.parquet")
+        )
+        want = orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+        got = (
+            spark.table(ot)
+            .join(spark.table(lt), F.col("o_orderkey") == F.col("l_orderkey"))
+            .count()
+        )
+        assert got == want
+
+
+class TestCompaction:
+    def test_fragmented_dir_compacts(self, spark, tmp_path):
+        path = str(tmp_path / "frag")
+        df = spark.range(10_000).withColumn("x", F.rand(seed=1))
+        df.repartition(64).write.parquet(path)  # 64 tiny files
+        stats = compact_small_files(
+            spark, path, target_file_bytes=64 * 1024 * 1024
+        )
+        assert stats["files_before"] == 64
+        assert stats["files_after"] == 1  # well under one target file
+        # data intact after the in-place swap
+        assert spark.read.parquet(path).count() == 10_000
+
+    def test_out_path_keeps_source(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        spark.range(1000).repartition(16).write.parquet(src)
+        stats = compact_small_files(
+            spark, src, target_file_bytes=64 * 1024 * 1024, out_path=dst
+        )
+        assert stats["files_after"] == 1
+        assert spark.read.parquet(src).count() == 1000  # untouched
+        assert spark.read.parquet(dst).count() == 1000
