@@ -1,0 +1,138 @@
+"""Streaming BM25 maintenance (streaming/bm25_stream.py): the
+text-family daemon analog — incremental postings appends must score
+identically to a one-shot batch build, and consolidation must compact
+without changing scores (consolidate_bm25_table semantics)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.bm25 import build_bm25_stats, search_bm25
+from lantern_spark.streaming.bm25_stream import (
+    consolidate_bm25_path,
+    incremental_bm25_job,
+    load_bm25_stats,
+    write_bm25_stats,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a quick brown dog outpaces a quick fox"),
+    (3, "lorem ipsum dolor sit amet consectetur"),
+    (4, "the dog sat on the log near the fox den"),
+    (5, "ipsum factum quick quick quick brown"),
+    (6, "wholly unrelated text about spark shuffles"),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _scores(spark, stats, query="quick brown fox"):
+    return [
+        (r["doc_id"], round(r["bm25_score"], 6))
+        for r in search_bm25(stats, query, limit=10, stem=False).collect()
+    ]
+
+
+class TestPersistedStats:
+    def test_split_writes_equal_full_build(self, spark, tmp_path):
+        """Appending two half-corpus builds loads to the same scores as
+        one full build — the merge invariant, through the on-disk
+        layout."""
+        full = build_bm25_stats(
+            spark.createDataFrame(DOCS, SCHEMA), "doc_id", "text", stem=False
+        )
+        path = str(tmp_path / "stats")
+        for half in (DOCS[:3], DOCS[3:]):
+            write_bm25_stats(
+                build_bm25_stats(
+                    spark.createDataFrame(half, SCHEMA),
+                    "doc_id", "text", stem=False,
+                ),
+                path,
+            )
+        streamed = load_bm25_stats(spark, path)
+        assert _scores(spark, streamed) == _scores(spark, full)
+        # corpus stats fold exactly
+        c = streamed.corpus.collect()[0]
+        cf = full.corpus.collect()[0]
+        assert c["num_docs"] == cf["num_docs"] == len(DOCS)
+        assert c["avg_doc_len"] == pytest.approx(cf["avg_doc_len"])
+
+    def test_consolidation_compacts_and_preserves_scores(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "stats")
+        for half in (DOCS[:3], DOCS[3:]):
+            write_bm25_stats(
+                build_bm25_stats(
+                    spark.createDataFrame(half, SCHEMA),
+                    "doc_id", "text", stem=False,
+                ),
+                path,
+            )
+        before = _scores(spark, load_bm25_stats(spark, path))
+        n_before = len(
+            [f for f in os.listdir(os.path.join(path, "corpus"))
+             if f.endswith(".parquet")]
+        )
+        consolidate_bm25_path(spark, path)
+        after = _scores(spark, load_bm25_stats(spark, path))
+        n_after = len(
+            [f for f in os.listdir(os.path.join(path, "corpus"))
+             if f.endswith(".parquet")]
+        )
+        assert after == before
+        assert n_after == 1 < n_before
+
+
+class TestIncrementalJob:
+    def test_file_stream_end_to_end(self, spark, tmp_path):
+        """Docs arriving across micro-batches build the same scored
+        corpus as a batch build; a fragment-triggered consolidation
+        fires and compacts."""
+        src = tmp_path / "src"
+        src.mkdir()
+        stats_path = str(tmp_path / "stats")
+        chk = str(tmp_path / "chk")
+        for i, chunk in enumerate([DOCS[:2], DOCS[2:4], DOCS[4:]]):
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"b{i}"))
+
+        query, state = incremental_bm25_job(
+            spark,
+            stats_path,
+            str(src) + "/*",
+            SCHEMA,
+            "doc_id",
+            "text",
+            chk,
+            stem=False,
+            consolidate_every_fragments=3,
+            max_files_per_trigger=1,
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        assert state["batches"] == 3
+        assert state["consolidations"] >= 1  # 3 fragments hit the trigger
+        streamed = load_bm25_stats(spark, stats_path)
+        full = build_bm25_stats(
+            spark.createDataFrame(DOCS, SCHEMA), "doc_id", "text", stem=False
+        )
+        assert _scores(spark, streamed) == _scores(spark, full)
+        # exactly-once: re-running over the same checkpoint adds nothing
+        query2, state2 = incremental_bm25_job(
+            spark, stats_path, str(src) + "/*", SCHEMA,
+            "doc_id", "text", chk, stem=False,
+        )
+        try:
+            query2.processAllAvailable()
+        finally:
+            query2.stop()
+        assert state2["batches"] == 0
+        assert load_bm25_stats(spark, stats_path).corpus.collect()[0][
+            "num_docs"
+        ] == len(DOCS)
