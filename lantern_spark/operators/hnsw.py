@@ -36,7 +36,7 @@ import json
 import math
 import os
 import pickle
-from typing import Iterator, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -378,13 +378,14 @@ class HNSWIndex:
         path: str,
         m: int = 16,
         ef_construction: int = 100,
-        shards: int = 8,
+        shards: Optional[int] = None,
         metric: str = "l2sq",
         seed: int = 42,
         quant: str = "f32",
         pq_splits: int = 8,
         pq_clusters: int = 16,
         max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+        target_rows_per_shard: int = 1_000_000,
     ) -> "HNSWIndex":
         """ONE shuffle (hash-repartition by id into ``shards``), then a
         map-only graph build per shard; each shard serializes to a
@@ -392,6 +393,19 @@ class HNSWIndex:
         count and each graph holds 1/shards of the data in memory —
         the same sharding contract as the reference's external-index
         protocol, minus the socket.
+
+        ``shards=None`` (default) sizes the shard count from the
+        corpus: ``ceil(n / target_rows_per_shard)`` clamped to
+        [1, 4096] (one count job). Per-shard graph memory is the
+        binding constraint upward (1M rows × (dim·4 + 2·m·8) bytes ≈
+        0.5-1 GiB at dim 64-512 — comfortably inside an executor), but
+        QUERY cost multiplies by the shard count — every shard walks
+        its graph for every probe (the router's
+        ``estimate_hnsw_tuples`` bound × shards,
+        plans/router.py) — so a small corpus must NOT be spread over
+        many shards just to use the cluster: a 60k-row corpus on 8
+        shards does MORE distance work than a flat scan (the r5 bench
+        finding that motivated this default).
 
         ``quant`` ∈ {"f32", "f16", "i8", "pq"} — the ``quant_bits``
         reloption analog (options.c:137-158): vectors inside the graph
@@ -412,6 +426,11 @@ class HNSWIndex:
         if first is None:
             raise ValueError(f"no non-null vectors in {column!r}")
         dim = len(first[0])
+        if shards is None:
+            n_est = df.count()
+            shards = int(
+                min(max(1, math.ceil(n_est / target_rows_per_shard)), 4096)
+            )
 
         def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext

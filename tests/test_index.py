@@ -238,3 +238,27 @@ def test_cos_metric_ivf_pq_adc(spark, emb, tmp_path_factory):
     assert len(a & e) >= 6  # candidates found under the right metric
     dists = [r["dist"] for r in adc.collect()]
     assert all(0.0 <= d <= 2.0 for d in dists)  # cos-range dists
+
+
+class TestHnswAutoShards:
+    """shards=None sizes the shard count from the corpus (the r5 bench
+    finding: per-shard fan-out multiplies query cost, so small corpora
+    must not be over-sharded)."""
+
+    def test_small_corpus_gets_one_shard(self, spark, emb, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.limit(60), "embedding", "vec_id", str(tmp_path / "auto"),
+        )
+        assert idx.manifest["shards"] == 1
+        assert idx.search(spark, [0.0] * 64, k=5).count() == 5
+
+    def test_target_rows_per_shard_scales(self, spark, emb, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.limit(100), "embedding", "vec_id", str(tmp_path / "auto2"),
+            target_rows_per_shard=30,
+        )
+        assert idx.manifest["shards"] == 4  # ceil(100/30)
