@@ -237,19 +237,25 @@ def hot_term_blooms(
     doc_ids) WHERE cardinality(doc_ids) > threshold``). Cold terms get
     no bloom (NULL in the reference; absent rows here).
 
-    Scale shape: one groupBy over postings; only hot terms materialize
-    their doc_id arrays (the reference stores those same arrays for
-    EVERY term)."""
+    Scale shape: two phases so only hot terms materialize their doc_id
+    arrays (the reference stores those arrays for EVERY term). A naive
+    ``groupBy.agg(count, collect_list).filter`` buffers the full array
+    for all the cold millions before discarding them — the HAVING
+    filter cannot be pushed below the aggregate — so phase 1 aggregates
+    COUNTS only, and phase 2 collect_lists over the postings
+    semi-joined to the (by definition few) hot terms."""
     from lantern_spark.operators.bloom import array_to_bloom
 
     thr = _approximation_threshold if threshold is None else threshold
-    return (
+    hot_terms = (
         stats.postings.groupBy("term")
-        .agg(
-            F.count("*").cast("long").alias("df"),
-            F.collect_list("doc_id").alias("__doc_ids"),
-        )
+        .agg(F.count("*").cast("long").alias("df"))
         .filter(F.col("df") > thr)
+    )
+    return (
+        stats.postings.join(F.broadcast(hot_terms), "term")
+        .groupBy("term", "df")
+        .agg(F.collect_list("doc_id").alias("__doc_ids"))
         .select("term", "df", array_to_bloom("__doc_ids").alias("bloom"))
     )
 
@@ -333,10 +339,34 @@ def search_bm25_approx(
     )
     if blooms is None:
         blooms = hot_term_blooms(stats, thr)
-    hot_df = (
+    qblooms = (
         blooms.join(qdf, "term")
         .filter(F.col("df") > thr)
-        .crossJoin(F.broadcast(stats.corpus))
+        .select("term", "df", "bloom")
+    )
+    # a caller-supplied blooms table may not cover every currently-hot
+    # term (built under a different threshold, or before the corpus
+    # grew): a hot term with no bloom row would otherwise silently
+    # lose its bonus — and if NO hot term had a row, the crossJoin
+    # below would return an EMPTY result instead of the exact
+    # candidates. Derive just the missing terms' blooms on the fly
+    # (postings pre-filtered to those terms — bounded work).
+    present = {r["term"] for r in qblooms.select("term").collect()}
+    missing = [t for t in hot if t not in present]
+    if missing:
+        mdf = F.broadcast(
+            spark.createDataFrame([(t,) for t in missing], "term string")
+        )
+        derived = hot_term_blooms(
+            BM25Stats(
+                postings=stats.postings.join(mdf, "term"),
+                corpus=stats.corpus,
+            ),
+            thr,
+        ).select("term", "df", "bloom")
+        qblooms = qblooms.unionByName(derived)
+    hot_df = (
+        qblooms.crossJoin(F.broadcast(stats.corpus))
         .withColumn("approx_score", _approx_term_score_expr(k1, b))
         .select("term", "bloom", "approx_score")
     )

@@ -503,13 +503,8 @@ class HNSWIndex:
             .write.mode("overwrite")
             .parquet(os.path.join(path, "graphs"))
         )
-        # a reused path may carry a stale delta dir from an earlier
-        # index generation — it would silently union into searches of
-        # the fresh build (ADVICE r2). Removed only AFTER the graphs
-        # write succeeded (crash mid-build loses nothing).
         import shutil
 
-        shutil.rmtree(os.path.join(path, "delta"), ignore_errors=True)
         if qval != "f32":
             # Quantized graphs are LOSSY — a rebuild fed from
             # dequantized rows would re-quantize the reconstruction and
@@ -517,7 +512,11 @@ class HNSWIndex:
             # the reference's reindex re-reads original heap vectors).
             # Persist the exact originals as the heap analog; search
             # never touches this dir, only rebuild does (map-only
-            # write, no shuffle).
+            # write, no shuffle). Written BEFORE the delta dir is
+            # removed: df's lineage may still read the delta (in-place
+            # rebuild), and a crash between the two steps must leave
+            # the delta intact — rebuild dedups by id, so re-folding a
+            # survived delta is lossless, while losing it is not.
             df.select(id_column, column).write.mode("overwrite").parquet(
                 os.path.join(path, "vectors")
             )
@@ -525,6 +524,11 @@ class HNSWIndex:
             # f32 payload dumps are exact; a stale vectors dir from an
             # earlier quantized generation must not shadow them
             shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
+        # a reused path may carry a stale delta dir from an earlier
+        # index generation — it would silently union into searches of
+        # the fresh build (ADVICE r2). Removed only AFTER the graphs
+        # and vectors writes succeeded (crash mid-build loses nothing).
+        shutil.rmtree(os.path.join(path, "delta"), ignore_errors=True)
         manifest = {
             "kind": "hnsw",
             "column": column,
@@ -566,24 +570,48 @@ class HNSWIndex:
             os.path.join(self.path, "delta")
         )
 
-    def rebuild(self, spark: SparkSession, path: str) -> "HNSWIndex":
-        """Fold the delta into fresh per-shard graphs at ``path``."""
+    def rebuild(
+        self, spark: SparkSession, path: Optional[str] = None
+    ) -> "HNSWIndex":
+        """Fold the delta into fresh per-shard graphs at ``path``
+        (omitted/same path = in-place).
+
+        In-place rebuild stages the merged rows to a temp parquet
+        EAGERLY first, exactly like ``IVFIndex.rebuild``: ``build``
+        would otherwise overwrite the graphs/vectors directories its
+        input is still lazily reading from (Spark rejects the
+        self-overwrite) and remove the delta dir mid-lineage — a crash
+        there would lose the delta rows from the persisted heap."""
         mf = self.manifest
-        base = self._all_rows(spark)
-        return HNSWIndex.build(
-            base.dropDuplicates([mf["id_column"]]),
-            mf["column"],
-            mf["id_column"],
-            path,
-            m=mf["m"],
-            ef_construction=mf["ef_construction"],
-            shards=mf["shards"],
-            metric=mf["metric"],
-            seed=mf["seed"],
-            quant=mf.get("quant", "f32"),
-            pq_splits=mf.get("pq_splits", 8),
-            pq_clusters=mf.get("pq_clusters", 16),
-        )
+        base = self._all_rows(spark).dropDuplicates([mf["id_column"]])
+        import shutil
+        import tempfile
+
+        stage_root = None
+        try:
+            if path is None or path == self.path:
+                stage_root = tempfile.mkdtemp(prefix="hnsw_rebuild_")
+                staged = os.path.join(stage_root, "rows")
+                base.write.mode("overwrite").parquet(staged)
+                base = spark.read.parquet(staged)
+                path = self.path
+            return HNSWIndex.build(
+                base,
+                mf["column"],
+                mf["id_column"],
+                path,
+                m=mf["m"],
+                ef_construction=mf["ef_construction"],
+                shards=mf["shards"],
+                metric=mf["metric"],
+                seed=mf["seed"],
+                quant=mf.get("quant", "f32"),
+                pq_splits=mf.get("pq_splits", 8),
+                pq_clusters=mf.get("pq_clusters", 16),
+            )
+        finally:
+            if stage_root is not None:
+                shutil.rmtree(stage_root, ignore_errors=True)
 
     def _all_rows(self, spark: SparkSession) -> DataFrame:
         """Graph-stored rows ∪ delta. For quantized builds the exact

@@ -56,7 +56,11 @@ def _decode_image(buf: bytes, meta) -> np.ndarray:
     """Image decode kernel, real-codec-first:
 
     1. BMP streams (sniffed by magic) decode via the pure-python codec
-       (operators/codecs.py) — ALWAYS real, no external deps;
+       (operators/codecs.py) — real, no external deps — for the
+       variants it supports (24/32-bit uncompressed); paletted /
+       RLE-compressed / other bit depths fall THROUGH to PIL rather
+       than failing, so a PIL-equipped deployment keeps decoding every
+       BMP it could before the pure codec existed;
     2. other formats use PIL when importable (real deployments;
        invalid bytes then raise);
     3. otherwise a deterministic fake — pixel field seeded by content
@@ -66,7 +70,12 @@ def _decode_image(buf: bytes, meta) -> np.ndarray:
     from lantern_spark.operators.codecs import decode_bmp, is_bmp
 
     if is_bmp(buf):
-        return decode_bmp(buf)
+        try:
+            return decode_bmp(buf)
+        except ValueError:
+            # valid-but-unsupported BMP variant (8-bit palette, RLE,
+            # 1/4/16-bit): let PIL (or the fake) handle it below
+            pass
     try:
         import PIL.Image
     except ImportError:
@@ -183,7 +192,11 @@ def _decode_audio(buf: bytes, meta) -> np.ndarray:
     """Audio decode kernel, real-codec-first:
 
     1. WAV streams (sniffed by RIFF/WAVE magic) decode via the
-       pure-python codec (operators/codecs.py) — ALWAYS real;
+       pure-python codec (operators/codecs.py) — real, no external
+       deps — for the variants it supports (8/16/32-bit integer PCM);
+       24-bit / float / a-law / mu-law WAVs fall THROUGH to soundfile
+       rather than failing, so a soundfile-equipped deployment keeps
+       decoding every WAV it could before the pure codec existed;
     2. other formats use soundfile when importable (real deployments;
        invalid bytes then raise);
     3. otherwise a deterministic fake waveform seeded by content hash
@@ -192,8 +205,12 @@ def _decode_audio(buf: bytes, meta) -> np.ndarray:
     from lantern_spark.operators.codecs import decode_wav, is_wav
 
     if is_wav(buf):
-        frames, _sr = decode_wav(buf)
-        return frames.mean(axis=1).astype(np.float32)  # downmix to mono
+        try:
+            frames, _sr = decode_wav(buf)
+            return frames.mean(axis=1).astype(np.float32)  # downmix
+        except ValueError:
+            # valid-but-unsupported WAV variant: soundfile/fake below
+            pass
     try:
         import soundfile
     except ImportError:

@@ -82,7 +82,19 @@ def estimate_hnsw_tuples(
     """The reference's closed-form HNSW walk bound (hnsw.c:97-133),
     applied per shard: mL = 1/ln(M); S = 1/(1-e^-mL); S*M tuples per
     non-base level; ef*S*M*2 on the base level; ceil(ln(1+n_shard)*mL)
-    levels; min(total, n_shard/3) — then × shards (map-only fan-out)."""
+    levels — then × shards (every shard walks for every probe).
+
+    Capping: with ONE graph the reference's ``min(total, n/3)``
+    always-prefer-index floor (hnsw.c:131-132) applies verbatim. With
+    MANY shards that cap must NOT be applied per shard and multiplied
+    back — ``min(walk, n_shard/3)·shards`` collapses to a flat n/3 for
+    any shard count once the cap binds, erasing exactly the fan-out
+    cost this model exists to expose (a 60k-row corpus on 8 ef-96
+    shards really does flat-scan-level work — the r5 bench finding).
+    Sharded graphs therefore cap each walk at its PHYSICAL bound
+    (n_shard: a walk visits a node at most once), keeping the estimate
+    honest: over-sharded small corpora price out at ~n and lose to the
+    exact scan on the accuracy tie-break."""
     if n <= 0:
         return 0.0
     shards = max(1, int(shards))
@@ -94,7 +106,9 @@ def estimate_hnsw_tuples(
     base_level = ef * s * m * 2.0
     levels = max(1.0, math.ceil(math.log(1.0 + n_shard) * mL))
     total = per_level * (levels - 1.0) + base_level
-    return float(min(total, n_shard / 3.0)) * shards
+    if shards == 1:
+        return float(min(total, n / 3.0))
+    return float(min(total, n_shard)) * shards
 
 
 # ----------------------------------------------------------------------

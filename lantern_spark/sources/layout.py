@@ -37,6 +37,7 @@ __all__ = [
     "read_time_range",
     "write_bucketed",
     "compact_small_files",
+    "recover_compaction",
 ]
 
 _GRANULARITIES = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}
@@ -116,6 +117,38 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def _partition_columns(path: str) -> list:
+    """Ordered ``col=value`` partition columns of a directory layout,
+    walked from one leaf path (the Hive-layout convention Spark
+    writes)."""
+    cols = []
+    cur = path
+    while True:
+        subdirs = [
+            d
+            for d in sorted(os.listdir(cur))
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
+def recover_compaction(path: str) -> None:
+    """Self-heal after a compaction that crashed mid-swap: restore the
+    ``__old`` backup if the live directory is gone, finish the backup
+    cleanup if the swap completed, drop stale staging. Idempotent."""
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    elif os.path.isdir(path) and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(path.rstrip("/") + "__compact", ignore_errors=True)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -126,12 +159,24 @@ def compact_small_files(
 
     Sizes the output file count from the CURRENT on-disk bytes (the
     only number that predicts post-rewrite file size), rewrites with
-    ``repartition(n)`` — a full shuffle, deliberately: ``coalesce``
-    would chain narrow dependencies and skew file sizes — and swaps
-    directories atomically-enough for a maintenance job (write to
-    ``<path>__compact``, then rename) unless ``out_path`` is given.
+    ``repartition`` — a full shuffle, deliberately: ``coalesce`` would
+    chain narrow dependencies and skew file sizes — and swaps
+    directories unless ``out_path`` is given. The swap's only
+    non-atomic window leaves a ``<path>__old`` backup that
+    :func:`recover_compaction` (run automatically at the next
+    invocation) restores, so a crash never loses the table.
+
+    A Hive-partitioned layout (``col=value`` directories, e.g. from
+    :func:`write_time_partitioned`) is PRESERVED: the rewrite
+    re-partitions on the detected partition columns and writes
+    ``partitionBy`` them — one file per partition directory — keeping
+    partition pruning intact (flattening the tree would silently turn
+    every pruned range read back into a full listing). Partition
+    column types are read as-written (inference off) so a string
+    ``__pt=2024-01-08`` stays a string through the rewrite.
     Returns {files_before, files_after, bytes, target_files}.
     """
+    recover_compaction(path)
     total = 0
     files_before = 0
     for root, _dirs, files in os.walk(path):
@@ -141,8 +186,22 @@ def compact_small_files(
                 total += os.path.getsize(os.path.join(root, fn))
     n_files = max(1, math.ceil(total / max(1, target_file_bytes)))
     staged = out_path or (path.rstrip("/") + "__compact")
-    df = spark.read.parquet(path)
-    df.repartition(n_files).write.mode("overwrite").parquet(staged)
+    part_cols = _partition_columns(path)
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_infer = spark.conf.get(infer_key)
+    try:
+        if part_cols:
+            spark.conf.set(infer_key, "false")
+        df = spark.read.parquet(path)
+        w = df.repartition(
+            *[F.col(c) for c in part_cols]
+        ) if part_cols else df.repartition(n_files)
+        writer = w.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staged)
+    finally:
+        spark.conf.set(infer_key, old_infer)
     if out_path is None:
         import shutil
 

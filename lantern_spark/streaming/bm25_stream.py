@@ -40,31 +40,53 @@ __all__ = [
     "write_bm25_stats",
     "load_bm25_stats",
     "consolidate_bm25_path",
+    "recover_bm25_path",
     "incremental_bm25_job",
 ]
 
 
-def write_bm25_stats(stats: BM25Stats, path: str, mode: str = "append") -> None:
+def write_bm25_stats(
+    stats: BM25Stats,
+    path: str,
+    mode: str = "append",
+    epoch: Optional[int] = None,
+) -> None:
     """Persist a stats build. ``corpus/`` stores (num_docs, total_len)
-    — totals, not averages, so appended rows fold exactly."""
-    stats.postings.write.mode(mode).parquet(os.path.join(path, "postings"))
+    — totals, not averages, so appended rows fold exactly.
+
+    ``epoch``: when given, the write goes to per-epoch subdirectories
+    (``postings/batch_<epoch>``) in OVERWRITE mode — a replayed
+    micro-batch rewrites the identical files instead of appending a
+    second copy, the idempotence contract foreachBatch's at-least-once
+    delivery requires."""
+    if epoch is not None:
+        pdir = os.path.join(path, "postings", f"batch_{epoch}")
+        cdir = os.path.join(path, "corpus", f"batch_{epoch}")
+        mode = "overwrite"
+    else:
+        pdir = os.path.join(path, "postings")
+        cdir = os.path.join(path, "corpus")
+    stats.postings.write.mode(mode).parquet(pdir)
     stats.corpus.select(
         F.col("num_docs").cast("long"),
         (F.col("avg_doc_len") * F.col("num_docs")).alias("total_len"),
-    ).write.mode(mode).parquet(os.path.join(path, "corpus"))
+    ).write.mode(mode).parquet(cdir)
 
 
 def load_bm25_stats(spark: SparkSession, path: str) -> BM25Stats:
     """Open a persisted layout as a live BM25Stats — correct at any
     fragmentation (per-(term, doc) rows are re-summed; corpus totals
-    fold)."""
+    fold). ``recursiveFileLookup`` reads flat (consolidated) files and
+    per-epoch subdirectories alike."""
     postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(path, "postings"))
         .groupBy("term", "doc_id", "doc_len")
         .agg(F.sum("fq").cast("int").alias("fq"))
     )
     corpus = (
-        spark.read.parquet(os.path.join(path, "corpus"))
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(path, "corpus"))
         .agg(
             F.sum("num_docs").cast("long").alias("num_docs"),
             F.sum("total_len").alias("total_len"),
@@ -83,13 +105,65 @@ def _fragment_count(path: str, sub: str) -> int:
     d = os.path.join(path, sub)
     if not os.path.isdir(d):
         return 0
-    return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(d)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _seen_epochs(path: str) -> set:
+    f = os.path.join(path, "_epochs.json")
+    if not os.path.exists(f):
+        return set()
+    import json
+
+    with open(f) as fh:
+        return set(json.load(fh))
+
+
+def _mark_epoch(path: str, epoch: int) -> None:
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    seen = _seen_epochs(path) | {int(epoch)}
+    tmp = os.path.join(path, "_epochs.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(sorted(seen), fh)
+    os.replace(tmp, os.path.join(path, "_epochs.json"))
+
+
+def recover_bm25_path(path: str) -> None:
+    """Self-heal a layout whose last consolidation crashed mid-swap:
+    for each swapped subdir, if the live dir is missing but its
+    ``__old`` backup exists, restore the backup; stale staging dirs
+    are cleared. Idempotent; called at consolidation and job start."""
+    import shutil
+
+    for sub in ("postings", "corpus"):
+        live = os.path.join(path, sub)
+        old = live + "__old"
+        if not os.path.isdir(live) and os.path.isdir(old):
+            os.rename(old, live)
+        elif os.path.isdir(live) and os.path.isdir(old):
+            # swap completed but backup cleanup didn't — finish it
+            shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(path.rstrip("/") + "__consolidated", ignore_errors=True)
 
 
 def consolidate_bm25_path(spark: SparkSession, path: str) -> None:
     """Re-sum and rewrite the layout compacted (consolidate_bm25_table
     analog): one groupBy over postings, one corpus fold, staged write +
-    swap so readers never see a half-written layout."""
+    per-subdir swap. The swap keeps the layout root (and the epoch
+    ledger in it) in place and leaves a recoverable ``__old`` backup
+    across its only non-atomic window — :func:`recover_bm25_path`
+    (run here and at job start) restores it after a crash, so the
+    worst post-crash state is an unconsolidated layout, never a
+    missing or double-counted one."""
+    import shutil
+
+    recover_bm25_path(path)
     stats = load_bm25_stats(spark, path)
     staged = path.rstrip("/") + "__consolidated"
     stats.postings.write.mode("overwrite").parquet(
@@ -101,12 +175,14 @@ def consolidate_bm25_path(spark: SparkSession, path: str) -> None:
     ).repartition(1).write.mode("overwrite").parquet(
         os.path.join(staged, "corpus")
     )
-    import shutil
-
-    old = path.rstrip("/") + "__old"
-    os.rename(path, old)
-    os.rename(staged, path)
-    shutil.rmtree(old)
+    for sub in ("postings", "corpus"):
+        live = os.path.join(path, sub)
+        old = live + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        os.rename(os.path.join(staged, sub), live)
+        shutil.rmtree(old)
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def incremental_bm25_job(
@@ -123,8 +199,15 @@ def incremental_bm25_job(
 ):
     """Start the continuous job. Returns (query, state);
     ``state["consolidations"]`` counts compaction runs. Drain with
-    ``query.processAllAvailable()`` in tests."""
+    ``query.processAllAvailable()`` in tests.
+
+    Replay safety (foreachBatch is at-least-once): per-epoch writes go
+    to ``batch_<epoch>`` subdirs in overwrite mode, and a persisted
+    epoch ledger skips epochs already folded by a consolidation — a
+    redelivered micro-batch can therefore never double-count docs or
+    term frequencies, whichever side of a crash it lands on."""
     state = {"batches": 0, "consolidations": 0}
+    recover_bm25_path(stats_path)
 
     stream = (
         spark.readStream.schema(source_schema)
@@ -135,8 +218,12 @@ def incremental_bm25_job(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
+        eid = int(epoch_id)
+        if eid in _seen_epochs(stats_path):
+            return  # already written AND possibly consolidated away
         stats = build_bm25_stats(batch_df, id_col, text_col, stem=stem)
-        write_bm25_stats(stats, stats_path, mode="append")
+        write_bm25_stats(stats, stats_path, epoch=eid)
+        _mark_epoch(stats_path, eid)
         state["batches"] += 1
         if (
             consolidate_every_fragments

@@ -136,3 +136,57 @@ class TestIncrementalJob:
         assert load_bm25_stats(spark, stats_path).corpus.collect()[0][
             "num_docs"
         ] == len(DOCS)
+
+
+class TestReplayIdempotence:
+    def test_epoch_rewrite_does_not_double_count(self, spark, tmp_path):
+        """A redelivered micro-batch (same epoch id) overwrites its own
+        files instead of appending a second copy — scores and corpus
+        counts are unchanged (the at-least-once contract)."""
+        path = str(tmp_path / "stats")
+        s1 = build_bm25_stats(
+            spark.createDataFrame(DOCS[:3], SCHEMA), "doc_id", "text",
+            stem=False,
+        )
+        s2 = build_bm25_stats(
+            spark.createDataFrame(DOCS[3:], SCHEMA), "doc_id", "text",
+            stem=False,
+        )
+        write_bm25_stats(s1, path, epoch=0)
+        write_bm25_stats(s2, path, epoch=1)
+        once = _scores(spark, load_bm25_stats(spark, path))
+        write_bm25_stats(s2, path, epoch=1)  # replay epoch 1
+        again = _scores(spark, load_bm25_stats(spark, path))
+        assert again == once
+        assert load_bm25_stats(spark, path).corpus.collect()[0][
+            "num_docs"
+        ] == len(DOCS)
+
+    def test_crashed_swap_recovers(self, spark, tmp_path):
+        """A consolidation that died between the two renames leaves
+        postings at __old; recover restores it and a subsequent load
+        sees every doc."""
+        import os
+
+        from lantern_spark.streaming.bm25_stream import recover_bm25_path
+
+        path = str(tmp_path / "stats")
+        write_bm25_stats(
+            build_bm25_stats(
+                spark.createDataFrame(DOCS, SCHEMA), "doc_id", "text",
+                stem=False,
+            ),
+            path,
+            epoch=0,
+        )
+        # simulate the crash window: live dir renamed away, new one
+        # never arrived
+        os.rename(
+            os.path.join(path, "postings"),
+            os.path.join(path, "postings__old"),
+        )
+        recover_bm25_path(path)
+        assert load_bm25_stats(spark, path).corpus.collect()[0][
+            "num_docs"
+        ] == len(DOCS)
+        assert len(_scores(spark, load_bm25_stats(spark, path))) > 0

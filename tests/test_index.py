@@ -262,3 +262,31 @@ class TestHnswAutoShards:
             target_rows_per_shard=30,
         )
         assert idx.manifest["shards"] == 4  # ceil(100/30)
+
+
+class TestHnswInPlaceRebuild:
+    def test_quantized_in_place_rebuild_keeps_delta_rows(
+        self, spark, emb, tmp_path
+    ):
+        """In-place rebuild of a quantized graph stages eagerly: the
+        delta rows must survive into the rebuilt vectors heap (the
+        review finding: delta was rmtree'd while the vectors write
+        still lazily read it)."""
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 200"), "embedding", "vec_id",
+            str(tmp_path / "h"), shards=2, quant="i8",
+        )
+        probe_row = emb.filter("vec_id = 450").first()
+        idx.add_delta(emb.filter("vec_id >= 200"))
+        idx2 = idx.rebuild(spark)  # in-place, no path
+        assert idx2.path == idx.path
+        # the delta row is IN the rebuilt graphs: searching for it
+        # finds it at distance ~0
+        q = [float(x) for x in probe_row["embedding"]]
+        top = idx2.search(spark, q, k=1).collect()[0]
+        assert top["vec_id"] == 450 and top["dist"] < 1e-2
+        # and a CHAINED in-place rebuild still works (streaming path)
+        idx3 = idx2.rebuild(spark)
+        assert idx3.search(spark, q, k=1).collect()[0]["vec_id"] == 450

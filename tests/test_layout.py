@@ -157,3 +157,45 @@ class TestCompaction:
         assert stats["files_after"] == 1
         assert spark.read.parquet(src).count() == 1000  # untouched
         assert spark.read.parquet(dst).count() == 1000
+
+
+class TestCompactionPartitionPreserving:
+    def test_partitioned_layout_survives_compaction(self, spark, tmp_path):
+        """Compacting a time-partitioned table must keep the col=value
+        directory tree (and therefore pruning), with __pt staying a
+        string (the review finding: the rewrite flattened the tree)."""
+        path = str(tmp_path / "events")
+        ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        write_time_partitioned(ev, path, "ts", granularity="day")
+        # fragment one day artificially by appending small writes
+        frag = spark.read.parquet(path + "/__pt=2024-01-05")
+        for _ in range(3):
+            frag.coalesce(1).write.mode("append").parquet(
+                path + "/__pt=2024-01-05"
+            )
+        stats = compact_small_files(spark, path)
+        assert stats["files_before"] > stats["files_after"]
+        days = [d for d in os.listdir(path) if d.startswith("__pt=")]
+        assert 28 <= len(days) <= 31  # tree preserved
+        pruned = read_time_range(
+            spark, path, start="2024-01-08", end="2024-01-15",
+            drop_partition_col=False,
+        )
+        assert pruned.select("__pt").distinct().count() == 7
+        # partition-column type is whatever a read of the ORIGINAL
+        # layout infers (date, for day granularity) — compaction must
+        # not change the observed type
+        assert dict(pruned.dtypes)["__pt"] == "date"
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+
+    def test_crashed_swap_recovers(self, spark, tmp_path):
+        import os as _os
+
+        from lantern_spark.sources.layout import recover_compaction
+
+        path = str(tmp_path / "t")
+        spark.range(100).repartition(4).write.parquet(path)
+        _os.rename(path, path + "__old")  # simulate the crash window
+        recover_compaction(path)
+        assert spark.read.parquet(path).count() == 100

@@ -295,3 +295,28 @@ class TestAnnSearchDispatch:
         assert len(rows) == 5
         # the probe vector itself must surface at distance ~0
         assert rows[0]["dist"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestShardCapHonesty:
+    def test_oversharded_small_corpus_does_not_beat_exact(self, tmp_path):
+        """The r5 bench case: 60k rows on 8 ef-96 shards does flat-scan
+        level distance work; the estimate must say so (per-shard cap is
+        the physical n_shard bound, NOT n_shard/3 multiplied back)."""
+        est = estimate_hnsw_tuples(60_000, 16, 96, shards=8)
+        assert est >= 60_000  # prices out at >= the corpus
+        cat = _cat(
+            tmp_path,
+            CatalogEntry(
+                "t", "v", "l2sq", "hnsw", "/h", 60_000,
+                recall_estimate=1.0,
+                params={"m": 16, "ef": 96, "shards": 8},
+            ),
+        )
+        d = route(cat, "t", "v", "l2sq", 60_000)
+        assert d.access_path == "exact"
+
+    def test_single_graph_keeps_reference_floor(self):
+        # one graph: the reference's n/3 always-prefer cap, verbatim
+        assert estimate_hnsw_tuples(30, 16, 64, shards=1) == pytest.approx(
+            10.0
+        )

@@ -339,6 +339,33 @@ class TestBM25Approx:
             (r.doc_id, r.bm25_score) for r in b
         ]
 
+    def test_stale_blooms_never_empty_the_result(self, fruit_stats):
+        """A caller-supplied blooms table missing the currently-hot
+        term (built at a higher threshold / before the corpus grew)
+        must NOT wipe the exact candidates — the missing bloom is
+        derived on the fly and the result matches blooms=None (the
+        review finding: the crossJoin with an empty hot side returned
+        zero rows)."""
+        from lantern_spark.operators.bm25 import (
+            hot_term_blooms,
+            search_bm25_approx,
+        )
+
+        stale = hot_term_blooms(fruit_stats, threshold=1000)  # empty
+        assert stale.count() == 0
+        want = search_bm25_approx(
+            fruit_stats, "apple banana", limit=10, threshold=3,
+            round_digits=6,
+        ).collect()
+        got = search_bm25_approx(
+            fruit_stats, "apple banana", limit=10, threshold=3,
+            blooms=stale, round_digits=6,
+        ).collect()
+        assert len(got) > 0
+        assert [(r.doc_id, r.bm25_score) for r in got] == [
+            (r.doc_id, r.bm25_score) for r in want
+        ]
+
     def test_approx_plan_shape(self, fruit_stats):
         """The blend stage must broadcast the (few) hot-term blooms
         against the bounded candidate pool — no shuffle of bloom bytes,
