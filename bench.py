@@ -246,6 +246,25 @@ def main() -> None:
         )
         quality["hnsw_recall_at10"] = round(r, 4)
         quality["hnsw_scan_fraction"] = round(frac, 4)
+        # cost-based router decision over the two measured indexes —
+        # the amcostestimate analog choosing the access path it would
+        # use at this operating point (plans/router.py)
+        from lantern_spark.plans.router import IndexCatalog, route
+
+        cat = IndexCatalog(f"{qroot}/catalog")
+        cat.register_ivf(
+            ivf, "fixture", nprobe=nprobe,
+            recall_estimate=quality["ivf_recall_at10"],
+        )
+        cat.register_hnsw(
+            hnsw, "fixture", ef=96, num_vectors=n_big,
+            recall_estimate=quality["hnsw_recall_at10"],
+        )
+        dec = route(
+            cat, "fixture", "embedding", "l2sq", n_big, recall_floor=0.95
+        )
+        quality["router_path"] = dec.access_path
+        quality["router_est_tuples"] = round(dec.est_tuples, 1)
         big.unpersist()
         import shutil
 
