@@ -337,34 +337,45 @@ def search_bm25_approx(
         .orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
         .limit(limit * 10)  # bloom_limit = limit·10, finalize_base:314
     )
+    caller_blooms = blooms is not None
     if blooms is None:
         blooms = hot_term_blooms(stats, thr)
-    qblooms = (
-        blooms.join(qdf, "term")
-        .filter(F.col("df") > thr)
-        .select("term", "df", "bloom")
+    # membership in the CURRENT hot set decides which terms get the
+    # approximation — not the df column persisted in the blooms table:
+    # a term that cooled since the blooms were built already scores
+    # exactly in `cold`, and filtering by its STALE df would add its
+    # bloom bonus on top (double count). The current df replaces the
+    # stored one for the score constant.
+    hot_df_counts = F.broadcast(
+        spark.createDataFrame([(t, dfs[t]) for t in hot], "term string, df long")
     )
-    # a caller-supplied blooms table may not cover every currently-hot
-    # term (built under a different threshold, or before the corpus
-    # grew): a hot term with no bloom row would otherwise silently
-    # lose its bonus — and if NO hot term had a row, the crossJoin
-    # below would return an EMPTY result instead of the exact
-    # candidates. Derive just the missing terms' blooms on the fly
-    # (postings pre-filtered to those terms — bounded work).
-    present = {r["term"] for r in qblooms.select("term").collect()}
-    missing = [t for t in hot if t not in present]
-    if missing:
-        mdf = F.broadcast(
-            spark.createDataFrame([(t,) for t in missing], "term string")
-        )
-        derived = hot_term_blooms(
-            BM25Stats(
-                postings=stats.postings.join(mdf, "term"),
-                corpus=stats.corpus,
-            ),
-            thr,
-        ).select("term", "df", "bloom")
-        qblooms = qblooms.unionByName(derived)
+    qblooms = blooms.drop("df").join(hot_df_counts, "term").select(
+        "term", "df", "bloom"
+    )
+    if caller_blooms:
+        # a caller-supplied blooms table may not cover every
+        # currently-hot term (built under a different threshold, or
+        # before the corpus grew): a hot term with no bloom row would
+        # otherwise silently lose its bonus — and if NO hot term had a
+        # row, the crossJoin below would return an EMPTY result
+        # instead of the exact candidates. Derive just the missing
+        # terms' blooms on the fly (postings pre-filtered to those
+        # terms — bounded work). Internally-derived blooms cover every
+        # hot term by construction, so the check is skipped.
+        present = {r["term"] for r in qblooms.select("term").collect()}
+        missing = [t for t in hot if t not in present]
+        if missing:
+            mdf = F.broadcast(
+                spark.createDataFrame([(t,) for t in missing], "term string")
+            )
+            derived = hot_term_blooms(
+                BM25Stats(
+                    postings=stats.postings.join(mdf, "term"),
+                    corpus=stats.corpus,
+                ),
+                thr,
+            ).select("term", "df", "bloom")
+            qblooms = qblooms.unionByName(derived)
     hot_df = (
         qblooms.crossJoin(F.broadcast(stats.corpus))
         .withColumn("approx_score", _approx_term_score_expr(k1, b))

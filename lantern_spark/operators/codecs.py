@@ -29,6 +29,15 @@ BMP_MAGIC = b"BM"
 BI_RGB = 0
 
 
+class UnsupportedCodecFeature(ValueError):
+    """A VALID stream using a feature this pure-python codec does
+    not implement (paletted/RLE BMPs, 24-bit/a-law WAVs, …).
+    Callers with a richer library (PIL/soundfile) catch THIS and
+    fall through to it; corrupt streams keep raising plain
+    ValueError so corruption is never silently decoded as a
+    fake."""
+
+
 def is_bmp(buf: bytes) -> bool:
     return len(buf) >= 2 and buf[:2] == BMP_MAGIC
 
@@ -54,14 +63,14 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     data_offset = struct.unpack_from("<I", buf, 10)[0]
     header_size = struct.unpack_from("<I", buf, 14)[0]
     if header_size < 40:
-        raise ValueError(f"unsupported BMP header size {header_size}")
+        raise UnsupportedCodecFeature(f"unsupported BMP header size {header_size}")
     width, height = struct.unpack_from("<ii", buf, 18)
     planes, bpp = struct.unpack_from("<HH", buf, 26)
     compression = struct.unpack_from("<I", buf, 30)[0]
     if compression != BI_RGB:
-        raise ValueError(f"unsupported BMP compression {compression}")
+        raise UnsupportedCodecFeature(f"unsupported BMP compression {compression}")
     if bpp not in (24, 32):
-        raise ValueError(f"unsupported BMP bit depth {bpp}")
+        raise UnsupportedCodecFeature(f"unsupported BMP bit depth {bpp}")
     top_down = height < 0
     height = abs(height)
     if width <= 0 or height == 0:
@@ -142,18 +151,18 @@ def decode_wav(buf: bytes) -> tuple:
         raise ValueError("WAV has zero channels")
     if tag == WAVE_FORMAT_IEEE_FLOAT:
         if bits != 32:
-            raise ValueError(f"unsupported float WAV bit depth {bits}")
+            raise UnsupportedCodecFeature(f"unsupported float WAV bit depth {bits}")
         samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif tag == WAVE_FORMAT_PCM:
         if bits not in _PCM_DTYPES:
-            raise ValueError(f"unsupported PCM bit depth {bits}")
+            raise UnsupportedCodecFeature(f"unsupported PCM bit depth {bits}")
         raw = np.frombuffer(data, dtype=np.dtype(_PCM_DTYPES[bits]).newbyteorder("<"))
         if bits == 8:  # unsigned, midpoint 128
             samples = (raw.astype(np.float32) - 128.0) / 128.0
         else:
             samples = raw.astype(np.float32) / float(2 ** (bits - 1))
     else:
-        raise ValueError(f"unsupported WAV format tag {tag}")
+        raise UnsupportedCodecFeature(f"unsupported WAV format tag {tag}")
     n = (len(samples) // channels) * channels
     return samples[:n].reshape(-1, channels), int(rate)
 

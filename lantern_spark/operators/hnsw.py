@@ -583,13 +583,27 @@ class HNSWIndex:
         self-overwrite) and remove the delta dir mid-lineage — a crash
         there would lose the delta rows from the persisted heap."""
         mf = self.manifest
-        base = self._all_rows(spark).dropDuplicates([mf["id_column"]])
+        from pyspark.sql import Window
+
+        # delta rows WIN on duplicate ids (an aminsert carrying an
+        # updated vector must not lose to the stale stored row, which
+        # a bare dropDuplicates decides arbitrarily); (__src, id) order
+        # keeps the pick deterministic
+        w = Window.partitionBy(mf["id_column"]).orderBy("__src")
+        base = (
+            self._all_rows(spark, tag_source=True)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
         import shutil
         import tempfile
 
         stage_root = None
         try:
-            if path is None or path == self.path:
+            if path is None or os.path.realpath(path) == os.path.realpath(
+                self.path
+            ):
                 stage_root = tempfile.mkdtemp(prefix="hnsw_rebuild_")
                 staged = os.path.join(stage_root, "rows")
                 base.write.mode("overwrite").parquet(staged)
@@ -613,25 +627,44 @@ class HNSWIndex:
             if stage_root is not None:
                 shutil.rmtree(stage_root, ignore_errors=True)
 
-    def _all_rows(self, spark: SparkSession) -> DataFrame:
+    def _all_rows(
+        self, spark: SparkSession, tag_source: bool = False
+    ) -> DataFrame:
         """Graph-stored rows ∪ delta. For quantized builds the exact
         originals come from the persisted ``vectors`` heap analog
         (rebuild must not re-quantize a lossy reconstruction, ADVICE
-        r5); f32 builds dump graph payloads via a map-only pass."""
+        r5); f32 builds dump graph payloads via a map-only pass.
+
+        ``tag_source`` adds ``__src`` (0 = delta, 1 = stored) so
+        rebuild can deterministically prefer the delta row when the
+        same id exists in both (an updated vector must win)."""
         mf = self.manifest
+
+        def tag(df, src):
+            return df.withColumn("__src", F.lit(src)) if tag_source else df
+
         vec_path = os.path.join(self.path, "vectors")
         if os.path.isdir(vec_path):
-            out = spark.read.parquet(vec_path).select(
-                F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
-                F.col(mf["column"]).cast("array<float>").alias(mf["column"]),
+            out = tag(
+                spark.read.parquet(vec_path).select(
+                    F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+                    F.col(mf["column"]).cast("array<float>").alias(mf["column"]),
+                ),
+                1,
             )
             delta_path = os.path.join(self.path, "delta")
             if os.path.isdir(delta_path):
                 out = out.unionByName(
-                    spark.read.parquet(delta_path)
-                    .select(
-                        F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
-                        F.col(mf["column"]).cast("array<float>").alias(mf["column"]),
+                    tag(
+                        spark.read.parquet(delta_path).select(
+                            F.col(mf["id_column"]).cast("long").alias(
+                                mf["id_column"]
+                            ),
+                            F.col(mf["column"]).cast("array<float>").alias(
+                                mf["column"]
+                            ),
+                        ),
+                        0,
                     )
                 )
             return out
@@ -659,14 +692,21 @@ class HNSWIndex:
                         }
                     )
 
-        out = spark.read.parquet(os.path.join(self.path, "graphs")).mapInPandas(
-            dump, schema
+        out = tag(
+            spark.read.parquet(os.path.join(self.path, "graphs")).mapInPandas(
+                dump, schema
+            ),
+            1,
         )
         delta_path = os.path.join(self.path, "delta")
         if os.path.isdir(delta_path):
             out = out.unionByName(
-                spark.read.parquet(delta_path)
-                .select(mf["id_column"], mf["column"])
+                tag(
+                    spark.read.parquet(delta_path).select(
+                        mf["id_column"], mf["column"]
+                    ),
+                    0,
+                )
             )
         return out
 

@@ -67,14 +67,20 @@ def _decode_image(buf: bytes, meta) -> np.ndarray:
        hash, shape honoring meta width/height — so downstream kernels
        still see real shapes for codec-gated formats (JPEG, PNG, …).
     """
-    from lantern_spark.operators.codecs import decode_bmp, is_bmp
+    from lantern_spark.operators.codecs import (
+        UnsupportedCodecFeature,
+        decode_bmp,
+        is_bmp,
+    )
 
     if is_bmp(buf):
         try:
             return decode_bmp(buf)
-        except ValueError:
+        except UnsupportedCodecFeature:
             # valid-but-unsupported BMP variant (8-bit palette, RLE,
-            # 1/4/16-bit): let PIL (or the fake) handle it below
+            # 1/4/16-bit): let PIL (or the fake) handle it below.
+            # CORRUPT streams raise plain ValueError and propagate —
+            # corruption must never silently become a fake embedding
             pass
     try:
         import PIL.Image
@@ -202,14 +208,19 @@ def _decode_audio(buf: bytes, meta) -> np.ndarray:
     3. otherwise a deterministic fake waveform seeded by content hash
        — length honors meta.duration_ms at 16 kHz — for codec-gated
        formats (MP3, FLAC, …)."""
-    from lantern_spark.operators.codecs import decode_wav, is_wav
+    from lantern_spark.operators.codecs import (
+        UnsupportedCodecFeature,
+        decode_wav,
+        is_wav,
+    )
 
     if is_wav(buf):
         try:
             frames, _sr = decode_wav(buf)
             return frames.mean(axis=1).astype(np.float32)  # downmix
-        except ValueError:
-            # valid-but-unsupported WAV variant: soundfile/fake below
+        except UnsupportedCodecFeature:
+            # valid-but-unsupported WAV variant (24-bit, a-law/mu-law):
+            # soundfile/fake below; corrupt streams keep raising
             pass
     try:
         import soundfile

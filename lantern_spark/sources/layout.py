@@ -193,12 +193,22 @@ def compact_small_files(
         if part_cols:
             spark.conf.set(infer_key, "false")
         df = spark.read.parquet(path)
-        w = df.repartition(
-            *[F.col(c) for c in part_cols]
-        ) if part_cols else df.repartition(n_files)
-        writer = w.write.mode("overwrite")
         if part_cols:
-            writer = writer.partitionBy(*part_cols)
+            # one writer per partition dir, but an oversized partition
+            # must still split at the target: maxRecordsPerFile sized
+            # from the measured on-disk bytes/row keeps every output
+            # file near target_file_bytes without a per-partition plan
+            n_rows = df.count()
+            bytes_per_row = total / max(n_rows, 1)
+            max_records = max(
+                1, int(target_file_bytes / max(bytes_per_row, 1))
+            )
+            w = df.repartition(*[F.col(c) for c in part_cols])
+            writer = w.write.mode("overwrite").option(
+                "maxRecordsPerFile", max_records
+            ).partitionBy(*part_cols)
+        else:
+            writer = df.repartition(n_files).write.mode("overwrite")
         writer.parquet(staged)
     finally:
         spark.conf.set(infer_key, old_infer)

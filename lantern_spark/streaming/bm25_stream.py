@@ -208,6 +208,33 @@ def incremental_bm25_job(
     term frequencies, whichever side of a crash it lands on."""
     state = {"batches": 0, "consolidations": 0}
     recover_bm25_path(stats_path)
+    # epoch ids are only unique WITHIN one checkpoint lineage —
+    # Structured Streaming restarts numbering at 0 for a fresh
+    # checkpoint, so a stats layout is bound to the checkpoint that
+    # feeds it. Reusing the layout with a different checkpoint would
+    # either double-count (everything re-reads) or silently drop
+    # batches (ledger collisions): refuse loudly instead.
+    import hashlib
+    import json as _json
+
+    run_key = hashlib.md5(
+        os.path.realpath(checkpoint_path).encode()
+    ).hexdigest()[:12]
+    marker = os.path.join(stats_path, "_job.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stored = _json.load(fh)
+        if stored.get("checkpoint_key") != run_key:
+            raise ValueError(
+                f"stats layout {stats_path} is bound to a different "
+                "checkpoint; a fresh checkpoint re-reads the whole "
+                "source, so pair it with a fresh stats_path (or keep "
+                "the original checkpoint to resume)"
+            )
+    else:
+        os.makedirs(stats_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            _json.dump({"checkpoint_key": run_key}, fh)
 
     stream = (
         spark.readStream.schema(source_schema)

@@ -142,7 +142,10 @@ class JobRegistry:
             dst_col=dst_col,
             out_path=out_path,
             checkpoint_path=os.path.join(self.root, f"chk_{job_id}"),
-            runtime={"name": rt.name, "dim": rt.dim},
+            # the FULL spec: batch_size and params (credentials, model
+            # path, pooling) must survive persistence or resume/restart
+            # rebuilds a runtime that cannot authenticate or load
+            runtime=asdict(rt),
             id_col=id_col,
             created_at=time.time(),
         )
@@ -186,9 +189,8 @@ class JobRegistry:
         """(status, progress, error) — the reference's exact CASE
         ladder. Progress: 100 once the initial backlog has drained
         (init_finished), else the persisted init_progress."""
-        r = self._get(job_id)
         self._refresh(job_id)
-        r = self._get(job_id)
+        r = self._get(job_id)  # raises KeyError for unknown ids
         if r.init_failed_at is not None:
             return ("failed", r.init_progress, r.init_failure_reason)
         if r.canceled_at is not None:
@@ -221,6 +223,8 @@ class JobRegistry:
                 init_failed_at=time.time(),
                 init_failure_reason=str(exc),
             )
+            # drop the dead handle so a later resume can restart
+            self._queries.pop(job_id, None)
             return
         if r.init_finished_at is None and q.isActive:
             # backlog drained = no data available across the last
@@ -261,10 +265,19 @@ class JobRegistry:
     cancel_completion_job = cancel_job
 
     def resume_job(self, spark: SparkSession, job_id: int) -> None:
-        """Clear ``canceled_at`` and restart from the checkpoint —
-        rows embedded before the cancel are not re-embedded
-        (exactly-once across the cancel/resume cycle)."""
-        rec = self._update(job_id, canceled_at=None)
+        """Clear ``canceled_at`` (and any failure marker — resuming a
+        failed job is a retry, daemon semantics) and restart from the
+        checkpoint — rows embedded before the cancel/failure are not
+        re-embedded (exactly-once across the cycle)."""
+        rec = self._update(
+            job_id,
+            canceled_at=None,
+            init_failed_at=None,
+            init_failure_reason=None,
+        )
+        stale = self._queries.get(job_id)
+        if stale is not None and not stale.isActive:
+            self._queries.pop(job_id, None)  # dead handle from a crash
         if job_id not in self._queries:
             self._start(spark, rec)
 

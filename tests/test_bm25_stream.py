@@ -190,3 +190,32 @@ class TestReplayIdempotence:
             "num_docs"
         ] == len(DOCS)
         assert len(_scores(spark, load_bm25_stats(spark, path))) > 0
+
+
+class TestCheckpointBinding:
+    def test_fresh_checkpoint_on_existing_layout_refused(
+        self, spark, tmp_path
+    ):
+        """Epoch ids restart at 0 with a fresh checkpoint; reusing an
+        existing stats layout with one would double-count or silently
+        drop batches — the job must refuse loudly."""
+        import pytest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        _write = spark.createDataFrame(DOCS[:2], SCHEMA)
+        _write.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+        stats_path = str(tmp_path / "stats")
+        q, _ = incremental_bm25_job(
+            spark, stats_path, str(src) + "/*", SCHEMA,
+            "doc_id", "text", str(tmp_path / "chk1"), stem=False,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with pytest.raises(ValueError, match="bound to a different"):
+            incremental_bm25_job(
+                spark, stats_path, str(src) + "/*", SCHEMA,
+                "doc_id", "text", str(tmp_path / "chk2"), stem=False,
+            )

@@ -290,3 +290,32 @@ class TestHnswInPlaceRebuild:
         # and a CHAINED in-place rebuild still works (streaming path)
         idx3 = idx2.rebuild(spark)
         assert idx3.search(spark, q, k=1).collect()[0]["vec_id"] == 450
+
+
+class TestHnswDeltaWinsRebuild:
+    def test_updated_vector_in_delta_replaces_stored(
+        self, spark, emb, tmp_path
+    ):
+        """A delta row re-inserting an EXISTING id with a new vector
+        must win the rebuild dedup deterministically (dropDuplicates
+        picked an arbitrary survivor)."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 100"), "embedding", "vec_id",
+            str(tmp_path / "h"), shards=2, quant="i8",
+        )
+        # id 7's vector replaced by id 450's embedding
+        updated = (
+            emb.filter("vec_id = 450")
+            .select(F.lit(7).cast("long").alias("vec_id"), "embedding")
+        )
+        target = [float(x) for x in emb.filter("vec_id = 450").first()["embedding"]]
+        idx.add_delta(updated)
+        for _ in range(3):  # deterministic across repeated rebuilds
+            idx2 = idx.rebuild(spark)
+            top = idx2.search(spark, target, k=1).collect()[0]
+            assert top["vec_id"] == 7 and top["dist"] < 1e-2
+            idx = idx2

@@ -106,3 +106,36 @@ class TestJobLifecycle:
         reg = JobRegistry(str(tmp_path / "jobs"))
         with pytest.raises(KeyError, match="no job"):
             reg.get_job_status(99)
+
+
+class TestFailedJobResume:
+    def test_resume_clears_failure_and_restarts(self, spark, tmp_path):
+        """resume of a FAILED job is a retry: failure markers clear,
+        the dead handle is dropped, the stream restarts from its
+        checkpoint (the review finding: the stale handle blocked the
+        restart and 'failed' stuck forever)."""
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        _write_docs(spark, src + "/b0", [(1, "alpha")])
+        reg = JobRegistry(str(tmp_path / "jobs"))
+        jid = reg.submit_embedding_job(
+            spark, src + "/*", SCHEMA, "text", "emb", out
+        )
+        q = reg._queries[jid]
+        q.processAllAvailable()
+        q.stop()  # dead handle stays registered, simulating a crash
+        reg._update(
+            jid,
+            init_failed_at=1.0,
+            init_failure_reason="simulated source failure",
+        )
+        status, _, err = reg.get_embedding_job_status(jid)
+        assert status == "failed" and "simulated" in err
+        _write_docs(spark, src + "/b1", [(2, "beta")])
+        reg.resume_embedding_job(spark, jid)
+        reg._queries[jid].processAllAvailable()
+        status, _, err = reg.get_embedding_job_status(jid)
+        assert status in ("in_progress", "enabled") and err is None
+        reg.cancel_job(jid)
+        got = spark.read.parquet(out)
+        assert got.count() == 2  # no re-embed of row 1

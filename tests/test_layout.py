@@ -199,3 +199,26 @@ class TestCompactionPartitionPreserving:
         _os.rename(path, path + "__old")  # simulate the crash window
         recover_compaction(path)
         assert spark.read.parquet(path).count() == 100
+
+
+class TestCompactionTargetSize:
+    def test_oversized_partition_splits_at_target(self, spark, tmp_path):
+        """A partition larger than target_file_bytes must split into
+        multiple files (maxRecordsPerFile sized from measured
+        bytes/row), not compact into one unsplittable monolith."""
+        path = str(tmp_path / "t")
+        df = spark.range(20_000).withColumn(
+            "part", (F.col("id") % 2).cast("string")
+        ).withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+        df.repartition(8).write.partitionBy("part").parquet(path)
+        # tiny target forces splits inside each partition dir
+        compact_small_files(spark, path, target_file_bytes=64 * 1024)
+        for d in ("part=0", "part=1"):
+            files = [
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) > 1, f"{d} compacted to a monolith"
+        got = spark.read.parquet(path)
+        assert got.count() == 20_000
