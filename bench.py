@@ -309,7 +309,8 @@ def main() -> None:
         # At 100 TB the k·oversample re-rank is CONSTANT per query while
         # the code scan stays ~code_bytes/vec_bytes of a raw scan.
         for oversample in (8, 16, 32, 64, 128):
-            hits, total = 0, 0
+            hits, n_checked = 0, 0  # NOT `total` — that is the
+            # headline wall-clock accumulator printed as `value`
             for q, exact in zip(nat_probes, exact_sets):
                 got = {
                     r["vec_id"]
@@ -319,8 +320,8 @@ def main() -> None:
                     ).collect()
                 }
                 hits += len(exact & got)
-                total += 10
-            rec = hits / max(total, 1)
+                n_checked += 10
+            rec = hits / max(n_checked, 1)
             if rec >= 0.95 or 10 * oversample >= n_nat:
                 break
         pq_params = ivf_nat.manifest.params["pq"]
