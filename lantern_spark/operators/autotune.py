@@ -222,9 +222,14 @@ def tune_nprobe(
         .mapInPandas(local_topk, out_schema)
         .collect()
     )
+    # one pass bucketing by qid — not a per-query scan of the full
+    # candidate list, which would make the driver reduce O(Q·|cand|)
+    by_qid: dict = {}
+    for r in cand:
+        by_qid.setdefault(r["qid"], []).append(r)
     ranks: List[np.ndarray] = []
     for j, q in enumerate(queries):
-        mine = [r for r in cand if r["qid"] == j]
+        mine = by_qid.get(j, [])
         # global top-k: (distance, id) tie-break, the repo convention
         mine.sort(key=lambda r: (r["__d"], r["__id"]))
         probe_order = index._probe_lists(spark, q, mf.nlist)

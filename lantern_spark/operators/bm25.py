@@ -339,7 +339,20 @@ def search_bm25_approx(
     )
     caller_blooms = blooms is not None
     if blooms is None:
-        blooms = hot_term_blooms(stats, thr)
+        # derive blooms for the QUERY's hot terms only — postings are
+        # pre-filtered to them, so one query never pays for
+        # materializing every corpus-wide hot term's doc_id array
+        # (prebuilt blooms remain the at-scale path, bm25_api.sql:55)
+        hdf = F.broadcast(
+            spark.createDataFrame([(t,) for t in hot], "term string")
+        )
+        blooms = hot_term_blooms(
+            BM25Stats(
+                postings=stats.postings.join(hdf, "term"),
+                corpus=stats.corpus,
+            ),
+            thr,
+        )
     # membership in the CURRENT hot set decides which terms get the
     # approximation — not the df column persisted in the blooms table:
     # a term that cooled since the blooms were built already scores

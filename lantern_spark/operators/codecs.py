@@ -135,6 +135,14 @@ def decode_wav(buf: bytes) -> tuple:
         cid = buf[pos : pos + 4]
         size = struct.unpack_from("<I", buf, pos + 4)[0]
         body = buf[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # declared chunk size exceeds the buffer (interrupted
+            # upload): corruption must raise, never silently decode a
+            # clamped waveform (decode_bmp's `truncated pixel data`
+            # twin)
+            raise ValueError(
+                f"truncated WAV {cid!r} chunk ({len(body)} < {size} bytes)"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -163,8 +171,12 @@ def decode_wav(buf: bytes) -> tuple:
             samples = raw.astype(np.float32) / float(2 ** (bits - 1))
     else:
         raise UnsupportedCodecFeature(f"unsupported WAV format tag {tag}")
-    n = (len(samples) // channels) * channels
-    return samples[:n].reshape(-1, channels), int(rate)
+    if len(samples) % channels != 0:
+        raise ValueError(
+            f"WAV data holds {len(samples)} samples, not a multiple of "
+            f"{channels} channels (partial final frame — truncated?)"
+        )
+    return samples.reshape(-1, channels), int(rate)
 
 
 def encode_wav(

@@ -529,6 +529,10 @@ class HNSWIndex:
         # the fresh build (ADVICE r2). Removed only AFTER the graphs
         # and vectors writes succeeded (crash mid-build loses nothing).
         shutil.rmtree(os.path.join(path, "delta"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(path, "delta_seq"))
+        except OSError:
+            pass
         manifest = {
             "kind": "hnsw",
             "column": column,
@@ -564,11 +568,27 @@ class HNSWIndex:
         this graph structure, insert.c): append rows to a delta set,
         searched exactly and unioned until ``rebuild`` folds them into
         fresh graphs — the same immutable-artifact lifecycle as
-        IVFIndex."""
+        IVFIndex.
+
+        Each append stamps a monotonically increasing ``__delta_seq``
+        (persisted counter, single-writer like the lifecycle itself)
+        so rebuild can resolve SAME-ID conflicts by recency: two
+        add_delta calls updating one id must fold the later vector,
+        deterministically."""
         mf = self.manifest
-        df.select(mf["id_column"], mf["column"]).write.mode("append").parquet(
-            os.path.join(self.path, "delta")
-        )
+        seq_file = os.path.join(self.path, "delta_seq")
+        seq = 0
+        if os.path.exists(seq_file):
+            with open(seq_file) as fh:
+                seq = int(fh.read().strip() or 0)
+        seq += 1
+        df.select(mf["id_column"], mf["column"]).withColumn(
+            "__delta_seq", F.lit(seq).cast("long")
+        ).write.mode("append").parquet(os.path.join(self.path, "delta"))
+        tmp = seq_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(seq))
+        os.replace(tmp, seq_file)
 
     def rebuild(
         self, spark: SparkSession, path: Optional[str] = None
@@ -587,14 +607,17 @@ class HNSWIndex:
 
         # delta rows WIN on duplicate ids (an aminsert carrying an
         # updated vector must not lose to the stale stored row, which
-        # a bare dropDuplicates decides arbitrarily); (__src, id) order
-        # keeps the pick deterministic
-        w = Window.partitionBy(mf["id_column"]).orderBy("__src")
+        # a bare dropDuplicates decides arbitrarily), and among
+        # multiple delta updates of one id the HIGHEST append sequence
+        # wins — (__src asc, __seq desc) is fully deterministic
+        w = Window.partitionBy(mf["id_column"]).orderBy(
+            F.col("__src").asc(), F.col("__seq").desc()
+        )
         base = (
             self._all_rows(spark, tag_source=True)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__src")
+            .drop("__rn", "__src", "__seq")
         )
         import shutil
         import tempfile
@@ -635,13 +658,34 @@ class HNSWIndex:
         (rebuild must not re-quantize a lossy reconstruction, ADVICE
         r5); f32 builds dump graph payloads via a map-only pass.
 
-        ``tag_source`` adds ``__src`` (0 = delta, 1 = stored) so
-        rebuild can deterministically prefer the delta row when the
-        same id exists in both (an updated vector must win)."""
+        ``tag_source`` adds ``__src`` (0 = delta, 1 = stored) and
+        ``__seq`` (the add_delta append counter; 0 for stored/legacy
+        rows) so rebuild can deterministically prefer the NEWEST delta
+        row when the same id exists multiple times (an updated vector
+        must win, and the latest update must win among updates)."""
         mf = self.manifest
 
         def tag(df, src):
-            return df.withColumn("__src", F.lit(src)) if tag_source else df
+            if not tag_source:
+                return df.drop("__delta_seq") if "__delta_seq" in df.columns else df
+            if "__delta_seq" in df.columns:
+                df = df.withColumn(
+                    "__seq",
+                    F.coalesce(F.col("__delta_seq"), F.lit(0)).cast("long"),
+                ).drop("__delta_seq")
+            else:
+                df = df.withColumn("__seq", F.lit(0).cast("long"))
+            return df.withColumn("__src", F.lit(src))
+
+        def read_delta(delta_path):
+            d = spark.read.parquet(delta_path)
+            cols = [
+                F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+                F.col(mf["column"]).cast("array<float>").alias(mf["column"]),
+            ]
+            if "__delta_seq" in d.columns:
+                cols.append("__delta_seq")
+            return d.select(*cols)
 
         vec_path = os.path.join(self.path, "vectors")
         if os.path.isdir(vec_path):
@@ -654,19 +698,7 @@ class HNSWIndex:
             )
             delta_path = os.path.join(self.path, "delta")
             if os.path.isdir(delta_path):
-                out = out.unionByName(
-                    tag(
-                        spark.read.parquet(delta_path).select(
-                            F.col(mf["id_column"]).cast("long").alias(
-                                mf["id_column"]
-                            ),
-                            F.col(mf["column"]).cast("array<float>").alias(
-                                mf["column"]
-                            ),
-                        ),
-                        0,
-                    )
-                )
+                out = out.unionByName(tag(read_delta(delta_path), 0))
             return out
         schema = T.StructType(
             [
@@ -700,14 +732,7 @@ class HNSWIndex:
         )
         delta_path = os.path.join(self.path, "delta")
         if os.path.isdir(delta_path):
-            out = out.unionByName(
-                tag(
-                    spark.read.parquet(delta_path).select(
-                        mf["id_column"], mf["column"]
-                    ),
-                    0,
-                )
-            )
+            out = out.unionByName(tag(read_delta(delta_path), 0))
         return out
 
     def search(

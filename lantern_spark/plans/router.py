@@ -328,15 +328,21 @@ def ann_search(
 ):
     """Routed top-k: consult the catalog, estimate costs, dispatch.
 
+    CONTRACT: ``df`` must BE the table the catalog entries index —
+    the same contract as Postgres, where an index path is only
+    considered for the indexed relation itself. A filtered subset
+    belongs in the filter-aware search APIs (``knn_search(where=…)``,
+    ``IVFIndex.search(where=…)``), not here: an index route would
+    return rows the subset excludes.
+
+    The exact-scan candidate is priced from ``df.count()`` — the LIVE
+    row count (a metadata-only job on parquet) — not from build-time
+    catalog counts, which go stale as the table grows or shrinks.
+
     Returns the result DataFrame, or ``(DataFrame, RouteDecision)``
     with ``explain=True`` (the masked_explain convention: show the
     decision, never the vectors)."""
-    n_rows = None
-    for e in catalog.lookup(table, column, metric) if catalog else []:
-        if e.num_vectors:
-            n_rows = max(n_rows or 0, e.num_vectors)
-    if n_rows is None:
-        n_rows = df.count()
+    n_rows = df.count()
     decision = route(catalog, table, column, metric, n_rows, recall_floor)
     if decision.access_path == "ivf":
         from lantern_spark.operators.index import IVFIndex

@@ -136,16 +136,14 @@ def _partition_columns(path: str) -> list:
 
 
 def recover_compaction(path: str) -> None:
-    """Self-heal after a compaction that crashed mid-swap: restore the
-    ``__old`` backup if the live directory is gone, finish the backup
-    cleanup if the swap completed, drop stale staging. Idempotent."""
+    """Self-heal after a compaction that crashed mid-swap (shared
+    machinery: ``_fsutil.recover_dir``), drop stale staging.
+    Idempotent."""
     import shutil
 
-    old = path.rstrip("/") + "__old"
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
-    elif os.path.isdir(path) and os.path.isdir(old):
-        shutil.rmtree(old, ignore_errors=True)
+    from lantern_spark._fsutil import recover_dir
+
+    recover_dir(path)
     shutil.rmtree(path.rstrip("/") + "__compact", ignore_errors=True)
 
 
@@ -213,12 +211,9 @@ def compact_small_files(
     finally:
         spark.conf.set(infer_key, old_infer)
     if out_path is None:
-        import shutil
+        from lantern_spark._fsutil import replace_dir
 
-        old = path.rstrip("/") + "__old"
-        os.rename(path, old)
-        os.rename(staged, path)
-        shutil.rmtree(old)
+        replace_dir(staged, path)
         staged = path
     files_after = sum(
         1

@@ -135,20 +135,15 @@ def _mark_epoch(path: str, epoch: int) -> None:
 
 
 def recover_bm25_path(path: str) -> None:
-    """Self-heal a layout whose last consolidation crashed mid-swap:
-    for each swapped subdir, if the live dir is missing but its
-    ``__old`` backup exists, restore the backup; stale staging dirs
+    """Self-heal a layout whose last consolidation crashed mid-swap
+    (shared machinery: ``_fsutil.recover_dir``); stale staging dirs
     are cleared. Idempotent; called at consolidation and job start."""
     import shutil
 
+    from lantern_spark._fsutil import recover_dir
+
     for sub in ("postings", "corpus"):
-        live = os.path.join(path, sub)
-        old = live + "__old"
-        if not os.path.isdir(live) and os.path.isdir(old):
-            os.rename(old, live)
-        elif os.path.isdir(live) and os.path.isdir(old):
-            # swap completed but backup cleanup didn't — finish it
-            shutil.rmtree(old, ignore_errors=True)
+        recover_dir(os.path.join(path, sub))
     shutil.rmtree(path.rstrip("/") + "__consolidated", ignore_errors=True)
 
 
@@ -175,13 +170,10 @@ def consolidate_bm25_path(spark: SparkSession, path: str) -> None:
     ).repartition(1).write.mode("overwrite").parquet(
         os.path.join(staged, "corpus")
     )
+    from lantern_spark._fsutil import replace_dir
+
     for sub in ("postings", "corpus"):
-        live = os.path.join(path, sub)
-        old = live + "__old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(live, old)
-        os.rename(os.path.join(staged, sub), live)
-        shutil.rmtree(old)
+        replace_dir(os.path.join(staged, sub), os.path.join(path, sub))
     shutil.rmtree(staged, ignore_errors=True)
 
 

@@ -215,8 +215,12 @@ class JobRegistry:
         r = self._get(job_id)
         try:
             exc = q.exception()
-        except Exception:
-            exc = None
+        except Exception as probe_err:
+            # an UNREADABLE handle (broken JVM gateway, stopped
+            # context) is itself a failure — treating it as "no
+            # exception" would leave a dead job 'in_progress' forever
+            # and block resume behind the stale handle
+            exc = RuntimeError(f"query handle unreachable: {probe_err}")
         if exc is not None and r.init_failed_at is None:
             self._update(
                 job_id,
@@ -227,10 +231,14 @@ class JobRegistry:
             self._queries.pop(job_id, None)
             return
         if r.init_finished_at is None and q.isActive:
-            # backlog drained = no data available across the last
-            # progress sample → init phase complete
+            # init completes only once the stream has BOTH processed
+            # data and then drained: a zero-row first trigger on an
+            # empty-at-start source must not report 'enabled'/100%
+            # while the real backlog is still to come
+            hist = q.recentProgress or []
+            saw_rows = any(p["numInputRows"] > 0 for p in hist)
             lp = q.lastProgress
-            if lp is not None and lp["numInputRows"] == 0:
+            if saw_rows and lp is not None and lp["numInputRows"] == 0:
                 self._update(
                     job_id, init_finished_at=time.time(), init_progress=100
                 )

@@ -223,3 +223,45 @@ class TestMultimodalRealDecode:
         # hash-seeded fake could never produce an all-zero vector
         assert out[1].sum() > 0
         assert np.allclose(out[2], 0.0)
+
+
+class TestCorruptionRaises:
+    """Corrupt streams raise plain ValueError (never silently decode);
+    valid-but-unimplemented variants raise UnsupportedCodecFeature."""
+
+    def test_truncated_wav_data_chunk_raises(self):
+        import numpy as np
+        import pytest
+
+        from lantern_spark.operators.codecs import decode_wav, encode_wav
+
+        wav = encode_wav(np.linspace(-0.5, 0.5, 256), rate=8000)
+        cut = wav[: len(wav) - 100]  # interrupted upload
+        with pytest.raises(ValueError, match="truncated WAV"):
+            decode_wav(cut)
+
+    def test_partial_final_frame_raises(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from lantern_spark.operators.codecs import decode_wav, encode_wav
+
+        # stereo WAV whose data chunk drops one sample (half a frame):
+        # rebuild the container with a consistent but odd sample count
+        stereo = np.zeros((10, 2), dtype=np.float64)
+        wav = bytearray(encode_wav(stereo, rate=8000))
+        di = bytes(wav).rindex(b"data")
+        size = struct.unpack_from("<I", wav, di + 4)[0]
+        struct.pack_into("<I", wav, di + 4, size - 2)  # drop 1 int16
+        truncated = bytes(wav[: di + 8 + size - 2])
+        # fix RIFF size so chunk walk stays in bounds
+        struct.pack_into("<I", truncated and wav, 4, len(truncated) - 8)
+        with pytest.raises(ValueError, match="partial final frame"):
+            decode_wav(bytes(wav[: di + 8 + size - 2]))
+
+    def test_unsupported_is_subclass_for_fallthrough(self):
+        from lantern_spark.operators.codecs import UnsupportedCodecFeature
+
+        assert issubclass(UnsupportedCodecFeature, ValueError)

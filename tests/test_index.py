@@ -319,3 +319,32 @@ class TestHnswDeltaWinsRebuild:
             top = idx2.search(spark, target, k=1).collect()[0]
             assert top["vec_id"] == 7 and top["dist"] < 1e-2
             idx = idx2
+
+
+class TestHnswDeltaRecency:
+    def test_latest_delta_update_wins(self, spark, emb, tmp_path):
+        """Two add_delta calls updating the SAME id: rebuild must fold
+        the later vector (append-sequence recency, not an arbitrary
+        row_number tie among __src=0 rows)."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 100"), "embedding", "vec_id",
+            str(tmp_path / "h"), shards=2, quant="i8",
+        )
+        v1 = emb.filter("vec_id = 400").select(
+            F.lit(7).cast("long").alias("vec_id"), "embedding"
+        )
+        v2 = emb.filter("vec_id = 450").select(
+            F.lit(7).cast("long").alias("vec_id"), "embedding"
+        )
+        idx.add_delta(v1)
+        idx.add_delta(v2)  # the LATER update
+        target = [
+            float(x) for x in emb.filter("vec_id = 450").first()["embedding"]
+        ]
+        idx2 = idx.rebuild(spark)
+        top = idx2.search(spark, target, k=1).collect()[0]
+        assert top["vec_id"] == 7 and top["dist"] < 1e-2
