@@ -18,9 +18,15 @@ A from-scratch re-expression of the capabilities of lanterndata/lantern
 - embedding pipelines, batch + structured-streaming incremental
   (reference: lantern_cli/src/embeddings/)
 - index autotune harness (reference: lantern_cli/src/index_autotune/)
+- cost-based access-path routing over a persistent index catalog
+  (reference: lantern_hnsw/src/hnsw.c:97-209 amcostestimate)
+- continuous-job management: submit/status/cancel/resume over
+  Structured Streaming (reference: lantern_extras/src/daemon.rs:225-400)
+- storage layout: time-partitioned pruned reads, bucketed no-shuffle
+  joins, partition-preserving compaction (sources/layout.py)
 - LLM-data-pipeline extensions: dedup (exact/minhash-LSH/simhash/
   ngram-jaccard/embedding), similarity search, text analysis,
-  multimodal column plumbing.
+  multimodal column plumbing with pure-python BMP/WAV codecs.
 
 Everything is DataFrame-in / DataFrame-out and designed for 100 TB scale:
 no driver-side collection except tiny codebooks/centroids/manifests.
