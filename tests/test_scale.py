@@ -444,3 +444,62 @@ class TestHnswValidate:
             idx.validate(spark)
         stats = idx.validate(spark, strict=False)
         assert any("out of range" in v for v in stats["violations"])
+
+
+class TestEndToEndTrainingPipeline:
+    """The north-star composition as ONE flow: curate -> cluster-aware
+    near-dedup -> deterministic split -> sequence packing. Each stage
+    is unit-tested elsewhere; this pins that the COMPOSITION is
+    deterministic end-to-end, loses no rows unaccountably, and keeps
+    every heuristic stage out of Python (the 100 TB contract: one scan
+    feeds the pipeline until dedup's shuffles)."""
+
+    def test_pipeline_composes_deterministically(self, spark, sf_dir):
+        import os
+
+        from lantern_spark.operators.curate import curate_corpus
+        from lantern_spark.operators.pack import hash_split, pack_sequences
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_in = docs.count()
+
+        def run():
+            curated, report = curate_corpus(
+                docs, "text", "doc_id", report=True
+            )
+            split = hash_split(
+                curated, "doc_id",
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+            )
+            packed = pack_sequences(
+                split.filter("split = 'train'"), "text", "doc_id",
+                max_tokens=2048,
+            )
+            return report, curated.count(), split, packed
+
+        report, n_dedup, split, packed = run()
+        # accounting: stages are reported and monotonically shrink
+        assert report["input"] == n_in
+        assert (
+            n_dedup
+            == report["near_dedup"]
+            <= report["exact_dedup"]
+            <= report["heuristics"]
+            <= n_in
+        )
+        # split fractions cover every surviving doc exactly once
+        assert split.count() == n_dedup
+        assert split.groupBy("split").count().count() <= 3
+        # packing assigns every train doc exactly one pack id
+        train_n = split.filter("split = 'train'").count()
+        assert packed.count() == train_n
+        assert packed.where("pack_id is null").count() == 0
+        # determinism: the whole composition replays to identical rows
+        _, n_dedup2, split2, packed2 = run()
+        assert n_dedup2 == n_dedup
+        a = {(r["doc_id"], r["split"]) for r in split.collect()}
+        b = {(r["doc_id"], r["split"]) for r in split2.collect()}
+        assert a == b
+        pa = {(r["doc_id"], r["pack_id"]) for r in packed.collect()}
+        pb = {(r["doc_id"], r["pack_id"]) for r in packed2.collect()}
+        assert pa == pb
