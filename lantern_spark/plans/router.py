@@ -325,6 +325,8 @@ def ann_search(
     recall_floor: float = 0.9,
     catalog: Optional[IndexCatalog] = None,
     explain: bool = False,
+    where=None,
+    oversample: int = 4,
 ):
     """Routed top-k: consult the catalog, estimate costs, dispatch.
 
@@ -339,6 +341,18 @@ def ann_search(
     row count (a metadata-only job on parquet) — not from build-time
     catalog counts, which go stale as the table grows or shrinks.
 
+    ``where``: the reference's post-filter contract
+    (test/sql/hnsw_select.sql:51 — WHERE + ORDER BY still uses the
+    index, with the filter applied to the candidates). Dispatch:
+    exact/IVF push the predicate into their filter-aware searches
+    (IVF probes ``oversample``× more lists to refill k); HNSW has no
+    filtered walk (neither does the reference's), so its candidates
+    are over-fetched ``k·oversample`` and post-filtered — scarce
+    matches may underfill k on that path, the reference's documented
+    behavior. On the IVF path the predicate may reference only columns
+    stored IN the index (id/vector plus build-time ``extra_columns``);
+    on the HNSW path only the result columns (id, dist).
+
     Returns the result DataFrame, or ``(DataFrame, RouteDecision)``
     with ``explain=True`` (the masked_explain convention: show the
     decision, never the vectors)."""
@@ -349,17 +363,31 @@ def ann_search(
 
         idx = IVFIndex.load(decision.entry.index_path)
         out = idx.search(
-            spark, query, k=k, nprobe=decision.entry.params["nprobe"]
+            spark, query, k=k, nprobe=decision.entry.params["nprobe"],
+            where=where, oversample=oversample,
         )
     elif decision.access_path == "hnsw":
         from lantern_spark.operators.hnsw import HNSWIndex
 
         idx = HNSWIndex.load(decision.entry.index_path)
-        out = idx.search(spark, query, k=k, ef=decision.entry.params["ef"])
+        if where is None:
+            out = idx.search(
+                spark, query, k=k, ef=decision.entry.params["ef"]
+            )
+        else:
+            out = (
+                idx.search(
+                    spark, query, k=k * max(1, oversample),
+                    ef=decision.entry.params["ef"],
+                )
+                .filter(where)
+                .limit(k)
+            )
     else:
         from lantern_spark.operators.knn import knn_search
 
         out = knn_search(
-            df, column, query, k=k, metric=metric, tie_break=id_column
+            df, column, query, k=k, metric=metric, tie_break=id_column,
+            where=where,
         )
     return (out, decision) if explain else out

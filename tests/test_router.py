@@ -320,3 +320,44 @@ class TestShardCapHonesty:
         assert estimate_hnsw_tuples(30, 16, 64, shards=1) == pytest.approx(
             10.0
         )
+
+
+class TestWherePassthrough:
+    def test_exact_route_filters(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        out = ann_search(
+            spark, emb, "embeddings", "embedding", q, k=5,
+            id_column="vec_id", where=F.col("vec_id") >= 100,
+        )
+        rows = out.collect()
+        assert len(rows) == 5
+        assert all(r["vec_id"] >= 100 for r in rows)
+
+    def test_ivf_route_filters_with_oversample(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.autotune import tune_nprobe
+        from lantern_spark.operators.index import IVFIndex
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "ivf"),
+            metric="l2sq", nlist=8, seed=42, extra_columns=["label"],
+        )
+        nprobe, rec = tune_nprobe(idx, spark, [q], k=5, target_recall=0.95)
+        cat = IndexCatalog(str(tmp_path))
+        cat.register_ivf(idx, "embeddings", nprobe=nprobe, recall_estimate=rec)
+        out, d = ann_search(
+            spark, emb, "embeddings", "embedding", q, k=5,
+            id_column="vec_id", catalog=cat, explain=True,
+            where=F.col("label") == 3, oversample=8,
+        )
+        assert d.access_path == "ivf"
+        rows = out.collect()
+        assert 0 < len(rows) <= 5
+        if "label" in out.columns:
+            assert all(r["label"] == 3 for r in rows)
