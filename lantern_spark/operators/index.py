@@ -338,6 +338,139 @@ class IVFIndex:
             )
         return out.orderBy(F.col(dist_col).asc(), F.col(mf.id_column).asc()).limit(k)
 
+    def search_batch(
+        self,
+        spark: SparkSession,
+        probes: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        query_col: str = "query",
+        dist_col: str = "dist",
+        include_delta: bool = True,
+    ) -> DataFrame:
+        """Batched ANN top-k: ONE job answers a whole DataFrame of
+        probe vectors — the shape a 100 TB inference workload needs,
+        where per-query jobs (the reference's Postgres-scan model,
+        one ``amgettuple`` stream per query) would pay scheduler and
+        scan overhead thousands of times over.
+
+        Plan shape (three steps, one shuffle):
+
+        1. per-probe list selection runs DISTRIBUTED — a map-only
+           pandas pass ranks the broadcast centroids per query and
+           explodes to (qid, list_id) probe pairs (the driver never
+           sees a query);
+        2. the stored lists are filtered to the UNION of probed
+           list_ids (partition pruning still applies) and broadcast-
+           joined to the probe pairs on ``list_id``, so each row is
+           scored only against the queries that probed its list;
+        3. one window per ``qid`` takes the top-k under the repo's
+           (distance, id) tie-break.
+
+        Delta rows (unpruned by construction) are scored against every
+        probe; tombstones anti-join as in :meth:`search`. Returns
+        (qid, id, dist) rows, k per probe.
+        """
+        mf = self.manifest
+        import numpy as np
+        import pandas as pd
+
+        if mf.centroids:
+            cents = np.asarray(mf.centroids, dtype=np.float64)
+            cent_ids = np.arange(cents.shape[0])
+        else:  # legacy parquet centroids (same fallback as _probe_lists)
+            rows = self.centroids(spark).collect()
+            cent_ids = np.asarray([r["list_id"] for r in rows])
+            cents = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+        metric = Metric.resolve(mf.metric)
+        npb = int(min(max(1, nprobe), mf.nlist))
+        pair_schema = T.StructType(
+            [
+                T.StructField(qid_col, probes.schema[qid_col].dataType),
+                T.StructField(query_col, T.ArrayType(T.DoubleType())),
+                T.StructField("list_id", T.IntegerType()),
+            ]
+        )
+
+        def probe_pairs(batches):
+            if metric is Metric.COS:
+                cn = cents / np.maximum(
+                    np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+                )
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.asarray(pdf[query_col].tolist(), dtype=np.float64)
+                if metric is Metric.COS:
+                    qn = q / np.maximum(
+                        np.linalg.norm(q, axis=1, keepdims=True), 1e-30
+                    )
+                    d = -(qn @ cn.T)
+                else:
+                    d = (
+                        (q ** 2).sum(1, keepdims=True)
+                        - 2.0 * (q @ cents.T)
+                        + (cents ** 2).sum(1)
+                    )
+                order = np.argsort(d, axis=1, kind="stable")[:, :npb]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        qid_col: pdf[qid_col].to_numpy().repeat(npb),
+                        query_col: [
+                            pdf[query_col].iloc[i] for i in range(n)
+                            for _ in range(npb)
+                        ],
+                        "list_id": cent_ids[order].reshape(-1),
+                    }
+                )
+
+        pairs = probes.select(qid_col, query_col).mapInPandas(
+            probe_pairs, pair_schema
+        )
+        probed_ids = [
+            int(r["list_id"]) for r in pairs.select("list_id").distinct().collect()
+        ]
+        base = (
+            self.lists(spark)
+            .filter(F.col("list_id").isin(probed_ids))
+            .join(F.broadcast(pairs), "list_id")
+        )
+        scans = [base.select(qid_col, query_col, mf.id_column, mf.column)]
+        delta_path = os.path.join(self.path, "delta")
+        if include_delta and _path_has_parquet(delta_path):
+            scans.append(
+                spark.read.parquet(delta_path)
+                .select(mf.id_column, mf.column)
+                .crossJoin(F.broadcast(probes.select(qid_col, query_col)))
+                .select(qid_col, query_col, mf.id_column, mf.column)
+            )
+        out = None
+        for s in scans:
+            s = s.withColumn(
+                dist_col,
+                distance(F.col(mf.column), F.col(query_col), mf.metric),
+            ).select(qid_col, mf.id_column, dist_col)
+            out = s if out is None else out.unionByName(s)
+        tomb_path = os.path.join(self.path, "tombstones")
+        if _path_has_parquet(tomb_path):
+            out = out.join(
+                F.broadcast(spark.read.parquet(tomb_path)),
+                on=mf.id_column,
+                how="left_anti",
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col(dist_col).asc(), F.col(mf.id_column).asc()
+        )
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def search_adc(
         self,
         spark: SparkSession,

@@ -348,3 +348,57 @@ class TestHnswDeltaRecency:
         idx2 = idx.rebuild(spark)
         top = idx2.search(spark, target, k=1).collect()[0]
         assert top["vec_id"] == 7 and top["dist"] < 1e-2
+
+
+class TestIvfSearchBatch:
+    """Batched IVF search: one job answers a probes DataFrame, with
+    per-probe list pruning distributed (no driver-side queries)."""
+
+    def test_batch_matches_per_query_search(self, spark, emb, tmp_path):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "ivf"),
+            metric="l2sq", nlist=8, seed=42,
+        )
+        probe_rows = emb.orderBy("vec_id").limit(5).collect()
+        probes = spark.createDataFrame(
+            [(i, [float(x) for x in r["embedding"]])
+             for i, r in enumerate(probe_rows)],
+            "qid int, query array<double>",
+        )
+        batch = idx.search_batch(spark, probes, k=4, nprobe=3)
+        got = {
+            (r["qid"], r["vec_id"], round(r["dist"], 6))
+            for r in batch.collect()
+        }
+        want = set()
+        for i, r in enumerate(probe_rows):
+            for s in idx.search(
+                spark, [float(x) for x in r["embedding"]], k=4, nprobe=3
+            ).collect():
+                want.add((i, s["vec_id"], round(s["dist"], 6)))
+        assert got == want
+
+    def test_batch_sees_delta_and_respects_tombstones(
+        self, spark, emb, tmp_path
+    ):
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "ivf"), metric="l2sq", nlist=8, seed=42,
+        )
+        idx.add_delta(emb.filter("vec_id = 450"))
+        idx.delete(spark.createDataFrame([(0,)], "vec_id long"))
+        target = emb.filter("vec_id = 450").first()
+        probes = spark.createDataFrame(
+            [(0, [float(x) for x in target["embedding"]])],
+            "qid int, query array<double>",
+        )
+        rows = idx.search_batch(spark, probes, k=3, nprobe=8).collect()
+        ids = [r["vec_id"] for r in rows]
+        assert ids[0] == 450  # delta row found at distance ~0
+        assert 0 not in ids  # tombstoned id excluded
