@@ -811,6 +811,99 @@ class HNSWIndex:
         )
         return out.limit(k) if limit_result else out
 
+    def search_batch(
+        self,
+        spark: SparkSession,
+        queries: Sequence[Sequence[float]],
+        k: int = 10,
+        ef: int = 64,
+        qid_col: str = "qid",
+    ) -> DataFrame:
+        """Batched graph search: every shard graph deserializes ONCE
+        and answers the whole probe set — the inference-workload shape.
+
+        Per-query :meth:`search` pays the dominant cost (payload →
+        ``HnswGraph.from_payload``) once per shard PER QUERY; here it
+        is amortized across all |Q| probes (|Q|× fewer deserializes
+        and Spark jobs). Probes ship to every shard task via the
+        closure — |Q|·dim floats, megabytes at 10k probes, far under
+        broadcast scale. Delta rows are exact-scanned once per probe
+        (a small crossJoin, same contract as :meth:`search`); the
+        global per-qid top-k merge is one window over ≤ shards·|Q|·k
+        candidate rows.
+
+        Returns (qid, id, dist), k rows per probe, (dist, id)
+        tie-broken.
+        """
+        mf = self.manifest
+        qs = [list(float(x) for x in q) for q in queries]
+        schema = T.StructType(
+            [
+                T.StructField(qid_col, T.IntegerType()),
+                T.StructField(mf["id_column"], T.LongType()),
+                T.StructField("dist", T.DoubleType()),
+            ]
+        )
+
+        def search_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for payload in pdf["payload"]:
+                    g = HnswGraph.from_payload(bytes(payload))
+                    qids: list = []
+                    ids: list = []
+                    dists: list = []
+                    for j, q in enumerate(qs):
+                        res, _nd = g.search(q, k=k, ef=ef)
+                        for rid, rd in res:
+                            qids.append(j)
+                            ids.append(rid)
+                            dists.append(rd)
+                    if qids:
+                        yield pd.DataFrame(
+                            {
+                                qid_col: qids,
+                                mf["id_column"]: ids,
+                                "dist": dists,
+                            }
+                        )
+
+        graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
+        out = graphs.mapInPandas(search_shard, schema)
+        delta_path = os.path.join(self.path, "delta")
+        if os.path.isdir(delta_path):
+            from lantern_spark.functions.distances import distance
+
+            probes = spark.createDataFrame(
+                [(j, q) for j, q in enumerate(qs)],
+                f"{qid_col} int, __q array<double>",
+            )
+            delta = (
+                spark.read.parquet(delta_path)
+                .select(
+                    F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+                    F.col(mf["column"]).alias(mf["column"]),
+                )
+                .crossJoin(F.broadcast(probes))
+                .select(
+                    qid_col,
+                    mf["id_column"],
+                    distance(F.col(mf["column"]), F.col("__q"), mf["metric"])
+                    .cast("double")
+                    .alias("dist"),
+                )
+            )
+            out = out.unionByName(delta)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("dist").asc(), F.col(mf["id_column"]).asc()
+        )
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def validate(self, spark: SparkSession, strict: bool = True) -> dict:
         """Structural graph validation — ``validate_index`` analog
         (lantern_hnsw/src/hnsw/validate_index.c:436: walks every node's

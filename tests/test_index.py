@@ -402,3 +402,41 @@ class TestIvfSearchBatch:
         ids = [r["vec_id"] for r in rows]
         assert ids[0] == 450  # delta row found at distance ~0
         assert 0 not in ids  # tombstoned id excluded
+
+
+class TestHnswSearchBatch:
+    def test_batch_matches_per_query_search(self, spark, emb, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "h"),
+            m=8, ef_construction=64, shards=2, seed=42,
+        )
+        idx.add_delta(emb.limit(0))  # no-op delta dir absent
+        probe_rows = emb.orderBy("vec_id").limit(4).collect()
+        qs = [[float(x) for x in r["embedding"]] for r in probe_rows]
+        batch = idx.search_batch(spark, qs, k=3, ef=64)
+        got = {
+            (r["qid"], r["vec_id"], round(r["dist"], 6))
+            for r in batch.collect()
+        }
+        want = set()
+        for j, q in enumerate(qs):
+            for s in idx.search(spark, q, k=3, ef=64).collect():
+                want.add((j, s["vec_id"], round(s["dist"], 6)))
+        assert got == want
+
+    def test_batch_sees_delta(self, spark, emb, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "h"), m=8, ef_construction=64, shards=2,
+            seed=42,
+        )
+        idx.add_delta(emb.filter("vec_id = 450"))
+        target = [
+            float(x) for x in emb.filter("vec_id = 450").first()["embedding"]
+        ]
+        rows = idx.search_batch(spark, [target], k=2, ef=64).collect()
+        assert rows[0]["vec_id"] == 450 and rows[0]["dist"] < 1e-9
