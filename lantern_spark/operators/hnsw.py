@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lantern_spark.operators.index import _path_has_parquet
 from lantern_spark.types import Metric
 
 
@@ -697,7 +698,7 @@ class HNSWIndex:
                 1,
             )
             delta_path = os.path.join(self.path, "delta")
-            if os.path.isdir(delta_path):
+            if _path_has_parquet(delta_path):
                 out = out.unionByName(tag(read_delta(delta_path), 0))
             return out
         schema = T.StructType(
@@ -731,7 +732,7 @@ class HNSWIndex:
             1,
         )
         delta_path = os.path.join(self.path, "delta")
-        if os.path.isdir(delta_path):
+        if _path_has_parquet(delta_path):
             out = out.unionByName(tag(read_delta(delta_path), 0))
         return out
 
@@ -781,7 +782,7 @@ class HNSWIndex:
         graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
         out = graphs.mapInPandas(search_shard, schema)
         delta_path = os.path.join(self.path, "delta")
-        if os.path.isdir(delta_path):
+        if _path_has_parquet(delta_path):
             # delta rows are exact-scanned and merge as shard -1 (same
             # contract as IVF's delta: exact until rebuild folds in).
             # n_dist=0 so graph scan-fraction accounting is undistorted.
@@ -807,7 +808,7 @@ class HNSWIndex:
             ["shard_id", "n_dist"] if with_stats else []
         )
         out = out.select(*cols).orderBy(
-            F.col("dist").asc(), F.col(mf["id_column"]).asc()
+            F.col("dist").asc_nulls_last(), F.col(mf["id_column"]).asc()
         )
         return out.limit(k) if limit_result else out
 
@@ -870,7 +871,7 @@ class HNSWIndex:
         graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
         out = graphs.mapInPandas(search_shard, schema)
         delta_path = os.path.join(self.path, "delta")
-        if os.path.isdir(delta_path):
+        if _path_has_parquet(delta_path):
             from lantern_spark.functions.distances import distance
 
             probes = spark.createDataFrame(
@@ -895,8 +896,10 @@ class HNSWIndex:
             out = out.unionByName(delta)
         from pyspark.sql import Window
 
+        # nulls LAST: a NULL delta distance must never displace real
+        # neighbors (knn_search's mitigation)
         w = Window.partitionBy(qid_col).orderBy(
-            F.col("dist").asc(), F.col(mf["id_column"]).asc()
+            F.col("dist").asc_nulls_last(), F.col(mf["id_column"]).asc()
         )
         return (
             out.withColumn("__rn", F.row_number().over(w))

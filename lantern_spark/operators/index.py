@@ -336,7 +336,11 @@ class IVFIndex:
             out = out.join(
                 F.broadcast(tombs), on=mf.id_column, how="left_anti"
             )
-        return out.orderBy(F.col(dist_col).asc(), F.col(mf.id_column).asc()).limit(k)
+        # nulls LAST (zero-norm cos / NULL delta vectors): knn_search's
+        # mitigation, applied to the index path too
+        return out.orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(mf.id_column).asc()
+        ).limit(k)
 
     def search_batch(
         self,
@@ -355,87 +359,51 @@ class IVFIndex:
         one ``amgettuple`` stream per query) would pay scheduler and
         scan overhead thousands of times over.
 
-        Plan shape (three steps, one shuffle):
+        Plan shape (one shuffle):
 
-        1. per-probe list selection runs DISTRIBUTED — a map-only
-           pandas pass ranks the broadcast centroids per query and
-           explodes to (qid, list_id) probe pairs (the driver never
-           sees a query);
+        1. the probe set is SNAPSHOT once to the driver and each
+           query's lists are ranked by the SAME ``_probe_lists``
+           kernel per-query search uses — identical formula, identical
+           tie-break, so batch ≡ per-query by construction (and a
+           nondeterministic probes lineage cannot produce pairs that
+           disagree with the pruned scan). Driver traffic is |Q|·dim
+           floats — megabytes at 10k probes; chunk the probe set
+           beyond that;
         2. the stored lists are filtered to the UNION of probed
            list_ids (partition pruning still applies) and broadcast-
-           joined to the probe pairs on ``list_id``, so each row is
-           scored only against the queries that probed its list;
+           joined to the tiny (qid, list_id) pair keys, then to the
+           (qid, query) vectors ONCE — the vectors are never
+           replicated nprobe× through the broadcast;
         3. one window per ``qid`` takes the top-k under the repo's
-           (distance, id) tie-break.
+           (distance nulls-last, id) tie-break.
 
         Delta rows (unpruned by construction) are scored against every
         probe; tombstones anti-join as in :meth:`search`. Returns
         (qid, id, dist) rows, k per probe.
         """
         mf = self.manifest
-        import numpy as np
-        import pandas as pd
-
-        if mf.centroids:
-            cents = np.asarray(mf.centroids, dtype=np.float64)
-            cent_ids = np.arange(cents.shape[0])
-        else:  # legacy parquet centroids (same fallback as _probe_lists)
-            rows = self.centroids(spark).collect()
-            cent_ids = np.asarray([r["list_id"] for r in rows])
-            cents = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
-        metric = Metric.resolve(mf.metric)
         npb = int(min(max(1, nprobe), mf.nlist))
-        pair_schema = T.StructType(
-            [
-                T.StructField(qid_col, probes.schema[qid_col].dataType),
-                T.StructField(query_col, T.ArrayType(T.DoubleType())),
-                T.StructField("list_id", T.IntegerType()),
-            ]
+        snapshot = probes.select(qid_col, query_col).collect()
+        pair_rows = []
+        vec_rows = []
+        for r in snapshot:
+            q = [float(x) for x in r[query_col]]
+            vec_rows.append((r[qid_col], q))
+            for lid in self._probe_lists(spark, q, npb):
+                pair_rows.append((r[qid_col], int(lid)))
+        qid_type = probes.schema[qid_col].dataType.simpleString()
+        pair_keys = spark.createDataFrame(
+            pair_rows, f"{qid_col} {qid_type}, list_id int"
         )
-
-        def probe_pairs(batches):
-            if metric is Metric.COS:
-                cn = cents / np.maximum(
-                    np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
-                )
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                q = np.asarray(pdf[query_col].tolist(), dtype=np.float64)
-                if metric is Metric.COS:
-                    qn = q / np.maximum(
-                        np.linalg.norm(q, axis=1, keepdims=True), 1e-30
-                    )
-                    d = -(qn @ cn.T)
-                else:
-                    d = (
-                        (q ** 2).sum(1, keepdims=True)
-                        - 2.0 * (q @ cents.T)
-                        + (cents ** 2).sum(1)
-                    )
-                order = np.argsort(d, axis=1, kind="stable")[:, :npb]
-                n = len(pdf)
-                yield pd.DataFrame(
-                    {
-                        qid_col: pdf[qid_col].to_numpy().repeat(npb),
-                        query_col: [
-                            pdf[query_col].iloc[i] for i in range(n)
-                            for _ in range(npb)
-                        ],
-                        "list_id": cent_ids[order].reshape(-1),
-                    }
-                )
-
-        pairs = probes.select(qid_col, query_col).mapInPandas(
-            probe_pairs, pair_schema
+        probe_vecs = spark.createDataFrame(
+            vec_rows, f"{qid_col} {qid_type}, {query_col} array<double>"
         )
-        probed_ids = [
-            int(r["list_id"]) for r in pairs.select("list_id").distinct().collect()
-        ]
+        probed_ids = sorted({lid for _, lid in pair_rows})
         base = (
             self.lists(spark)
             .filter(F.col("list_id").isin(probed_ids))
-            .join(F.broadcast(pairs), "list_id")
+            .join(F.broadcast(pair_keys), "list_id")
+            .join(F.broadcast(probe_vecs), qid_col)
         )
         scans = [base.select(qid_col, query_col, mf.id_column, mf.column)]
         delta_path = os.path.join(self.path, "delta")
@@ -443,7 +411,7 @@ class IVFIndex:
             scans.append(
                 spark.read.parquet(delta_path)
                 .select(mf.id_column, mf.column)
-                .crossJoin(F.broadcast(probes.select(qid_col, query_col)))
+                .crossJoin(F.broadcast(probe_vecs))
                 .select(qid_col, query_col, mf.id_column, mf.column)
             )
         out = None
@@ -462,8 +430,11 @@ class IVFIndex:
             )
         from pyspark.sql import Window
 
+        # nulls LAST: a NULL distance (zero-norm cos via try_divide,
+        # NULL vector in the delta) must never displace real
+        # neighbors — same mitigation as knn_search
         w = Window.partitionBy(qid_col).orderBy(
-            F.col(dist_col).asc(), F.col(mf.id_column).asc()
+            F.col(dist_col).asc_nulls_last(), F.col(mf.id_column).asc()
         )
         return (
             out.withColumn("__rn", F.row_number().over(w))

@@ -356,6 +356,7 @@ def ann_search(
     Returns the result DataFrame, or ``(DataFrame, RouteDecision)``
     with ``explain=True`` (the masked_explain convention: show the
     decision, never the vectors)."""
+    oversample = max(1, int(oversample))  # 0 would probe ZERO IVF lists
     n_rows = df.count()
     decision = route(catalog, table, column, metric, n_rows, recall_floor)
     if decision.access_path == "ivf":
@@ -377,7 +378,7 @@ def ann_search(
         else:
             out = (
                 idx.search(
-                    spark, query, k=k * max(1, oversample),
+                    spark, query, k=k * oversample,
                     ef=decision.entry.params["ef"],
                 )
                 .filter(where)

@@ -359,5 +359,11 @@ class TestWherePassthrough:
         assert d.access_path == "ivf"
         rows = out.collect()
         assert 0 < len(rows) <= 5
-        if "label" in out.columns:
-            assert all(r["label"] == 3 for r in rows)
+        # the WHERE really applied: every returned id has label == 3
+        # (asserted against the table — the search result itself does
+        # not project label)
+        valid = {
+            r["vec_id"]
+            for r in emb.filter("label = 3").select("vec_id").collect()
+        }
+        assert {r["vec_id"] for r in rows} <= valid
