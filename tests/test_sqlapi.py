@@ -1,0 +1,267 @@
+"""SQL surface parity: the registered SQL functions must be expression-
+for-expression equivalent to the Python Column builders, inline into the
+plan (no UDF boundary), and support the reference's SQL entry point
+(``ORDER BY dist LIMIT k``) end-to-end."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lantern_spark.functions.distances import (
+    cos_dist,
+    hamming_dist,
+    inner_dist,
+    l1_dist,
+    l2sq_dist,
+)
+from lantern_spark.functions.text import text_to_stem_array, tokenize
+from lantern_spark.functions.vectors import (
+    vec_add,
+    vec_dot,
+    vec_norm,
+    vec_normalize,
+    vec_scale,
+    vec_sub,
+)
+from lantern_spark.operators.pq import sq_decode_i8, sq_encode_i8
+from lantern_spark.sqlapi import install_sql_functions, register_tables
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _installed(spark):
+    return install_sql_functions(spark)
+
+
+VECS = [
+    ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+    ([0.5, -1.25, 8.0], [0.5, -1.25, 8.0]),
+    ([-3.0, 0.0, 0.25], [1.0, 1.0, 1.0]),
+    ([0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero norm (cos -> NULL)
+    (None, [1.0, 2.0, 3.0]),  # NULL in -> NULL out
+]
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.ArrayType(T.DoubleType())),
+            T.StructField("b", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(VECS, schema)
+    df.createOrReplaceTempView("sql_pairs")
+    return df
+
+
+class TestDistanceParity:
+    @pytest.mark.parametrize(
+        "name,builder",
+        [
+            ("l2sq_dist", l2sq_dist),
+            ("cos_dist", cos_dist),
+            ("l1_dist", l1_dist),
+            ("inner_dist", inner_dist),
+        ],
+    )
+    def test_sql_equals_python(self, spark, pairs, name, builder):
+        got = spark.sql(
+            f"SELECT {name}(a, b) AS d FROM sql_pairs"
+        ).collect()
+        want = pairs.select(builder("a", "b").alias("d")).collect()
+        for g, w in zip(got, want):
+            if w["d"] is None:
+                assert g["d"] is None
+            else:
+                assert g["d"] == pytest.approx(w["d"], rel=1e-12)
+
+    def test_float_array_implicit_cast(self, spark):
+        """real[] columns (array<float>) work through the DOUBLE-typed
+        SQL signature — pgvector/real[] interop (hnsw.c:435-448)."""
+        schema = T.StructType(
+            [
+                T.StructField("a", T.ArrayType(T.FloatType())),
+                T.StructField("b", T.ArrayType(T.FloatType())),
+            ]
+        )
+        spark.createDataFrame(
+            [([1.0, 2.0], [3.0, 5.0])], schema
+        ).createOrReplaceTempView("sql_pairs_f32")
+        row = spark.sql(
+            "SELECT l2sq_dist(a, b) AS d FROM sql_pairs_f32"
+        ).first()
+        assert row["d"] == pytest.approx(13.0)
+
+    def test_dim_mismatch_raises(self, spark):
+        with pytest.raises(Exception, match="dimension mismatch"):
+            spark.sql(
+                "SELECT l2sq_dist(array(1.0d), array(1.0d, 2.0d))"
+            ).collect()
+
+    def test_hamming_parity(self, spark):
+        schema = T.StructType(
+            [
+                T.StructField("a", T.ArrayType(T.IntegerType())),
+                T.StructField("b", T.ArrayType(T.IntegerType())),
+            ]
+        )
+        df = spark.createDataFrame(
+            [([0b1011, -1], [0b0010, 0]), ([7, 7], [7, 7])], schema
+        )
+        df.createOrReplaceTempView("sql_pairs_ham")
+        got = [
+            r["h"]
+            for r in spark.sql(
+                "SELECT hamming_dist(a, b) AS h FROM sql_pairs_ham"
+            ).collect()
+        ]
+        want = [
+            r["h"]
+            for r in df.select(hamming_dist("a", "b").alias("h")).collect()
+        ]
+        assert got == want == [2 + 32, 0]
+
+    def test_l2_is_rooted(self, spark):
+        row = spark.sql(
+            "SELECT l2_dist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d"
+        ).first()
+        assert row["d"] == pytest.approx(5.0)
+
+
+class TestVectorAlgebraParity:
+    def test_all_ops(self, spark, pairs):
+        got = spark.sql(
+            """
+            SELECT vec_dot(a, b) AS dot, vec_norm(a) AS na,
+                   vec_normalize(a) AS an, vec_add(a, b) AS s,
+                   vec_sub(a, b) AS diff, vec_scale(a, 2.5) AS sc
+            FROM sql_pairs WHERE a IS NOT NULL
+            """
+        ).collect()
+        want = pairs.where(F.col("a").isNotNull()).select(
+            vec_dot("a", "b").alias("dot"),
+            vec_norm("a").alias("na"),
+            vec_normalize("a").alias("an"),
+            vec_add("a", "b").alias("s"),
+            vec_sub("a", "b").alias("diff"),
+            vec_scale("a", 2.5).alias("sc"),
+        ).collect()
+        for g, w in zip(got, want):
+            assert g["dot"] == pytest.approx(w["dot"], rel=1e-12)
+            assert g["na"] == pytest.approx(w["na"], rel=1e-12)
+            for col in ("an", "s", "diff", "sc"):
+                assert g[col] == pytest.approx(w[col], rel=1e-12)
+
+
+class TestQuantAndTextParity:
+    def test_sq_i8_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [([0.1, -0.9, 0.5, 0.0],)], "a array<double>"
+        )
+        df.createOrReplaceTempView("sql_sq")
+        got = spark.sql(
+            "SELECT sq_decode_i8(sq_encode_i8(a, -1.0d, 1.0d), -1.0d, 1.0d)"
+            " AS r, sq_encode_i8(a, -1.0d, 1.0d) AS codes FROM sql_sq"
+        ).first()
+        want = df.select(
+            sq_decode_i8(sq_encode_i8("a", -1.0, 1.0), -1.0, 1.0).alias("r"),
+            sq_encode_i8("a", -1.0, 1.0).alias("codes"),
+        ).first()
+        assert got["codes"] == want["codes"]
+        assert got["r"] == pytest.approx(want["r"], abs=1e-12)
+
+    def test_tokenize_parity(self, spark):
+        df = spark.createDataFrame(
+            [("The Quick, Brown FOX!! jumps-42 över",)], "s string"
+        )
+        df.createOrReplaceTempView("sql_tok")
+        got = spark.sql("SELECT tokenize_text(s) AS t FROM sql_tok").first()
+        want = df.select(tokenize("s").alias("t")).first()
+        assert got["t"] == want["t"]
+        got_u = spark.sql(
+            "SELECT tokenize_text_unicode(s) AS t FROM sql_tok"
+        ).first()
+        want_u = df.select(tokenize("s", unicode=True).alias("t")).first()
+        assert got_u["t"] == want_u["t"]
+        assert "över" in got_u["t"]  # unicode letters survive
+
+    def test_stem_parity_and_golden(self, spark):
+        """SQL text_to_stem_array ≡ Python rust-engine pipeline, pinned
+        on the reference golden (stemmers.rs:155-166)."""
+        df = spark.createDataFrame(
+            [("The quick brown fox jumps over the lazy dog",)], "s string"
+        )
+        df.createOrReplaceTempView("sql_stem")
+        got = spark.sql(
+            "SELECT text_to_stem_array(s) AS t FROM sql_stem"
+        ).first()
+        want = df.select(text_to_stem_array("s").alias("t")).first()
+        assert got["t"] == want["t"]
+        assert got["t"] == ["quick", "brown", "fox", "jump", "over",
+                            "lazi", "dog"]
+
+    def test_bm25_term_score_matches_reference_math(self, spark):
+        # idf * fq*(k1+1)/(fq + k1*(1 - b + b*len/avg)), bm25_agg.rs:139-151
+        row = spark.sql(
+            "SELECT bm25_term_score(3.0d, 120.0d, 5.0d, 100.0d, 100.0d,"
+            " 1.2d, 0.75d) AS s"
+        ).first()
+        idf = math.log((100 - 5 + 0.5) / (5 + 0.5) + 1.0)
+        denom = 3.0 + 1.2 * (1 - 0.75 + 0.75 * 120.0 / 100.0)
+        assert row["s"] == pytest.approx(idf * 3.0 * 2.2 / denom, rel=1e-12)
+
+
+class TestPlanAndEndToEnd:
+    def test_sql_udf_inlines_no_python_boundary(self, spark, pairs):
+        """The distance SQL functions must inline into the plan: no
+        BatchEvalPython / ArrowEvalPython / SQLFunction call node."""
+        plan = (
+            spark.sql("SELECT l2sq_dist(a, b) AS d FROM sql_pairs")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
+        assert "aggregate(zip_with" in plan  # raw inlined expression
+
+    def test_order_by_limit_is_take_ordered(self, spark, sf_dir):
+        """The reference's entry point — ORDER BY v <-> q LIMIT k — as
+        literal Spark SQL, planned as TakeOrderedAndProject (the exact
+        top-k physical operator knn_search gets)."""
+        views = register_tables(spark, sf_dir, ["embeddings"])
+        assert views == ["embeddings"]
+        q = "array(" + ", ".join(
+            f"{0.01 * i}d" for i in range(64)
+        ) + ")"
+        sql = f"""
+            SELECT vec_id, l2sq_dist(embedding, {q}) AS dist
+            FROM embeddings ORDER BY dist, vec_id LIMIT 10
+        """
+        df = spark.sql(sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        rows = df.collect()
+        assert len(rows) == 10
+        # equivalence with the Python surface
+        from lantern_spark.operators.knn import knn_search
+        from lantern_spark.types import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        want = [
+            r["vec_id"]
+            for r in knn_search(
+                emb, "embedding", [0.01 * i for i in range(64)], k=10
+            ).collect()
+        ]
+        assert [r["vec_id"] for r in rows] == want
+
+    def test_install_idempotent(self, spark):
+        names = install_sql_functions(spark)
+        assert "l2sq_dist" in names and "text_to_stem_array" in names
+        # second install is a no-op semantically
+        row = spark.sql(
+            "SELECT cos_dist(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS d"
+        ).first()
+        assert row["d"] == pytest.approx(1.0)
