@@ -19,6 +19,16 @@ contract is measurable (tests/test_scale.py pins recall@10 ≥ 0.99 at a
 scan fraction below what IVF needs for the same recall on the same
 fixture).
 
+Metrics: l2sq/cos/inner over float vectors, plus hamming over int32
+bit-packed vectors (the dist_hamming_ops op class, lantern.sql:85-95) —
+hamming graphs store the packed words verbatim as uint32 and walk with
+an xor+popcount kernel (functions/bitops). Caveat shared with every
+HNSW implementation: a corpus dominated by EXACT duplicates (thousands
+of rows with one code) degrades graph connectivity — duplicate cliques
+saturate neighbor lists and back-link pruning turns late inserts into
+sinks. Dedup such corpora upstream (operators/dedup) or use the IVF /
+exact paths, which are duplicate-proof.
+
 Algorithm: pure-numpy implementation of the published HNSW paper
 (Malkov & Yashunin 2016) — hnswlib is not available in this container.
 Level ~ floor(-ln(U)·mL) with mL = 1/ln(M); greedy descent through
@@ -102,7 +112,18 @@ class HnswGraph:
         self._adc_table = None
         self.rng = np.random.RandomState(seed)
         width = dim  # pq reallocates to (cap, splits) in set_pq_codebook
-        self._buf = np.empty((256, width), dtype=_QUANT_DTYPES[self.quant])
+        if self.metric == "hamming":
+            # packed-bit graphs store the int32 words verbatim as
+            # uint32 (dist_hamming_ops analog, lantern.sql:85-95);
+            # float storage would round words past 24 mantissa bits
+            if self.quant != "f32":
+                raise ValueError(
+                    "hamming graphs store exact packed words; "
+                    "quant must be 'f32' (b1 packing IS the quantization)"
+                )
+            self._buf = np.empty((256, width), dtype=np.uint32)
+        else:
+            self._buf = np.empty((256, width), dtype=_QUANT_DTYPES[self.quant])
         self.ids: list = []
         self.adj: list = []  # adj[i][level] = list[int]
         self.levels: list = []
@@ -147,6 +168,8 @@ class HnswGraph:
 
     def _encode(self, v: np.ndarray) -> np.ndarray:
         """f32 row → storage dtype."""
+        if self.metric == "hamming":
+            return v.astype(np.uint32)  # _prep already masked to words
         if self.quant == "i8":
             scale = (self.i8_hi - self.i8_lo) or 1.0
             q = np.round((v - self.i8_lo) / scale * 254.0 - 127.0)
@@ -163,7 +186,10 @@ class HnswGraph:
         return v.astype(_QUANT_DTYPES[self.quant])
 
     def _decode_rows(self, rows: np.ndarray) -> np.ndarray:
-        """Storage rows → f32 working precision."""
+        """Storage rows → f32 working precision (hamming: uint32 words
+        stay packed — the distance kernel consumes them directly)."""
+        if self.metric == "hamming":
+            return rows
         if self.quant == "i8":
             scale = (self.i8_hi - self.i8_lo) or 1.0
             return (
@@ -181,7 +207,13 @@ class HnswGraph:
 
     def vectors(self) -> np.ndarray:
         """All stored vectors dequantized to f32 (lossy for f16/i8 —
-        the quantized-index contract: originals are not retained)."""
+        the quantized-index contract: originals are not retained).
+        Hamming graphs return the SIGNED int32 word values — the
+        user-facing ``integer[]`` domain — exactly."""
+        if self.metric == "hamming":
+            from lantern_spark.functions.bitops import from_uint32_words
+
+            return from_uint32_words(self._buf[: self.n])
         return self._decode_rows(self._buf[: self.n])
 
     def _norm(self, v: np.ndarray) -> np.ndarray:
@@ -189,9 +221,27 @@ class HnswGraph:
             return v / max(float(np.linalg.norm(v)), 1e-30)
         return v
 
+    def _prep(self, vec) -> np.ndarray:
+        """Caller vector → the working form the distance kernel expects
+        (hamming: packed uint32 words; else normalized f32)."""
+        if self.metric == "hamming":
+            from lantern_spark.functions.bitops import to_uint32_words
+
+            return to_uint32_words(np.asarray(vec))
+        # np.array (not asarray): always copy — the ADC table cache is
+        # keyed by object identity, so a caller reusing and MUTATING
+        # one ndarray across searches must not alias the cached key
+        # (ADVICE r5)
+        return self._norm(np.array(vec, dtype=np.float32))
+
     def _dists(self, q: np.ndarray, idxs) -> np.ndarray:
         idxs = np.asarray(idxs, dtype=np.int64)
         self.n_dist += len(idxs)
+        if self.metric == "hamming":
+            from lantern_spark.functions.bitops import popcount_rows
+
+            xor = np.bitwise_xor(self._buf[idxs], q[None, :])
+            return popcount_rows(xor).astype(np.float64)
         if self.quant == "pq":
             # ADC (scan.c:75-81): per-query table of ‖q_s − centroid‖²
             # per subspace, then distances are table lookups summed over
@@ -244,7 +294,7 @@ class HnswGraph:
         i = self.n
         if i == len(self._buf):
             self._buf = np.vstack([self._buf, np.empty_like(self._buf)])
-        v = self._norm(np.asarray(vec, dtype=np.float32))
+        v = self._prep(vec)
         if v.shape[0] != self.dim:
             raise ValueError(
                 f"hnsw: dimension mismatch ({v.shape[0]} vs {self.dim})"
@@ -286,11 +336,7 @@ class HnswGraph:
         """Local top-k: [(id, dist)] ascending + #distance evals."""
         if self.entry < 0:
             return [], 0
-        # np.array (not asarray): always copy — the ADC table cache is
-        # keyed by object identity, so a caller reusing and MUTATING one
-        # ndarray across searches must not alias the cached key
-        # (ADVICE r5)
-        q = self._norm(np.array(query, dtype=np.float32))
+        q = self._prep(query)  # always a fresh array (ADC cache, ADVICE r5)
         self.n_dist = 0
         ep = [self.entry]
         for lc in range(self.max_level, 0, -1):
@@ -423,6 +469,11 @@ class HNSWIndex:
         instead of failing obscurely at the parquet write."""
         mval = Metric.resolve(metric).value
         qval = _resolve_quant(quant)
+        if mval == "hamming" and qval != "f32":
+            raise ValueError(
+                "hamming graphs store exact packed words; quant must be "
+                "'f32' (b1 packing IS the quantization)"
+            )
         first = df.select(column).where(F.col(column).isNotNull()).first()
         if first is None:
             raise ValueError(f"no non-null vectors in {column!r}")
@@ -665,6 +716,14 @@ class HNSWIndex:
         row when the same id exists multiple times (an updated vector
         must win, and the latest update must win among updates)."""
         mf = self.manifest
+        # hamming rows are integer[] bit packs — a float cast would
+        # round words past 24 mantissa bits
+        vec_sql = (
+            "array<int>" if mf["metric"] == "hamming" else "array<float>"
+        )
+        vec_spark = T.ArrayType(
+            T.IntegerType() if mf["metric"] == "hamming" else T.FloatType()
+        )
 
         def tag(df, src):
             if not tag_source:
@@ -682,7 +741,7 @@ class HNSWIndex:
             d = spark.read.parquet(delta_path)
             cols = [
                 F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
-                F.col(mf["column"]).cast("array<float>").alias(mf["column"]),
+                F.col(mf["column"]).cast(vec_sql).alias(mf["column"]),
             ]
             if "__delta_seq" in d.columns:
                 cols.append("__delta_seq")
@@ -693,7 +752,7 @@ class HNSWIndex:
             out = tag(
                 spark.read.parquet(vec_path).select(
                     F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
-                    F.col(mf["column"]).cast("array<float>").alias(mf["column"]),
+                    F.col(mf["column"]).cast(vec_sql).alias(mf["column"]),
                 ),
                 1,
             )
@@ -704,7 +763,7 @@ class HNSWIndex:
         schema = T.StructType(
             [
                 T.StructField(mf["id_column"], T.LongType()),
-                T.StructField(mf["column"], T.ArrayType(T.FloatType())),
+                T.StructField(mf["column"], vec_spark),
             ]
         )
 
@@ -792,7 +851,11 @@ class HNSWIndex:
             # metric parity with graph-local dists: l2sq graphs emit
             # squared L2, cos graphs emit 1−cos — same as distance()
             dist_expr = distance(
-                F.col(mf["column"]), vec_lit(q), mf["metric"]
+                F.col(mf["column"]),
+                vec_lit(
+                    q, "int" if mf["metric"] == "hamming" else "double"
+                ),
+                mf["metric"],
             )
             delta = (
                 spark.read.parquet(delta_path)

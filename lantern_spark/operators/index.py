@@ -60,11 +60,66 @@ def _collect_sample(
     return np.asarray([r[0] for r in sample], dtype=np.float64)
 
 
-def _train_centroids_from(x: np.ndarray, nlist: int, seed: int) -> np.ndarray:
-    """Seeded driver-side k-means over the collected sample."""
+def _train_centroids_from(
+    x: np.ndarray, nlist: int, seed: int, metric: Metric = Metric.L2SQ
+) -> np.ndarray:
+    """Seeded driver-side centroid training over the collected sample.
+
+    Euclidean/cosine metrics use k-means; hamming uses k-majority
+    (binary k-means) over the int32-packed bit domain — euclidean
+    k-means on packed words is geometrically meaningless, and the
+    reference's hamming op class (dist_hamming_ops, lantern.sql:63-104)
+    operates on the packed-bit semantics."""
+    if metric is Metric.HAMMING:
+        return _train_centroids_hamming(x, nlist, seed)
     order = np.lexsort(x.T[::-1])
     cents = _kmeans_fit(x[order], nlist, seed=seed)
     return cents[np.lexsort(cents.T[::-1])]
+
+
+def _train_centroids_hamming(
+    x: np.ndarray, nlist: int, seed: int, iters: int = 25
+) -> np.ndarray:
+    """k-majority clustering of int32-packed binary vectors.
+
+    Assignment is by hamming distance (vectorized xor+popcount); the
+    update step takes the per-bit MAJORITY of each cluster's members —
+    the binary-space centroid that minimizes total hamming distance.
+    Deterministic: rows sort lexicographically and initial centroids
+    are evenly spaced distinct rows (the same sorted-init discipline as
+    the float k-means). Returns (k', w) int64 in the SIGNED int32
+    domain (two's complement — the user-facing ``integer[]`` values);
+    k' ≤ nlist after dropping empty/duplicate centroids."""
+    from lantern_spark.functions.bitops import (
+        from_uint32_words,
+        hamming_cdist,
+        to_uint32_words,
+    )
+
+    words = to_uint32_words(x)
+    uniq = np.unique(words, axis=0)  # sorted lexicographically
+    k = int(min(max(1, nlist), uniq.shape[0]))
+    # evenly spaced distinct rows as seeds — deterministic, spread
+    cents = uniq[np.linspace(0, uniq.shape[0] - 1, k).astype(np.int64)]
+    cents = np.unique(cents, axis=0)
+    bits = np.unpackbits(words.view(np.uint8), axis=1)  # (n, 32w)
+    for _ in range(iters):
+        assign = hamming_cdist(words, cents).argmin(axis=1)
+        new = []
+        for c in range(cents.shape[0]):
+            member = bits[assign == c]
+            if member.shape[0] == 0:
+                new.append(cents[c])  # keep empty centroid stable
+                continue
+            maj = (member.mean(axis=0) > 0.5).astype(np.uint8)
+            new.append(
+                np.packbits(maj).view(np.uint32).astype(np.uint32)
+            )
+        stepped = np.unique(np.stack(new), axis=0)
+        if stepped.shape == cents.shape and np.array_equal(stepped, cents):
+            break  # fixed point
+        cents = stepped
+    return from_uint32_words(cents)
 
 
 def _train_centroids(
@@ -77,6 +132,21 @@ def _train_centroids(
 
 def _assign_expr(column: str, cents: np.ndarray, metric: Metric):
     """pandas UDF: nearest-centroid list id per row (vectorized numpy)."""
+    if metric is Metric.HAMMING:
+        from lantern_spark.functions.bitops import (
+            hamming_cdist,
+            to_uint32_words,
+        )
+
+        cw = to_uint32_words(cents)
+
+        @F.pandas_udf(T.IntegerType())
+        def _assign_h(vs: pd.Series) -> pd.Series:
+            x = to_uint32_words(np.asarray(vs.tolist()))
+            d = hamming_cdist(x, cw)
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+        return _assign_h(F.col(column))
     c = cents.astype(np.float64)
     cos = metric is Metric.COS
     if cos:
@@ -137,6 +207,11 @@ class IVFIndex:
         caught: 8 cells over any corpus forces nprobe/8 of ALL data
         per probe."""
         m = Metric.resolve(metric)
+        if pq is not None and m is Metric.HAMMING:
+            raise ValueError(
+                "pq codes are trained in euclidean subspaces — "
+                "incompatible with a hamming (packed-bit) index"
+            )
         sample = _collect_sample(df, column, train_limit)
         if sample.size == 0:
             raise ValueError(f"no non-null vectors in column {column!r}")
@@ -149,7 +224,7 @@ class IVFIndex:
             )
             nlist = int(min(max(4, round(n_est ** 0.5)), 4096))
         nlist = min(nlist, len(sample))
-        cents = _train_centroids_from(sample, nlist, seed)
+        cents = _train_centroids_from(sample, nlist, seed, metric=m)
         nlist = cents.shape[0]
 
         from pyspark.sql import Observation
@@ -265,7 +340,17 @@ class IVFIndex:
             c = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
             ids = np.asarray([r["list_id"] for r in cents])
         q = np.asarray(list(query), dtype=np.float64)
-        if Metric.resolve(self.manifest.metric) is Metric.COS:
+        mm = Metric.resolve(self.manifest.metric)
+        if mm is Metric.HAMMING:
+            from lantern_spark.functions.bitops import (
+                hamming_cdist,
+                to_uint32_words,
+            )
+
+            d = hamming_cdist(
+                to_uint32_words(c), to_uint32_words(q[None, :])
+            )[:, 0].astype(np.float64)
+        elif mm is Metric.COS:
             cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
             qn = q / max(np.linalg.norm(q), 1e-30)
             d = -(cn @ qn)
@@ -312,6 +397,14 @@ class IVFIndex:
         """
         mf = self.manifest
         extras = list(select_columns or [])
+        # packed-bit (hamming) vectors are integer[] — a double literal
+        # would coerce the stored column and lose int semantics in the
+        # comparison's type resolution
+        lit_dtype = (
+            "int"
+            if Metric.resolve(mf.metric) is Metric.HAMMING
+            else "double"
+        )
         n_lists = nprobe * (oversample if where is not None else 1)
         probes = self._probe_lists(spark, query, n_lists)
         base = self.lists(spark).filter(F.col("list_id").isin(probes))
@@ -325,7 +418,11 @@ class IVFIndex:
                 s = s.filter(where)
             s = s.withColumn(
                 dist_col,
-                distance(F.col(mf.column), vec_lit(list(query)), mf.metric),
+                distance(
+                    F.col(mf.column),
+                    vec_lit(list(query), lit_dtype),
+                    mf.metric,
+                ),
             ).select(mf.id_column, mf.column, *extras, dist_col)
             out = s if out is None else out.unionByName(s)
         if round_digits is not None:
