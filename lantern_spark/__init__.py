@@ -26,7 +26,13 @@ A from-scratch re-expression of the capabilities of lanterndata/lantern
   joins, partition-preserving compaction (sources/layout.py)
 - LLM-data-pipeline extensions: dedup (exact/minhash-LSH/simhash/
   ngram-jaccard/embedding), similarity search, text analysis,
-  multimodal column plumbing with pure-python BMP/WAV codecs.
+  multimodal column plumbing with pure-python BMP/WAV codecs
+- hamming (packed-bit) indexes in both index families
+  (reference: dist_hamming_ops op class, lantern.sql:63-104)
+- a SQL surface: the reference's SQL function names registered as
+  Catalyst-inlined SQL UDFs (``sqlapi.install_sql_functions``) so
+  ``SELECT … ORDER BY l2sq_dist(v, q) LIMIT k`` runs verbatim
+  (reference: lantern.sql:12-45).
 
 Everything is DataFrame-in / DataFrame-out and designed for 100 TB scale:
 no driver-side collection except tiny codebooks/centroids/manifests.

@@ -336,3 +336,38 @@ class TestHnswHamming:
     def test_validate(self, spark, hidx):
         stats = hidx.validate(spark, strict=True)
         assert stats["violations"] == []
+
+
+class TestRoutedHamming:
+    def test_router_dispatches_hamming_index(
+        self, spark, packed, qwords, tmp_path
+    ):
+        """The cost-based router is metric-keyed: a hamming IVF entry
+        is eligible only for metric='hamming' requests, and the routed
+        result equals the direct index search."""
+        from lantern_spark.plans.router import IndexCatalog, ann_search
+
+        idx = IVFIndex.build(
+            packed, "code", "vec_id", str(tmp_path / "ivf"),
+            metric="hamming", nlist=8, seed=42,
+        )
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        cat.register_ivf(idx, "packed", nprobe=idx.manifest.nlist,
+                         recall_estimate=1.0)
+        routed, dec = ann_search(
+            spark, packed, "packed", "code", qwords, k=5,
+            metric="hamming", id_column="vec_id", recall_floor=0.95,
+            catalog=cat, explain=True,
+        )
+        direct = idx.search(
+            spark, qwords, k=5, nprobe=idx.manifest.nlist
+        ).collect()
+        got = routed.collect()
+        assert [(r["vec_id"], float(r["dist"])) for r in got] == [
+            (r["vec_id"], float(r["dist"])) for r in direct
+        ]
+        # a cos request must NOT see the hamming entry
+        from lantern_spark.plans.router import route
+
+        d2 = route(cat, "packed", "code", "cos", 500, recall_floor=0.0)
+        assert d2.access_path == "exact"
