@@ -265,3 +265,59 @@ class TestPlanAndEndToEnd:
             "SELECT cos_dist(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS d"
         ).first()
         assert row["d"] == pytest.approx(1.0)
+
+
+class TestSqlOnlyBM25:
+    def test_pure_sql_bm25_matches_operator(self, spark, sf_dir):
+        """The reference's search_bm25 composed ENTIRELY in Spark SQL
+        from the registered surface (tokenize_text + bm25_term_score):
+        a reference user can express full-text scoring without any
+        Python API, and it must match operators/bm25.search_bm25."""
+        from lantern_spark.operators.bm25 import build_bm25_stats, search_bm25
+        from lantern_spark.sqlapi import register_tables
+        from lantern_spark.types import load_table
+
+        register_tables(spark, sf_dir, ["documents"])
+        got = spark.sql(
+            """
+            WITH tl AS (
+              SELECT doc_id, tokenize_text(text) AS toks FROM documents
+            ),
+            tl2 AS (SELECT doc_id, toks, size(toks) AS doc_len FROM tl),
+            postings AS (
+              SELECT term, doc_id, CAST(count(*) AS INT) AS fq,
+                     any_value(doc_len) AS doc_len
+              FROM (SELECT doc_id, doc_len, explode(toks) AS term FROM tl2)
+              GROUP BY term, doc_id
+            ),
+            corpus AS (
+              SELECT count(*) AS num_docs, avg(doc_len) AS avg_doc_len
+              FROM tl2
+            ),
+            q AS (SELECT explode(array('spark','join','vector')) AS term),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM postings GROUP BY term
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     sum(bm25_term_score(
+                           CAST(p.fq AS DOUBLE), CAST(p.doc_len AS DOUBLE),
+                           CAST(d.df AS DOUBLE), CAST(c.num_docs AS DOUBLE),
+                           c.avg_doc_len, 1.2d, 0.75d)) AS bm25_score
+              FROM postings p
+              JOIN q USING (term) JOIN dfreq d USING (term)
+              CROSS JOIN corpus c
+              GROUP BY p.doc_id
+            )
+            SELECT doc_id, round(bm25_score, 6) AS bm25_score
+            FROM scored ORDER BY bm25_score DESC, doc_id LIMIT 20
+            """
+        ).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        stats = build_bm25_stats(docs, "doc_id", "text", stem=False)
+        want = search_bm25(
+            stats, "spark join vector", limit=20, stem=False, round_digits=6
+        ).collect()
+        assert [(r["doc_id"], r["bm25_score"]) for r in got] == [
+            (r["doc_id"], r["bm25_score"]) for r in want
+        ]
