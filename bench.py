@@ -246,6 +246,24 @@ def main() -> None:
         )
         quality["hnsw_recall_at10"] = round(r, 4)
         quality["hnsw_scan_fraction"] = round(frac, 4)
+        # IVF×graph hybrid (per-cell HNSW, the SPANN-style scale
+        # layout): same probed cells as IVF, sub-linear walks within.
+        # eval fraction counts distance evaluations / corpus — directly
+        # comparable to hnsw_scan_fraction and to IVF's row-scan
+        # fraction (nprobe/nlist).
+        from lantern_spark.operators.ivf_graph import (
+            IVFGraphIndex,
+            ivf_graph_recall_and_scan_fraction,
+        )
+
+        hyb = IVFGraphIndex.attach(
+            ivf, spark, m=16, ef_construction=100, seed=42
+        )
+        gr, gfrac = ivf_graph_recall_and_scan_fraction(
+            hyb, spark, probes, k=10, nprobe=max(nprobe, 2), ef=96
+        )
+        quality["ivf_graph_recall_at10"] = round(gr, 4)
+        quality["ivf_graph_eval_fraction"] = round(gfrac, 4)
         # cost-based router decision over the two measured indexes —
         # the amcostestimate analog choosing the access path it would
         # use at this operating point (plans/router.py)

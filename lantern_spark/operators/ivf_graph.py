@@ -1,0 +1,293 @@
+"""IVF×graph hybrid: per-cell HNSW graphs over IVF list partitions.
+
+The 100 TB ANN architecture (the SPANN/DiskANN-family layout): a coarse
+quantizer routes each query to ``nprobe`` cells (IVF partition pruning —
+only those cells' bytes are read), and WITHIN each probed cell a graph
+walk answers in ~O(ef·log cell_n) distance evaluations instead of the
+flat cell scan. This composes the repo's two index families:
+
+- the cell assignment, probe ranking, delta/tombstone lifecycle, and
+  storage layout are the wrapped :class:`IVFIndex`'s
+  (operators/index.py) — nothing is re-derived;
+- the within-cell structure is :class:`HnswGraph` (operators/hnsw.py),
+  one graph per list, built by a single ``groupBy(list_id).
+  applyInPandas`` pass over the already-partitioned lists artifact
+  (ONE shuffle, co-partitioned with the existing layout).
+
+Reference mapping: lantern's HNSW is one monolithic graph per table
+(build.c:472-648) because Postgres is single-node; at cluster scale the
+graph must shard, and sharding by IVF cell (instead of hash) means
+search only touches ``nprobe`` shards rather than ALL of them — the
+sharded-HNSW fan-out cost the r5 bench measured (every hash shard walks
+for every probe) drops to nprobe/nlist of the fleet.
+
+Cost model at scale: flat IVF reads nprobe·(n/nlist) rows and evaluates
+that many distances; the hybrid reads the same cells' graph payloads
+(similar bytes — payload carries the vectors) but evaluates only
+~nprobe·ef·log(n/nlist) distances. With 1M-row cells that is ~100×
+fewer distance kernels per probe; IO stays partition-pruned either way.
+Graphs hold per-cell memory = cell rows × (dim·4 + 2m·8) bytes — the
+same ceiling as HNSW shards, bounded here by n/nlist.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lantern_spark.operators.hnsw import (
+    MAX_PAYLOAD_BYTES,
+    HnswGraph,
+    _GRAPH_SCHEMA,
+)
+from lantern_spark.operators.index import IVFIndex, _path_has_parquet
+from lantern_spark.types import Metric, check_format_version
+
+_CELL_DIR = "cell_graphs"
+_META_FILE = "cell_graphs_meta.json"
+
+
+class IVFGraphIndex:
+    """Per-cell graph tier attached to a built :class:`IVFIndex`."""
+
+    def __init__(self, ivf: IVFIndex, meta: dict):
+        self.ivf = ivf
+        self.meta = meta
+
+    # -- build ----------------------------------------------------------
+
+    @classmethod
+    def attach(
+        cls,
+        ivf: IVFIndex,
+        spark: SparkSession,
+        m: int = 16,
+        ef_construction: int = 100,
+        seed: int = 42,
+        max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+    ) -> "IVFGraphIndex":
+        """Build one HNSW graph per IVF list from the existing lists
+        artifact. Map-side only after the groupBy co-shuffle; each cell
+        graph serializes to one parquet row (the HNSW shard contract,
+        including the payload ceiling)."""
+        mf = ivf.manifest
+        dim, metric = mf.dim, mf.metric
+        id_col, col = mf.id_column, mf.column
+
+        def build_cell(key, pdf):
+            lid = int(key[0])
+            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+            g = HnswGraph(
+                dim, m, ef_construction, seed + lid, metric, quant="f32"
+            )
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[col].to_numpy()
+            for j in order:
+                g.add(ids[j], vecs[j])
+            payload = g.to_payload()
+            if len(payload) > max_payload_bytes:
+                raise ValueError(
+                    f"cell {lid} graph payload is {len(payload)} bytes "
+                    f"(> {max_payload_bytes}); increase nlist so each "
+                    "cell holds fewer vectors"
+                )
+            return pd.DataFrame(
+                {"shard_id": [lid], "n": [g.n], "payload": [payload]}
+            )
+
+        (
+            ivf.lists(spark)
+            .select("list_id", id_col, col)
+            .groupBy("list_id")
+            .applyInPandas(build_cell, _GRAPH_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(os.path.join(ivf.path, _CELL_DIR))
+        )
+        meta = {
+            "m": m,
+            "ef_construction": ef_construction,
+            "seed": seed,
+            # staleness fingerprint: a rebuild rewrites the manifest;
+            # search refuses to walk graphs built for different lists
+            "num_vectors": mf.num_vectors,
+            "nlist": mf.nlist,
+            "format_version": "1.1",
+        }
+        with open(os.path.join(ivf.path, _META_FILE), "w") as fh:
+            json.dump(meta, fh)
+        return cls(ivf, meta)
+
+    @classmethod
+    def load(cls, path_or_ivf) -> "IVFGraphIndex":
+        ivf = (
+            path_or_ivf
+            if isinstance(path_or_ivf, IVFIndex)
+            else IVFIndex.load(path_or_ivf)
+        )
+        with open(os.path.join(ivf.path, _META_FILE)) as fh:
+            meta = json.load(fh)
+        check_format_version(
+            meta.setdefault("format_version", "1.0"), ivf.path
+        )
+        return cls(ivf, meta)
+
+    # -- search ---------------------------------------------------------
+
+    def _check_fresh(self) -> None:
+        mf = self.ivf.manifest
+        if (
+            self.meta["num_vectors"] != mf.num_vectors
+            or self.meta["nlist"] != mf.nlist
+        ):
+            raise ValueError(
+                "cell graphs are stale (built for "
+                f"n={self.meta['num_vectors']}/nlist={self.meta['nlist']}, "
+                f"index now n={mf.num_vectors}/nlist={mf.nlist}); "
+                "re-attach after rebuild"
+            )
+
+    def search(
+        self,
+        spark: SparkSession,
+        query,
+        k: int = 10,
+        nprobe: int = 4,
+        ef: int = 64,
+        include_delta: bool = True,
+        dist_col: str = "dist",
+        with_stats: bool = False,
+    ) -> DataFrame:
+        """Routed top-k: rank cells by centroid distance (driver-side,
+        identical kernel to :meth:`IVFIndex.search`), walk only the
+        probed cells' graphs, merge nprobe·k candidates. Delta rows are
+        exact-scanned and tombstones anti-joined — the wrapped index's
+        lifecycle applies unchanged, so an aminsert between attach and
+        search is still visible (graphs only cover folded rows).
+
+        ``with_stats`` adds (list_id, n_dist) per row — per-cell
+        distance-evaluation counts, the scan-fraction instrument."""
+        self._check_fresh()
+        ivf, mf = self.ivf, self.ivf.manifest
+        probes = ivf._probe_lists(spark, query, nprobe)
+        q = [float(x) for x in query]
+        id_type = T.LongType()
+        schema = T.StructType(
+            [
+                T.StructField(mf.id_column, id_type),
+                T.StructField(dist_col, T.DoubleType()),
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("n_dist", T.LongType()),
+            ]
+        )
+        kk, eff = int(k), int(ef)
+
+        def search_cell(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for lid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                    g = HnswGraph.from_payload(bytes(payload))
+                    res, nd = g.search(q, k=kk, ef=eff)
+                    if not res:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            mf.id_column: [r[0] for r in res],
+                            dist_col: [r[1] for r in res],
+                            "list_id": [int(lid)] * len(res),
+                            "n_dist": [nd] * len(res),
+                        }
+                    )
+
+        graphs = spark.read.parquet(
+            os.path.join(ivf.path, _CELL_DIR)
+        ).filter(F.col("shard_id").isin(probes))
+        out = graphs.mapInPandas(search_cell, schema)
+        delta_path = os.path.join(ivf.path, "delta")
+        if include_delta and _path_has_parquet(delta_path):
+            from lantern_spark.functions.distances import distance
+            from lantern_spark.functions.vectors import vec_lit
+
+            lit_dt = (
+                "int"
+                if Metric.resolve(mf.metric) is Metric.HAMMING
+                else "double"
+            )
+            delta = (
+                spark.read.parquet(delta_path)
+                .select(
+                    F.col(mf.id_column).cast("long").alias(mf.id_column),
+                    distance(
+                        F.col(mf.column), vec_lit(q, lit_dt), mf.metric
+                    )
+                    .cast("double")
+                    .alias(dist_col),
+                )
+                .withColumn("list_id", F.lit(-1))
+                .withColumn("n_dist", F.lit(0).cast("long"))
+            )
+            out = out.unionByName(delta)
+        tomb_path = os.path.join(ivf.path, "tombstones")
+        if _path_has_parquet(tomb_path):
+            tombs = spark.read.parquet(tomb_path).select(
+                F.col(mf.id_column).cast("long").alias(mf.id_column)
+            )
+            out = out.join(
+                F.broadcast(tombs), on=mf.id_column, how="left_anti"
+            )
+        cols = [mf.id_column, dist_col] + (
+            ["list_id", "n_dist"] if with_stats else []
+        )
+        return (
+            out.select(*cols)
+            .orderBy(
+                F.col(dist_col).asc_nulls_last(), F.col(mf.id_column).asc()
+            )
+            .limit(k)
+        )
+
+
+def ivf_graph_recall_and_scan_fraction(
+    index: IVFGraphIndex,
+    spark: SparkSession,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    ef: int = 64,
+) -> tuple:
+    """(mean recall@k vs the exact scan over the lists, mean
+    distance-evaluation fraction of the corpus) — the hybrid's quality
+    instrument, comparable to both IVF's row-scan fraction and HNSW's
+    walk fraction."""
+    from lantern_spark.functions.distances import distance
+    from lantern_spark.functions.vectors import vec_lit
+
+    ivf, mf = index.ivf, index.ivf.manifest
+    base = ivf.lists(spark)
+    n = mf.num_vectors or base.count()
+    hits = total = evals = 0
+    for q in queries:
+        exact = {
+            r[0]
+            for r in base.withColumn(
+                "d", distance(F.col(mf.column), vec_lit(list(q)), mf.metric)
+            )
+            .orderBy(F.col("d").asc(), F.col(mf.id_column).asc())
+            .limit(k)
+            .select(mf.id_column)
+            .collect()
+        }
+        rows = index.search(
+            spark, q, k=k, nprobe=nprobe, ef=ef, with_stats=True
+        ).collect()
+        got = {r[mf.id_column] for r in rows}
+        per_cell = {r["list_id"]: r["n_dist"] for r in rows}
+        evals += sum(per_cell.values())
+        hits += len(exact & got)
+        total += k
+    return (hits / total if total else 1.0, evals / max(n * len(queries), 1))
