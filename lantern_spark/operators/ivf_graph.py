@@ -138,6 +138,37 @@ class IVFGraphIndex:
         )
         return cls(ivf, meta)
 
+    # -- lifecycle (delta-lifecycle duck type, streaming-compatible) ----
+
+    @property
+    def path(self) -> str:
+        return self.ivf.path
+
+    def add_delta(self, df: DataFrame) -> None:
+        """aminsert analog — delegates to the wrapped index; delta rows
+        are exact-scanned by :meth:`search` until a rebuild folds them
+        into fresh cells (graphs only ever cover folded rows)."""
+        self.ivf.add_delta(df)
+
+    def delete(self, ids_df: DataFrame) -> None:
+        self.ivf.delete(ids_df)
+
+    def rebuild(
+        self, spark: SparkSession, path: Optional[str] = None
+    ) -> "IVFGraphIndex":
+        """Fold delta − tombstones and re-attach fresh cell graphs with
+        the same graph params — one handle satisfying the delta-
+        lifecycle duck type, so ``streaming/index_stream.
+        incremental_index_job`` drives the hybrid unchanged."""
+        new_ivf = self.ivf.rebuild(spark, path)
+        return IVFGraphIndex.attach(
+            new_ivf,
+            spark,
+            m=self.meta["m"],
+            ef_construction=self.meta["ef_construction"],
+            seed=self.meta["seed"],
+        )
+
     # -- search ---------------------------------------------------------
 
     def _check_fresh(self) -> None:
@@ -249,6 +280,137 @@ class IVFGraphIndex:
                 F.col(dist_col).asc_nulls_last(), F.col(mf.id_column).asc()
             )
             .limit(k)
+        )
+
+
+    def search_batch(
+        self,
+        spark: SparkSession,
+        probes: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        ef: int = 64,
+        qid_col: str = "qid",
+        query_col: str = "query",
+        dist_col: str = "dist",
+        include_delta: bool = True,
+    ) -> DataFrame:
+        """Batched hybrid search: ONE job answers a whole probes
+        DataFrame. Combines the two families' batched shapes:
+
+        - per-query cell ranking uses the same driver-side
+          ``_probe_lists`` kernel as :meth:`search` (batch ≡ per-query
+          by construction, as in ``IVFIndex.search_batch``);
+        - each probed cell's graph deserializes ONCE and answers only
+          the queries that probed it (the ``HNSWIndex.search_batch``
+          amortization), shipped via the closure as
+          {list_id: [(qid, vector)]};
+        - delta rows are exact-scanned against every probe, tombstones
+          anti-joined, one window top-k per qid.
+
+        Returns (qid, id, dist), k rows per probe.
+        """
+        self._check_fresh()
+        ivf, mf = self.ivf, self.ivf.manifest
+        npb = int(min(max(1, nprobe), mf.nlist))
+        snapshot = probes.select(qid_col, query_col).collect()
+        by_cell: dict = {}
+        vec_rows = []
+        for r in snapshot:
+            q = [float(x) for x in r[query_col]]
+            vec_rows.append((r[qid_col], q))
+            for lid in ivf._probe_lists(spark, q, npb):
+                by_cell.setdefault(int(lid), []).append((r[qid_col], q))
+        qid_type = probes.schema[qid_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField(qid_col, qid_type),
+                T.StructField(mf.id_column, T.LongType()),
+                T.StructField(dist_col, T.DoubleType()),
+            ]
+        )
+        kk, eff = int(k), int(ef)
+
+        def search_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for lid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                    cell_probes = by_cell.get(int(lid))
+                    if not cell_probes:
+                        continue
+                    g = HnswGraph.from_payload(bytes(payload))
+                    qids: list = []
+                    ids: list = []
+                    dists: list = []
+                    for qid, q in cell_probes:
+                        res, _nd = g.search(q, k=kk, ef=eff)
+                        for rid, rd in res:
+                            qids.append(qid)
+                            ids.append(rid)
+                            dists.append(rd)
+                    if qids:
+                        yield pd.DataFrame(
+                            {
+                                qid_col: qids,
+                                mf.id_column: ids,
+                                dist_col: dists,
+                            }
+                        )
+
+        out = (
+            spark.read.parquet(os.path.join(ivf.path, _CELL_DIR))
+            .filter(F.col("shard_id").isin(sorted(by_cell)))
+            .mapInPandas(search_cells, schema)
+        )
+        delta_path = os.path.join(ivf.path, "delta")
+        if include_delta and _path_has_parquet(delta_path):
+            from lantern_spark.functions.distances import distance
+
+            probe_vecs = spark.createDataFrame(
+                vec_rows,
+                T.StructType(
+                    [
+                        T.StructField(qid_col, qid_type),
+                        T.StructField(
+                            query_col, T.ArrayType(T.DoubleType())
+                        ),
+                    ]
+                ),
+            )
+            delta = (
+                spark.read.parquet(delta_path)
+                .select(
+                    F.col(mf.id_column).cast("long").alias(mf.id_column),
+                    F.col(mf.column).alias(mf.column),
+                )
+                .crossJoin(F.broadcast(probe_vecs))
+                .select(
+                    qid_col,
+                    mf.id_column,
+                    distance(
+                        F.col(mf.column), F.col(query_col), mf.metric
+                    )
+                    .cast("double")
+                    .alias(dist_col),
+                )
+            )
+            out = out.unionByName(delta)
+        tomb_path = os.path.join(ivf.path, "tombstones")
+        if _path_has_parquet(tomb_path):
+            tombs = spark.read.parquet(tomb_path).select(
+                F.col(mf.id_column).cast("long").alias(mf.id_column)
+            )
+            out = out.join(
+                F.broadcast(tombs), on=mf.id_column, how="left_anti"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(mf.id_column).asc()
+        )
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
         )
 
 

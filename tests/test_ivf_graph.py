@@ -156,3 +156,127 @@ class TestIvfGraphHamming:
         assert got[0]["vec_id"] == 7 and got[0]["dist"] == 0.0
         ds = [r["dist"] for r in got]
         assert ds == sorted(ds)
+
+
+class TestIvfGraphLifecycle:
+    def test_duck_type_rebuild_in_place(self, spark, emb, tmp_path):
+        """The hybrid satisfies the delta-lifecycle duck type
+        (add_delta / delete / rebuild / .path) — the contract
+        streaming/index_stream.incremental_index_job drives — and an
+        in-place rebuild refreshes the cell graphs (no stale error)."""
+        path = str(tmp_path / "lc")
+        ivf = IVFIndex.build(
+            emb, "embedding", "vec_id", path, metric="l2sq", nlist=8,
+            seed=42,
+        )
+        hy = IVFGraphIndex.attach(ivf, spark, m=8, ef_construction=40)
+        assert hy.path == path
+        probe = [float(v) + 9.0 for v in Q]
+        hy.add_delta(
+            spark.createDataFrame(
+                [(666001, probe)], "vec_id long, embedding array<double>"
+            )
+        )
+        rows = hy.search(spark, probe, k=1, nprobe=2, ef=64).collect()
+        assert rows[0]["vec_id"] == 666001  # delta visible pre-fold
+        hy2 = hy.rebuild(spark)  # in place: fold + re-attach
+        assert hy2.path == path
+        assert hy2.meta["num_vectors"] == hy2.ivf.manifest.num_vectors
+        rows = hy2.search(
+            spark, probe, k=1, nprobe=hy2.ivf.manifest.nlist, ef=600
+        ).collect()
+        assert rows[0]["vec_id"] == 666001  # folded INTO a cell graph
+        assert rows[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_streaming_sync_drives_hybrid(self, spark, emb, tmp_path):
+        """incremental_index_job over a hybrid handle: delta appends
+        stream in; the size-triggered rebuild swaps in a re-attached
+        hybrid whose graphs cover the folded rows."""
+        from lantern_spark.streaming.index_stream import (
+            incremental_index_job,
+        )
+
+        path = str(tmp_path / "st")
+        ivf = IVFIndex.build(
+            emb, "embedding", "vec_id", path, metric="l2sq", nlist=8,
+            seed=42,
+        )
+        hy = IVFGraphIndex.attach(ivf, spark, m=8, ef_construction=40)
+        src = str(tmp_path / "src")
+        n0 = hy.ivf.manifest.num_vectors
+        spark.createDataFrame(
+            [(444001 + i, [0.9] * 64) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        ).write.parquet(src)
+        q, state = incremental_index_job(
+            spark,
+            hy,
+            src,
+            "vec_id long, embedding array<double>",
+            str(tmp_path / "ckpt"),
+            rebuild_threshold_rows=3,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        live = state["index"]
+        assert state["rebuilds"] >= 1
+        assert isinstance(live, IVFGraphIndex)
+        # at least one threshold-fold landed in the graphs; any tail
+        # below the threshold stays in the delta (still searchable)
+        assert live.ivf.manifest.num_vectors >= n0 + 3
+        got = live.search(
+            spark, [0.9] * 64, k=6, nprobe=live.ivf.manifest.nlist, ef=600
+        ).collect()
+        assert {r["vec_id"] for r in got} == {444001 + i for i in range(6)}
+
+
+class TestIvfGraphBatch:
+    def test_batch_equals_per_query(self, spark, emb, hybrid):
+        qs = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(3).collect()
+        ]
+        probes = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qs)],
+            "qid int, query array<double>",
+        )
+        got = hybrid.search_batch(
+            spark, probes, k=5, nprobe=2, ef=600
+        ).collect()
+        by_qid = {}
+        for r in got:
+            by_qid.setdefault(r["qid"], []).append(
+                (r["vec_id"], round(r["dist"], 4))
+            )
+        for i, q in enumerate(qs):
+            want = [
+                (r["vec_id"], round(r["dist"], 4))
+                for r in hybrid.search(
+                    spark, q, k=5, nprobe=2, ef=600
+                ).collect()
+            ]
+            assert by_qid[i] == want
+
+    def test_batch_sees_delta_and_tombstones(self, spark, emb, tmp_path):
+        path = str(tmp_path / "b")
+        ivf = IVFIndex.build(
+            emb, "embedding", "vec_id", path, metric="l2sq", nlist=8,
+            seed=42,
+        )
+        hy = IVFGraphIndex.attach(ivf, spark, m=8, ef_construction=40)
+        probe = [9.0] * 64
+        hy.add_delta(
+            spark.createDataFrame(
+                [(333001, probe), (333002, [9.1] * 64)],
+                "vec_id long, embedding array<double>",
+            )
+        )
+        hy.delete(spark.createDataFrame([(333002,)], "vec_id long"))
+        probes = spark.createDataFrame(
+            [(0, probe)], "qid int, query array<double>"
+        )
+        rows = hy.search_batch(spark, probes, k=2, nprobe=2, ef=64).collect()
+        ids = [r["vec_id"] for r in rows]
+        assert ids[0] == 333001 and 333002 not in ids
