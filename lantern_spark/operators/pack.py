@@ -113,6 +113,7 @@ def pack_sequences(
     max_tokens: int,
     chunks: int = 256,
     out_col: str = "pack_id",
+    token_count=None,
 ) -> DataFrame:
     """Assign each document a pack id by its START OFFSET in the
     id-ordered virtual token stream of its chunk — GPT-style
@@ -128,8 +129,16 @@ def pack_sequences(
     boundaries depend on all previous ones — and optimal packing is
     NP-hard and order-destroying; start-offset binning is the
     deterministic, shuffle-once contract trainers actually use.)
+
+    ``token_count``: optional Column of per-document token counts —
+    pass a real tokenizer's count (e.g. ``BPETokenizer.
+    token_count_expr``) instead of the whitespace default, so packing
+    budgets match what the trainer will actually see.
     """
-    toks = F.least(token_count_ws(text_col), F.lit(max_tokens))
+    toks = F.least(
+        token_count if token_count is not None else token_count_ws(text_col),
+        F.lit(max_tokens),
+    )
     chunk = F.abs(F.xxhash64(F.col(id_col))) % chunks
     w = (
         Window.partitionBy("__chunk")

@@ -164,3 +164,42 @@ class TestSparkSurface:
             .first()[0]
         )
         assert total >= 0.5 * n_words  # sane magnitude
+
+
+class TestBpePackingIntegration:
+    def test_pack_with_bpe_counts(self, spark, sf_dir):
+        """The full training-assembly composition: BPE-tokenize the
+        corpus and pack with REAL subword counts — bins budgeted in
+        the same units the trainer consumes."""
+        from lantern_spark.operators.pack import pack_sequences
+        from lantern_spark.types import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        tok = train_bpe(
+            docs, "text", num_merges=100, max_distinct_words=20000
+        )
+        packed = pack_sequences(
+            docs, "text", "doc_id", max_tokens=512, chunks=8,
+            token_count=tok.token_count_expr("text"),
+        )
+        stats = (
+            packed.withColumn("__n", tok.token_count_expr("text"))
+            .groupBy("pack_id")
+            .agg(
+                F.sum(F.least(F.col("__n"), F.lit(512))).alias("total"),
+                F.count("*").alias("docs"),
+            )
+            .collect()
+        )
+        assert len(stats) > 1
+        # start-offset binning contract: a bin overshoots by less than
+        # one (clamped) document, so total < 2 x budget always
+        assert all(r["total"] < 2 * 512 for r in stats)
+        # determinism
+        p2 = pack_sequences(
+            docs, "text", "doc_id", max_tokens=512, chunks=8,
+            token_count=tok.token_count_expr("text"),
+        )
+        a = {(r["doc_id"], r["pack_id"]) for r in packed.collect()}
+        b = {(r["doc_id"], r["pack_id"]) for r in p2.collect()}
+        assert a == b
