@@ -50,6 +50,11 @@ class CurationConfig:
     minhash_bands: int = 4
     shingle_k: int = 3
     extra_predicates: list = field(default_factory=list)
+    # optional CCNet-style perplexity stage: an operators/ngram_lm
+    # NGramLM plus a ceiling; runs after the heuristics (joins against
+    # the LM counts table — not fuseable into the map-only scan)
+    lm: Optional[object] = None
+    max_ppl: Optional[float] = None
 
 
 def curate_corpus(
@@ -88,6 +93,14 @@ def curate_corpus(
         out = out.filter(pred)
     out = note("heuristics", out)
 
+    if cfg.lm is not None and cfg.max_ppl is not None:
+        out = note(
+            "perplexity",
+            cfg.lm.perplexity_filter(
+                out, text_col, id_col, cfg.max_ppl
+            ).drop("ppl"),
+        )
+
     if cfg.exact_dedup:
         out = note("exact_dedup", exact_dedup(out, text_col, id_col))
     if cfg.near_dedup:
@@ -106,3 +119,67 @@ def curate_corpus(
     if report:
         return out, stages
     return out
+
+
+def decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 13,
+    heldout_text_col: Optional[str] = None,
+    mode: str = "drop",
+):
+    """Remove (or flag) training documents that overlap a held-out
+    evaluation set — the published GPT-3-style decontamination rule:
+    a training doc is contaminated when it shares ANY ``ngram``-token
+    window with any held-out document (13-grams are the standard
+    width: long enough that chance collisions are negligible, short
+    enough to catch partial quotes).
+
+    Plan shape (100 TB-safe): both sides tokenize and explode to
+    n-gram windows, grams reduce to 64-bit ``xxhash64`` keys
+    IMMEDIATELY (the raw text never shuffles — 8 bytes/window instead
+    of ~100), the held-out side deduplicates (eval sets are small:
+    typically broadcast by AQE), and one LEFT SEMI join marks
+    contaminated train ids. ``mode='drop'`` anti-joins them out;
+    ``mode='flag'`` returns the input plus a ``contaminated`` bool —
+    the audit-first variant.
+
+    Documents shorter than ``ngram`` tokens produce no windows and are
+    never flagged (standard behavior — there is no 13-gram to match).
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be drop|flag, got {mode!r}")
+    h_text = heldout_text_col or text_col
+
+    def gram_hashes(frame: DataFrame, col: str, keep):
+        from lantern_spark.functions.text import tokenize
+
+        # CASE guard, not arithmetic: sequence(1, 0) is DESCENDING
+        # [1, 0] in Spark, which would hash bogus short windows
+        grams = F.expr(
+            f"CASE WHEN size(__toks) >= {ngram} THEN "
+            f"transform(sequence(1, size(__toks) - {ngram - 1}), "
+            f"i -> xxhash64(array_join(slice(__toks, i, {ngram}), ' '))) "
+            f"ELSE array() END"
+        )
+        return (
+            frame.withColumn("__toks", tokenize(col))
+            .select(*keep, F.explode(grams).alias("__g"))
+        )
+
+    train_grams = gram_hashes(train, text_col, [F.col(id_col)])
+    held_grams = gram_hashes(heldout, h_text, []).select("__g").distinct()
+    contaminated = (
+        train_grams.join(held_grams, "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "flag":
+        return train.join(
+            contaminated.withColumn("contaminated", F.lit(True)),
+            id_col,
+            "left",
+        ).fillna(False, subset=["contaminated"])
+    return train.join(contaminated, id_col, "left_anti")

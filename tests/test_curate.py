@@ -90,3 +90,104 @@ class TestCurate:
         )
         n = out.count()
         assert 0 < n <= docs.count()
+
+
+class TestDecontaminate:
+    @pytest.fixture(scope="class")
+    def sets(self, spark):
+        base = (
+            "alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike"
+        )  # exactly 13 tokens
+        train = spark.createDataFrame(
+            [
+                (0, f"prefix words {base} suffix words"),  # contains eval 13-gram
+                (1, "totally unrelated content about sparkly engines here"),
+                (2, "short doc"),  # < 13 tokens: never flagged
+                (3, base),  # the eval text verbatim
+            ],
+            "doc_id long, text string",
+        )
+        heldout = spark.createDataFrame(
+            [(100, base + " november oscar")],
+            "doc_id long, text string",
+        )
+        return train, heldout
+
+    def test_drop_removes_overlaps(self, spark, sets):
+        from lantern_spark.operators.curate import decontaminate
+
+        train, heldout = sets
+        kept = decontaminate(train, heldout, "text", "doc_id", ngram=13)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+
+    def test_flag_mode_audits(self, spark, sets):
+        from lantern_spark.operators.curate import decontaminate
+
+        train, heldout = sets
+        flagged = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(
+                train, heldout, "text", "doc_id", ngram=13, mode="flag"
+            ).collect()
+        }
+        assert flagged == {0: True, 1: False, 2: False, 3: True}
+
+    def test_short_docs_never_match_each_other(self, spark):
+        from lantern_spark.operators.curate import decontaminate
+
+        train = spark.createDataFrame(
+            [(0, "tiny one"), (1, "tiny one")], "doc_id long, text string"
+        )
+        heldout = spark.createDataFrame(
+            [(9, "tiny one")], "doc_id long, text string"
+        )
+        kept = decontaminate(train, heldout, "text", "doc_id", ngram=13)
+        assert kept.count() == 2  # no 13-gram exists on either side
+
+    def test_no_python_eval(self, spark, sets):
+        from lantern_spark.operators.curate import decontaminate
+
+        train, heldout = sets
+        plan = (
+            decontaminate(train, heldout, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
+
+
+class TestCuratePerplexityStage:
+    def test_lm_stage_filters(self, spark, tmp_path):
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+        )
+        from lantern_spark.operators.ngram_lm import train_ngram_lm
+
+        ref = spark.createDataFrame(
+            [(i, "clean reference text flows nicely here") for i in range(4)],
+            "doc_id long, text string",
+        )
+        lm = train_ngram_lm(ref, "text", str(tmp_path), n=2)
+        mixed = spark.createDataFrame(
+            [
+                (0, "clean reference text flows nicely here"),
+                (1, "zxq wvu gibberish tokens qqq ppp lll kkk"),
+            ],
+            "doc_id long, text string",
+        )
+        in_ppl = lm.score_docs(
+            mixed.where("doc_id = 0"), "text", "doc_id"
+        ).first()["ppl"]
+        cfg = CurationConfig(
+            near_dedup=False, exact_dedup=False,
+            lm=lm, max_ppl=in_ppl * 3,
+        )
+        out, rep = curate_corpus(
+            mixed, "text", "doc_id", config=cfg, report=True
+        )
+        assert [r["doc_id"] for r in out.collect()] == [0]
+        assert rep["perplexity"] == 1
+        assert set(out.columns) == {"doc_id", "text"}  # ppl dropped
