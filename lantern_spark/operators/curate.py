@@ -43,6 +43,11 @@ class CurationConfig:
     max_tokens: int = 100_000
     min_quality: float = 0.25
     require_english: bool = False
+    # Gopher repetition rules (Rae et al. 2021 Table A1 defaults);
+    # None disables a rule. Pure expressions — they fuse into the same
+    # map-only heuristic scan.
+    max_dup_line_frac: Optional[float] = 0.30
+    max_top2gram_frac: Optional[float] = None
     exact_dedup: bool = True
     near_dedup: bool = True
     near_threshold: float = 0.8
@@ -89,6 +94,18 @@ def curate_corpus(
     out = out.filter(quality_score(text_col) >= cfg.min_quality)
     if cfg.require_english:
         out = out.filter(lang_id_en(text_col))
+    if cfg.max_dup_line_frac is not None:
+        from lantern_spark.operators.textstats import dup_line_fraction
+
+        out = out.filter(
+            dup_line_fraction(text_col) <= cfg.max_dup_line_frac
+        )
+    if cfg.max_top2gram_frac is not None:
+        from lantern_spark.operators.textstats import top_ngram_fraction
+
+        out = out.filter(
+            top_ngram_fraction(text_col, 2) <= cfg.max_top2gram_frac
+        )
     for pred in cfg.extra_predicates:
         out = out.filter(pred)
     out = note("heuristics", out)

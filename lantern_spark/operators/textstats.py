@@ -123,3 +123,63 @@ def text_stats(df, text_col: str, id_col: str):
         quality_score(text_col).alias("quality"),
         doc_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+
+# ----------------------------------------------------------------------
+# Repetition signals (the published Gopher repetition rules — Rae et
+# al. 2021 Table A1): repetitive documents (boilerplate, scraped menus,
+# generated spam) are the largest quality failure heuristic filters
+# catch. All pure expressions — map-only at any scale.
+# ----------------------------------------------------------------------
+
+def dup_line_fraction(col) -> Column:
+    """Fraction of non-empty lines that duplicate an earlier line
+    (0 for ≤1 line). Gopher drops docs above 0.30."""
+    lines = F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(lines)
+    uniq = F.size(F.array_distinct(lines))
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        (n - uniq).cast("double") / n.cast("double")
+    )
+
+
+def top_ngram_fraction(col, n: int = 2) -> Column:
+    """Fraction of the document's tokens covered by its single most
+    frequent word n-gram (Gopher: drop above ~0.20 for 2-grams, 0.18
+    for 3-grams). Pure expression — the max occurrence count is an
+    aggregate over the DISTINCT grams (O(distinct·grams) comparisons
+    per row, fine for documents; no UDF, no shuffle)."""
+    c = _c(col)
+    toks = tokenize(c)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_count = F.aggregate(
+        F.array_distinct(grams),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(grams, lambda x: x == g))
+        ),
+    )
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        (top_count * n).cast("double") / F.size(toks).cast("double")
+    )
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """(id, dup_line_frac, top2gram_frac, top3gram_frac) — the Gopher
+    repetition signal block, one map-only pass."""
+    return df.select(
+        F.col(id_col),
+        dup_line_fraction(text_col).alias("dup_line_frac"),
+        top_ngram_fraction(text_col, 2).alias("top2gram_frac"),
+        top_ngram_fraction(text_col, 3).alias("top3gram_frac"),
+    )

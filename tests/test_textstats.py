@@ -107,3 +107,61 @@ def test_mean_word_len_and_bpe(docs, duck):
         FROM documents
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+class TestRepetitionSignals:
+    def test_dup_line_fraction(self, spark):
+        from lantern_spark.operators.textstats import dup_line_fraction
+
+        df = spark.createDataFrame(
+            [
+                (0, "a\nb\nc\nd"),  # all unique -> 0
+                (1, "menu\nmenu\nmenu\nmenu"),  # 3 of 4 duplicate
+                (2, "one line only"),  # <=1 line -> 0
+                (3, "x\n\n \nx"),  # blanks ignored; 1 of 2 dup
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["f"]
+            for r in df.select(
+                "doc_id", dup_line_fraction("text").alias("f")
+            ).collect()
+        }
+        assert got[0] == 0.0
+        assert got[1] == pytest.approx(0.75)
+        assert got[2] == 0.0
+        assert got[3] == pytest.approx(0.5)
+
+    def test_top_ngram_fraction(self, spark):
+        from lantern_spark.operators.textstats import top_ngram_fraction
+
+        df = spark.createDataFrame(
+            [
+                (0, "buy now buy now buy now"),  # "buy now" x3 over 6 toks
+                (1, "all words here are different ones"),
+                (2, "ab"),  # shorter than the gram -> 0
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["f"]
+            for r in df.select(
+                "doc_id", top_ngram_fraction("text", 2).alias("f")
+            ).collect()
+        }
+        assert got[0] == pytest.approx(1.0)  # 3 occurrences x 2 / 6
+        assert got[1] == pytest.approx(2 / 6)  # every 2-gram unique
+        assert got[2] == 0.0
+
+    def test_repetition_stats_map_only(self, spark):
+        from lantern_spark.operators.textstats import repetition_stats
+
+        df = spark.createDataFrame(
+            [(0, "spam spam spam spam spam")], "doc_id long, text string"
+        )
+        out = repetition_stats(df, "text", "doc_id")
+        row = out.first()
+        assert row["top2gram_frac"] > 0.5
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan
