@@ -29,10 +29,17 @@ A from-scratch re-expression of the capabilities of lanterndata/lantern
   multimodal column plumbing with pure-python BMP/WAV codecs
 - hamming (packed-bit) indexes in both index families
   (reference: dist_hamming_ops op class, lantern.sql:63-104)
+- IVF×graph hybrid: per-cell HNSW graphs over IVF list partitions
+  (the SPANN-style 100 TB layout), routed by the cost-based planner
 - a SQL surface: the reference's SQL function names registered as
   Catalyst-inlined SQL UDFs (``sqlapi.install_sql_functions``) so
   ``SELECT … ORDER BY l2sq_dist(v, q) LIMIT k`` runs verbatim
-  (reference: lantern.sql:12-45).
+  (reference: lantern.sql:12-45)
+- training-pipeline completions: exact distributed BPE training +
+  encoding (operators/bpe), stupid-backoff n-gram LM perplexity
+  filtering (operators/ngram_lm), GPT-3-style 13-gram test-set
+  decontamination and Gopher repetition rules (operators/curate,
+  operators/textstats).
 
 Everything is DataFrame-in / DataFrame-out and designed for 100 TB scale:
 no driver-side collection except tiny codebooks/centroids/manifests.

@@ -128,7 +128,8 @@ def packed(spark, sf_dir):
     df = centered.select("vec_id", sq_encode_b1("c").alias("code"))
     df = df.persist()
     df.count()
-    return df
+    yield df
+    df.unpersist()  # never leak cache into other modules' plan tests
 
 
 @pytest.fixture(scope="module")
@@ -288,7 +289,8 @@ class TestHnswHamming:
         df = spark.createDataFrame(rows, "vec_id long, code array<int>")
         df = df.persist()
         df.count()
-        return df
+        yield df
+        df.unpersist()
 
     @pytest.fixture(scope="class")
     def hidx(self, spark, bincorpus, tmp_path_factory):

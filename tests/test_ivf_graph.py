@@ -21,7 +21,11 @@ Q = [0.3 + 0.004 * i for i in range(64)]
 def emb(spark, sf_dir):
     df = load_table(spark, sf_dir, "embeddings").persist()
     df.count()
-    return df
+    yield df
+    # the cache manager substitutes InMemoryTableScan for ANY later
+    # identical parquet scan session-wide — leaking this cache breaks
+    # other modules' PushedFilters plan assertions
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
