@@ -309,3 +309,32 @@ def duck_tokenize_sql(expr: str, drop_stopwords: bool = False) -> str:
         stop = ",".join(f"'{s}'" for s in STOPWORDS)
         base = f"list_filter({base}, t -> NOT list_contains([{stop}], t))"
     return base
+
+
+def ngram_windows(toks: Column, k: int, joined: bool = True) -> Column:
+    """All order-``k`` sliding windows of an ``array<string>`` column —
+    THE shared windowing kernel (ngram_lm counting, decontamination,
+    repetition stats all window the same way; three hand-rolled copies
+    drifted on the short-input guard before this existed).
+
+    Guard contract: arrays shorter than ``k`` — and NULL arrays —
+    yield an EMPTY array. The naive ``sequence(1, size(toks)-k+1)``
+    upper bound is a footgun twice over: Spark's ``sequence(1, 0)``
+    is the DESCENDING ``[1, 0]``, and ``greatest(NULL, 0)`` skips the
+    NULL to 0 — both emit junk short-slice windows.
+
+    ``joined=True`` returns space-joined strings; ``joined=False``
+    returns ``array<array<string>>`` windows.
+    """
+    body = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        (lambda i: F.array_join(F.slice(toks, i, k), " "))
+        if joined
+        else (lambda i: F.slice(toks, i, k)),
+    )
+    empty = (
+        F.array().cast("array<string>")
+        if joined
+        else F.array().cast("array<array<string>>")
+    )
+    return F.when(F.size(toks) >= k, body).otherwise(empty)

@@ -43,10 +43,12 @@ class CurationConfig:
     max_tokens: int = 100_000
     min_quality: float = 0.25
     require_english: bool = False
-    # Gopher repetition rules (Rae et al. 2021 Table A1 defaults);
-    # None disables a rule. Pure expressions — they fuse into the same
+    # Gopher repetition rules (Rae et al. 2021 Table A1: 0.30 dup-line,
+    # 0.20 top-2-gram); None (default) disables a rule — OPT-IN so
+    # adding these fields never silently changes an existing pipeline's
+    # corpus composition. Pure expressions — they fuse into the same
     # map-only heuristic scan.
-    max_dup_line_frac: Optional[float] = 0.30
+    max_dup_line_frac: Optional[float] = None
     max_top2gram_frac: Optional[float] = None
     exact_dedup: bool = True
     near_dedup: bool = True
@@ -171,15 +173,12 @@ def decontaminate(
     h_text = heldout_text_col or text_col
 
     def gram_hashes(frame: DataFrame, col: str, keep):
-        from lantern_spark.functions.text import tokenize
+        from lantern_spark.functions.text import ngram_windows, tokenize
 
-        # CASE guard, not arithmetic: sequence(1, 0) is DESCENDING
-        # [1, 0] in Spark, which would hash bogus short windows
-        grams = F.expr(
-            f"CASE WHEN size(__toks) >= {ngram} THEN "
-            f"transform(sequence(1, size(__toks) - {ngram - 1}), "
-            f"i -> xxhash64(array_join(slice(__toks, i, {ngram}), ' '))) "
-            f"ELSE array() END"
+        # shared windowing kernel: NULL/short docs yield NO windows
+        grams = F.transform(
+            ngram_windows(F.col("__toks"), ngram),
+            lambda g: F.xxhash64(g),
         )
         return (
             frame.withColumn("__toks", tokenize(col))

@@ -114,6 +114,9 @@ class IVFGraphIndex:
             "m": m,
             "ef_construction": ef_construction,
             "seed": seed,
+            # persisted so rebuild's re-attach honors a caller-raised
+            # ceiling instead of failing mid-fold on an accepted cell
+            "max_payload_bytes": int(max_payload_bytes),
             # staleness fingerprint: a rebuild rewrites the manifest;
             # search refuses to walk graphs built for different lists
             "num_vectors": mf.num_vectors,
@@ -167,6 +170,9 @@ class IVFGraphIndex:
             m=self.meta["m"],
             ef_construction=self.meta["ef_construction"],
             seed=self.meta["seed"],
+            max_payload_bytes=self.meta.get(
+                "max_payload_bytes", MAX_PAYLOAD_BYTES
+            ),
         )
 
     # -- search ---------------------------------------------------------
@@ -194,6 +200,7 @@ class IVFGraphIndex:
         include_delta: bool = True,
         dist_col: str = "dist",
         with_stats: bool = False,
+        limit_result: bool = True,
     ) -> DataFrame:
         """Routed top-k: rank cells by centroid distance (driver-side,
         identical kernel to :meth:`IVFIndex.search`), walk only the
@@ -203,7 +210,11 @@ class IVFGraphIndex:
         search is still visible (graphs only cover folded rows).
 
         ``with_stats`` adds (list_id, n_dist) per row — per-cell
-        distance-evaluation counts, the scan-fraction instrument."""
+        distance-evaluation counts, the scan-fraction instrument.
+        ``limit_result=False`` returns ALL nprobe·k local candidates:
+        stats probes need every walked cell's contribution, which the
+        global limit would drop for cells whose candidates fell out of
+        the top-k (the HNSW instrument's lesson, hnsw.py)."""
         self._check_fresh()
         ivf, mf = self.ivf, self.ivf.manifest
         probes = ivf._probe_lists(spark, query, nprobe)
@@ -274,13 +285,10 @@ class IVFGraphIndex:
         cols = [mf.id_column, dist_col] + (
             ["list_id", "n_dist"] if with_stats else []
         )
-        return (
-            out.select(*cols)
-            .orderBy(
-                F.col(dist_col).asc_nulls_last(), F.col(mf.id_column).asc()
-            )
-            .limit(k)
+        out = out.select(*cols).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(mf.id_column).asc()
         )
+        return out.limit(k) if limit_result else out
 
 
     def search_batch(
@@ -425,7 +433,15 @@ def ivf_graph_recall_and_scan_fraction(
     """(mean recall@k vs the exact scan over the lists, mean
     distance-evaluation fraction of the corpus) — the hybrid's quality
     instrument, comparable to both IVF's row-scan fraction and HNSW's
-    walk fraction."""
+    walk fraction.
+
+    Same two hardenings as ``hnsw_recall_and_scan_fraction``: recall is
+    tie-tolerant (a hit = exact distance within ε of the k-th exact
+    distance — the f32 graphs otherwise split float64 ties arbitrarily)
+    and the search runs ``limit_result=False`` so every walked cell's
+    ``n_dist`` is counted even when its candidates fell out of the
+    global top-k (the limit would otherwise undercount evals by up to
+    nprobe×)."""
     from lantern_spark.functions.distances import distance
     from lantern_spark.functions.vectors import vec_lit
 
@@ -434,22 +450,25 @@ def ivf_graph_recall_and_scan_fraction(
     n = mf.num_vectors or base.count()
     hits = total = evals = 0
     for q in queries:
-        exact = {
-            r[0]
-            for r in base.withColumn(
+        exact_rows = (
+            base.withColumn(
                 "d", distance(F.col(mf.column), vec_lit(list(q)), mf.metric)
             )
             .orderBy(F.col("d").asc(), F.col(mf.id_column).asc())
-            .limit(k)
-            .select(mf.id_column)
+            .limit(k + 32)
+            .select(mf.id_column, "d")
             .collect()
-        }
+        )
+        d_k = float(exact_rows[min(k, len(exact_rows)) - 1]["d"])
+        thr = d_k * (1.0 + 1e-5) + 1e-6
+        acceptable = {r[0] for r in exact_rows if float(r["d"]) <= thr}
         rows = index.search(
-            spark, q, k=k, nprobe=nprobe, ef=ef, with_stats=True
+            spark, q, k=k, nprobe=nprobe, ef=ef, with_stats=True,
+            limit_result=False,
         ).collect()
-        got = {r[mf.id_column] for r in rows}
+        got = [r[mf.id_column] for r in rows[:k]]  # (dist, id)-sorted
         per_cell = {r["list_id"]: r["n_dist"] for r in rows}
         evals += sum(per_cell.values())
-        hits += len(exact & got)
+        hits += sum(1 for g in got if g in acceptable)
         total += k
     return (hits / total if total else 1.0, evals / max(n * len(queries), 1))

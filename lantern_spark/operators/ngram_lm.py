@@ -46,11 +46,13 @@ def _framed_tokens(text_col, n: int) -> Column:
 
 def _grams_expr(toks_col: str, k: int) -> Column:
     """All order-k grams of an array<string> column as space-joined
-    strings — one pure-expression transform over positions."""
-    return F.expr(
-        f"transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 0)),"
-        f" i -> array_join(slice({toks_col}, i, {k}), ' '))"
-    )
+    strings — the shared windowing kernel (functions/text.ngram_windows,
+    whose guard returns an EMPTY array for NULL/short inputs; the
+    previous ``greatest(size-k+1, 0)`` bound let NULL token arrays
+    emit junk [1, 0]-descending windows into the counts table)."""
+    from lantern_spark.functions.text import ngram_windows
+
+    return ngram_windows(F.col(toks_col), k)
 
 
 class NGramLM:
@@ -191,7 +193,12 @@ class NGramLM:
         max_ppl: float,
     ) -> DataFrame:
         """Keep documents under the perplexity ceiling (the CCNet
-        keep-the-head filter); returns df's columns + ppl."""
+        keep-the-head filter); returns df's columns + ppl.
+
+        Contract: a document with NULL ``text_col`` has no scoreable
+        positions, receives no perplexity, and is DROPPED regardless
+        of the ceiling (unscoreable ≠ in-domain); filter NULLs out
+        upstream if they must survive."""
         scored = self.score_docs(df, text_col, id_col).select(
             id_col, "ppl"
         )

@@ -153,15 +153,11 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
     for 3-grams). Pure expression — the max occurrence count is an
     aggregate over the DISTINCT grams (O(distinct·grams) comparisons
     per row, fine for documents; no UDF, no shuffle)."""
+    from lantern_spark.functions.text import ngram_windows
+
     c = _c(col)
     toks = tokenize(c)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = ngram_windows(toks, n)
     top_count = F.aggregate(
         F.array_distinct(grams),
         F.lit(0),

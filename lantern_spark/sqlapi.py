@@ -225,13 +225,17 @@ def register_tables(
     DataFrame queries see identical data. Missing tables are skipped.
     Returns the list of registered view names.
     """
-    from lantern_spark.types import load_table
+    import os
+
+    from lantern_spark.types import load_table, table_path
 
     out = []
     for t in tables or DEFAULT_TABLES:
-        try:
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-            out.append(t)
-        except Exception:
+        # skip ONLY genuinely absent tables — a corrupt/unreadable
+        # parquet must raise, not masquerade as "missing" and surface
+        # later as a confusing TABLE_OR_VIEW_NOT_FOUND
+        if not os.path.exists(table_path(sf_dir, t)):
             continue
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        out.append(t)
     return out

@@ -171,3 +171,33 @@ class TestScoring:
             .toString()
         )
         assert "EvalPython" not in plan
+
+
+class TestWindowKernel:
+    def test_null_and_short_inputs_yield_no_grams(self, spark):
+        """The shared ngram_windows guard: NULL and sub-width token
+        arrays produce EMPTY windows — the naive sequence bound would
+        emit junk [1,0]-descending slices into the counts table."""
+        from lantern_spark.functions.text import ngram_windows
+
+        df = spark.createDataFrame(
+            [(0, ["a", "b", "c"]), (1, ["a"]), (2, None)],
+            "i long, toks array<string>",
+        )
+        got = {
+            r["i"]: r["g"]
+            for r in df.select(
+                "i", ngram_windows(F.col("toks"), 2).alias("g")
+            ).collect()
+        }
+        assert got[0] == ["a b", "b c"]
+        assert got[1] == []
+        assert got[2] == []
+
+    def test_null_text_does_not_pollute_counts(self, spark, tmp_path):
+        corpus = spark.createDataFrame(
+            [(0, "a b a b"), (1, None)], "doc_id long, text string"
+        )
+        lm = train_ngram_lm(corpus, "text", str(tmp_path), n=2)
+        grams = [r["gram"] for r in lm.counts(spark).collect()]
+        assert all(g is not None for g in grams)
