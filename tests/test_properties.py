@@ -211,3 +211,94 @@ class TestSimHashProperties:
         b = simhash64(toks + [toks[0]])
         hd = bin((a ^ b) & (2**64 - 1)).count("1")
         assert hd <= 40  # far below the 64-bit random baseline (~32±)
+
+
+class TestBitopsProperties:
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                min_size=3, max_size=3,
+            ),
+            min_size=1, max_size=20,
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_uint32_roundtrip_and_popcount(self, rows):
+        from lantern_spark.functions.bitops import (
+            from_uint32_words,
+            popcount_rows,
+            to_uint32_words,
+        )
+
+        arr = np.asarray(rows, dtype=np.int64)
+        words = to_uint32_words(arr)
+        assert from_uint32_words(words).tolist() == arr.tolist()
+        want = [
+            sum(bin(v & 0xFFFFFFFF).count("1") for v in row)
+            for row in rows
+        ]
+        assert popcount_rows(words).tolist() == want
+
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                min_size=2, max_size=2,
+            ),
+            min_size=2, max_size=12,
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_hamming_cdist_metric_axioms(self, rows):
+        from lantern_spark.functions.bitops import (
+            hamming_cdist,
+            to_uint32_words,
+        )
+
+        w = to_uint32_words(np.asarray(rows, dtype=np.int64))
+        d = hamming_cdist(w, w)
+        assert (np.diag(d) == 0).all()  # identity
+        assert (d == d.T).all()  # symmetry
+        # triangle inequality on the first three rows when present
+        if d.shape[0] >= 3:
+            assert d[0, 2] <= d[0, 1] + d[1, 2]
+
+
+class TestBpeProperties:
+    words_st = st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        min_size=1, max_size=15,
+    )
+
+    @given(words_st, st.integers(min_value=0, max_value=30))
+    @settings(max_examples=40, deadline=None)
+    def test_encode_concatenation_recovers_word(self, words, n_merges):
+        """Invariant: for ANY learned merge table, a word's subword
+        tokens concatenate back to the word + the end marker."""
+        from collections import Counter
+
+        from lantern_spark.operators.bpe import (
+            EOW,
+            BPETokenizer,
+            apply_bpe_word,
+            train_bpe_from_counts,
+        )
+
+        counts = sorted(Counter(words).items())
+        tok = BPETokenizer(train_bpe_from_counts(counts, n_merges))
+        for w in set(words):
+            pieces = apply_bpe_word(w, tok.ranks)
+            assert "".join(pieces) == w + EOW
+
+    @given(words_st)
+    @settings(max_examples=30, deadline=None)
+    def test_training_deterministic(self, words):
+        from collections import Counter
+
+        from lantern_spark.operators.bpe import train_bpe_from_counts
+
+        counts = sorted(Counter(words).items())
+        assert train_bpe_from_counts(counts, 10) == train_bpe_from_counts(
+            counts, 10
+        )
