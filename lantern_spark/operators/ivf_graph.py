@@ -28,6 +28,15 @@ that many distances; the hybrid reads the same cells' graph payloads
 fewer distance kernels per probe; IO stays partition-pruned either way.
 Graphs hold per-cell memory = cell rows × (dim·4 + 2m·8) bytes — the
 same ceiling as HNSW shards, bounded here by n/nlist.
+
+Caveat (shared with every graph index, amplified by cell locality):
+IVF routing concentrates a query's whole neighborhood into few cells,
+so a corpus with large exact- or near-duplicate clusters — or
+degenerate low-dimensional structure (collinear replica chains) —
+puts the entire degenerate cluster into ONE graph, where neighbor-list
+saturation degrades the walk. Dedup such corpora upstream
+(operators/dedup); hash-sharded HNSW splits clusters across shards and
+tolerates them better at higher per-query cost.
 """
 
 from __future__ import annotations
