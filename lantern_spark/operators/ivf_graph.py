@@ -156,6 +156,13 @@ class IVFGraphIndex:
     def path(self) -> str:
         return self.ivf.path
 
+    @property
+    def manifest(self):
+        """The wrapped index's manifest — lets the hybrid quack like
+        an IVFIndex wherever only (metric, nlist, id_column, …) are
+        consulted (weighted_vector_search's ``indexes=``, catalogs)."""
+        return self.ivf.manifest
+
     def add_delta(self, df: DataFrame) -> None:
         """aminsert analog — delegates to the wrapped index; delta rows
         are exact-scanned by :meth:`search` until a rebuild folds them

@@ -284,3 +284,26 @@ class TestIvfGraphBatch:
         rows = hy.search_batch(spark, probes, k=2, nprobe=2, ef=64).collect()
         ids = [r["vec_id"] for r in rows]
         assert ids[0] == 333001 and 333002 not in ids
+
+
+class TestWeightedSearchWithHybrid:
+    def test_weighted_approx_accepts_hybrid(self, spark, emb, hybrid):
+        """weighted_vector_search's indexes= duck-types the hybrid via
+        the manifest proxy; at full probe with candidate ef ≥ cell
+        size the result equals the exact weighted search."""
+        from lantern_spark.operators.knn import weighted_vector_search
+
+        q1 = Q
+        q2 = [0.9 - 0.002 * i for i in range(64)]
+        exact = weighted_vector_search(
+            emb, [(1.0, "embedding", q1), (0.5, "embedding", q2)],
+            id_col="vec_id", k=5, ef=400, exact=True, round_digits=6,
+        ).select("vec_id").collect()
+        approx = weighted_vector_search(
+            emb, [(1.0, "embedding", q1), (0.5, "embedding", q2)],
+            id_col="vec_id", k=5, ef=400, exact=False, round_digits=6,
+            indexes=[hybrid, hybrid],
+        ).select("vec_id").collect()
+        assert [r["vec_id"] for r in approx] == [
+            r["vec_id"] for r in exact
+        ]
