@@ -373,3 +373,44 @@ class TestRoutedHamming:
 
         d2 = route(cat, "packed", "code", "cos", 500, recall_floor=0.0)
         assert d2.access_path == "exact"
+
+
+class TestHammingAutotune:
+    def test_autotune_and_tune_nprobe_on_hamming(self, spark, tmp_path):
+        """Both tuners speak hamming: autotune_index runs its
+        (nlist, nprobe) grid over a packed-bit corpus and tune_nprobe's
+        batched exact scan uses the popcount kernel."""
+        rng = np.random.RandomState(31)
+        rows = [
+            (
+                int(i),
+                from_uint32_words(
+                    rng.randint(0, 2**32, size=4, dtype=np.uint64)
+                    .astype(np.uint32)[None, :]
+                )[0].tolist(),
+            )
+            for i in range(240)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, code array<int>")
+        from lantern_spark.operators.autotune import (
+            autotune_index,
+            tune_nprobe,
+        )
+
+        best, results, _idx = autotune_index(
+            df, "code", "vec_id", metric="hamming", k=5,
+            target_recall=0.9, num_queries=3,
+            grid=[(4, 2), (4, 4), (8, 8)], seed=42,
+        )
+        assert best.recall >= 0.9
+        assert len(results) >= 1
+        idx = IVFIndex.build(
+            df, "code", "vec_id", str(tmp_path / "t"),
+            metric="hamming", nlist=8, seed=42,
+        )
+        probes = [rows[i][1] for i in (0, 5, 9)]
+        nprobe, rec = tune_nprobe(
+            idx, spark, probes, k=5, target_recall=0.9
+        )
+        assert 1 <= nprobe <= idx.manifest.nlist
+        assert rec >= 0.9
