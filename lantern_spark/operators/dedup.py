@@ -491,6 +491,7 @@ def embedding_near_pairs(
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 12,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) labeling of the undirected graph given by
     (id_a, id_b) candidate pairs; component = min id reachable.
@@ -519,6 +520,45 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # SIZE-GATED strategy choice — the same adaptive rule Spark applies
+    # to joins (broadcast under the threshold, shuffle above): the
+    # iterative loop costs ~8-12 jobs of fixed scheduler overhead,
+    # which dominates end-to-end time when the edge list is small (the
+    # common case: LSH-verified candidate pairs are a vanishing
+    # fraction of the corpus). Under ``local_threshold`` edges, run
+    # union-find with path compression driver-side — same min-id
+    # labels, deterministic — and parallelize the result. The
+    # distributed loop remains the path for genuinely large graphs;
+    # the collected edge list is bounded by the threshold, never by
+    # the corpus.
+    n_edges = edges.count()  # cheap action over the checkpointed edges
+    if n_edges <= local_threshold:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_rows = edges.collect()
+        for r in edge_rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                # union by MIN id so labels equal min-reachable-id —
+                # identical contract to the distributed propagation
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        # symmetric edges: every node appears as a src
+        nodes = {r["src"] for r in edge_rows}
+        rows = sorted((x, find(x)) for x in nodes)
+        src_type = edges.schema["src"].dataType.simpleString()
+        return spark.createDataFrame(
+            rows, f"id {src_type}, comp {src_type}"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

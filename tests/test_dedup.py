@@ -215,3 +215,33 @@ class TestConnectedComponents:
             ).collect()
         )
         assert kept == [1, 4]
+
+
+class TestCCStrategyGate:
+    def test_local_and_distributed_paths_agree(self, spark):
+        """The size-gated strategy choice must be invisible in results:
+        driver union-find (small graphs) ≡ distributed min-label
+        propagation (local_threshold=0 forces it) on chains, islands,
+        and merged clusters."""
+        from lantern_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [
+                (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+                (10, 11),                         # island pair
+                (20, 21), (22, 21), (23, 20),     # merged star
+            ],
+            "id_a long, id_b long",
+        )
+        local = sorted(
+            tuple(r) for r in connected_components(pairs).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in connected_components(
+                pairs, local_threshold=0
+            ).collect()
+        )
+        assert local == dist
+        comp = dict(local)
+        assert comp[4] == 1 and comp[11] == 10 and comp[23] == 20
