@@ -213,6 +213,170 @@ def install_sql_functions(spark: SparkSession) -> List[str]:
     return names
 
 
+# ----------------------------------------------------------------------
+# ORDER BY <dist> LIMIT k auto-routing (hnsw.c:164-172,236)
+# ----------------------------------------------------------------------
+
+# The reference's one planner trick: when a query orders by a distance
+# function over an indexed column and takes a LIMIT, route the scan
+# through the index (hnsw.c:164-172 builds the index path;
+# lantern.sql:70-95 binds the operators the hook matches). The pattern
+# below is deliberately as narrow as the reference's hook: a single
+# table, ORDER BY one of the registered distance functions over a bare
+# column and an array literal, LIMIT k. The match runs on the SQL TEXT
+# because Catalyst INLINES the SQL-UDF bodies (by design — that is what
+# makes them pushdown-friendly), so by analysis time the plan no longer
+# contains a recognizable `l2sq_dist` call to rewrite.
+import re as _re
+
+_FN_CALL = (
+    r"(?P<fn>l2sq_dist|l2_dist|cos_dist|hamming_dist)\s*\(\s*"
+    r"(?P<col>\w+)\s*,\s*(?P<lit>array\s*\([^)]*\))\s*\)"
+)
+
+# form 1: ORDER BY <fn>(col, array(…)) directly
+_ANN_SQL_RX = _re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"ORDER\s+BY\s+" + _FN_CALL + r"\s*"
+    r"(?:ASC\s+)?"
+    r"(?:,\s*\w+\s*(?:ASC\s+)?)?"  # optional id tie-break column
+    r"LIMIT\s+(?P<k>\d+)\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+# form 2: SELECT …, <fn>(col, array(…)) AS d … ORDER BY d LIMIT k —
+# the shape Spark 4 actually requires (SQL UDFs are not allowed
+# directly inside Sort, UNSUPPORTED_SQL_UDF_USAGE), so it is the shape
+# real queries take
+_ANN_ALIAS_TAIL_RX = _re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"ORDER\s+BY\s+(?P<alias>\w+)\s*"
+    r"(?:ASC\s+)?"
+    r"(?:,\s*\w+\s*(?:ASC\s+)?)?"
+    r"LIMIT\s+(?P<k>\d+)\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
+def _match_ann_sql(sql: str):
+    """(table span, col, metric, query vector, k) when ``sql`` is the
+    reference-hook shape in either form, else None."""
+    m = _ANN_SQL_RX.match(sql)
+    if m is None:
+        m2 = _ANN_ALIAS_TAIL_RX.match(sql)
+        if m2 is None:
+            return None
+        # the ORDER BY alias must be defined in the select list as
+        # exactly one distance call over a bare column + array literal
+        alias_def = _re.search(
+            _FN_CALL + r"\s+AS\s+" + _re.escape(m2.group("alias")) + r"\b",
+            m2.group("select"),
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if alias_def is None:
+            return None
+        fn, col, lit = (
+            alias_def.group("fn"),
+            alias_def.group("col"),
+            alias_def.group("lit"),
+        )
+        m = m2
+    else:
+        fn, col, lit = m.group("fn"), m.group("col"), m.group("lit")
+    nums = _re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", lit)
+    return {
+        "table": m.group("table"),
+        "table_span": m.span("table"),
+        "col": col,
+        "metric": _METRIC_OF[fn.lower()],
+        "query": [float(x) for x in nums],
+        "k": int(m.group("k")),
+    }
+
+# ordering-equivalent metric per SQL function (l2_dist orders the same
+# rows as l2sq — the monotone map the reference also exploits)
+_METRIC_OF = {
+    "l2sq_dist": "l2sq",
+    "l2_dist": "l2sq",
+    "cos_dist": "cos",
+    "hamming_dist": "hamming",
+}
+
+
+def routed_sql(
+    spark: SparkSession,
+    sql: str,
+    catalog=None,
+    recall_floor: float = 0.9,
+    explain: bool = False,
+):
+    """Run ``sql``, auto-routing ``ORDER BY <dist>(col, array(…))
+    LIMIT k`` through the cost-based router when ``catalog`` holds an
+    index for (table, column, metric) whose measured recall clears
+    ``recall_floor`` — the reference's planner-hook behavior
+    (hnsw.c:164-172): the same SQL text silently uses the index when
+    one exists and the exact scan otherwise.
+
+    Index dispatch fetches the top-k candidate IDS from the routed
+    access path, then re-executes the ORIGINAL SQL over just those
+    rows (a temp-view rewrite of the FROM clause) — the final
+    projection, exact distance recompute, ordering, and tie-breaks are
+    all Spark's, over k rows. So the SELECT list is unrestricted, and
+    result semantics match the unrouted query up to the index's recall
+    contract. Non-matching SQL (or no catalog / no eligible index)
+    falls through to ``spark.sql`` untouched — Catalyst's
+    TakeOrderedAndProject IS the exact path.
+
+    Returns the DataFrame, or ``(DataFrame, RouteDecision | None)``
+    with ``explain=True`` (None = pattern didn't match)."""
+    from lantern_spark.plans.router import route
+
+    m = _match_ann_sql(sql)
+    if m is None or catalog is None:
+        out = spark.sql(sql)
+        return (out, None) if explain else out
+    table, col = m["table"], m["col"]
+    metric, query, k = m["metric"], m["query"], m["k"]
+    df = spark.table(table)
+    n_rows = df.count()
+    decision = route(catalog, table, col, metric, n_rows, recall_floor)
+    e = decision.entry
+    if decision.access_path == "exact" or e is None:
+        out = spark.sql(sql)
+        return (out, decision) if explain else out
+    if e.kind == "ivf":
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.load(e.index_path)
+        cand = idx.search(
+            spark, query, k=k, nprobe=e.params["nprobe"]
+        )
+        id_col = idx.manifest.id_column
+    elif e.kind == "hnsw":
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.load(e.index_path)
+        cand = idx.search(spark, query, k=k, ef=e.params["ef"])
+        id_col = idx.manifest["id_column"]
+    else:  # ivf_graph
+        from lantern_spark.operators.ivf_graph import IVFGraphIndex
+
+        hyb = IVFGraphIndex.load(e.index_path)
+        cand = hyb.search(
+            spark, query, k=k, nprobe=e.params["nprobe"],
+            ef=e.params["ef"],
+        )
+        id_col = hyb.ivf.manifest.id_column
+    ids = [r[0] for r in cand.select(id_col).collect()]  # ≤ k rows
+    view = f"{table}__ann_candidates"
+    df.filter(df[id_col].isin(ids)).createOrReplaceTempView(view)
+    start, end = m["table_span"]
+    out = spark.sql(sql[:start] + view + sql[end:])
+    return (out, decision) if explain else out
+
+
 def register_tables(
     spark: SparkSession,
     sf_dir: str,
