@@ -288,6 +288,16 @@ def main() -> None:
         )
         quality["router_path"] = dec.access_path
         quality["router_est_tuples"] = round(dec.est_tuples, 1)
+        # batched-workload decision (r6 item 6): per-probe pricing at
+        # B=32 — per-job reads amortize, per-probe evals don't
+        from lantern_spark.plans.router import route_batch
+
+        bdec = route_batch(
+            cat, "fixture", "embedding", "l2sq", n_big,
+            batch_size=32, recall_floor=0.95,
+        )
+        quality["router_batch32_path"] = bdec.access_path
+        quality["router_batch32_est_tuples"] = round(bdec.est_tuples, 1)
         big.unpersist()
         import shutil
 
@@ -365,6 +375,29 @@ def main() -> None:
             code_bytes / vec_bytes, 4
         )
         quality["ivf_pq_rerank_rows"] = int(min(10 * oversample, n_nat))
+        # ADC tier in the router (r6 item 6): register both tiers of
+        # the SAME artifact and show which the cost model picks for the
+        # natural corpus at its measured operating points
+        from lantern_spark.queries.ann import _tuned_nprobe
+
+        nat_nprobe = _tuned_nprobe(spark, sf_dir)
+        qroot2 = tempfile.mkdtemp(prefix="bench_router_")
+        cat2 = IndexCatalog(f"{qroot2}/catalog_nat")
+        cat2.register_ivf(
+            ivf_nat, "embeddings", nprobe=nat_nprobe,
+            recall_estimate=0.95,  # the tune_nprobe target it was tuned to
+        )
+        cat2.register_ivf_pq(
+            ivf_nat, "embeddings", nprobe=ivf_nat.manifest.nlist,
+            oversample=oversample, recall_estimate=rec,
+        )
+        pqdec = route(
+            cat2, "embeddings", "embedding", "l2sq", n_nat,
+            recall_floor=0.9,
+        )
+        quality["router_nat_path"] = pqdec.access_path
+        quality["router_nat_est_tuples"] = round(pqdec.est_tuples, 1)
+        shutil.rmtree(qroot2, ignore_errors=True)
 
         # batched-search amortization: one job answering B probes vs
         # one job per probe (the 100 TB inference-workload shape;

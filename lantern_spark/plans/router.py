@@ -54,7 +54,9 @@ __all__ = [
     "estimate_ivf_tuples",
     "estimate_hnsw_tuples",
     "estimate_ivf_graph_tuples",
+    "estimate_ivf_pq_tuples",
     "route",
+    "route_batch",
     "ann_search",
 ]
 
@@ -110,6 +112,33 @@ def estimate_hnsw_tuples(
     if shards == 1:
         return float(min(total, n / 3.0))
     return float(min(total, n_shard)) * shards
+
+
+def estimate_ivf_pq_tuples(
+    n: int,
+    nlist: int,
+    nprobe: int,
+    splits: int,
+    dim: int,
+    k: int = 10,
+    oversample: int = 4,
+    bytes_per_elem: int = 8,
+) -> float:
+    """IVF-PQ ADC path (operators/index.search_adc; the reference's
+    PQ-aware scan, scan.c:75-81, priced through the same estimator
+    family as hnsw.c:89-145): the candidate pass touches the probed
+    share of the corpus but reads CODES — ``splits`` bytes/row instead
+    of ``dim·bytes_per_elem`` — so its tuple count scales by the code
+    fraction; the exact re-rank then reads ``k·oversample`` full rows.
+    All paths price in full-vector-tuple-equivalents (bytes divided by
+    the raw vector width), which is what a 100 TB scan actually pays."""
+    if n <= 0 or nlist <= 0:
+        return 0.0
+    nprobe = min(max(1, nprobe), nlist)
+    code_frac = float(splits) / float(max(1, dim * bytes_per_elem))
+    candidate_pass = float(n) * nprobe / nlist * code_frac
+    rerank = float(min(k * max(1, oversample), n))
+    return float(nlist) + candidate_pass + rerank
 
 
 def estimate_ivf_graph_tuples(
@@ -280,6 +309,44 @@ class IndexCatalog:
         self.register(e, save=save)
         return e
 
+    def register_ivf_pq(
+        self,
+        index,
+        table: str,
+        nprobe: int,
+        oversample: int = 4,
+        recall_estimate: float = 0.0,
+        save: bool = True,
+    ) -> CatalogEntry:
+        """Register the ADC tier of an IVFIndex built with ``pq=`` —
+        the same artifact as ``register_ivf`` but routed through
+        ``search_adc`` (compact-code candidate pass + exact re-rank).
+        Raises if the index stores no codes."""
+        mf = index.manifest
+        pq = (mf.params or {}).get("pq")
+        if not pq:
+            raise ValueError(
+                "index was built without pq= — no ADC tier to register"
+            )
+        e = CatalogEntry(
+            table=table,
+            column=mf.column,
+            metric=mf.metric,
+            kind="ivf_pq",
+            index_path=index.path,
+            num_vectors=int(mf.num_vectors),
+            recall_estimate=float(recall_estimate),
+            params={
+                "nlist": int(mf.nlist),
+                "nprobe": int(nprobe),
+                "splits": int(pq["splits"]),
+                "dim": int(mf.dim),
+                "oversample": int(oversample),
+            },
+        )
+        self.register(e, save=save)
+        return e
+
     def lookup(
         self, table: str, column: str, metric: str
     ) -> List[CatalogEntry]:
@@ -307,6 +374,69 @@ class RouteDecision:
     candidates: list = field(default_factory=list)
 
 
+def _entry_eval_tuples(e: CatalogEntry, n: int, k: int) -> float:
+    """Per-probe distance-evaluation tuples for a catalog entry — the
+    reference-unit estimate shared by single-query and batched
+    routing. Returns inf for unknown kinds."""
+    if e.kind == "ivf":
+        return estimate_ivf_tuples(
+            n, e.params.get("nlist", 1), e.params.get("nprobe", 1)
+        )
+    if e.kind == "hnsw":
+        return estimate_hnsw_tuples(
+            n,
+            e.params.get("m", 16),
+            e.params.get("ef", 64),
+            e.params.get("shards", 1),
+        )
+    if e.kind == "ivf_graph":
+        return estimate_ivf_graph_tuples(
+            n,
+            e.params.get("nlist", 1),
+            e.params.get("nprobe", 1),
+            e.params.get("m", 16),
+            e.params.get("ef", 64),
+        )
+    if e.kind == "ivf_pq":
+        return estimate_ivf_pq_tuples(
+            n,
+            e.params.get("nlist", 1),
+            e.params.get("nprobe", 1),
+            e.params.get("splits", 8),
+            e.params.get("dim", 1),
+            k=k,
+            oversample=e.params.get("oversample", 4),
+        )
+    return float("inf")
+
+
+# deterministic tie-break: prefer the more accurate path on equal cost
+# (exact > hnsw > ivf > ivf_graph > ivf_pq: the hybrid stacks two
+# approximations, and ADC additionally quantizes candidate distances)
+_ACCURACY_ORDER = {
+    "exact": 0, "hnsw": 1, "ivf": 2, "ivf_graph": 3, "ivf_pq": 4,
+}
+
+
+def _pick(cands: list, n_rows: int, suffix: str = "") -> RouteDecision:
+    eligible = [c for c in cands if c[2]]
+    best = min(
+        eligible, key=lambda c: (c[1], _ACCURACY_ORDER.get(c[0], 9))
+    )
+    picked = best[4]
+    reason = (
+        f"{best[0]}: est {best[1]:.0f} tuples vs exact {n_rows} "
+        f"({len(eligible)} eligible of {len(cands)} candidates){suffix}"
+    )
+    return RouteDecision(
+        access_path=best[0],
+        est_tuples=best[1],
+        entry=picked,
+        reason=reason,
+        candidates=[(c[0], c[1], c[2], c[3]) for c in cands],
+    )
+
+
 def route(
     catalog: Optional[IndexCatalog],
     table: str,
@@ -314,36 +444,97 @@ def route(
     metric: str,
     n_rows: int,
     recall_floor: float = 0.9,
+    k: int = 10,
 ) -> RouteDecision:
     """Pick the cheapest access path whose measured recall clears
     ``recall_floor``. The exact scan is always a candidate (recall 1.0,
     cost n) — the sequential-scan path the reference's planner weighs
-    the index against."""
+    the index against. ``k`` only affects the ADC tier (its exact
+    re-rank reads k·oversample rows)."""
     cands = [("exact", estimate_exact_tuples(n_rows), True, "always eligible", None)]
     for e in catalog.lookup(table, column, metric) if catalog else []:
         n = e.num_vectors or n_rows
-        if e.kind == "ivf":
-            est = estimate_ivf_tuples(
-                n, e.params.get("nlist", 1), e.params.get("nprobe", 1)
-            )
-        elif e.kind == "hnsw":
-            est = estimate_hnsw_tuples(
-                n,
-                e.params.get("m", 16),
-                e.params.get("ef", 64),
-                e.params.get("shards", 1),
-            )
-        elif e.kind == "ivf_graph":
-            est = estimate_ivf_graph_tuples(
-                n,
-                e.params.get("nlist", 1),
-                e.params.get("nprobe", 1),
-                e.params.get("m", 16),
-                e.params.get("ef", 64),
+        est = _entry_eval_tuples(e, n, k)
+        if est == float("inf"):
+            cands.append((e.kind, est, False, "unknown kind", e))
+        elif e.recall_estimate < recall_floor:
+            cands.append(
+                (
+                    e.kind,
+                    est,
+                    False,
+                    f"recall {e.recall_estimate:.3f} < floor {recall_floor}",
+                    e,
+                )
             )
         else:
-            cands.append((e.kind, float("inf"), False, "unknown kind", e))
+            cands.append((e.kind, est, True, "eligible", e))
+    return _pick(cands, n_rows)
+
+
+def route_batch(
+    catalog: Optional[IndexCatalog],
+    table: str,
+    column: str,
+    metric: str,
+    n_rows: int,
+    batch_size: int,
+    recall_floor: float = 0.9,
+    k: int = 10,
+) -> RouteDecision:
+    """Price PER-PROBE cost for a ``batch_size``-probe workload — the
+    inference shape ``search_batch`` serves. Single-query :func:`route`
+    counts only distance evaluations (the reference's unit); a batch
+    additionally amortizes the per-JOB data reads across its probes,
+    so each candidate gains a read term that shrinks with B:
+
+    - exact: ``n`` evals + ``n/B`` (one shared scan read per job —
+      batched brute force is the knn_join shape);
+    - ivf: per-probe evals + ``n·(1-(1-p)^B)/B`` with
+      ``p = nprobe/nlist`` — the expected DISTINCT probed share of the
+      corpus read once per job (union-pruned scan in search_batch);
+    - hnsw: per-probe walk + ``n/B`` (every shard graph deserializes —
+      touches every node — once per job, amortized |Q|×);
+    - ivf_graph: per-probe evals + the distinct-cell read term;
+    - ivf_pq: per-probe evals + the distinct-cell read term scaled by
+      the code fraction (codes are what the candidate pass reads).
+
+    At B=1 this is the single-query estimate plus one full read — the
+    honest one-shot cost; as B→∞ the read terms vanish and only evals
+    remain. Consequence the tests pin: an over-partitioned IVF (large
+    nlist, so the per-probe centroid ranking does NOT amortize) loses
+    to batched exact brute force at high B — the real reason
+    brute-force batch scoring is competitive at inference scale."""
+    B = max(1, int(batch_size))
+    n = n_rows
+    cands = [
+        (
+            "exact",
+            estimate_exact_tuples(n) + float(n) / B,
+            True,
+            "always eligible",
+            None,
+        )
+    ]
+    for e in catalog.lookup(table, column, metric) if catalog else []:
+        ne = e.num_vectors or n_rows
+        evals = _entry_eval_tuples(e, ne, k)
+        if evals == float("inf"):
+            cands.append((e.kind, evals, False, "unknown kind", e))
             continue
+        nlist = max(1, e.params.get("nlist", 1))
+        p = min(max(1, e.params.get("nprobe", 1)), nlist) / nlist
+        distinct_read = float(ne) * (1.0 - (1.0 - p) ** B) / B
+        if e.kind == "hnsw":
+            read = float(ne) / B
+        elif e.kind == "ivf_pq":
+            code_frac = float(e.params.get("splits", 8)) / float(
+                max(1, e.params.get("dim", 1) * 8)
+            )
+            read = distinct_read * code_frac
+        else:  # ivf, ivf_graph
+            read = distinct_read
+        est = evals + read
         if e.recall_estimate < recall_floor:
             cands.append(
                 (
@@ -356,24 +547,7 @@ def route(
             )
         else:
             cands.append((e.kind, est, True, "eligible", e))
-    eligible = [c for c in cands if c[2]]
-    # deterministic: min cost, then prefer the more accurate path on
-    # ties (exact > hnsw > ivf > ivf_graph: the hybrid stacks two
-    # approximations — cell pruning AND a graph walk)
-    order = {"exact": 0, "hnsw": 1, "ivf": 2, "ivf_graph": 3}
-    best = min(eligible, key=lambda c: (c[1], order.get(c[0], 9)))
-    picked = best[4]
-    reason = (
-        f"{best[0]}: est {best[1]:.0f} tuples vs exact {n_rows} "
-        f"({len(eligible)} eligible of {len(cands)} candidates)"
-    )
-    return RouteDecision(
-        access_path=best[0],
-        est_tuples=best[1],
-        entry=picked,
-        reason=reason,
-        candidates=[(c[0], c[1], c[2], c[3]) for c in cands],
-    )
+    return _pick(cands, n_rows, suffix=f" [batch={B}, per-probe]")
 
 
 def ann_search(
@@ -443,6 +617,27 @@ def ann_search(
                 idx.search(
                     spark, query, k=k * oversample,
                     ef=decision.entry.params["ef"],
+                )
+                .filter(where)
+                .limit(k)
+            )
+    elif decision.access_path == "ivf_pq":
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.load(decision.entry.index_path)
+        p = decision.entry.params
+        if where is None:
+            out = idx.search_adc(
+                spark, query, k=k, nprobe=p["nprobe"],
+                oversample=p["oversample"],
+            )
+        else:
+            # ADC has no filtered variant: over-fetch + post-filter —
+            # the same post-filter contract as the graph paths
+            out = (
+                idx.search_adc(
+                    spark, query, k=k * oversample, nprobe=p["nprobe"],
+                    oversample=p["oversample"],
                 )
                 .filter(where)
                 .limit(k)

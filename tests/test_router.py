@@ -436,3 +436,171 @@ class TestIvfGraphRouting:
                 recall_floor=0.95,
             )
             assert big_n_dec.access_path == "ivf_graph"
+
+
+class TestIvfPqRouting:
+    """The ADC tier in the cost model (VERDICT r6 item 6): the router
+    can pick PQ-coded candidate scans, priced in full-vector-tuple
+    equivalents via the code fraction."""
+
+    def test_estimator_formula(self):
+        from lantern_spark.plans.router import estimate_ivf_pq_tuples
+
+        # hand-evaluate: n=1M, nlist=1000, nprobe=8, splits=8 codes
+        # over dim=64 doubles -> code_frac = 8 / (64*8) = 1/64;
+        # k=10, oversample=4 -> rerank 40 full rows
+        n, nlist, nprobe = 1_000_000, 1000, 8
+        want = 1000 + (n * 8 / 1000) * (8 / (64 * 8)) + 40
+        got = estimate_ivf_pq_tuples(
+            n, nlist, nprobe, splits=8, dim=64, k=10, oversample=4
+        )
+        assert got == pytest.approx(want)
+        # rerank caps at the corpus size
+        assert estimate_ivf_pq_tuples(
+            30, 4, 2, splits=8, dim=64, k=10, oversample=100
+        ) == pytest.approx(4 + (30 * 2 / 4) / 64 + 30)
+
+    def test_pq_tier_beats_flat_ivf_at_scale(self, tmp_path):
+        """Same nlist/nprobe: the code pass reads ~1/64 of the bytes,
+        so at large n the ADC tier must out-price flat IVF and win the
+        route (both recall-eligible)."""
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        common = dict(
+            table="t", column="v", metric="l2sq", index_path="p",
+            num_vectors=10_000_000, recall_estimate=0.99,
+        )
+        cat.register(CatalogEntry(
+            kind="ivf", params={"nlist": 1000, "nprobe": 8}, **common
+        ), save=False)
+        cat.register(CatalogEntry(
+            kind="ivf_pq",
+            params={"nlist": 1000, "nprobe": 8, "splits": 8, "dim": 64,
+                    "oversample": 4},
+            **common,
+        ), save=False)
+        dec = route(cat, "t", "v", "l2sq", 10_000_000, recall_floor=0.95)
+        assert dec.access_path == "ivf_pq", dec.reason
+        # and flat IVF was priced higher
+        costs = {c[0]: c[1] for c in dec.candidates}
+        assert costs["ivf_pq"] < costs["ivf"] < costs["exact"]
+
+    def test_register_requires_codes(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.types import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "i"),
+            metric="l2sq", nlist=4, seed=42,
+        )
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        with pytest.raises(ValueError, match="without pq"):
+            cat.register_ivf_pq(idx, "emb", nprobe=2)
+
+    def test_dispatch_matches_search_adc(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.types import PQSpec, load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "i"),
+            metric="l2sq", nlist=4, seed=42,
+            pq=PQSpec(dim=64, splits=8, clusters=16, seed=42),
+        )
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        cat.register_ivf_pq(
+            idx, "emb", nprobe=4, oversample=4, recall_estimate=1.0
+        )
+        q = [0.2 + 0.003 * i for i in range(64)]
+        routed, dec = ann_search(
+            spark, emb, "emb", "embedding", q, k=5, metric="l2sq",
+            id_column="vec_id", recall_floor=0.95, catalog=cat,
+            explain=True,
+        )
+        if dec.access_path == "ivf_pq":
+            direct = idx.search_adc(spark, q, k=5, nprobe=4, oversample=4)
+            assert [r["vec_id"] for r in routed.collect()] == [
+                r["vec_id"] for r in direct.collect()
+            ]
+        else:  # tiny corpus: exact may win — the big-n decision must not
+            assert route(
+                cat, "emb", "embedding", "l2sq", 10_000_000,
+                recall_floor=0.95,
+            ).access_path == "ivf_pq"
+
+
+class TestRouteBatch:
+    """Per-probe batch pricing (VERDICT r6 item 6): per-job reads
+    amortize across B probes; per-probe evals never do."""
+
+    def _cat(self, tmp_path, n, nlist, nprobe, recall=0.99):
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        cat.register(CatalogEntry(
+            table="t", column="v", metric="l2sq", kind="ivf",
+            index_path="p", num_vectors=n, recall_estimate=recall,
+            params={"nlist": nlist, "nprobe": nprobe},
+        ), save=False)
+        return cat
+
+    def test_formula_pins(self, tmp_path):
+        """Hand-evaluated per-probe costs at B=1 and B=16."""
+        from lantern_spark.plans.router import route_batch
+
+        n, nlist, nprobe = 100_000, 100, 4
+        cat = self._cat(tmp_path, n, nlist, nprobe)
+        p = nprobe / nlist
+        for B in (1, 16):
+            dec = route_batch(cat, "t", "v", "l2sq", n, batch_size=B)
+            costs = {c[0]: c[1] for c in dec.candidates}
+            assert costs["exact"] == pytest.approx(n + n / B)
+            want_ivf = (
+                nlist + n * p + n * (1 - (1 - p) ** B) / B
+            )
+            assert costs["ivf"] == pytest.approx(want_ivf)
+
+    def test_read_term_amortizes_monotonically(self, tmp_path):
+        from lantern_spark.plans.router import route_batch
+
+        cat = self._cat(tmp_path, 100_000, 100, 4)
+        costs = [
+            {c[0]: c[1] for c in route_batch(
+                cat, "t", "v", "l2sq", 100_000, batch_size=B
+            ).candidates}
+            for B in (1, 8, 64, 512)
+        ]
+        for a, b in zip(costs, costs[1:]):
+            assert b["exact"] < a["exact"]
+            assert b["ivf"] < a["ivf"]
+        # asymptote: as B -> inf only evals remain: ivf -> nlist + n*p
+        huge = {
+            c[0]: c[1]
+            for c in route_batch(
+                cat, "t", "v", "l2sq", 100_000, batch_size=1_000_000
+            ).candidates
+        }
+        assert huge["ivf"] == pytest.approx(100 + 4000, rel=0.01)
+        assert huge["exact"] == pytest.approx(100_000, rel=0.01)
+
+    def test_overpartitioned_ivf_loses_to_batched_exact(self, tmp_path):
+        """The decision the batch model exists to expose: a per-probe
+        centroid ranking over a huge nlist does NOT amortize, so at
+        high B batched brute force beats an over-partitioned IVF —
+        while at B=1 the IVF still wins."""
+        from lantern_spark.plans.router import route_batch
+
+        n, nlist, nprobe = 1000, 900, 450
+        cat = self._cat(tmp_path, n, nlist, nprobe)
+        d1 = route_batch(cat, "t", "v", "l2sq", n, batch_size=1)
+        d64 = route_batch(cat, "t", "v", "l2sq", n, batch_size=64)
+        assert d1.access_path == "ivf", d1.reason
+        assert d64.access_path == "exact", d64.reason
+
+    def test_recall_floor_still_gates(self, tmp_path):
+        from lantern_spark.plans.router import route_batch
+
+        cat = self._cat(tmp_path, 100_000, 100, 4, recall=0.5)
+        dec = route_batch(
+            cat, "t", "v", "l2sq", 100_000, batch_size=64,
+            recall_floor=0.9,
+        )
+        assert dec.access_path == "exact"
