@@ -59,7 +59,12 @@ class CurationConfig:
     extra_predicates: list = field(default_factory=list)
     # optional CCNet-style perplexity stage: an operators/ngram_lm
     # NGramLM plus a ceiling; runs after the heuristics (joins against
-    # the LM counts table — not fuseable into the map-only scan)
+    # the LM counts table — not fuseable into the map-only scan).
+    # Contract (ADVICE r6): the stage's inner join drops any row the
+    # LM cannot score. Inside curate_corpus that is moot — stage 1
+    # already removed NULL-text rows — but standalone
+    # perplexity_filter callers can pass keep_unscored=True for a
+    # pass-through left join instead.
     lm: Optional[object] = None
     max_ppl: Optional[float] = None
 

@@ -530,7 +530,10 @@ def connected_components(
     # labels, deterministic — and parallelize the result. The
     # distributed loop remains the path for genuinely large graphs;
     # the collected edge list is bounded by the threshold, never by
-    # the corpus.
+    # the corpus. Driver memory: edges arrive as PLAIN TUPLES via the
+    # rdd (ADVICE r6 — pyspark Row objects carry ~10× Python object
+    # overhead; 2M (int, int) tuples ≈ 150 MB, 2M Rows ≈ 1+ GB), so
+    # the default threshold stays safely under driver heap.
     n_edges = edges.count()  # cheap action over the checkpointed edges
     if n_edges <= local_threshold:
         spark = pairs.sparkSession
@@ -544,16 +547,16 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        edge_rows = edges.collect()
-        for r in edge_rows:
-            a, b = find(r["src"]), find(r["dst"])
+        edge_rows = edges.rdd.map(tuple).collect()
+        for a0, b0 in edge_rows:
+            a, b = find(a0), find(b0)
             if a != b:
                 # union by MIN id so labels equal min-reachable-id —
                 # identical contract to the distributed propagation
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
         # symmetric edges: every node appears as a src
-        nodes = {r["src"] for r in edge_rows}
+        nodes = {e[0] for e in edge_rows}
         rows = sorted((x, find(x)) for x in nodes)
         src_type = edges.schema["src"].dataType.simpleString()
         return spark.createDataFrame(

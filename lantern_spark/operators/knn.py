@@ -162,6 +162,14 @@ def weighted_vector_search(
     back against the base table for the joint re-rank, so the base is
     scanned once and never shuffled.
 
+    Caveat (ADVICE r6): an ``IVFGraphIndex`` duck-types into
+    ``indexes=`` (it exposes the same ``search``/manifest surface),
+    but its per-cell graph walk is APPROXIMATE even at
+    ``nprobe = nlist`` — the 'full probe equals exact top-ef'
+    guarantee above holds only for plain ``IVFIndex`` entries. When
+    exactness of the candidate pool matters, pass the hybrid's wrapped
+    ``.ivf`` index (or raise ``ef`` to widen the walk's margin).
+
     ``max_dist``: post-filter on the joint score (reference applies
     ``WHERE joint < max_dist``).
 

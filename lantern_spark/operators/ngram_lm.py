@@ -191,17 +191,25 @@ class NGramLM:
         text_col: str,
         id_col: str,
         max_ppl: float,
+        keep_unscored: bool = False,
     ) -> DataFrame:
         """Keep documents under the perplexity ceiling (the CCNet
         keep-the-head filter); returns df's columns + ppl.
 
         Contract: a document with NULL ``text_col`` has no scoreable
-        positions, receives no perplexity, and is DROPPED regardless
-        of the ceiling (unscoreable ≠ in-domain); filter NULLs out
-        upstream if they must survive."""
+        positions and receives no perplexity. By default such rows are
+        DROPPED regardless of the ceiling (unscoreable ≠ in-domain).
+        ``keep_unscored=True`` switches to a left join that passes
+        them through with ``ppl`` NULL — for pipelines where NULL text
+        means "not applicable" rather than "junk" (ADVICE r6: the
+        silent drop surprised curate_corpus callers)."""
         scored = self.score_docs(df, text_col, id_col).select(
             id_col, "ppl"
         )
+        if keep_unscored:
+            return df.join(scored, id_col, "left").where(
+                F.col("ppl").isNull() | (F.col("ppl") <= max_ppl)
+            )
         return df.join(scored, id_col).where(F.col("ppl") <= max_ppl)
 
 

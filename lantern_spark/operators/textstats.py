@@ -152,7 +152,15 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
     frequent word n-gram (Gopher: drop above ~0.20 for 2-grams, 0.18
     for 3-grams). Pure expression — the max occurrence count is an
     aggregate over the DISTINCT grams (O(distinct·grams) comparisons
-    per row, fine for documents; no UDF, no shuffle)."""
+    per row, fine for documents; no UDF, no shuffle).
+
+    Deviations from the cited rule (ADVICE r6): Gopher's measure is
+    CHARACTER-based (chars in the top gram's occurrences / total
+    chars); this one is token-based, so the published 0.20/0.18
+    thresholds are approximate analogs here. And because occurrences
+    of an n-gram can OVERLAP ('a a a' has two overlapping 2-grams of
+    'a a'), top_count·n can exceed the token count — the result is
+    clamped to 1.0 so downstream threshold filters see a fraction."""
     from lantern_spark.functions.text import ngram_windows
 
     c = _c(col)
@@ -166,7 +174,10 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
         ),
     )
     return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
-        (top_count * n).cast("double") / F.size(toks).cast("double")
+        F.least(
+            F.lit(1.0),
+            (top_count * n).cast("double") / F.size(toks).cast("double"),
+        )
     )
 
 

@@ -148,6 +148,32 @@ class TestScoring:
         ).collect()
         assert [r["doc_id"] for r in kept] == [0]
 
+    def test_keep_unscored_passes_null_text_through(self, spark, tmp_path):
+        """Default: NULL-text rows are dropped (unscoreable ≠
+        in-domain). keep_unscored=True left-joins them through with
+        ppl NULL (ADVICE r6)."""
+        train = spark.createDataFrame(
+            [(i, "good clean sentence here") for i in range(4)],
+            "doc_id long, text string",
+        )
+        lm = train_ngram_lm(train, "text", str(tmp_path), n=2)
+        mixed = spark.createDataFrame(
+            [(0, "good clean sentence here"), (1, None)],
+            "doc_id long, text string",
+        )
+        default_ids = {
+            r["doc_id"]
+            for r in lm.perplexity_filter(
+                mixed, "text", "doc_id", max_ppl=1e9
+            ).collect()
+        }
+        assert default_ids == {0}
+        kept = lm.perplexity_filter(
+            mixed, "text", "doc_id", max_ppl=1e9, keep_unscored=True
+        ).collect()
+        assert {r["doc_id"] for r in kept} == {0, 1}
+        assert [r["ppl"] for r in kept if r["doc_id"] == 1] == [None]
+
     def test_save_load_roundtrip(self, spark, lm_and_corpus):
         lm, corpus = lm_and_corpus
         re_lm = NGramLM.load(lm.path)

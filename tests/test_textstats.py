@@ -154,6 +154,24 @@ class TestRepetitionSignals:
         assert got[1] == pytest.approx(2 / 6)  # every 2-gram unique
         assert got[2] == 0.0
 
+    def test_top_ngram_fraction_clamped_on_overlap(self, spark):
+        """Overlapping occurrences ('a a a' has two overlapping 'a a'
+        2-grams) would push top_count*n/size to 4/3 — the result is a
+        FRACTION, clamped to 1.0 (ADVICE r6)."""
+        from lantern_spark.operators.textstats import top_ngram_fraction
+
+        df = spark.createDataFrame(
+            [(0, "a a a"), (1, "z z z z z")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["f"]
+            for r in df.select(
+                "doc_id", top_ngram_fraction("text", 2).alias("f")
+            ).collect()
+        }
+        assert got[0] == pytest.approx(1.0)
+        assert got[1] == pytest.approx(1.0)
+
     def test_repetition_stats_map_only(self, spark):
         from lantern_spark.operators.textstats import repetition_stats
 
