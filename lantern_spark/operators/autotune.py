@@ -350,6 +350,134 @@ def autotune_hnsw_index(
     return best, results, index
 
 
+# (nlist, nprobe, ef) ladder for the composed IVF×graph structure —
+# the reference's grid shape (small/cheap → large/accurate,
+# index_autotune/mod.rs:328-359) over the hybrid's JOINT knobs: cell
+# count, probed cells, and in-cell walk width. nlist stays small
+# relative to √n on purpose — per-cell graphs only pay off when cell
+# size ≫ ef (the tests/test_scale.py finding: ef-128 walks saturate
+# √n-sized cells and evaluate MORE than the flat scan).
+DEFAULT_IVF_GRAPH_GRID = [
+    (8, 2, 48),
+    (8, 4, 64),
+    (16, 4, 64),
+    (16, 8, 96),
+    (32, 8, 96),
+    (32, 16, 128),
+]
+
+
+@dataclass
+class IvfGraphAutotuneResult:
+    nlist: int
+    nprobe: int
+    ef: int
+    recall: float
+    eval_fraction: float
+    latency_s: float
+    build_s: float
+
+
+def autotune_ivf_graph_index(
+    df: DataFrame,
+    column: str,
+    id_column: str,
+    metric: str = "l2sq",
+    k: int = 10,
+    target_recall: float = 0.95,
+    test_data_size: int = 10000,
+    num_queries: int = 10,
+    grid: Optional[Sequence[tuple]] = None,
+    seed: int = 42,
+    m: int = 16,
+    ef_construction: int = 100,
+    create_path: Optional[str] = None,
+) -> tuple:
+    """Joint (nlist, nprobe, ef) sweep for the IVF×graph hybrid
+    (VERDICT r6 item 8): until now the hybrid inherited IVF's tuned
+    (nlist, nprobe) and a caller-chosen ef, but the three knobs trade
+    off JOINTLY — more cells make each walk cheaper but need more
+    probes; a wider walk rescues recall lost to fewer probes. Mirrors
+    the reference's grid over the composed structure
+    (index_autotune/mod.rs:328-359: build per variant, measured recall
+    mod.rs:220-254, early exit mod.rs:465-467, selection
+    mod.rs:161-186), with the hybrid's own quality instrument
+    (``ivf_graph_recall_and_scan_fraction``) supplying recall AND the
+    distance-eval fraction per variant.
+
+    Returns (best: IvfGraphAutotuneResult, results, hybrid |
+    None). With ``create_path`` the winning (nlist, m, efc) is rebuilt
+    there over the FULL ``df``; the winning (nprobe, ef) are
+    search-time knobs the caller passes to ``search``.
+    """
+    from lantern_spark.operators.ivf_graph import (
+        IVFGraphIndex,
+        ivf_graph_recall_and_scan_fraction,
+    )
+
+    spark = df.sparkSession
+    sample = df.select(id_column, column).limit(test_data_size).cache()
+    sample.count()
+    qs = [
+        list(r[0])
+        for r in sample.select(column).limit(num_queries).collect()
+    ]
+
+    results: List[IvfGraphAutotuneResult] = []
+    built: dict = {}  # nlist -> (ivf_path, hybrid) — grid rows sharing
+    # nlist share one build (only search knobs differ)
+    try:
+        for nlist, nprobe, ef in grid or DEFAULT_IVF_GRAPH_GRID:
+            if nlist in built:
+                hyb, build_s = built[nlist][1], 0.0
+            else:
+                path = tempfile.mkdtemp(prefix="autotune_ivfg_")
+                t0 = time.time()
+                ivf = IVFIndex.build(
+                    sample, column, id_column, path,
+                    metric=metric, nlist=nlist, seed=seed,
+                )
+                hyb = IVFGraphIndex.attach(
+                    ivf, spark, m=m, ef_construction=ef_construction,
+                    seed=seed,
+                )
+                build_s = time.time() - t0
+                built[nlist] = (path, hyb)
+            t0 = time.time()
+            rec, frac = ivf_graph_recall_and_scan_fraction(
+                hyb, spark, qs, k=k, nprobe=nprobe, ef=ef
+            )
+            latency_s = (time.time() - t0) / max(len(qs), 1)
+            results.append(
+                IvfGraphAutotuneResult(
+                    nlist, nprobe, ef, rec, frac, latency_s, build_s
+                )
+            )
+            if rec >= EARLY_EXIT_RECALL:
+                break  # mod.rs:465-467
+    finally:
+        for path, _hyb in built.values():
+            shutil.rmtree(path, ignore_errors=True)
+
+    meeting = [r for r in results if r.recall >= target_recall]
+    if meeting:
+        best = min(meeting, key=lambda r: r.latency_s + r.build_s)
+    else:
+        best = max(results, key=lambda r: r.recall)
+
+    hybrid = None
+    if create_path:
+        ivf = IVFIndex.build(
+            df, column, id_column, create_path,
+            metric=metric, nlist=best.nlist, seed=seed,
+        )
+        hybrid = IVFGraphIndex.attach(
+            ivf, spark, m=m, ef_construction=ef_construction, seed=seed
+        )
+    sample.unpersist()
+    return best, results, hybrid
+
+
 def results_df(spark: SparkSession, results: List[AutotuneResult]) -> DataFrame:
     """Results as a DataFrame (the reference's autotune-results table,
     lantern_cli/README.md:198-231)."""

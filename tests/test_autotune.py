@@ -140,3 +140,61 @@ class TestHnswAutotune:
         assert idx.manifest["ef_construction"] == best.ef_construction
         top = idx.search(spark, [0.5] * 64, k=3, ef=64).collect()
         assert len(top) == 3
+
+
+class TestIvfGraphAutotune:
+    """Joint (nlist, nprobe, ef) tuning for the hybrid (VERDICT r6
+    item 8) — grid over the COMPOSED structure, the reference's
+    mod.rs:328-359 shape."""
+
+    def test_meets_target_and_reports_eval_fraction(self, spark, emb):
+        from lantern_spark.operators.autotune import (
+            autotune_ivf_graph_index,
+        )
+
+        best, results, hyb = autotune_ivf_graph_index(
+            emb, "embedding", "vec_id", target_recall=0.9,
+            num_queries=4,
+        )
+        assert hyb is None  # no create_path
+        assert results, "empty grid results"
+        assert best.recall >= 0.9 or best.recall == max(
+            r.recall for r in results
+        )
+        for r in results:
+            assert 0.0 <= r.eval_fraction
+            assert r.nlist >= 1 and r.nprobe >= 1 and r.ef >= 1
+
+    def test_shared_build_per_nlist(self, spark, emb):
+        """Grid rows sharing nlist reuse ONE build: only the first row
+        of each nlist pays build time."""
+        from lantern_spark.operators.autotune import (
+            autotune_ivf_graph_index,
+        )
+
+        grid = [(8, 2, 32), (8, 4, 48), (8, 8, 64)]
+        _best, results, _ = autotune_ivf_graph_index(
+            emb, "embedding", "vec_id", target_recall=1.1,  # no early exit
+            num_queries=3, grid=grid,
+        )
+        assert len(results) == 3
+        assert results[0].build_s > 0.0
+        assert results[1].build_s == 0.0 and results[2].build_s == 0.0
+
+    def test_create_path_builds_winner(self, spark, emb, tmp_path):
+        from lantern_spark.operators.autotune import (
+            autotune_ivf_graph_index,
+        )
+
+        best, _results, hyb = autotune_ivf_graph_index(
+            emb, "embedding", "vec_id", target_recall=0.9,
+            num_queries=3, grid=[(4, 2, 48), (8, 4, 64)],
+            create_path=str(tmp_path / "win"),
+        )
+        assert hyb is not None
+        assert hyb.ivf.manifest.nlist == best.nlist
+        # the winning search knobs drive the persisted hybrid
+        top = hyb.search(
+            spark, [0.5] * 64, k=3, nprobe=best.nprobe, ef=best.ef
+        ).collect()
+        assert len(top) == 3
