@@ -37,6 +37,7 @@ HEADLINE = [
     "hnsw_top10",
     "bm25_search_top20",
     "bm25_consolidated_top20",
+    "bm25_approx_top20",
     "bloom_term_postings",
     "hybrid_rrf_top10",
     "tokenize_docs",

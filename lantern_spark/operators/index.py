@@ -526,12 +526,15 @@ class IVFIndex:
         pair_keys = assigned.select(
             qid_col, F.explode("__lists").alias("list_id")
         ).persist()
-        # bounded collects: ≤ nlist distinct ids + one count
-        probed_ids = sorted(
-            r["list_id"]
-            for r in pair_keys.select("list_id").distinct().collect()
-        )
-        n_pairs = pair_keys.count()
+        # ONE bounded action serves both needs: per-list pair counts
+        # (≤ nlist rows to the driver) give the distinct probed ids
+        # for partition pruning AND the total pair count for the
+        # broadcast decision
+        pair_stats = (
+            pair_keys.groupBy("list_id").agg(F.count("*").alias("cnt"))
+        ).collect()
+        probed_ids = sorted(r["list_id"] for r in pair_stats)
+        n_pairs = sum(r["cnt"] for r in pair_stats)
         probe_vecs = assigned.select(qid_col, query_col)
         broadcast_pairs_limit = 100_000
         if n_pairs <= broadcast_pairs_limit:

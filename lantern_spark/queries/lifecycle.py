@@ -93,6 +93,36 @@ _B1_PACK_SQL = """
 """
 
 
+_B1_INDEX_CACHE: dict = {}
+
+
+def _b1_index_for(spark, sf_dir):
+    """Hamming-op-class IVF index over the b1-packed vectors, built
+    once per sf_dir (k-majority centroids, dist_hamming_ops analog —
+    lantern.sql:85-95). Promoted into the oracle roster in r7 (VERDICT
+    r6 item 5): at FULL probe the indexed search provably equals the
+    exact packed-hamming top-k, so the same oracle SQL hash-checks the
+    INDEXED path — build → k-majority train → partitioned write →
+    pruned read → popcount merge, end-to-end."""
+    if sf_dir not in _B1_INDEX_CACHE:
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.queries.common import artifact_dir
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centered = emb.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") - 0.5
+            ).alias("c"),
+        )
+        packed = centered.select("vec_id", sq_encode_b1("c").alias("words"))
+        _B1_INDEX_CACHE[sf_dir] = IVFIndex.build(
+            packed, "words", "vec_id", artifact_dir(sf_dir, "hamming_ivf"),
+            metric="hamming", nlist=8, seed=42,
+        )
+    return _B1_INDEX_CACHE[sf_dir]
+
+
 @register(
     "sq_b1_hamming_top10",
     f"""
@@ -114,15 +144,13 @@ _B1_PACK_SQL = """
     """,
 )
 def sq_b1_hamming_top10(spark, sf_dir):
-    """quant_bits=1 search path: center, pack sign bits into int32
-    words (hnsw.c:308-318 layout), search by packed hamming distance.
-    Fully deterministic → oracle hash-checkable."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    centered = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") - 0.5).alias("c"),
-    )
-    packed = centered.select("vec_id", sq_encode_b1("c").alias("words"))
+    """quant_bits=1 search path THROUGH the hamming-indexed access
+    path: center, pack sign bits into int32 words (hnsw.c:308-318
+    layout), search a k-majority hamming IVF index at full probe —
+    provably equal to the exact packed-hamming top-k, so the exact
+    oracle SQL hash-checks the indexed path (r7 promotion, VERDICT r6
+    item 5). Fully deterministic."""
+    idx = _b1_index_for(spark, sf_dir)
     import numpy as np
 
     q = np.asarray(Q64) - 0.5
@@ -135,13 +163,12 @@ def sq_b1_hamming_top10(spark, sf_dir):
         if acc >= 2**31:
             acc -= 2**32
         qwords.append(acc)
-    out = packed.select(
-        "vec_id",
-        hamming_dist(
-            "words", F.array(*[F.lit(w).cast("int") for w in qwords])
-        ).cast("long").alias("hd"),
+    out = idx.search(
+        spark, qwords, k=10, nprobe=idx.manifest.nlist, dist_col="hd"
     )
-    return out.orderBy("hd", "vec_id").limit(10)
+    return out.select(
+        "vec_id", F.col("hd").cast("long").alias("hd")
+    ).orderBy("hd", "vec_id")
 
 
 # --- 2.C index lifecycle: delta + tombstones ---------------------------

@@ -87,6 +87,110 @@ def bm25_search_top20(spark, sf_dir):
     )
 
 
+# bm25 approximation tier (r7 promotion, VERDICT r6 item 5): 'dup' is
+# the corpus's rarest term (df≈25 at every SF — its candidate pool is
+# far under the limit·10 bloom_limit, so the exact-tier cut has no
+# boundary and the query is fully deterministic); 'vector' is hot at
+# threshold 100 (df≈380). The seed-42 bloom's hit set is persisted as
+# `bloom_hits_oracle` at query time (the centroids_oracle/params_oracle
+# pattern), so the oracle replays ONLY bloom membership — the candidate
+# selection, the bm25(fq=1, doc_len=avg) ≡ idf constant
+# (bm25_agg.rs:174-184), and the blend are all recomputed in SQL.
+_APPROX_THRESHOLD = 100
+_APPROX_BLOOM_CACHE: dict = {}
+
+
+@register(
+    "bm25_approx_top20",
+    f"""
+    WITH tl AS (
+      SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS doc_len FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, count(*) AS fq, any_value(doc_len) AS doc_len
+      FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM tl)
+      GROUP BY term, doc_id
+    ),
+    corpus AS (SELECT count(*) AS num_docs, avg(doc_len) AS avg_doc_len FROM tl),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    cold_scored AS (
+      SELECT p.doc_id,
+        sum(ln((c.num_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+          * (p.fq * 2.2) / (p.fq + 1.2*(1 - 0.75 + 0.75*p.doc_len/c.avg_doc_len))) AS s
+      FROM postings p JOIN dfreq d USING(term) CROSS JOIN corpus c
+      WHERE p.term = 'dup'
+      GROUP BY p.doc_id
+    ),
+    bonus_const AS (
+      SELECT ln((c.num_docs - d.df + 0.5)/(d.df + 0.5) + 1.0) AS bonus
+      FROM dfreq d CROSS JOIN corpus c WHERE d.term = 'vector'
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id
+      FROM read_parquet('{_ORACLE_ART}/bm25_approx/bloom_hits_oracle/*.parquet')
+      WHERE term = 'vector'
+    )
+    SELECT cs.doc_id,
+           round(cs.s + CASE WHEN h.doc_id IS NOT NULL THEN b.bonus
+                             ELSE 0 END, 6) AS bm25_score
+    FROM cold_scored cs
+    LEFT JOIN hits h USING (doc_id)
+    CROSS JOIN bonus_const b
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_approx_top20(spark, sf_dir):
+    """search_bm25 with the reference's hot-term bloom approximation
+    tier engaged (bm25_agg.rs:161-216 + finalize_base:314-355): the
+    cold term scores exactly, the hot term contributes the constant
+    bm25(fq=1, doc_len=avg) ≡ idf to every bloom-passing candidate.
+    Deterministic (seed-42 blooms); the persisted hit set makes the
+    approximation SQL-replayable, so this is hash-checked — the r7
+    promotion of the approximation tier into the oracle roster."""
+    from lantern_spark.operators.bloom import bloom_contains
+    from lantern_spark.operators.bm25 import (
+        BM25Stats,
+        hot_term_blooms,
+        search_bm25_approx,
+    )
+    from lantern_spark.queries.common import artifact_dir
+
+    stats = _stats_for(spark, sf_dir, stem=False)
+    if sf_dir in _APPROX_BLOOM_CACHE:
+        blooms = _APPROX_BLOOM_CACHE[sf_dir]
+        artifact_dir(sf_dir, "bm25_approx")  # repoint the oracle link
+    else:
+        # build-time work (bm25_api.sql:55 builds blooms at
+        # create_bm25_table time): blooms + the oracle replay artifact
+        # persist once per sf_dir/process
+        hot_df = F.broadcast(
+            spark.createDataFrame([("vector",)], "term string")
+        )
+        blooms = hot_term_blooms(
+            BM25Stats(
+                postings=stats.postings.join(hot_df, "term"),
+                corpus=stats.corpus,
+            ),
+            _APPROX_THRESHOLD,
+        ).persist()
+        art = artifact_dir(sf_dir, "bm25_approx")
+        docs = stats.postings.select("doc_id").distinct()
+        (
+            docs.crossJoin(F.broadcast(blooms.select("term", "bloom")))
+            .where(bloom_contains("bloom", "doc_id"))
+            .select("term", "doc_id")
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(f"{art}/bloom_hits_oracle")
+        )
+        _APPROX_BLOOM_CACHE[sf_dir] = blooms
+    return search_bm25_approx(
+        stats, "dup vector", limit=20, stem=False,
+        threshold=_APPROX_THRESHOLD, blooms=blooms, round_digits=6,
+    )
+
+
 @register(
     "stem_docs",
     f"""

@@ -62,25 +62,9 @@ def token_counts(spark, sf_dir):
     )
 
 
-@register(
-    "corpus_token_histogram",
-    f"""
-    WITH t AS (SELECT unnest({_TOK}) AS term FROM documents)
-    SELECT term, count(*)::BIGINT AS n
-    FROM t GROUP BY term
-    ORDER BY n DESC, term LIMIT 30
-    """,
-)
-def corpus_token_histogram(spark, sf_dir):
-    """Corpus-level token frequency (the explode+groupBy shuffle shape
-    shared with the BM25 postings build)."""
-    from lantern_spark.functions.text import tokenize
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(tokenize("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("term"))
-        .limit(30)
-    )
+# corpus_token_histogram was retired in r7 to stay at the driver's
+# 50-query cap while promoting `bm25_approx_top20` (VERDICT r6 item
+# 5): it was the third starred query on the token-stats coverage row,
+# and its explode+groupBy shuffle shape is already hash-checked
+# through the BM25 postings build (`bm25_search_top20`) and
+# `token_counts`.
