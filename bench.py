@@ -253,7 +253,10 @@ def main() -> None:
         quality["hnsw_recall_at10"] = round(r, 4)
         quality["hnsw_scan_fraction"] = round(frac, 4)
         # IVF×graph hybrid (per-cell HNSW, the SPANN-style scale
-        # layout): same probed cells as IVF, sub-linear walks within.
+        # layout), measured at ITS operating point — FEW large cells,
+        # not IVF's √n: per-cell graphs only pay off when cell size ≫
+        # ef (an ef-128 walk saturates a √n-sized cell and evaluates
+        # MORE than the flat scan — the tests/test_scale.py finding).
         # eval fraction counts distance evaluations / corpus — directly
         # comparable to hnsw_scan_fraction and to IVF's row-scan
         # fraction (nprobe/nlist).
@@ -262,14 +265,29 @@ def main() -> None:
             ivf_graph_recall_and_scan_fraction,
         )
 
+        g_nlist = max(8, int(round(ivf.manifest.nlist / 8)))
+        ivf_g = IVFIndex.build(
+            big, "embedding", "vec_id", f"{qroot}/ivf_coarse",
+            metric="l2sq", nlist=g_nlist, seed=42,
+        )
+        g_nprobe, _ = tune_nprobe(
+            ivf_g, spark, probes, k=10, target_recall=0.97
+        )
         hyb = IVFGraphIndex.attach(
-            ivf, spark, m=16, ef_construction=100, seed=42
+            ivf_g, spark, m=16, ef_construction=100, seed=42
         )
         gr, gfrac = ivf_graph_recall_and_scan_fraction(
-            hyb, spark, probes, k=10, nprobe=max(nprobe, 2), ef=96
+            hyb, spark, probes, k=10, nprobe=max(g_nprobe, 2), ef=128
         )
+        quality["ivf_graph_nlist"] = g_nlist
+        quality["ivf_graph_nprobe"] = int(max(g_nprobe, 2))
         quality["ivf_graph_recall_at10"] = round(gr, 4)
         quality["ivf_graph_eval_fraction"] = round(gfrac, 4)
+        # the flat-scan fraction the SAME cell choice would pay — the
+        # hybrid's eval fraction must sit well under it
+        quality["ivf_graph_flat_fraction"] = round(
+            max(g_nprobe, 2) / g_nlist, 4
+        )
         # cost-based router decision over the two measured indexes —
         # the amcostestimate analog choosing the access path it would
         # use at this operating point (plans/router.py)
