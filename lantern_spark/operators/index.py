@@ -294,15 +294,24 @@ class IVFIndex:
             )
 
             spark0 = df.sparkSession
+            cb_rows = train_codebook_local(sample, pq)
             codebook = spark0.createDataFrame(
-                train_codebook_local(sample, pq),
+                cb_rows,
                 "subvector_id int, centroid_id int, c array<double>",
             )
-            # repartition(1), NOT coalesce(1): coalescing a 32-slice
-            # local relation into one task is pathologically slow
-            # (~5s vs 0.45s measured) — the shuffle of 8 rows is free
-            codebook.repartition(1).write.mode("overwrite").parquet(
-                os.path.join(path, "pq_codebook")
+            # driver-side pyarrow write: the codebook is a few KB of
+            # driver-resident data; a Spark write of the same rows
+            # costs ~2.6 s of local-relation/shuffle/committer fixed
+            # overhead (measured r7 — see _localpq.py)
+            from lantern_spark._localpq import write_local_parquet
+
+            write_local_parquet(
+                os.path.join(path, "pq_codebook"),
+                {
+                    "subvector_id": [int(r[0]) for r in cb_rows],
+                    "centroid_id": [int(r[1]) for r in cb_rows],
+                    "c": [[float(x) for x in r[2]] for r in cb_rows],
+                },
             )
             assigned = encode_pq(
                 assigned, column, codebook, pq, out_col="__pq_codes"

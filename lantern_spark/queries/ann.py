@@ -70,16 +70,23 @@ def _index_for(spark, sf_dir: str) -> IVFIndex:
         nprobe, _rec = tune_nprobe(
             idx, spark, [Q64, Q64_B] + data_qs, k=10, target_recall=0.95
         )
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(idx.manifest.centroids)],
-            "list_id int, centroid array<double>",
-        ).repartition(1).write.mode("overwrite").parquet(
-            f"{path}/centroids_oracle"
+        # driver-side pyarrow writes — these are KBs of driver-resident
+        # data; Spark writes cost seconds each in fixed overhead
+        # (measured r7 — see _localpq.py)
+        from lantern_spark._localpq import write_local_parquet
+
+        write_local_parquet(
+            f"{path}/centroids_oracle",
+            {
+                "list_id": list(range(len(idx.manifest.centroids))),
+                "centroid": [
+                    [float(x) for x in c] for c in idx.manifest.centroids
+                ],
+            },
         )
-        spark.createDataFrame(
-            [(idx.manifest.nlist, nprobe)], "nlist int, nprobe int"
-        ).repartition(1).write.mode("overwrite").parquet(
-            f"{path}/params_oracle"
+        write_local_parquet(
+            f"{path}/params_oracle",
+            {"nlist": [int(idx.manifest.nlist)], "nprobe": [int(nprobe)]},
         )
         _CACHE[sf_dir] = (idx, nprobe)
     return _CACHE[sf_dir][0]
