@@ -754,6 +754,182 @@ class IVFIndex:
             if stage_root is not None:
                 shutil.rmtree(stage_root, ignore_errors=True)
 
+    def fold_delta(self, spark: SparkSession) -> "IVFIndex":
+        """Incremental reindex: fold delta + tombstones by rewriting
+        ONLY the affected list partitions — the 100 TB maintenance
+        path. A full :meth:`rebuild` rewrites the whole artifact (and
+        re-trains centroids); at scale a 1% delta must not cost a 100%
+        rewrite, so this folds against the EXISTING centroids (the
+        reference's aminsert likewise places rows into the existing
+        structure, insert.c — retraining stays a ``rebuild`` decision).
+
+        Mechanics:
+
+        1. removal set = tombstoned ids ∪ delta ids (a delta row with
+           an existing id is an UPDATE: its old copy — possibly in a
+           different cell — must die, the ``rebuild`` dedup contract);
+        2. ONE column-pruned pass over (id, list_id) locates the lists
+           holding removal victims; delta rows are assigned to lists
+           with the existing centroids (and PQ-encoded with the
+           existing codebook); affected = victim ∪ receiving lists —
+           a bounded driver collect (≤ nlist);
+        3. the affected lists' merged rows stage to a temp dir (Spark
+           cannot overwrite a path it is lazily reading), then land
+           via DYNAMIC partition overwrite — only those ``list_id=``
+           directories are replaced; unaffected partitions are never
+           read, shuffled, or rewritten. Lists emptied by the fold are
+           removed explicitly (dynamic overwrite skips absent
+           partitions).
+
+        Crash/idempotence: delta and tombstones are cleared only AFTER
+        the new partitions land; a re-run after a mid-commit crash
+        re-applies them, and because delta ids always replace existing
+        copies, re-folding is idempotent. ``fold_epoch`` bumps in the
+        manifest so attached per-cell graph tiers detect staleness
+        even when the row count nets out unchanged.
+
+        Scale contract: delta/tombstone volume per fold ≪ corpus (that
+        is the point of folding); the removal-id set broadcasts.
+        """
+        import shutil
+        import tempfile
+
+        mf = self.manifest
+        delta_path = os.path.join(self.path, "delta")
+        tomb_path = os.path.join(self.path, "tombstones")
+        has_delta = _path_has_parquet(delta_path)
+        has_tomb = _path_has_parquet(tomb_path)
+        if not has_delta and not has_tomb:
+            return self
+        m = Metric.resolve(mf.metric)
+        cents, _cent_ids = self._centroid_arrays(spark)
+        extras = list(mf.params.get("extra_columns", []))
+        cols = [mf.id_column, mf.column] + extras
+
+        delta = None
+        removal = None
+        n_delta = 0
+        if has_delta:
+            # delta rows cast to the STORED list schema: mixing (say)
+            # array<double> delta vectors into array<float> partitions
+            # makes the next multi-file read fail on a footer-type
+            # mismatch — fold preserves the index's declared storage
+            # types (a full rebuild may widen them; a fold never does)
+            stored = {
+                f.name: f.dataType for f in self.lists(spark).schema.fields
+            }
+            delta = (
+                spark.read.parquet(delta_path)
+                .select(
+                    *[
+                        F.col(c_).cast(stored[c_]).alias(c_)
+                        if c_ in stored
+                        else F.col(c_)
+                        for c_ in cols
+                    ]
+                )
+                .dropDuplicates([mf.id_column])
+            )
+            n_delta = delta.count()
+            removal = delta.select(mf.id_column)
+        if has_tomb:
+            tombs = spark.read.parquet(tomb_path).select(mf.id_column)
+            removal = (
+                tombs if removal is None else removal.unionByName(tombs)
+            )
+        removal = removal.distinct().persist()
+
+        # one (id, list_id)-pruned pass: victims' lists + live victim
+        # count (for the manifest row count)
+        idmap = self.lists(spark).select(mf.id_column, "list_id")
+        victims = idmap.join(F.broadcast(removal), mf.id_column).persist()
+        n_removed = victims.count()
+        affected = {
+            r["list_id"] for r in victims.select("list_id").distinct().collect()
+        }
+        if delta is not None:
+            delta = delta.withColumn(
+                "list_id", _assign_expr(mf.column, cents, m)
+            ).persist()
+            affected |= {
+                r["list_id"]
+                for r in delta.select("list_id").distinct().collect()
+            }
+        affected_ids = sorted(affected)
+        if not affected_ids:  # tombstones of absent ids only
+            shutil.rmtree(tomb_path, ignore_errors=True)
+            removal.unpersist()
+            victims.unpersist()
+            return self
+
+        existing = (
+            self.lists(spark)
+            .filter(F.col("list_id").isin(affected_ids))
+            .join(F.broadcast(removal), on=mf.id_column, how="left_anti")
+        )
+        merged = existing
+        if delta is not None:
+            pq_params = (mf.params or {}).get("pq")
+            if pq_params:
+                from lantern_spark.operators.pq import encode_pq
+
+                codebook = spark.read.parquet(
+                    os.path.join(self.path, "pq_codebook")
+                )
+                delta = encode_pq(
+                    delta, mf.column, codebook, PQSpec(**pq_params),
+                    out_col="__pq_codes",
+                )
+            merged = existing.unionByName(
+                delta, allowMissingColumns=True
+            )
+
+        stage_root = tempfile.mkdtemp(prefix="lantern_fold_")
+        try:
+            merged.write.parquet(os.path.join(stage_root, "merged"))
+            staged = spark.read.parquet(os.path.join(stage_root, "merged"))
+            surviving = {
+                r["list_id"]
+                for r in staged.select("list_id").distinct().collect()
+            }
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            old_mode = spark.conf.get(conf_key, "static")
+            try:
+                spark.conf.set(conf_key, "dynamic")
+                (
+                    staged.repartition(F.col("list_id"))
+                    .write.mode("overwrite")
+                    .partitionBy("list_id")
+                    .parquet(os.path.join(self.path, "lists"))
+                )
+            finally:
+                spark.conf.set(conf_key, old_mode)
+            # dynamic overwrite never touches partitions absent from
+            # the output: an emptied list's old directory must go
+            for lid in affected - surviving:
+                shutil.rmtree(
+                    os.path.join(self.path, "lists", f"list_id={lid}"),
+                    ignore_errors=True,
+                )
+        finally:
+            shutil.rmtree(stage_root, ignore_errors=True)
+        removal.unpersist()
+        victims.unpersist()
+        if delta is not None:
+            delta.unpersist()
+        shutil.rmtree(delta_path, ignore_errors=True)
+        shutil.rmtree(tomb_path, ignore_errors=True)
+        mf.num_vectors = int(mf.num_vectors) - int(n_removed) + int(n_delta)
+        mf.params = {
+            **(mf.params or {}),
+            "fold_epoch": int((mf.params or {}).get("fold_epoch", 0)) + 1,
+            # which lists this fold touched — an attached cell-graph
+            # tier refreshes ONLY these (IVFGraphIndex.refresh)
+            "last_fold_lists": [int(x) for x in affected_ids],
+        }
+        mf.save(self.path)
+        return self
+
     # -- validation -----------------------------------------------------
 
     def validate(

@@ -63,6 +63,37 @@ _CELL_DIR = "cell_graphs"
 _META_FILE = "cell_graphs_meta.json"
 
 
+def _cell_builder(
+    dim, metric, id_col, col, m, ef_construction, seed, max_payload_bytes
+):
+    """applyInPandas kernel building one cell's graph — shared by
+    :meth:`IVFGraphIndex.attach` (all cells) and
+    :meth:`IVFGraphIndex.refresh` (only the cells a fold touched)."""
+
+    def build_cell(key, pdf):
+        lid = int(key[0])
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        g = HnswGraph(
+            dim, m, ef_construction, seed + lid, metric, quant="f32"
+        )
+        ids = pdf[id_col].to_numpy()
+        vecs = pdf[col].to_numpy()
+        for j in order:
+            g.add(ids[j], vecs[j])
+        payload = g.to_payload()
+        if len(payload) > max_payload_bytes:
+            raise ValueError(
+                f"cell {lid} graph payload is {len(payload)} bytes "
+                f"(> {max_payload_bytes}); increase nlist so each "
+                "cell holds fewer vectors"
+            )
+        return pd.DataFrame(
+            {"shard_id": [lid], "n": [g.n], "payload": [payload]}
+        )
+
+    return build_cell
+
+
 class IVFGraphIndex:
     """Per-cell graph tier attached to a built :class:`IVFIndex`."""
 
@@ -87,36 +118,22 @@ class IVFGraphIndex:
         graph serializes to one parquet row (the HNSW shard contract,
         including the payload ceiling)."""
         mf = ivf.manifest
-        dim, metric = mf.dim, mf.metric
+        build_cell = _cell_builder(
+            mf.dim, mf.metric, mf.id_column, mf.column,
+            m, ef_construction, seed, max_payload_bytes,
+        )
         id_col, col = mf.id_column, mf.column
-
-        def build_cell(key, pdf):
-            lid = int(key[0])
-            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-            g = HnswGraph(
-                dim, m, ef_construction, seed + lid, metric, quant="f32"
-            )
-            ids = pdf[id_col].to_numpy()
-            vecs = pdf[col].to_numpy()
-            for j in order:
-                g.add(ids[j], vecs[j])
-            payload = g.to_payload()
-            if len(payload) > max_payload_bytes:
-                raise ValueError(
-                    f"cell {lid} graph payload is {len(payload)} bytes "
-                    f"(> {max_payload_bytes}); increase nlist so each "
-                    "cell holds fewer vectors"
-                )
-            return pd.DataFrame(
-                {"shard_id": [lid], "n": [g.n], "payload": [payload]}
-            )
 
         (
             ivf.lists(spark)
             .select("list_id", id_col, col)
             .groupBy("list_id")
             .applyInPandas(build_cell, _GRAPH_SCHEMA)
+            # partitioned by cell so an incremental refresh after
+            # fold_delta can dynamic-overwrite ONLY the affected
+            # cells' graphs (r7; flat pre-r7 artifacts still load)
             .write.mode("overwrite")
+            .partitionBy("shard_id")
             .parquet(os.path.join(ivf.path, _CELL_DIR))
         )
         meta = {
@@ -127,9 +144,12 @@ class IVFGraphIndex:
             # ceiling instead of failing mid-fold on an accepted cell
             "max_payload_bytes": int(max_payload_bytes),
             # staleness fingerprint: a rebuild rewrites the manifest;
-            # search refuses to walk graphs built for different lists
+            # search refuses to walk graphs built for different lists.
+            # fold_epoch catches an incremental fold_delta whose row
+            # count nets out unchanged (add 5, tombstone 5)
             "num_vectors": mf.num_vectors,
             "nlist": mf.nlist,
+            "fold_epoch": int((mf.params or {}).get("fold_epoch", 0)),
             "format_version": "1.1",
         }
         with open(os.path.join(ivf.path, _META_FILE), "w") as fh:
@@ -198,13 +218,97 @@ class IVFGraphIndex:
         if (
             self.meta["num_vectors"] != mf.num_vectors
             or self.meta["nlist"] != mf.nlist
+            or self.meta.get("fold_epoch", 0)
+            != int((mf.params or {}).get("fold_epoch", 0))
         ):
             raise ValueError(
                 "cell graphs are stale (built for "
-                f"n={self.meta['num_vectors']}/nlist={self.meta['nlist']}, "
-                f"index now n={mf.num_vectors}/nlist={mf.nlist}); "
-                "re-attach after rebuild"
+                f"n={self.meta['num_vectors']}/nlist={self.meta['nlist']}/"
+                f"fold_epoch={self.meta.get('fold_epoch', 0)}, index now "
+                f"n={mf.num_vectors}/nlist={mf.nlist}/"
+                f"fold_epoch={(mf.params or {}).get('fold_epoch', 0)}); "
+                "re-attach after rebuild/fold"
             )
+
+    def refresh(self, spark: SparkSession) -> "IVFGraphIndex":
+        """Bring a stale cell-graph tier current after the wrapped
+        IVF changed. When EXACTLY one :meth:`IVFIndex.fold_delta`
+        happened since this tier was built (and the artifact uses the
+        r7 partitioned layout), only the fold's touched cells rebuild
+        — a dynamic partition overwrite of their ``shard_id=`` graph
+        dirs, the same ≪-corpus maintenance contract as the fold
+        itself. Anything else (multiple folds, nlist change, a pre-r7
+        flat artifact) falls back to a full re-attach with this tier's
+        own (m, ef_construction, seed) params. Idempotent; returns a
+        fresh handle (``self`` when incremental)."""
+        ivf, mf = self.ivf, self.ivf.manifest
+        fold_epoch = int((mf.params or {}).get("fold_epoch", 0))
+        if (
+            self.meta["num_vectors"] == mf.num_vectors
+            and self.meta["nlist"] == mf.nlist
+            and int(self.meta.get("fold_epoch", 0)) == fold_epoch
+        ):
+            return self  # already fresh
+        touched = (mf.params or {}).get("last_fold_lists")
+        cell_dir = os.path.join(ivf.path, _CELL_DIR)
+        partitioned = any(
+            d.startswith("shard_id=")
+            for d in (os.listdir(cell_dir) if os.path.isdir(cell_dir) else [])
+        )
+        incremental = (
+            touched is not None
+            and self.meta["nlist"] == mf.nlist
+            and fold_epoch == int(self.meta.get("fold_epoch", 0)) + 1
+            and partitioned
+        )
+        if not incremental:
+            return type(self).attach(
+                ivf, spark,
+                m=self.meta["m"],
+                ef_construction=self.meta["ef_construction"],
+                seed=self.meta["seed"],
+                max_payload_bytes=self.meta.get(
+                    "max_payload_bytes", MAX_PAYLOAD_BYTES
+                ),
+            )
+        build_cell = _cell_builder(
+            mf.dim, mf.metric, mf.id_column, mf.column,
+            self.meta["m"], self.meta["ef_construction"],
+            self.meta["seed"],
+            self.meta.get("max_payload_bytes", MAX_PAYLOAD_BYTES),
+        )
+        sub = (
+            ivf.lists(spark)
+            .filter(F.col("list_id").isin([int(x) for x in touched]))
+            .select("list_id", mf.id_column, mf.column)
+        )
+        surviving = {
+            r["list_id"] for r in sub.select("list_id").distinct().collect()
+        }
+        out = sub.groupBy("list_id").applyInPandas(
+            build_cell, _GRAPH_SCHEMA
+        )
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(conf_key, "static")
+        try:
+            spark.conf.set(conf_key, "dynamic")
+            out.write.mode("overwrite").partitionBy("shard_id").parquet(
+                cell_dir
+            )
+        finally:
+            spark.conf.set(conf_key, old_mode)
+        import shutil
+
+        for lid in set(int(x) for x in touched) - surviving:
+            shutil.rmtree(
+                os.path.join(cell_dir, f"shard_id={lid}"),
+                ignore_errors=True,
+            )
+        self.meta["num_vectors"] = mf.num_vectors
+        self.meta["fold_epoch"] = fold_epoch
+        with open(os.path.join(ivf.path, _META_FILE), "w") as fh:
+            json.dump(self.meta, fh)
+        return self
 
     def search(
         self,
@@ -368,7 +472,12 @@ class IVFGraphIndex:
             import pyarrow.dataset as pads
 
             tbl = (
-                pads.dataset(cell_path, format="parquet")
+                # hive partitioning discovers shard_id= dirs (the r7
+                # layout); a flat pre-r7 artifact exposes shard_id as
+                # a data column and the same filter applies
+                pads.dataset(
+                    cell_path, format="parquet", partitioning="hive"
+                )
                 .to_table(
                     columns=["payload"],
                     filter=pads.field("shard_id") == lid,

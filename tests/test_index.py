@@ -528,3 +528,153 @@ class TestHnswSearchBatch:
         monkeypatch.setattr(HNSWIndex, "MAX_SEQUENCE_PROBES", 3)
         with _pt.raises(ValueError, match="DataFrame"):
             idx.search_batch(spark, [[0.1] * 64] * 4, k=2)
+
+
+class TestFoldDelta:
+    """Incremental reindex (fold_delta): only affected list partitions
+    rewrite — the 100 TB maintenance path where a 1% delta must not
+    cost a 100% rewrite."""
+
+    def _mtimes(self, path):
+        import os as _os
+
+        out = {}
+        lists = _os.path.join(path, "lists")
+        for d in _os.listdir(lists):
+            if d.startswith("list_id="):
+                full = _os.path.join(lists, d)
+                out[d] = max(
+                    _os.path.getmtime(_os.path.join(full, f))
+                    for f in _os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    def test_fold_equals_rebuild_results(self, spark, emb, tmp_path):
+        """Search results after fold_delta match what a search of the
+        same logical content returns: delta rows found without the
+        delta dir, tombstoned rows gone, updates deduped."""
+        from lantern_spark.operators.index import IVFIndex
+
+        base = emb.filter("vec_id < 400")
+        idx = IVFIndex.build(
+            base, "embedding", "vec_id", str(tmp_path / "i"),
+            metric="l2sq", nlist=8, seed=42,
+        )
+        idx.add_delta(emb.filter("vec_id >= 400 and vec_id < 450"))
+        idx.delete(spark.createDataFrame([(3,), (7,)], "vec_id long"))
+        n_before = idx.manifest.num_vectors
+        idx.fold_delta(spark)
+        # artifacts consumed
+        import os as _os
+
+        assert not _os.path.exists(str(tmp_path / "i" / "delta"))
+        assert not _os.path.exists(str(tmp_path / "i" / "tombstones"))
+        assert idx.manifest.num_vectors == n_before + 50 - 2
+        # a folded delta row is found by a full-probe search at dist 0
+        probe = emb.filter("vec_id = 425").first()
+        got = idx.search(
+            spark, [float(x) for x in probe["embedding"]], k=3, nprobe=8
+        ).collect()
+        assert got[0]["vec_id"] == 425 and got[0]["dist"] < 1e-12
+        # tombstoned ids are physically gone from the lists
+        ids = {
+            r["vec_id"]
+            for r in idx.lists(spark).select("vec_id").collect()
+        }
+        assert 3 not in ids and 7 not in ids and 425 in ids
+        assert len(ids) == idx.manifest.num_vectors
+
+    def test_only_affected_partitions_rewrite(self, spark, emb, tmp_path):
+        import time as _time
+
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "i"),
+            metric="l2sq", nlist=8, seed=42,
+        )
+        before = self._mtimes(str(tmp_path / "i"))
+        # one delta row lands in exactly one list
+        one = emb.filter("vec_id = 42").select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        idx.add_delta(one)
+        _time.sleep(1.1)  # mtime resolution
+        idx.fold_delta(spark)
+        after = self._mtimes(str(tmp_path / "i"))
+        changed = {d for d in after if after[d] != before.get(d)}
+        assert len(changed) == 1, f"rewrote {changed}"
+        # and the one receiving list is where the centroids place it
+        lid = idx._probe_lists(
+            spark, [float(x) for x in emb.filter("vec_id = 42").first()["embedding"]], 1
+        )[0]
+        assert changed == {f"list_id={lid}"}
+
+    def test_update_moves_row_across_cells(self, spark, emb, tmp_path):
+        """A delta row reusing an existing id REPLACES the old copy
+        even when the new vector lands in a different cell (the
+        rebuild dedup contract, incrementally)."""
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "i"),
+            metric="l2sq", nlist=8, seed=42,
+        )
+        far = emb.filter("vec_id = 7").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x + 10.0).alias("embedding"),
+        )
+        idx.add_delta(far)
+        n_before = idx.manifest.num_vectors
+        idx.fold_delta(spark)
+        assert idx.manifest.num_vectors == n_before  # update, not insert
+        rows = idx.lists(spark).filter("vec_id = 7").collect()
+        assert len(rows) == 1
+        assert rows[0]["embedding"][0] > 5.0  # the NEW vector survived
+
+    def test_fold_pq_index_encodes_delta_codes(self, spark, emb, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.types import PQSpec
+
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=8, seed=42,
+            pq=PQSpec(dim=64, splits=8, clusters=16, seed=42),
+        )
+        idx.add_delta(emb.filter("vec_id = 450"))
+        idx.fold_delta(spark)
+        row = idx.lists(spark).filter("vec_id = 450").first()
+        assert row["__pq_codes"] is not None and len(row["__pq_codes"]) == 8
+        # ADC search still works over the folded index
+        probe = [float(x) for x in emb.filter("vec_id = 450").first()["embedding"]]
+        got = idx.search_adc(spark, probe, k=3, nprobe=8, oversample=8)
+        assert got.first()["vec_id"] == 450
+
+    def test_fold_noop_and_stale_hybrid(self, spark, emb, tmp_path):
+        import pytest as _pt
+
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.operators.ivf_graph import IVFGraphIndex
+
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "i"),
+            metric="l2sq", nlist=4, seed=42,
+        )
+        assert idx.fold_delta(spark) is idx  # nothing to fold — no-op
+        hyb = IVFGraphIndex.attach(idx, spark, m=8, ef_construction=40)
+        hyb.search(spark, [0.1] * 64, k=2, nprobe=2)  # fresh — fine
+        # net-zero fold: add one, tombstone one — row count unchanged,
+        # fold_epoch must still flag the cell graphs stale
+        idx.add_delta(
+            emb.filter("vec_id = 3").select(
+                (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+            )
+        )
+        idx.delete(spark.createDataFrame([(5,)], "vec_id long"))
+        idx.fold_delta(spark)
+        with _pt.raises(ValueError, match="stale"):
+            hyb.search(spark, [0.1] * 64, k=2, nprobe=2)
+        # re-attach clears it
+        hyb2 = IVFGraphIndex.attach(idx, spark, m=8, ef_construction=40)
+        assert hyb2.search(spark, [0.1] * 64, k=2, nprobe=2).count() == 2

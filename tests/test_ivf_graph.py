@@ -307,3 +307,91 @@ class TestWeightedSearchWithHybrid:
         assert [r["vec_id"] for r in approx] == [
             r["vec_id"] for r in exact
         ]
+
+
+class TestRefresh:
+    """Incremental cell-graph maintenance (r7): after ONE fold_delta,
+    refresh() rebuilds only the touched cells; anything structural
+    falls back to a full re-attach."""
+
+    def test_refresh_after_fold_rebuilds_only_touched_cells(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os as _os
+        import time as _time
+
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.operators.ivf_graph import IVFGraphIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 450"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=8, seed=42,
+        )
+        hy = IVFGraphIndex.attach(idx, spark, m=8, ef_construction=40)
+        cell_dir = str(tmp_path / "i" / "cell_graphs")
+        dirs = [d for d in _os.listdir(cell_dir) if d.startswith("shard_id=")]
+        assert dirs, "r7 partitioned cell layout expected"
+
+        def mtimes():
+            out = {}
+            for d in _os.listdir(cell_dir):
+                if d.startswith("shard_id="):
+                    full = _os.path.join(cell_dir, d)
+                    out[d] = max(
+                        _os.path.getmtime(_os.path.join(full, f))
+                        for f in _os.listdir(full)
+                        if f.endswith(".parquet")
+                    )
+            return out
+
+        before = mtimes()
+        idx.add_delta(emb.filter("vec_id = 460"))
+        idx.fold_delta(spark)
+        _time.sleep(1.1)
+        assert hy.refresh(spark) is hy  # incremental path
+        after = mtimes()
+        changed = {d for d in after if after[d] != before.get(d)}
+        touched = {
+            f"shard_id={lid}"
+            for lid in idx.manifest.params["last_fold_lists"]
+        }
+        assert changed == touched and len(changed) < len(before)
+        # fresh again: search works and finds the folded row
+        probe = emb.filter("vec_id = 460").first()
+        got = hy.search(
+            spark, [float(x) for x in probe["embedding"]], k=2,
+            nprobe=8, ef=64,
+        ).collect()
+        assert got[0]["vec_id"] == 460
+
+    def test_two_folds_force_full_reattach(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.operators.ivf_graph import IVFGraphIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 450"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=4, seed=42,
+        )
+        hy = IVFGraphIndex.attach(idx, spark, m=8, ef_construction=40)
+        for vid in (460, 470):
+            idx.add_delta(emb.filter(f"vec_id = {vid}"))
+            idx.fold_delta(spark)
+        # last_fold_lists only covers the LAST fold — must re-attach
+        hy2 = hy.refresh(spark)
+        assert hy2.meta["fold_epoch"] == 2
+        got = hy2.search(spark, [0.2] * 64, k=3, nprobe=4, ef=64)
+        assert got.count() == 3
+
+    def test_refresh_noop_when_fresh(self, spark, sf_dir, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.operators.ivf_graph import IVFGraphIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "i"),
+            metric="l2sq", nlist=4, seed=42,
+        )
+        hy = IVFGraphIndex.attach(idx, spark, m=8, ef_construction=40)
+        assert hy.refresh(spark) is hy
