@@ -38,7 +38,7 @@ HEADLINE = [
     "pq_adc_topk",
     "ivf_pq_adc_top10",
     "sq_i8_roundtrip",
-    "sq_f16_roundtrip",
+    "pii_redact_docs",
     "hnsw_top10",
     "bm25_search_top20",
     "bm25_consolidated_top20",
@@ -47,7 +47,7 @@ HEADLINE = [
     "hybrid_rrf_top10",
     "tokenize_docs",
     "dedup_prefix_groups",
-    "minhash_signatures",
+    "semdedup_survivors",
     "lsh_candidate_pairs",
     "dedup_components",
     "embedding_near_pairs",

@@ -641,3 +641,99 @@ def dedup_clusters(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ----------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    seed: int = 42,
+    round_digits: Optional[int] = None,
+    train_limit: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then prune near-duplicate members WITHIN each
+    cluster by pairwise cosine similarity — the clustering bounds the
+    quadratic pair space exactly like LSH bands bound MinHash.
+
+    Keep rule (deterministic variant): a row is KEPT iff no SMALLER-id
+    row in its cluster has cosine similarity ≥ ``threshold`` with it —
+    first occurrence survives. The paper picks the member farthest from
+    the centroid per duplicate group; id-order is used here instead so
+    the survivor set is reproducible across runs/engines and
+    SQL-replayable (an EXISTS over (cluster, id<) pairs), which the
+    paper's tie-prone distance ordering is not.
+
+    Returns (id, cluster_id, kept, max_prior_sim): ``max_prior_sim`` is
+    the max cosine similarity to any smaller-id cluster member (NULL
+    for each cluster's first row), the quantity the keep decision
+    thresholds; ``round_digits`` rounds it BEFORE thresholding (parity
+    convention: an oracle replaying the rule on round(sim, n) selects
+    identical survivors despite float summation-order noise).
+
+    Scale (100 TB): centroids train on a bounded driver sample
+    (≤``train_limit``, the PQ-codebook discipline) and broadcast in the
+    assignment UDF's closure; everything else is ONE groupBy shuffle on
+    cluster_id and a per-cluster BLAS gram matrix — no cross join, no
+    driver data. n_clusters must scale so clusters fit executor memory
+    (√n is a reasonable default, same as IVF nlist).
+    """
+    from lantern_spark.operators.index import (
+        Metric,
+        _assign_expr,
+        _collect_sample,
+        _train_centroids_from,
+    )
+
+    x = _collect_sample(df, vec_col, train_limit)
+    cents = _train_centroids_from(x, n_clusters, seed, metric=Metric.COS)
+    assigned = df.withColumn(
+        "cluster_id", _assign_expr(vec_col, cents, Metric.COS)
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+            T.StructField("max_prior_sim", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    rd = round_digits
+
+    def prune_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy()
+        v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        sims = v @ v.T
+        if rd is not None:
+            sims = np.round(sims, rd)
+        # strict lower triangle: similarity to SMALLER-id members only
+        # (np.tril would floor negative sims at 0 — mask with -inf)
+        lower = np.tril(np.ones(sims.shape, dtype=bool), k=-1)
+        masked = np.where(lower, sims, -np.inf)
+        mx = masked.max(axis=1, initial=-np.inf)
+        has_prior = np.isfinite(mx)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster_id": np.full(len(ids), int(key[0]), dtype=np.int32),
+                "kept": ~(has_prior & (mx >= thr)),
+                "max_prior_sim": np.where(has_prior, mx, np.nan),
+            }
+        )
+
+    return (
+        assigned.select(id_col, "cluster_id", vec_col)
+        .groupBy("cluster_id")
+        .applyInPandas(prune_cluster, out_schema)
+    )

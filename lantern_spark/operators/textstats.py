@@ -190,3 +190,53 @@ def repetition_stats(df, text_col: str, id_col: str):
         top_ngram_fraction(text_col, 2).alias("top2gram_frac"),
         top_ngram_fraction(text_col, 3).alias("top3gram_frac"),
     )
+
+
+# ----------------------------------------------------------------------
+# PII redaction (C4/FineWeb-style pre-training scrub)
+# ----------------------------------------------------------------------
+
+# Ordered (kind, pattern): emails first (they contain dots and digits
+# that the later patterns would partially match), then SSN before phone
+# (an SSN is 9 dash-separated digits — a phone-shaped string). Patterns
+# are deliberately restricted to the regex intersection of Java
+# (Spark's engine) and RE2 (DuckDB / Go tooling): no backreferences,
+# no lookaround — so the scrub replays byte-identically cross-engine.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\(\d{3}\)\s?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"),
+]
+
+
+def redact_pii(col, kinds=None) -> Column:
+    """Replace PII spans with ``<KIND>`` placeholder tokens — the
+    standard pre-training scrub (C4 kept a variant of this; FineWeb
+    anonymizes emails/IPs the same way). Pure chained regexp_replace:
+    whole-stage codegen, map-only, no UDF — a 100 TB scrub is exactly
+    one scan. ``kinds`` restricts to a subset of PII_PATTERNS kinds."""
+    out = _c(col)
+    for kind, pat in PII_PATTERNS:
+        if kinds is not None and kind not in kinds:
+            continue
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_count(col, kinds=None) -> Column:
+    """Total count of PII matches across kinds (audit metric for the
+    scrub: corpora report redactions/doc before training).
+
+    Counts run on the PROGRESSIVELY REDACTED text in the same pattern
+    order as :func:`redact_pii`, so overlapping kinds (an SSN is also
+    phone-shaped) are attributed to exactly one kind and the total
+    equals the number of placeholder tokens the scrub inserted."""
+    c = _c(col)
+    total = F.lit(0)
+    for kind, pat in PII_PATTERNS:
+        if kinds is not None and kind not in kinds:
+            continue
+        total = total + F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return total

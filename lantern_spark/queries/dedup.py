@@ -13,7 +13,7 @@ from lantern_spark.operators.dedup import (
     simhash_docs,
     simhash_near_pairs,
 )
-from lantern_spark.queries.common import load_table
+from lantern_spark.queries.common import ORACLE_ART, load_table
 from lantern_spark.registry import register
 
 _TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -48,18 +48,14 @@ def dedup_exact_survivors(spark, sf_dir):
     )
 
 
-@register(
-    "minhash_signatures",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SH} AS s FROM t)
-    SELECT doc_id, {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
-           {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
-    FROM sh WHERE len(s) > 0
-    """,
-)
 def minhash_signatures(spark, sf_dir):
-    """MinHash signatures (4 hashes shown as columns for hashability)."""
+    """MinHash signatures (4 hashes shown as columns for hashability).
+
+    Retired from the oracle roster in r7 (50-query driver cap): the
+    signature kernel is already hash-checked THROUGH
+    ``lsh_candidate_pairs`` and ``dedup_components`` (both replay the
+    full shingle→minhash pipeline in SQL), so this standalone entry
+    was redundant evidence; its slot funds ``semdedup_survivors``."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_docs(docs, "text", "doc_id", n_hashes=4)
     return sigs.select(
@@ -274,3 +270,65 @@ def dedup_components(spark, sf_dir):
         .select(F.col("id"), F.col("comp").cast("long").alias("comp"))
         .orderBy("id")
     )
+
+
+_SEMDEDUP_THR = 0.4
+
+
+@register(
+    "semdedup_survivors",
+    f"""
+    WITH asg AS (SELECT vec_id, cluster_id
+                 FROM read_parquet('{ORACLE_ART}/semdedup/assign/*.parquet')),
+    v AS (
+      SELECT e.vec_id, a.cluster_id, e.embedding::DOUBLE[] AS emb
+      FROM embeddings e JOIN asg a USING (vec_id)
+    ),
+    mx AS (
+      SELECT a.vec_id AS id, a.cluster_id,
+             max(round(
+               list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2]))
+               / sqrt(list_sum(list_transform(a.emb, x -> x*x))
+                    * list_sum(list_transform(b.emb, x -> x*x))), 6))
+               AS max_prior_sim
+      FROM v a LEFT JOIN v b
+        ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id, a.cluster_id
+    )
+    SELECT id, cluster_id,
+           (max_prior_sim IS NULL OR max_prior_sim < {_SEMDEDUP_THR}) AS kept,
+           max_prior_sim
+    FROM mx
+    """,
+)
+def semdedup_survivors(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): cosine-k-means clusters bound the
+    pair space; within each cluster the first-occurrence rule keeps a
+    row iff no smaller-id member is ≥ 0.4 similar. The engine persists
+    its (id, cluster) assignment so the oracle replays the prune rule
+    over the SAME clustering in SQL (hash-checked approximate dedup:
+    the approximation — the clustering — is pinned by the shared
+    artifact, the decision logic is re-derived independently).
+
+    The assignment collect is O(n·12B) — an oracle-replay device, same
+    contract as the IVF `centroids_oracle` artifacts, not a pipeline
+    pattern (at scale the assignment stays a DataFrame column)."""
+    from lantern_spark._localpq import write_local_parquet
+    from lantern_spark.operators.dedup import semantic_dedup
+    from lantern_spark.queries.common import artifact_dir
+
+    path = artifact_dir(sf_dir, "semdedup")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, "embedding", "vec_id", n_clusters=16,
+        threshold=_SEMDEDUP_THR, seed=42, round_digits=6,
+    )
+    rows = out.select("id", "cluster_id").collect()
+    write_local_parquet(
+        f"{path}/assign",
+        {
+            "vec_id": [int(r["id"]) for r in rows],
+            "cluster_id": [int(r["cluster_id"]) for r in rows],
+        },
+    )
+    return out

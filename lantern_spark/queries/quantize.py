@@ -205,21 +205,16 @@ def _f16_sql(x: str) -> str:
     return f"(CASE WHEN {x} = 0 THEN 0.0 ELSE {rn} * {q} END)"
 
 
-@register(
-    "sq_f16_roundtrip",
-    f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT vec_id,
-           round(list_max(list_transform(e,
-             x -> abs(x - {_f16_sql('x')}))), 6) AS max_abs_err
-    FROM v
-    """,
-)
 def sq_f16_roundtrip(spark, sf_dir):
     """f16 round-trip (quant_bits=16 analog): per-row max absolute
-    error. Hash-checked: the oracle reproduces IEEE half-precision
-    round-to-nearest-even arithmetically (exact for float32 inputs —
-    power-of-two quanta make every intermediate exact in double)."""
+    error.
+
+    Retired from the oracle roster in r7 (50-query driver cap): the
+    f16 kernel stays hash-pinned in pytest (`test_bloom_sq.py` golden
+    bit patterns) and the scalar-quant family is already oracle-checked
+    via `sq_i8_roundtrip` + `sq_b1_hamming_top10`; this slot funds
+    `pii_redact_docs`. The arithmetic-f16 oracle SQL survives in
+    `_f16_sql` (git history has the registered form)."""
     from lantern_spark.operators.pq import sq_round_f16
 
     emb = load_table(spark, sf_dir, "embeddings")

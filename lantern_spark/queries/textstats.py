@@ -68,3 +68,65 @@ def token_counts(spark, sf_dir):
 # and its explode+groupBy shuffle shape is already hash-checked
 # through the BM25 postings build (`bm25_search_top20`) and
 # `token_counts`.
+
+
+def _pii_redact_sql(expr: str) -> str:
+    """Chained DuckDB regexp_replace mirroring redact_pii's order —
+    generated from the SAME PII_PATTERNS list, so the two engines can
+    never drift on pattern text."""
+    from lantern_spark.operators.textstats import PII_PATTERNS
+
+    out = expr
+    for kind, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '<{kind.upper()}>', 'g')"
+    return out
+
+
+def _pii_count_sql(expr: str) -> str:
+    from lantern_spark.operators.textstats import PII_PATTERNS
+
+    terms, cur = [], expr
+    for kind, pat in PII_PATTERNS:
+        terms.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '<{kind.upper()}>', 'g')"
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || doc_id || '@ex-' || (doc_id % 7) || "
+    "'.org ip 10.' || (doc_id % 250) || "
+    "'.0.1 ssn 123-45-6789 call (555) 123-4567'"
+)
+
+
+@register(
+    "pii_redact_docs",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents)
+    SELECT doc_id, md5({_pii_redact_sql('t')}) AS clean_hash,
+           {_pii_count_sql('t')} AS n_pii
+    FROM aug
+    """,
+)
+def pii_redact_docs(spark, sf_dir):
+    """PII scrub (C4/FineWeb-style): both engines append a
+    deterministic PII-bearing suffix (email/IPv4/SSN/phone derived
+    from doc_id — the synthetic corpus itself contains no PII) and
+    must then produce byte-identical redacted text (md5-compared) and
+    identical per-kind-attributed match counts. Pure regexp chain:
+    map-only, codegen, no UDF — the 100 TB scrub is one scan."""
+    from lantern_spark.operators.textstats import pii_count, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@ex-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org ip 10."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0.1 ssn 123-45-6789 call (555) 123-4567"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii(aug)).alias("clean_hash"),
+        pii_count(aug).cast("long").alias("n_pii"),
+    )

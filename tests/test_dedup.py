@@ -245,3 +245,110 @@ class TestCCStrategyGate:
         assert local == dist
         comp = dict(local)
         assert comp[4] == 1 and comp[11] == 10 and comp[23] == 20
+
+
+class TestSemanticDedup:
+    """SemDeDup (arXiv:2303.09540): cluster-then-prune semantic dedup."""
+
+    def _emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_duplicates_pruned_originals_kept(self, spark):
+        from lantern_spark.operators.dedup import semantic_dedup
+
+        # 3 distinct directions, each with a near-identical copy at a
+        # higher id, plus one genuinely distinct extra vector
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = [rng.randn(16) for _ in range(3)]
+        rows = []
+        for i, b in enumerate(base):
+            rows.append((i, [float(x) for x in b]))
+            rows.append((100 + i, [float(x) for x in b * 1.001]))
+        rows.append((500, [float(x) for x in rng.randn(16)]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=4, threshold=0.95,
+            seed=1,
+        ).collect()
+        by_id = {r["id"]: r for r in out}
+        assert len(by_id) == 7
+        for i in range(3):
+            assert by_id[i]["kept"], "first occurrence must survive"
+            assert not by_id[100 + i]["kept"], "scaled copy must drop"
+            assert by_id[100 + i]["max_prior_sim"] > 0.999
+        assert by_id[500]["kept"]
+        assert by_id[0]["max_prior_sim"] is None  # cluster-first row
+
+    def test_matches_bruteforce_rule(self, spark, sf_dir):
+        """Distributed result ≡ a local numpy replay of the exact same
+        keep rule over the same cluster assignment."""
+        import numpy as np
+
+        from lantern_spark.operators.dedup import semantic_dedup
+
+        emb = self._emb(spark, sf_dir).limit(200)
+        out = semantic_dedup(
+            emb, "embedding", "vec_id", n_clusters=8, threshold=0.4,
+            seed=42, round_digits=6,
+        ).collect()
+        rows = emb.select("vec_id", "embedding").collect()
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], float) for r in rows}
+        clusters = {}
+        for r in out:
+            clusters.setdefault(r["cluster_id"], []).append(r["id"])
+        for r in out:
+            members = sorted(clusters[r["cluster_id"]])
+            priors = [m for m in members if m < r["id"]]
+            if not priors:
+                assert r["kept"] and r["max_prior_sim"] is None
+                continue
+            v = vecs[r["id"]]
+            v = v / np.linalg.norm(v)
+            sims = [
+                round(
+                    float(
+                        np.dot(v, vecs[p] / np.linalg.norm(vecs[p]))
+                    ),
+                    6,
+                )
+                for p in priors
+            ]
+            assert abs(r["max_prior_sim"] - max(sims)) < 1e-9
+            assert r["kept"] == (max(sims) < 0.4)
+
+    def test_deterministic_under_repartition(self, spark, sf_dir):
+        from lantern_spark.operators.dedup import semantic_dedup
+
+        emb = self._emb(spark, sf_dir)
+        a = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                emb, "embedding", "vec_id", n_clusters=8, seed=42,
+                threshold=0.4, round_digits=6,
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                emb.repartition(13), "embedding", "vec_id", n_clusters=8,
+                seed=42, threshold=0.4, round_digits=6,
+            ).collect()
+        )
+        assert a == b
+
+    def test_one_shuffle_no_crossjoin(self, spark, sf_dir):
+        """Plan shape: clustering bounds the pair space — the plan has
+        no cartesian/broadcast-nested-loop join, and exactly one
+        exchange feeds the per-cluster kernel."""
+        from lantern_spark.operators.dedup import semantic_dedup
+
+        out = semantic_dedup(
+            self._emb(spark, sf_dir), "embedding", "vec_id", n_clusters=8
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

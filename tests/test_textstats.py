@@ -183,3 +183,86 @@ class TestRepetitionSignals:
         assert row["top2gram_frac"] > 0.5
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+class TestPIIRedaction:
+    def test_each_kind_redacts(self, spark):
+        from lantern_spark.operators.textstats import pii_count, redact_pii
+
+        cases = [
+            ("mail me at jo.doe+x@sub.example.co.uk now", "<EMAIL>"),
+            ("ssn is 123-45-6789 ok", "<SSN>"),
+            ("host 192.168.001.1 up", "<IPV4>"),
+            ("call (555) 123-4567 or 555-123-4567", "<PHONE>"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+        )
+        out = {
+            r["i"]: (r["clean"], r["n"])
+            for r in df.select(
+                "i",
+                redact_pii("t").alias("clean"),
+                pii_count("t").cast("long").alias("n"),
+            ).collect()
+        }
+        for i, (orig, token) in enumerate(cases):
+            assert token in out[i][0], out[i]
+            assert out[i][1] >= 1
+        assert out[0][0] == "mail me at <EMAIL> now"
+        assert out[3][1] == 2  # both phone shapes
+
+    def test_ssn_not_double_counted_as_phone(self, spark):
+        """Attribution order: an SSN is phone-shaped; the progressive
+        count must attribute it to exactly one kind."""
+        from lantern_spark.operators.textstats import pii_count, redact_pii
+
+        df = spark.createDataFrame([("x 123-45-6789 y",)], "t string")
+        row = df.select(
+            redact_pii("t").alias("c"),
+            pii_count("t").cast("long").alias("n"),
+        ).first()
+        assert row["c"] == "x <SSN> y"
+        assert row["n"] == 1
+
+    def test_clean_text_untouched(self, spark):
+        from lantern_spark.operators.textstats import pii_count, redact_pii
+
+        df = spark.createDataFrame(
+            [("no pii here just words and 42 numbers",)], "t string"
+        )
+        row = df.select(
+            redact_pii("t").alias("c"),
+            pii_count("t").cast("long").alias("n"),
+        ).first()
+        assert row["c"] == "no pii here just words and 42 numbers"
+        assert row["n"] == 0
+
+    def test_map_only_no_udf(self, spark):
+        from lantern_spark.operators.textstats import redact_pii
+
+        df = spark.createDataFrame([("a",)], "t string").select(
+            redact_pii("t").alias("c")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
+    def test_matches_duckdb_semantics(self, spark, duck):
+        """The generated oracle chain and Spark's chain agree on a
+        PII-dense adversarial string (pattern-dialect parity)."""
+        from lantern_spark.operators.textstats import redact_pii
+        from lantern_spark.queries.textstats import _pii_redact_sql
+
+        s = (
+            "a@b.io 1.2.3.4 999-99-9999 (123) 456-7890 x@y.org "
+            "10.0.0.255 777-12-3456 111-222-3333"
+        )
+        got = (
+            spark.createDataFrame([(s,)], "t string")
+            .select(redact_pii("t").alias("c"))
+            .first()["c"]
+        )
+        want = duck.execute(
+            f"SELECT {_pii_redact_sql('t')} FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        assert got == want
