@@ -67,6 +67,19 @@ class CurationConfig:
     # pass-through left join instead.
     lm: Optional[object] = None
     max_ppl: Optional[float] = None
+    # optional model-based quality stage (GPT-3/LLaMA-style): a trained
+    # operators/quality_clf.QualityClassifier plus a probability floor.
+    # Runs after the heuristics — scoring is a map pass (broadcast
+    # model), but it crosses into ML transformers so it cannot fuse
+    # into the heuristic scan. OPT-IN like the LM stage. Adds and
+    # keeps a `quality_prob` column for downstream mixture weighting.
+    quality_model: Optional[object] = None
+    min_model_prob: Optional[float] = None
+    # optional PII scrub (C4/FineWeb-style): redact emails/SSNs/IPv4s/
+    # phones IN PLACE on text_col. A pure regexp chain — fuses into
+    # the heuristic scan. Redaction is a rewrite, not a filter, so it
+    # never changes row counts.
+    redact_pii: bool = False
 
 
 def curate_corpus(
@@ -115,7 +128,19 @@ def curate_corpus(
         )
     for pred in cfg.extra_predicates:
         out = out.filter(pred)
+    if cfg.redact_pii:
+        from lantern_spark.operators.textstats import redact_pii
+
+        out = out.withColumn(text_col, redact_pii(text_col))
     out = note("heuristics", out)
+
+    if cfg.quality_model is not None and cfg.min_model_prob is not None:
+        out = note(
+            "model_quality",
+            cfg.quality_model.filter(
+                out, text_col, min_prob=cfg.min_model_prob
+            ),
+        )
 
     if cfg.lm is not None and cfg.max_ppl is not None:
         out = note(

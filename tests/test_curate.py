@@ -191,3 +191,67 @@ class TestCuratePerplexityStage:
         assert [r["doc_id"] for r in out.collect()] == [0]
         assert rep["perplexity"] == 1
         assert set(out.columns) == {"doc_id", "text"}  # ppl dropped
+
+
+class TestModelQualityAndPIIStages:
+    def test_quality_model_stage_filters(self, spark):
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+        )
+        from lantern_spark.operators.quality_clf import (
+            train_quality_classifier,
+        )
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and the bird "
+            "sings while a friend reads books in the quiet house %d"
+        )
+        bad = "zqx wkj vvv zzz qqq xkcd jjj zz qq xx kk jj ww vv %d"
+        train = spark.createDataFrame(
+            [(i, good % i, 1.0) for i in range(40)]
+            + [(100 + i, bad % i, 0.0) for i in range(40)],
+            "doc_id long, text string, label double",
+        )
+        m = train_quality_classifier(
+            train, "text", "label", n_features=1 << 12, max_iter=100,
+            reg_param=1e-6,
+        )
+        corpus = spark.createDataFrame(
+            [(1, good % 99), (2, bad % 99)], "doc_id long, text string"
+        )
+        out, rep = curate_corpus(
+            corpus, "text", "doc_id",
+            CurationConfig(
+                near_dedup=False, exact_dedup=False,
+                quality_model=m, min_model_prob=0.5,
+            ),
+            report=True,
+        )
+        rows = out.collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert "quality_prob" in out.columns  # kept for mixture weighting
+        assert rep["model_quality"] == 1 and rep["heuristics"] == 2
+
+    def test_pii_stage_rewrites_in_place(self, spark):
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "write to me at jane.doe@example.com for the files "
+                    "and call (555) 123-4567 tomorrow morning ok"),
+            ],
+            "doc_id long, text string",
+        )
+        out = curate_corpus(
+            corpus, "text", "doc_id",
+            CurationConfig(
+                near_dedup=False, exact_dedup=False, redact_pii=True,
+            ),
+        )
+        row = out.first()
+        assert "<EMAIL>" in row["text"] and "<PHONE>" in row["text"]
+        assert "example.com" not in row["text"]
