@@ -1,0 +1,195 @@
+"""DSIR importance resampling (operators/dsir) — arXiv:2302.03169.
+
+The fit/weight/select chain is checked three ways: behavioral (target-
+like docs outrank noise), a full DuckDB SQL replay of the hashed-ngram
+weights (oracle-grade parity without a driver-roster slot), and plan
+pins (broadcast ratio join, no Python UDFs, deterministic sampling).
+"""
+
+import pytest
+
+
+def _corpora(spark):
+    target = spark.createDataFrame(
+        [(i, "the dog and the cat play in the garden with the ball %d" % i)
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    raw_rows = [
+        (i, "a dog plays with a cat near the garden gate %d" % i)
+        for i in range(20)
+    ] + [
+        (100 + i, "zzz qqq xkcd %d vvv www jjj kkk mmm nnn ppp" % i)
+        for i in range(20)
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    return target, raw
+
+
+class TestDSIR:
+    def test_target_like_docs_win(self, spark):
+        from lantern_spark.operators.dsir import dsir_select
+
+        target, raw = _corpora(spark)
+        picked = dsir_select(
+            raw, target, "text", "doc_id", k=15, n_buckets=1 << 12,
+            mode="topk",
+        ).collect()
+        ids = {r["doc_id"] for r in picked}
+        assert len(ids) == 15
+        assert all(i < 100 for i in ids), "noise docs must not be picked"
+
+    def test_weights_match_duckdb_replay(self, spark, duck, sf_dir):
+        """Full SQL replay on the real documents table: tokens+bigrams
+        → md5 buckets → Laplace log-ratio → per-doc sum."""
+        from lantern_spark.operators.dsir import (
+            bucket_counts,
+            importance_weights,
+            log_ratio_table,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        target = docs.filter("source = 'src0'")
+        nb = 1 << 10
+        ratios = log_ratio_table(
+            bucket_counts(target, "text", nb),
+            bucket_counts(docs, "text", nb),
+            nb,
+        )
+        got = {
+            r["doc_id"]: round(r["log_w"], 6)
+            for r in importance_weights(
+                docs, "text", "doc_id", ratios, nb
+            ).collect()
+        }
+        tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+               " x -> x <> '')")
+        sql = f"""
+        WITH t AS (SELECT doc_id, source, {tok} AS toks FROM documents),
+        terms AS (
+          SELECT doc_id, source, unnest(
+            toks || list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> toks[i] || '_' || toks[i+1])
+          ) AS term FROM t
+        ),
+        b AS (SELECT doc_id, source,
+                     ('0x' || substr(md5(term), 1, 12))::BIGINT % {nb} AS bucket
+              FROM terms),
+        tc AS (SELECT bucket, count(*) AS tc FROM b WHERE source = 'src0'
+               GROUP BY bucket),
+        rc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+        tot AS (SELECT (SELECT sum(tc) FROM tc) AS t_tot,
+                       (SELECT sum(rc) FROM rc) AS r_tot),
+        lr AS (
+          SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+                 ln(coalesce(tc, 0) + 1.0) - ln(t_tot + {nb})
+                 - ln(coalesce(rc, 0) + 1.0) + ln(r_tot + {nb}) AS log_ratio
+          FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket, tot
+        )
+        SELECT d.doc_id,
+               round(coalesce(sum(lr.log_ratio), 0.0), 6) AS log_w
+        FROM documents d
+        LEFT JOIN b ON b.doc_id = d.doc_id
+        LEFT JOIN lr ON lr.bucket = b.bucket
+        GROUP BY d.doc_id
+        """
+        want = {r[0]: round(r[1], 6) for r in duck.execute(sql).fetchall()}
+        assert len(got) == len(want)
+        bad = {
+            k: (got[k], want[k])
+            for k in got
+            if abs(got[k] - want[k]) > 1e-5
+        }
+        assert not bad, list(bad.items())[:5]
+
+    def test_gumbel_sampling_deterministic_and_weighted(self, spark):
+        from lantern_spark.operators.dsir import dsir_select
+
+        target, raw = _corpora(spark)
+        a = sorted(
+            r["doc_id"]
+            for r in dsir_select(
+                raw, target, "text", "doc_id", k=10, n_buckets=1 << 12,
+                mode="gumbel", seed=7,
+            ).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in dsir_select(
+                raw.repartition(5), target, "text", "doc_id", k=10,
+                n_buckets=1 << 12, mode="gumbel", seed=7,
+            ).collect()
+        )
+        assert a == b, "gumbel keys are md5-derived — retry-safe"
+        # weighting still biases the sample toward target-like docs
+        assert sum(1 for i in a if i < 100) >= 7
+
+    def test_different_seed_different_sample(self, spark):
+        from lantern_spark.operators.dsir import dsir_select
+
+        target, raw = _corpora(spark)
+        picks = []
+        for seed in (1, 2):
+            picks.append(
+                sorted(
+                    r["doc_id"]
+                    for r in dsir_select(
+                        raw, target, "text", "doc_id", k=10,
+                        n_buckets=1 << 12, mode="gumbel", seed=seed,
+                    ).collect()
+                )
+            )
+        assert picks[0] != picks[1]
+
+    def test_plan_broadcast_and_no_udf(self, spark):
+        from lantern_spark.operators.dsir import (
+            bucket_counts,
+            importance_weights,
+            log_ratio_table,
+        )
+
+        target, raw = _corpora(spark)
+        nb = 1 << 12
+        ratios = log_ratio_table(
+            bucket_counts(target, "text", nb),
+            bucket_counts(raw, "text", nb),
+            nb,
+        )
+        w = importance_weights(raw, "text", "doc_id", ratios, nb)
+        plan = w._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, "ratio table must broadcast"
+        assert "EvalPython" not in plan
+
+    def test_empty_text_neutral_weight(self, spark):
+        from lantern_spark.operators.dsir import (
+            bucket_counts,
+            importance_weights,
+            log_ratio_table,
+        )
+
+        target, _ = _corpora(spark)
+        raw = spark.createDataFrame(
+            [(1, "the dog plays"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        nb = 1 << 12
+        ratios = log_ratio_table(
+            bucket_counts(target, "text", nb),
+            bucket_counts(raw, "text", nb),
+            nb,
+        )
+        got = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(
+                raw, "text", "doc_id", ratios, nb
+            ).collect()
+        }
+        assert got[2] == 0.0 and got[3] == 0.0
+        assert got[1] != 0.0
+
+    def test_bad_mode_raises(self, spark):
+        from lantern_spark.operators.dsir import dsir_select
+
+        target, raw = _corpora(spark)
+        with pytest.raises(ValueError, match="mode"):
+            dsir_select(raw, target, "text", "doc_id", k=5, mode="x")
