@@ -409,6 +409,64 @@ _GRAPH_SCHEMA = T.StructType(
 MAX_PAYLOAD_BYTES = 1_500_000_000
 
 
+def _build_graph_row(
+    ids, vecs, sid, dim, m, ef_construction, seed, mval, qval,
+    pq_splits, pq_clusters, max_payload_bytes,
+) -> pd.DataFrame:
+    """Build ONE shard graph from in-hand rows and serialize it to its
+    single parquet row — shared by :meth:`HNSWIndex.build` (one call
+    per partition) and :meth:`HNSWIndex.fold_delta` (one call for the
+    promoted delta shard). ``seed + sid`` keeps per-shard determinism
+    layout-independent."""
+    order = np.argsort(np.asarray(ids), kind="stable")
+    g = HnswGraph(dim, m, ef_construction, seed + sid, mval, quant=qval)
+    if qval in ("i8", "pq"):
+        # shard-local stats (all rows are in hand before inserting)
+        arr = np.asarray(vecs, dtype=np.float32)
+        if mval == "cos":
+            arr = arr / np.maximum(
+                np.linalg.norm(arr, axis=1, keepdims=True), 1e-30
+            )
+        if qval == "i8":
+            g.set_i8_bounds(float(arr.min()), float(arr.max()))
+        else:
+            # shard-local PQ codebook: seeded k-means per subspace
+            # over the shard's own rows (the in-graph PQ tier;
+            # codebook serializes with the graph)
+            from lantern_spark.operators.pq import _kmeans_fit
+
+            subdim = dim // pq_splits
+            if dim % pq_splits:
+                raise ValueError(
+                    f"dim {dim} not divisible by pq_splits {pq_splits}"
+                )
+            cb = np.stack(
+                [
+                    _kmeans_fit(
+                        arr[:, s * subdim : (s + 1) * subdim]
+                        .astype(np.float64),
+                        pq_clusters,
+                        seed=seed + s,
+                        iters=25,
+                    ).astype(np.float32)
+                    for s in range(pq_splits)
+                ]
+            )
+            g.set_pq_codebook(cb)
+    for j in order:
+        g.add(ids[j], vecs[j])
+    payload = g.to_payload()
+    if len(payload) > max_payload_bytes:
+        raise ValueError(
+            f"hnsw shard {sid} payload is {len(payload)} bytes "
+            f"(> {max_payload_bytes}); increase shards= so each "
+            "graph holds fewer vectors, or use quant='f16'/'i8'"
+        )
+    return pd.DataFrame(
+        {"shard_id": [sid], "n": [g.n], "payload": [payload]}
+    )
+
+
 class HNSWIndex:
     """Persisted per-partition HNSW index (one graph row per shard)."""
 
@@ -495,57 +553,9 @@ class HNSWIndex:
                 vecs.extend(pdf[column].tolist())
             if not ids:
                 return
-            order = np.argsort(np.asarray(ids), kind="stable")
-            g = HnswGraph(dim, m, ef_construction, seed + pid, mval, quant=qval)
-            if qval in ("i8", "pq"):
-                # shard-local stats (all rows are in hand —
-                # build_shard collects the partition before inserting)
-                arr = np.asarray(vecs, dtype=np.float32)
-                if mval == "cos":
-                    arr = arr / np.maximum(
-                        np.linalg.norm(arr, axis=1, keepdims=True), 1e-30
-                    )
-                if qval == "i8":
-                    g.set_i8_bounds(float(arr.min()), float(arr.max()))
-                else:
-                    # shard-local PQ codebook: seeded k-means per
-                    # subspace over the shard's own rows (the in-graph
-                    # PQ tier; codebook serializes with the graph)
-                    from lantern_spark.operators.pq import _kmeans_fit
-
-                    subdim = dim // pq_splits
-                    if dim % pq_splits:
-                        raise ValueError(
-                            f"dim {dim} not divisible by pq_splits {pq_splits}"
-                        )
-                    cb = np.stack(
-                        [
-                            _kmeans_fit(
-                                arr[:, s * subdim : (s + 1) * subdim]
-                                .astype(np.float64),
-                                pq_clusters,
-                                seed=seed + s,
-                                iters=25,
-                            ).astype(np.float32)
-                            for s in range(pq_splits)
-                        ]
-                    )
-                    g.set_pq_codebook(cb)
-            for j in order:
-                g.add(ids[j], vecs[j])
-            payload = g.to_payload()
-            if len(payload) > max_payload_bytes:
-                raise ValueError(
-                    f"hnsw shard {pid} payload is {len(payload)} bytes "
-                    f"(> {max_payload_bytes}); increase shards= so each "
-                    "graph holds fewer vectors, or use quant='f16'/'i8'"
-                )
-            yield pd.DataFrame(
-                {
-                    "shard_id": [pid],
-                    "n": [g.n],
-                    "payload": [payload],
-                }
+            yield _build_graph_row(
+                ids, vecs, pid, dim, m, ef_construction, seed, mval,
+                qval, pq_splits, pq_clusters, max_payload_bytes,
             )
 
         (
@@ -576,11 +586,13 @@ class HNSWIndex:
             # f32 payload dumps are exact; a stale vectors dir from an
             # earlier quantized generation must not shadow them
             shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
-        # a reused path may carry a stale delta dir from an earlier
-        # index generation — it would silently union into searches of
-        # the fresh build (ADVICE r2). Removed only AFTER the graphs
-        # and vectors writes succeeded (crash mid-build loses nothing).
+        # a reused path may carry a stale delta dir (or fold shards
+        # from an earlier generation's fold_delta) — either would
+        # silently union into searches of the fresh build (ADVICE r2).
+        # Removed only AFTER the graphs and vectors writes succeeded
+        # (crash mid-build loses nothing).
         shutil.rmtree(os.path.join(path, "delta"), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "graphs_delta"), ignore_errors=True)
         try:
             os.remove(os.path.join(path, "delta_seq"))
         except OSError:
@@ -614,6 +626,163 @@ class HNSWIndex:
             manifest = json.load(f)
         check_format_version(manifest.setdefault("format_version", "1.0"), path)
         return cls(path, manifest)
+
+    # -- incremental fold plumbing --------------------------------------
+
+    def _graph_dirs(self) -> list:
+        """Existing graph-row directories: the base build plus the
+        fold-promoted delta shards (``graphs_delta/fold_epoch=N``)."""
+        dirs = [os.path.join(self.path, "graphs")]
+        fold = os.path.join(self.path, "graphs_delta")
+        if os.path.isdir(fold):
+            dirs.append(fold)
+        return [d for d in dirs if os.path.isdir(d)]
+
+    def _graphs(self, spark: SparkSession) -> DataFrame:
+        """All shard graph rows (shard_id, n, payload)."""
+        dirs = self._graph_dirs()
+        out = spark.read.parquet(dirs[0]).select("shard_id", "n", "payload")
+        for d in dirs[1:]:
+            out = out.unionByName(
+                spark.read.parquet(d).select("shard_id", "n", "payload")
+            )
+        return out
+
+    def _unfolded_delta(self, spark: SparkSession):
+        """Delta rows NOT yet promoted into a fold shard (seq >
+        manifest ``folded_seq``), or None. Folded rows may linger in
+        the delta dir after a crash between the fold commit and the
+        cleanup — the watermark keeps them out of searches and future
+        folds (they already live in a fold shard)."""
+        delta_path = os.path.join(self.path, "delta")
+        if not _path_has_parquet(delta_path):
+            return None
+        d = spark.read.parquet(delta_path)
+        folded = int(self.manifest.get("folded_seq", 0))
+        if "__delta_seq" in d.columns:
+            d = d.filter(
+                F.coalesce(F.col("__delta_seq"), F.lit(0)) > folded
+            )
+        elif folded:
+            # a seq-less (pre-1.1) delta can never be partially folded:
+            # fold_delta refuses it below, so folded_seq > 0 implies
+            # every row here is stamped
+            return None
+        return d
+
+    def fold_delta(self, spark: SparkSession) -> "HNSWIndex":
+        """Incremental reindex: promote the delta set into ONE new
+        graph shard instead of brute-force scanning it on every query
+        — the 100 TB maintenance path (a full :meth:`rebuild` rewrites
+        every shard; a 1% delta must not cost a 100% rewrite; the
+        reference's aminsert likewise grows the existing structure,
+        insert.c). Mirrors :meth:`IVFIndex.fold_delta`.
+
+        The fold shard lands under ``graphs_delta/fold_epoch=N/`` via
+        dynamic partition overwrite with a deterministic shard id, and
+        the manifest commit (fold_epoch, folded_seq watermark, shards)
+        is the atomic cut-over — a crash anywhere re-runs to the same
+        bytes, and rows at-or-below the watermark are invisible to
+        search even if the delta-dir cleanup never happened.
+
+        Contract: the add-only contract of :meth:`add_delta` (an id
+        already in a graph shard would DUPLICATE after folding —
+        exactly as it duplicates in pre-fold delta search; ``validate``
+        detects it, ``rebuild`` repairs it, because shard payloads are
+        sealed). Within the delta itself the newest ``__delta_seq``
+        per id wins, the rebuild rule."""
+        mf = self.manifest
+        delta = self._unfolded_delta(spark)
+        if delta is None:
+            return self
+        if "__delta_seq" not in delta.columns:
+            raise ValueError(
+                "delta has no __delta_seq column (pre-1.1 artifact); "
+                "fold_delta cannot track a fold watermark — rebuild() "
+                "instead"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(mf["id_column"]).orderBy(
+            F.col("__delta_seq").desc()
+        )
+        vec_sql = (
+            "array<int>" if mf["metric"] == "hamming" else "array<float>"
+        )
+        rows = (
+            delta.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+                F.col(mf["column"]).cast(vec_sql).alias(mf["column"]),
+                "__delta_seq",
+            )
+        )
+        agg = rows.agg(
+            F.max("__delta_seq").alias("mx"), F.count("*").alias("n")
+        ).first()
+        if not agg["n"]:
+            return self
+        max_seq = int(agg["mx"])
+        epoch = int(mf.get("fold_epoch", 0)) + 1
+        sid = int(mf["shards"])  # deterministic across crash re-runs
+        qval = mf.get("quant", "f32")
+        if qval != "f32":
+            # quantized graphs are lossy — delta originals join the
+            # exact heap BEFORE the fold commit (the build/rebuild
+            # ordering contract; duplicate appends after a crash are
+            # deduped by rebuild's id rule)
+            rows.select(mf["id_column"], mf["column"]).write.mode(
+                "append"
+            ).parquet(os.path.join(self.path, "vectors"))
+
+        dim, m_, efc = mf["dim"], mf["m"], mf["ef_construction"]
+        seed, mval = mf["seed"], mf["metric"]
+        pq_s, pq_c = mf.get("pq_splits", 8), mf.get("pq_clusters", 16)
+        id_col, col = mf["id_column"], mf["column"]
+        max_payload = MAX_PAYLOAD_BYTES
+
+        def build_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids: list = []
+            vecs: list = []
+            for pdf in batches:
+                ids.extend(pdf[id_col].tolist())
+                vecs.extend(pdf[col].tolist())
+            if not ids:
+                return
+            yield _build_graph_row(
+                ids, vecs, sid, dim, m_, efc, seed, mval, qval,
+                pq_s, pq_c, max_payload,
+            )
+
+        out = (
+            rows.select(id_col, col)
+            .repartition(1)
+            .mapInPandas(build_fold, _GRAPH_SCHEMA)
+            .withColumn("fold_epoch", F.lit(epoch))
+        )
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(conf_key, "static")
+        try:
+            spark.conf.set(conf_key, "dynamic")
+            out.write.mode("overwrite").partitionBy("fold_epoch").parquet(
+                os.path.join(self.path, "graphs_delta")
+            )
+        finally:
+            spark.conf.set(conf_key, old_mode)
+        # commit point: watermark + shard registration land together
+        mf["fold_epoch"] = epoch
+        mf["folded_seq"] = max_seq
+        mf["shards"] = sid + 1
+        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
+            json.dump(mf, fh)
+        # best-effort cleanup — rows ≤ folded_seq are invisible anyway
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "delta"), ignore_errors=True
+        )
+        return self
 
     def add_delta(self, df: DataFrame) -> None:
         """aminsert analog (the reference's insert path targets exactly
@@ -737,8 +906,7 @@ class HNSWIndex:
                 df = df.withColumn("__seq", F.lit(0).cast("long"))
             return df.withColumn("__src", F.lit(src))
 
-        def read_delta(delta_path):
-            d = spark.read.parquet(delta_path)
+        def read_delta(d):
             cols = [
                 F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
                 F.col(mf["column"]).cast(vec_sql).alias(mf["column"]),
@@ -756,9 +924,9 @@ class HNSWIndex:
                 ),
                 1,
             )
-            delta_path = os.path.join(self.path, "delta")
-            if _path_has_parquet(delta_path):
-                out = out.unionByName(tag(read_delta(delta_path), 0))
+            d = self._unfolded_delta(spark)
+            if d is not None:
+                out = out.unionByName(tag(read_delta(d), 0))
             return out
         schema = T.StructType(
             [
@@ -784,15 +952,10 @@ class HNSWIndex:
                         }
                     )
 
-        out = tag(
-            spark.read.parquet(os.path.join(self.path, "graphs")).mapInPandas(
-                dump, schema
-            ),
-            1,
-        )
-        delta_path = os.path.join(self.path, "delta")
-        if _path_has_parquet(delta_path):
-            out = out.unionByName(tag(read_delta(delta_path), 0))
+        out = tag(self._graphs(spark).mapInPandas(dump, schema), 1)
+        d = self._unfolded_delta(spark)
+        if d is not None:
+            out = out.unionByName(tag(read_delta(d), 0))
         return out
 
     def search(
@@ -838,12 +1001,11 @@ class HNSWIndex:
                         }
                     )
 
-        graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
-        out = graphs.mapInPandas(search_shard, schema)
-        delta_path = os.path.join(self.path, "delta")
-        if _path_has_parquet(delta_path):
+        out = self._graphs(spark).mapInPandas(search_shard, schema)
+        delta_df = self._unfolded_delta(spark)
+        if delta_df is not None:
             # delta rows are exact-scanned and merge as shard -1 (same
-            # contract as IVF's delta: exact until rebuild folds in).
+            # contract as IVF's delta: exact until a fold/rebuild).
             # n_dist=0 so graph scan-fraction accounting is undistorted.
             from lantern_spark.functions.distances import distance
             from lantern_spark.functions.vectors import vec_lit
@@ -858,7 +1020,7 @@ class HNSWIndex:
                 mf["metric"],
             )
             delta = (
-                spark.read.parquet(delta_path)
+                delta_df
                 .select(
                     F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
                     dist_expr.cast("double").alias("dist"),
@@ -956,10 +1118,9 @@ class HNSWIndex:
                             }
                         )
 
-        graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
-        out = graphs.mapInPandas(search_shard, schema)
-        delta_path = os.path.join(self.path, "delta")
-        if _path_has_parquet(delta_path):
+        out = self._graphs(spark).mapInPandas(search_shard, schema)
+        delta_df = self._unfolded_delta(spark)
+        if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
             probes = spark.createDataFrame(
@@ -967,7 +1128,7 @@ class HNSWIndex:
                 f"{qid_col} int, __q array<double>",
             )
             delta = (
-                spark.read.parquet(delta_path)
+                delta_df
                 .select(
                     F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
                     F.col(mf["column"]).alias(mf["column"]),
@@ -1008,10 +1169,10 @@ class HNSWIndex:
         shard ids shuffle once, one group per shard walks all probes
         against a graph deserialized exactly once per group."""
         mf = self.manifest
-        graphs_path = os.path.join(self.path, "graphs")
+        graph_dirs = self._graph_dirs()
         shard_ids = [
             int(r["shard_id"])
-            for r in spark.read.parquet(graphs_path)
+            for r in self._graphs(spark)
             .select("shard_id")
             .distinct()
             .collect()  # ≤ shards rows — bounded by construction
@@ -1037,12 +1198,17 @@ class HNSWIndex:
             sid = int(key[0])
             import pyarrow.dataset as pads
 
-            tbl = (
-                pads.dataset(graphs_path, format="parquet")
-                .to_table(
-                    columns=["payload"],
-                    filter=pads.field("shard_id") == sid,
-                )
+            # base graphs + fold-shard dirs; the hive flag exposes the
+            # fold_epoch partition column harmlessly (never selected)
+            ds = pads.dataset(
+                [
+                    pads.dataset(p, format="parquet", partitioning="hive")
+                    for p in graph_dirs
+                ]
+            )
+            tbl = ds.to_table(
+                columns=["payload"],
+                filter=pads.field("shard_id") == sid,
             )
             empty = pd.DataFrame({qid_col: [], id_col: [], "dist": []})
             if tbl.num_rows == 0:
@@ -1062,15 +1228,15 @@ class HNSWIndex:
             return pd.DataFrame({qid_col: qids, id_col: ids, "dist": dists})
 
         out = pairs.groupBy("shard_id").applyInPandas(walk_shard, schema)
-        delta_path = os.path.join(self.path, "delta")
-        if _path_has_parquet(delta_path):
+        delta_df = self._unfolded_delta(spark)
+        if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
             delta = (
                 probes.select(qid_col, query_col)
                 .crossJoin(
                     F.broadcast(
-                        spark.read.parquet(delta_path).select(
+                        delta_df.select(
                             F.col(id_col).cast("long").alias(id_col),
                             F.col(mf["column"]).alias(mf["column"]),
                         )
@@ -1226,8 +1392,11 @@ class HNSWIndex:
                         }
                     )
 
-        graphs = spark.read.parquet(os.path.join(self.path, "graphs"))
-        rows = graphs.mapInPandas(validate_shard, stats_schema).collect()
+        rows = (
+            self._graphs(spark)
+            .mapInPandas(validate_shard, stats_schema)
+            .collect()
+        )
         violations = [
             f"shard {r['shard_id']}: {v}" for r in rows for v in r["violations"]
         ]

@@ -678,3 +678,135 @@ class TestFoldDelta:
         # re-attach clears it
         hyb2 = IVFGraphIndex.attach(idx, spark, m=8, ef_construction=40)
         assert hyb2.search(spark, [0.1] * 64, k=2, nprobe=2).count() == 2
+
+
+class TestHnswFoldDelta:
+    """HNSW incremental maintenance: fold_delta promotes the delta set
+    into one new graph shard (graphs_delta/fold_epoch=N) so queries
+    graph-walk it instead of brute-force scanning — mirrors
+    IVFIndex.fold_delta."""
+
+    def _build(self, spark, emb, path, **kw):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        return HNSWIndex.build(
+            emb.filter("vec_id < 450"), "embedding", "vec_id", path,
+            m=8, ef_construction=40, shards=2, seed=42, **kw,
+        )
+
+    def test_fold_promotes_delta_and_preserves_results(
+        self, spark, emb, tmp_path
+    ):
+        import os as _os
+
+        idx = self._build(spark, emb, str(tmp_path / "h"))
+        idx.add_delta(emb.filter("vec_id >= 450 and vec_id < 460"))
+        probe = [float(x) for x in emb.filter("vec_id = 455").first()["embedding"]]
+        before = [
+            (r["vec_id"], round(r["dist"], 6))
+            for r in idx.search(spark, probe, k=5, ef=64).collect()
+        ]
+        base_mtimes = {
+            f: _os.path.getmtime(_os.path.join(tmp_path / "h" / "graphs", f))
+            for f in _os.listdir(tmp_path / "h" / "graphs")
+            if f.endswith(".parquet")
+        }
+        assert idx.fold_delta(spark) is idx
+        # delta consumed, fold shard registered, base graphs untouched
+        assert not _os.path.exists(str(tmp_path / "h" / "delta"))
+        assert _os.path.isdir(
+            str(tmp_path / "h" / "graphs_delta" / "fold_epoch=1")
+        )
+        assert idx.manifest["shards"] == 3
+        assert idx.manifest["folded_seq"] >= 1
+        for f, t in base_mtimes.items():
+            assert _os.path.getmtime(
+                _os.path.join(tmp_path / "h" / "graphs", f)
+            ) == t, "base shards must not rewrite"
+        # tiny fold shard + ef>n ⇒ its walk is exhaustive: results equal
+        after = [
+            (r["vec_id"], round(r["dist"], 6))
+            for r in idx.search(spark, probe, k=5, ef=64).collect()
+        ]
+        assert after == before
+        assert after[0][0] == 455 and after[0][1] == 0.0
+
+    def test_fold_then_more_delta_then_second_fold(self, spark, emb, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = self._build(spark, emb, str(tmp_path / "h"))
+        idx.add_delta(emb.filter("vec_id = 460"))
+        idx.fold_delta(spark)
+        idx.add_delta(emb.filter("vec_id = 470"))
+        # pre-second-fold: folded row comes from its shard, new row
+        # from the delta scan
+        p470 = [float(x) for x in emb.filter("vec_id = 470").first()["embedding"]]
+        got = idx.search(spark, p470, k=2, ef=64).collect()
+        assert got[0]["vec_id"] == 470
+        idx.fold_delta(spark)
+        assert idx.manifest["fold_epoch"] == 2
+        assert idx.manifest["shards"] == 4
+        # reload from disk sees the same state
+        re = HNSWIndex.load(str(tmp_path / "h"))
+        got = re.search(spark, p470, k=2, ef=64).collect()
+        assert got[0]["vec_id"] == 470
+        v = re.validate(spark)  # strict: raises on any violation
+        assert v["shards"] == 4 and not v["violations"]
+
+    def test_watermark_hides_stale_delta_rows(self, spark, emb, tmp_path):
+        """Crash between fold commit and delta cleanup: rows at/below
+        folded_seq linger in the delta dir but must NOT double-count."""
+        import shutil as _sh
+
+        idx = self._build(spark, emb, str(tmp_path / "h"))
+        idx.add_delta(emb.filter("vec_id = 460"))
+        _sh.copytree(
+            str(tmp_path / "h" / "delta"), str(tmp_path / "stash")
+        )
+        idx.fold_delta(spark)
+        # simulate the failed cleanup
+        _sh.copytree(
+            str(tmp_path / "stash"), str(tmp_path / "h" / "delta")
+        )
+        probe = [float(x) for x in emb.filter("vec_id = 460").first()["embedding"]]
+        got = idx.search(spark, probe, k=3, ef=64).collect()
+        ids = [r["vec_id"] for r in got]
+        assert ids[0] == 460 and len(set(ids)) == len(ids)
+        # and re-folding is a no-op (nothing above the watermark)
+        epoch = idx.manifest["fold_epoch"]
+        idx.fold_delta(spark)
+        assert idx.manifest["fold_epoch"] == epoch
+
+    def test_quantized_fold_feeds_heap_and_rebuild(self, spark, emb, tmp_path):
+        import os as _os
+
+        idx = self._build(spark, emb, str(tmp_path / "h"), quant="i8")
+        idx.add_delta(emb.filter("vec_id = 460"))
+        idx.fold_delta(spark)
+        # exact original joined the heap analog
+        heap = spark.read.parquet(str(tmp_path / "h" / "vectors"))
+        assert heap.filter("vec_id = 460").count() == 1
+        # a later full rebuild folds cleanly and clears the fold dirs
+        re = idx.rebuild(spark)
+        assert not _os.path.exists(str(tmp_path / "h" / "graphs_delta"))
+        assert "fold_epoch" not in re.manifest
+        probe = [float(x) for x in emb.filter("vec_id = 460").first()["embedding"]]
+        assert re.search(spark, probe, k=1, ef=64).first()["vec_id"] == 460
+
+    def test_batch_paths_see_fold_shard(self, spark, emb, tmp_path):
+        idx = self._build(spark, emb, str(tmp_path / "h"))
+        idx.add_delta(emb.filter("vec_id = 460"))
+        idx.fold_delta(spark)
+        probe = [float(x) for x in emb.filter("vec_id = 460").first()["embedding"]]
+        # sequence path
+        seq = idx.search_batch(spark, [probe], k=2, ef=64).collect()
+        assert [r for r in seq if r["qid"] == 0][0]["vec_id"] == 460
+        # DataFrame path
+        probes = spark.createDataFrame(
+            [(0, probe)], "qid int, query array<double>"
+        )
+        dfp = idx.search_batch(spark, probes, k=2, ef=64).collect()
+        top = sorted(
+            [r for r in dfp if r["qid"] == 0], key=lambda r: r["dist"]
+        )[0]
+        assert top["vec_id"] == 460
