@@ -38,14 +38,25 @@ def incremental_index_job(
     rebuild_threshold_rows: Optional[int] = None,
     rebuild_path: Optional[str] = None,
     max_files_per_trigger: int = 4,
+    fold_threshold_rows: Optional[int] = None,
 ):
     """Start a stream appending new source rows to ``index``'s delta.
 
     Returns (query, state) where ``state["index"]`` always points at
     the live index handle (it changes identity after an automatic
     rebuild). Drain with ``query.processAllAvailable()`` in tests.
-    """
-    state = {"index": index, "rebuilds": 0}
+
+    ``fold_threshold_rows`` (r7) enables the cheap maintenance tier:
+    when the unfolded delta reaches it, ``fold_delta`` folds it into
+    the existing structure (affected partitions / one new shard) —
+    orders of magnitude cheaper than a rebuild, so it can trigger
+    often. The two tiers compose: fold at a small threshold keeps
+    query latency flat; rebuild at a large one (or offline) re-trains
+    the structure. Fold runs BEFORE the rebuild check each batch, and
+    the rebuild threshold counts TOTAL ingested-since-rebuild rows
+    (``state["ingested"]``) — folded rows leave the delta dir, but
+    they still age the structure toward retraining."""
+    state = {"index": index, "rebuilds": 0, "folds": 0, "ingested": 0}
 
     stream = (
         spark.readStream.schema(source_schema)
@@ -56,14 +67,19 @@ def incremental_index_job(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         idx = state["index"]
         idx.add_delta(batch_df)
-        if rebuild_threshold_rows:
+        state["ingested"] += batch_df.count()
+        if fold_threshold_rows:
             delta_path = os.path.join(idx.path, "delta")
             if _path_has_parquet(delta_path):
                 n = spark.read.parquet(delta_path).count()
-                if n >= rebuild_threshold_rows:
-                    new_path = rebuild_path or idx.path + f"_r{state['rebuilds'] + 1}"
-                    state["index"] = idx.rebuild(spark, new_path)
-                    state["rebuilds"] += 1
+                if n >= fold_threshold_rows:
+                    idx.fold_delta(spark)
+                    state["folds"] += 1
+        if rebuild_threshold_rows and state["ingested"] >= rebuild_threshold_rows:
+            new_path = rebuild_path or idx.path + f"_r{state['rebuilds'] + 1}"
+            state["index"] = idx.rebuild(spark, new_path)
+            state["rebuilds"] += 1
+            state["ingested"] = 0
 
     query = (
         stream.writeStream.outputMode("append")

@@ -421,3 +421,78 @@ class TestStreamingDedup:
             assert got2 == {(1, "alpha"), (3, "beta"), (5, "gamma")}
         finally:
             q.stop()
+
+
+class TestStreamingFoldTier:
+    """r7: the cheap maintenance tier — fold_delta on a small
+    threshold keeps query latency flat between (rare) rebuilds."""
+
+    def test_fold_tier_folds_without_rebuild(self, spark, sf_dir, tmp_path):
+        import os
+
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.streaming.index_stream import (
+            incremental_index_job,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "idx"), nlist=4, seed=42,
+        )
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        q, state = incremental_index_job(
+            spark, idx, src, emb.schema, str(tmp_path / "ck"),
+            fold_threshold_rows=50,
+            rebuild_threshold_rows=100_000,
+        )
+        try:
+            emb.filter("vec_id >= 400").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert state["folds"] >= 1 and state["rebuilds"] == 0
+        live = state["index"]
+        assert live is idx  # fold keeps the handle (in-place)
+        assert not os.path.exists(str(tmp_path / "idx" / "delta"))
+        assert live.manifest.num_vectors == emb.count()
+        probe = emb.filter("vec_id = 450").first()["embedding"]
+        top = live.search(spark, list(probe), k=1, nprobe=4).first()
+        assert top["vec_id"] == 450 and top["dist"] == 0.0
+
+    def test_fold_tier_hnsw(self, spark, sf_dir, tmp_path):
+        import os
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+        from lantern_spark.streaming.index_stream import (
+            incremental_index_job,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "idx"), m=8, ef_construction=40, shards=2,
+            seed=42,
+        )
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        q, state = incremental_index_job(
+            spark, idx, src,
+            emb.select("vec_id", "embedding").schema,
+            str(tmp_path / "ck"), fold_threshold_rows=50,
+        )
+        try:
+            emb.filter("vec_id >= 400").select(
+                "vec_id", "embedding"
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert state["folds"] >= 1
+        assert idx.manifest.get("fold_epoch", 0) >= 1
+        probe = [float(x) for x in emb.filter("vec_id = 450").first()["embedding"]]
+        top = idx.search(spark, probe, k=1, ef=64).first()
+        assert top["vec_id"] == 450
