@@ -27,6 +27,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lantern_spark.operators.index import IVFIndex, recall_at_k
 
+
+def _perturb_queries(rows, metric: str, seed: int) -> list:
+    """Tuning probes = PERTURBED sample vectors, never verbatim index
+    members (review r7 #5, the same de-leak as queries/ann.py and
+    fixtures.py: a member probe's distance-0 self-hit sits in its own
+    probed cell/shard, so measured recall per grid variant reads
+    optimistic and the tuner under-provisions the search knobs).
+    Float metrics get seeded uniform noise at ~1 per-element std of
+    the testdata scale; hamming (int32 bit-packs) gets 4 seeded bit
+    flips — float noise on packed words is meaningless."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    out = []
+    for r in rows:
+        v = list(r[0])
+        if metric == "hamming":
+            words = [int(x) & 0xFFFFFFFF for x in v]
+            for _ in range(4):
+                w = int(rng.randint(len(words)))
+                words[w] ^= 1 << int(rng.randint(32))
+            out.append(
+                [int(x - 2**32) if x >= 2**31 else int(x) for x in words]
+            )
+        else:
+            noise = rng.uniform(-0.15, 0.15, size=len(v))
+            out.append([float(x) + float(e) for x, e in zip(v, noise)])
+    return out
+
 # (nlist, nprobe) ladder — analog of the reference's 6-variant grid
 # (index_autotune/mod.rs:328-359)
 DEFAULT_GRID = [
@@ -72,10 +101,9 @@ def autotune_index(
     spark = df.sparkSession
     sample = df.limit(test_data_size).cache()
     sample.count()
-    qs = [
-        r[0]
-        for r in sample.select(column).limit(num_queries).collect()
-    ]
+    qs = _perturb_queries(
+        sample.select(column).limit(num_queries).collect(), metric, seed
+    )
 
     results: List[AutotuneResult] = []
     for nlist, nprobe in grid or DEFAULT_GRID:
@@ -306,10 +334,9 @@ def autotune_hnsw_index(
     spark = df.sparkSession
     sample = df.select(id_column, column).limit(test_data_size).cache()
     sample.count()
-    qs = [
-        list(r[0])
-        for r in sample.select(column).limit(num_queries).collect()
-    ]
+    qs = _perturb_queries(
+        sample.select(column).limit(num_queries).collect(), metric, seed
+    )
 
     results: List[HnswAutotuneResult] = []
     for m, efc, ef in grid or DEFAULT_HNSW_GRID:
@@ -418,10 +445,9 @@ def autotune_ivf_graph_index(
     spark = df.sparkSession
     sample = df.select(id_column, column).limit(test_data_size).cache()
     sample.count()
-    qs = [
-        list(r[0])
-        for r in sample.select(column).limit(num_queries).collect()
-    ]
+    qs = _perturb_queries(
+        sample.select(column).limit(num_queries).collect(), metric, seed
+    )
 
     results: List[IvfGraphAutotuneResult] = []
     built: dict = {}  # nlist -> (ivf_path, hybrid) — grid rows sharing

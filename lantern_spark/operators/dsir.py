@@ -82,9 +82,16 @@ def log_ratio_table(
     raw_counts: DataFrame,
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
-    """(bucket, log_ratio) with Laplace smoothing: buckets unseen in
-    either corpus contribute their smoothed floor. The two totals are
-    the only values that touch the driver."""
+    """(bucket, log_ratio) with Laplace smoothing. The two totals are
+    the only values that touch the driver.
+
+    A sentinel row ``bucket = -1`` (real buckets are ≥ 0) carries the
+    smoothed FLOOR log((r_tot+n)/(t_tot+n)) for buckets unseen in
+    either corpus at fit time — :func:`importance_weights` applies it
+    to novel terms, so a table precomputed once stays correct when the
+    raw corpus later grows new vocabulary (review r7 #6: an inner
+    join silently scored such terms 0 instead of the floor)."""
+    spark = target_counts.sparkSession
     t_tot = target_counts.agg(F.sum("count")).first()[0] or 0
     r_tot = raw_counts.agg(F.sum("count")).first()[0] or 0
     t_denom = math.log(float(t_tot + n_buckets))
@@ -106,7 +113,10 @@ def log_ratio_table(
             ).alias("log_ratio"),
         )
     )
-    return j
+    floor = spark.createDataFrame(
+        [(-1, r_denom - t_denom)], "bucket long, log_ratio double"
+    )
+    return j.unionByName(floor)
 
 
 def importance_weights(
@@ -119,7 +129,12 @@ def importance_weights(
 ) -> DataFrame:
     """Per-document log importance weight: Σ_b c_d(b)·log_ratio(b).
     Docs with no features (empty/NULL text) get log_w = 0 — the
-    neutral weight of an uninformative document."""
+    neutral weight of an uninformative document. Terms hashing to a
+    bucket absent from ``ratios`` (novel vocabulary when the table
+    was precomputed on an earlier corpus) score the table's smoothed
+    floor (sentinel row, see :func:`log_ratio_table`), not 0."""
+    floor_rows = ratios.filter(F.col("bucket") == -1).collect()
+    floor = float(floor_rows[0]["log_ratio"]) if floor_rows else 0.0
     exploded = raw_df.select(
         F.col(id_col),
         F.explode(_terms_expr(text_col, use_bigrams)).alias("__term"),
@@ -127,9 +142,17 @@ def importance_weights(
         id_col, _bucket_expr(F.col("__term"), n_buckets).alias("bucket")
     )
     per_doc = (
-        exploded.join(F.broadcast(ratios), "bucket")
+        exploded.join(
+            F.broadcast(ratios.filter(F.col("bucket") >= 0)),
+            "bucket",
+            "left",
+        )
         .groupBy(id_col)
-        .agg(F.sum("log_ratio").alias("log_w"))
+        .agg(
+            F.sum(
+                F.coalesce(F.col("log_ratio"), F.lit(floor))
+            ).alias("log_w")
+        )
     )
     return raw_df.select(id_col).join(per_doc, id_col, "left").select(
         id_col, F.coalesce("log_w", F.lit(0.0)).alias("log_w")

@@ -631,11 +631,18 @@ class HNSWIndex:
 
     def _graph_dirs(self) -> list:
         """Existing graph-row directories: the base build plus the
-        fold-promoted delta shards (``graphs_delta/fold_epoch=N``)."""
+        COMMITTED fold shards — epoch dirs are enumerated explicitly
+        up to the manifest's ``fold_epoch``, so a fold shard written
+        just before a crash (manifest never committed) stays invisible
+        until the re-run commits it; otherwise its rows would appear
+        from the shard AND from the still-unfolded delta scan
+        (review r7 #3: the manifest commit must be the cut-over the
+        fold docstring promises)."""
         dirs = [os.path.join(self.path, "graphs")]
+        committed = int(self.manifest.get("fold_epoch", 0))
         fold = os.path.join(self.path, "graphs_delta")
-        if os.path.isdir(fold):
-            dirs.append(fold)
+        for e in range(1, committed + 1):
+            dirs.append(os.path.join(fold, f"fold_epoch={e}"))
         return [d for d in dirs if os.path.isdir(d)]
 
     def _graphs(self, spark: SparkSession) -> DataFrame:

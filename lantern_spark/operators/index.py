@@ -203,7 +203,9 @@ def _probe_lists_udf(spark: SparkSession, c: np.ndarray, ids, metric: str,
     ``search_batch`` (VERDICT r6 item 2: the probes DataFrame never
     snapshots to the driver; only the O(nlist·dim) centroids ship, via
     a Spark broadcast so large probe sets don't reserialize them per
-    task)."""
+    task). Returns (udf, broadcast) — the caller owns the broadcast's
+    lifecycle (``bc.unpersist()`` once the result is consumed; a
+    later use lazily re-fetches, so release is always safe)."""
     bc = spark.sparkContext.broadcast((np.ascontiguousarray(c),
                                        np.asarray(ids)))
     met, npb = str(metric), int(nprobe)
@@ -215,7 +217,7 @@ def _probe_lists_udf(spark: SparkSession, c: np.ndarray, ids, metric: str,
             [_rank_lists(cc, ii, v, met, npb) for v in vs]
         )
 
-    return _rank_rows
+    return _rank_rows, bc
 
 
 class IVFIndex:
@@ -224,6 +226,22 @@ class IVFIndex:
     def __init__(self, path: str, manifest: IndexManifest):
         self.path = path
         self.manifest = manifest
+        # one-behind batched-search cache: (persisted assignment DF,
+        # centroid broadcast) from the LAST search_batch call, released
+        # at the next call so repeated inference batches on a
+        # long-lived handle hold at most one snapshot (review r7 #8)
+        self._batch_artifacts = None
+
+    def _release_batch_artifacts(self) -> None:
+        """Release the previous batch's cached assignment + broadcast.
+        Safe even if that result is still held un-materialized: both
+        unpersist calls only drop cached copies — Spark recomputes /
+        re-fetches lazily on a later use."""
+        if self._batch_artifacts is not None:
+            df, bc = self._batch_artifacts
+            df.unpersist()
+            bc.unpersist()
+            self._batch_artifacts = None
 
     # -- build ----------------------------------------------------------
 
@@ -339,6 +357,10 @@ class IVFIndex:
 
         shutil.rmtree(os.path.join(path, "delta"), ignore_errors=True)
         shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(path, "delta_seq"))
+        except OSError:
+            pass
         manifest = IndexManifest(
             kind="ivf",
             column=column,
@@ -455,9 +477,10 @@ class IVFIndex:
         probes = self._probe_lists(spark, query, n_lists)
         base = self.lists(spark).filter(F.col("list_id").isin(probes))
         scans = [base]
-        delta_path = os.path.join(self.path, "delta")
-        if include_delta and _path_has_parquet(delta_path):
-            scans.append(spark.read.parquet(delta_path))
+        if include_delta:
+            d = self._unfolded_delta(spark)
+            if d is not None:
+                scans.append(d)
         out = None
         for s in scans:
             if where is not None:
@@ -528,17 +551,26 @@ class IVFIndex:
         mf = self.manifest
         npb = int(min(max(1, nprobe), mf.nlist))
         c, cids = self._centroid_arrays(spark)
-        rank_udf = _probe_lists_udf(spark, c, cids, mf.metric, npb)
+        rank_udf, cent_bc = _probe_lists_udf(spark, c, cids, mf.metric, npb)
+        # persist the ASSIGNMENT snapshot (qid, vector, ranked lists):
+        # both the pair keys and the vector side below derive from this
+        # one materialization, so a probes DataFrame with
+        # nondeterministic lineage (sample/limit) cannot rank lists for
+        # one vector and score another. Released one-behind via
+        # _release_batch_artifacts (bounded executor storage across
+        # repeated inference batches).
+        self._release_batch_artifacts()
         assigned = probes.select(qid_col, query_col).withColumn(
             "__lists", rank_udf(F.col(query_col))
-        )
+        ).persist()
+        self._batch_artifacts = (assigned, cent_bc)
         pair_keys = assigned.select(
             qid_col, F.explode("__lists").alias("list_id")
-        ).persist()
+        )
         # ONE bounded action serves both needs: per-list pair counts
         # (≤ nlist rows to the driver) give the distinct probed ids
         # for partition pruning AND the total pair count for the
-        # broadcast decision
+        # broadcast decision (it also materializes the persist above)
         pair_stats = (
             pair_keys.groupBy("list_id").agg(F.count("*").alias("cnt"))
         ).collect()
@@ -559,14 +591,14 @@ class IVFIndex:
             .join(vec_side, qid_col)
         )
         scans = [base.select(qid_col, query_col, mf.id_column, mf.column)]
-        delta_path = os.path.join(self.path, "delta")
-        if include_delta and _path_has_parquet(delta_path):
-            scans.append(
-                spark.read.parquet(delta_path)
-                .select(mf.id_column, mf.column)
-                .crossJoin(vec_side)
-                .select(qid_col, query_col, mf.id_column, mf.column)
-            )
+        if include_delta:
+            d = self._unfolded_delta(spark)
+            if d is not None:
+                scans.append(
+                    d.select(mf.id_column, mf.column)
+                    .crossJoin(vec_side)
+                    .select(qid_col, query_col, mf.id_column, mf.column)
+                )
         out = None
         for s in scans:
             s = s.withColumn(
@@ -680,16 +712,51 @@ class IVFIndex:
 
     def add_delta(self, df: DataFrame) -> None:
         """aminsert analog: append rows to the delta set (insert.c) —
-        searched exactly until the next rebuild folds them in. Carries
-        the build's extra_columns so filtered search sees one schema."""
+        searched exactly until the next fold/rebuild. Carries the
+        build's extra_columns so filtered search sees one schema.
+
+        Each append stamps a monotonic ``__delta_seq`` (the HNSW
+        convention): among multiple updates of one id the highest
+        sequence wins at fold/rebuild, and the manifest's
+        ``folded_seq`` watermark makes folds crash-consistent — rows
+        at-or-below it are invisible even if the delta-dir cleanup
+        never ran."""
         extras = [
             c
             for c in (self.manifest.params or {}).get("extra_columns", [])
             if c in df.columns
         ]
+        seq_file = os.path.join(self.path, "delta_seq")
+        seq = 1
+        if os.path.exists(seq_file):
+            with open(seq_file) as fh:
+                seq = int(fh.read().strip()) + 1
         df.select(
             self.manifest.id_column, self.manifest.column, *extras
+        ).withColumn(
+            "__delta_seq", F.lit(seq).cast("long")
         ).write.mode("append").parquet(os.path.join(self.path, "delta"))
+        with open(seq_file, "w") as fh:
+            fh.write(str(seq))
+
+    def _unfolded_delta(self, spark: SparkSession):
+        """Delta rows not yet folded (``__delta_seq`` > the manifest's
+        ``folded_seq`` watermark), or None. Folded rows may linger in
+        the delta dir after a crash between the fold's manifest commit
+        and its cleanup — the watermark keeps them out of every search
+        and future fold (they already live in the list partitions)."""
+        delta_path = os.path.join(self.path, "delta")
+        if not _path_has_parquet(delta_path):
+            return None
+        d = spark.read.parquet(delta_path)
+        folded = int((self.manifest.params or {}).get("folded_seq", 0))
+        if "__delta_seq" in d.columns:
+            return d.filter(
+                F.coalesce(F.col("__delta_seq"), F.lit(0)) > folded
+            )
+        # seq-less legacy delta: can never be partially folded
+        # (fold_delta stamps folded_seq only from stamped rows)
+        return d if folded == 0 else None
 
     def delete(self, ids_df: DataFrame) -> None:
         """ambulkdelete analog: tombstone ids (delete.c:15-73 marks
@@ -708,13 +775,39 @@ class IVFIndex:
         removed so the fresh index does not re-apply them.
         """
         mf = self.manifest
-        # codes are re-derived by build (delta rows have none)
-        base = self.lists(spark).drop("list_id", "__pq_codes")
-        if _path_has_parquet(os.path.join(self.path, "delta")):
+        from pyspark.sql import Window
+
+        # codes are re-derived by build (delta rows have none); delta
+        # rows WIN on duplicate ids and the newest __delta_seq wins
+        # among updates — (__src asc, __seq desc), the HNSW rebuild
+        # rule, replacing the old nondeterministic dropDuplicates
+        # (review r7 #7)
+        base = (
+            self.lists(spark)
+            .drop("list_id", "__pq_codes")
+            .withColumn("__src", F.lit(1))
+            .withColumn("__seq", F.lit(0).cast("long"))
+        )
+        d = self._unfolded_delta(spark)
+        if d is not None:
+            if "__delta_seq" in d.columns:
+                d = d.withColumn(
+                    "__seq",
+                    F.coalesce(F.col("__delta_seq"), F.lit(0)).cast("long"),
+                ).drop("__delta_seq")
+            else:
+                d = d.withColumn("__seq", F.lit(0).cast("long"))
             base = base.unionByName(
-                spark.read.parquet(os.path.join(self.path, "delta")),
-                allowMissingColumns=True,
+                d.withColumn("__src", F.lit(0)), allowMissingColumns=True
             )
+        w = Window.partitionBy(mf.id_column).orderBy(
+            F.col("__src").asc(), F.col("__seq").desc()
+        )
+        base = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src", "__seq")
+        )
         if _path_has_parquet(os.path.join(self.path, "tombstones")):
             base = base.join(
                 F.broadcast(spark.read.parquet(os.path.join(self.path, "tombstones"))),
@@ -737,7 +830,7 @@ class IVFIndex:
                 base.write.parquet(stage)
                 base = spark.read.parquet(stage)
             return IVFIndex.build(
-                base.dropDuplicates([mf.id_column]),
+                base,  # already deduped deterministically above
                 mf.column,
                 mf.id_column,
                 path or self.path,
@@ -781,12 +874,18 @@ class IVFIndex:
            removed explicitly (dynamic overwrite skips absent
            partitions).
 
-        Crash/idempotence: delta and tombstones are cleared only AFTER
-        the new partitions land; a re-run after a mid-commit crash
-        re-applies them, and because delta ids always replace existing
-        copies, re-folding is idempotent. ``fold_epoch`` bumps in the
-        manifest so attached per-cell graph tiers detect staleness
-        even when the row count nets out unchanged.
+        Crash consistency (review r7 #1/#4/#7): the manifest commit —
+        ``folded_seq`` watermark + ``fold_epoch`` — happens AFTER the
+        partition overwrite and BEFORE the delta/tombstone cleanup.
+        A crash before the commit re-applies idempotently on the next
+        fold (delta ids always replace existing copies); a crash after
+        it leaves lingering delta rows that the watermark already
+        hides from every search. Among multiple delta updates of one
+        id the highest ``__delta_seq`` wins (the rebuild rule), and a
+        delta row that was ALSO tombstoned folds as a deletion, never
+        a resurrection. ``fold_epoch`` bumps so attached per-cell
+        graph tiers detect staleness even when the row count nets out
+        unchanged.
 
         Scale contract: delta/tombstone volume per fold ≪ corpus (that
         is the point of folding); the removal-id set broadcasts.
@@ -795,12 +894,17 @@ class IVFIndex:
         import tempfile
 
         mf = self.manifest
-        delta_path = os.path.join(self.path, "delta")
         tomb_path = os.path.join(self.path, "tombstones")
-        has_delta = _path_has_parquet(delta_path)
+        raw_delta = self._unfolded_delta(spark)
         has_tomb = _path_has_parquet(tomb_path)
-        if not has_delta and not has_tomb:
+        if raw_delta is None and not has_tomb:
             return self
+        if raw_delta is not None and "__delta_seq" not in raw_delta.columns:
+            raise ValueError(
+                "delta has no __delta_seq column (pre-r7 artifact); "
+                "fold_delta cannot track a fold watermark — rebuild() "
+                "instead"
+            )
         m = Metric.resolve(mf.metric)
         cents, _cent_ids = self._centroid_arrays(spark)
         extras = list(mf.params.get("extra_columns", []))
@@ -809,18 +913,53 @@ class IVFIndex:
         delta = None
         removal = None
         n_delta = 0
-        if has_delta:
-            # delta rows cast to the STORED list schema: mixing (say)
-            # array<double> delta vectors into array<float> partitions
-            # makes the next multi-file read fail on a footer-type
-            # mismatch — fold preserves the index's declared storage
-            # types (a full rebuild may widen them; a fold never does)
-            stored = {
-                f.name: f.dataType for f in self.lists(spark).schema.fields
-            }
-            delta = (
-                spark.read.parquet(delta_path)
-                .select(
+        max_seq = int((mf.params or {}).get("folded_seq", 0))
+        if raw_delta is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(mf.id_column).orderBy(
+                F.col("__delta_seq").desc()
+            )
+            # newest update per id wins — deterministic, unlike a bare
+            # dropDuplicates (review r7 #7)
+            newest = (
+                raw_delta.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+            )
+            agg = newest.agg(
+                F.max("__delta_seq").alias("mx"), F.count("*").alias("n")
+            ).first()
+            if agg["n"]:
+                max_seq = int(agg["mx"])
+                # EVERY delta id joins the removal set (updates kill
+                # their old copies) ...
+                removal = newest.select(mf.id_column)
+                # ... but only non-tombstoned delta rows fold back in:
+                # add_delta(X) then delete(X) is a deletion, not a
+                # resurrection (review r7 #1; matches search()'s
+                # tombstone-after-union semantics)
+                live = newest
+                if has_tomb:
+                    live = live.join(
+                        F.broadcast(
+                            spark.read.parquet(tomb_path).select(
+                                mf.id_column
+                            )
+                        ),
+                        on=mf.id_column,
+                        how="left_anti",
+                    )
+                # delta rows cast to the STORED list schema: mixing
+                # (say) array<double> delta vectors into array<float>
+                # partitions makes the next multi-file read fail on a
+                # footer-type mismatch — fold preserves the index's
+                # declared storage types (a rebuild may widen them; a
+                # fold never does)
+                stored = {
+                    f.name: f.dataType
+                    for f in self.lists(spark).schema.fields
+                }
+                delta = live.select(
                     *[
                         F.col(c_).cast(stored[c_]).alias(c_)
                         if c_ in stored
@@ -828,15 +967,14 @@ class IVFIndex:
                         for c_ in cols
                     ]
                 )
-                .dropDuplicates([mf.id_column])
-            )
-            n_delta = delta.count()
-            removal = delta.select(mf.id_column)
+                n_delta = delta.count()
         if has_tomb:
             tombs = spark.read.parquet(tomb_path).select(mf.id_column)
             removal = (
                 tombs if removal is None else removal.unionByName(tombs)
             )
+        if removal is None:
+            return self
         removal = removal.distinct().persist()
 
         # one (id, list_id)-pruned pass: victims' lists + live victim
@@ -856,10 +994,19 @@ class IVFIndex:
                 for r in delta.select("list_id").distinct().collect()
             }
         affected_ids = sorted(affected)
-        if not affected_ids:  # tombstones of absent ids only
-            shutil.rmtree(tomb_path, ignore_errors=True)
+        delta_path = os.path.join(self.path, "delta")
+        if not affected_ids:
+            # no list changes (tombstones of absent ids, or delta rows
+            # all tombstoned-and-absent) — still commit the watermark
+            # BEFORE cleanup so consumed delta rows stay invisible if
+            # the rmtree is lost to a crash
             removal.unpersist()
             victims.unpersist()
+            if raw_delta is not None:
+                mf.params = {**(mf.params or {}), "folded_seq": max_seq}
+                mf.save(self.path)
+                shutil.rmtree(delta_path, ignore_errors=True)
+            shutil.rmtree(tomb_path, ignore_errors=True)
             return self
 
         existing = (
@@ -917,17 +1064,23 @@ class IVFIndex:
         victims.unpersist()
         if delta is not None:
             delta.unpersist()
-        shutil.rmtree(delta_path, ignore_errors=True)
-        shutil.rmtree(tomb_path, ignore_errors=True)
+        # COMMIT: watermark + epoch land before cleanup — a crash after
+        # this point leaves delta rows the watermark already hides
+        # (review r7 #4); a crash before it re-applies idempotently
+        # (removal includes every delta id, so re-folding replaces
+        # rather than duplicates)
         mf.num_vectors = int(mf.num_vectors) - int(n_removed) + int(n_delta)
         mf.params = {
             **(mf.params or {}),
             "fold_epoch": int((mf.params or {}).get("fold_epoch", 0)) + 1,
+            "folded_seq": max_seq,
             # which lists this fold touched — an attached cell-graph
             # tier refreshes ONLY these (IVFGraphIndex.refresh)
             "last_fold_lists": [int(x) for x in affected_ids],
         }
         mf.save(self.path)
+        shutil.rmtree(delta_path, ignore_errors=True)
+        shutil.rmtree(tomb_path, ignore_errors=True)
         return self
 
     # -- validation -----------------------------------------------------

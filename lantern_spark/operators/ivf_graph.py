@@ -100,6 +100,10 @@ class IVFGraphIndex:
     def __init__(self, ivf: IVFIndex, meta: dict):
         self.ivf = ivf
         self.meta = meta
+        # one-behind centroid broadcast from the last search_batch —
+        # released at the next call (bounded driver/executor registries
+        # across repeated inference batches; unpersist is lazy-safe)
+        self._batch_bc = None
 
     # -- build ----------------------------------------------------------
 
@@ -452,7 +456,10 @@ class IVFGraphIndex:
         )
 
         c, cids = ivf._centroid_arrays(spark)
-        rank_udf = _probe_lists_udf(spark, c, cids, mf.metric, npb)
+        rank_udf, cent_bc = _probe_lists_udf(spark, c, cids, mf.metric, npb)
+        if self._batch_bc is not None:
+            self._batch_bc.unpersist()
+        self._batch_bc = cent_bc
         pairs = probes.select(qid_col, query_col).withColumn(
             "list_id", F.explode(rank_udf(F.col(query_col)))
         )

