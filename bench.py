@@ -348,6 +348,66 @@ def main() -> None:
         )
         quality["router_batch32_path"] = bdec.access_path
         quality["router_batch32_est_tuples"] = round(bdec.est_tuples, 1)
+
+        # incremental maintenance (r7): fold a ~1% delta vs a full
+        # rebuild, on the fixture indexes (this mutates them — it runs
+        # after every recall/router measurement and before cleanup).
+        # Two honest delta shapes: SCATTERED (uniform over the corpus
+        # — the worst case for IVF's affected-partition fold; at bench
+        # scale per-partition fixed costs can make it SLOWER than a
+        # rebuild, which is why the affected fraction is reported
+        # alongside) and CLUSTERED (one locality, the
+        # time/tenant-ordered ingest shape, where the fold touches a
+        # handful of partitions). HNSW's fold is O(delta)
+        # unconditionally — one new shard.
+        import time as _mt
+
+        delta_n = max(64, int(n_big * 0.01))
+        scattered = big.limit(delta_n).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        ivf.add_delta(scattered)
+        t0 = _mt.time()
+        ivf.fold_delta(spark)
+        quality["ivf_fold_scattered_s"] = round(_mt.time() - t0, 3)
+        quality["ivf_fold_scattered_affected"] = round(
+            len(ivf.manifest.params.get("last_fold_lists", []))
+            / ivf.manifest.nlist,
+            4,
+        )
+        one = big.limit(1).first()
+        clustered = (
+            big.limit(delta_n)
+            .select(
+                (F.col("vec_id") + 20_000_000).alias("vec_id"),
+                F.array(
+                    *[
+                        F.lit(float(x)) + (F.col("vec_id") % 97)
+                        * F.lit(1e-6)
+                        for x in one["embedding"]
+                    ]
+                ).alias("embedding"),
+            )
+        )
+        ivf.add_delta(clustered)
+        t0 = _mt.time()
+        ivf.fold_delta(spark)
+        quality["ivf_fold_clustered_s"] = round(_mt.time() - t0, 3)
+        quality["ivf_fold_clustered_affected"] = round(
+            len(ivf.manifest.params.get("last_fold_lists", []))
+            / ivf.manifest.nlist,
+            4,
+        )
+        t0 = _mt.time()
+        ivf.rebuild(spark)
+        quality["ivf_rebuild_s"] = round(_mt.time() - t0, 3)
+        hnsw.add_delta(scattered)
+        t0 = _mt.time()
+        hnsw.fold_delta(spark)
+        quality["hnsw_fold_s"] = round(_mt.time() - t0, 3)
+        t0 = _mt.time()
+        hnsw.rebuild(spark)
+        quality["hnsw_rebuild_s"] = round(_mt.time() - t0, 3)
         big.unpersist()
         import shutil
 
