@@ -473,6 +473,10 @@ class HNSWIndex:
     def __init__(self, path: str, manifest: dict):
         self.path = path
         self.manifest = manifest
+        # one-behind probe snapshot from the last DataFrame-path
+        # search_batch — released at the next call (unpersist is
+        # lazy-safe: a held result recomputes)
+        self._batch_snap = None
 
     @classmethod
     def build(
@@ -1189,7 +1193,15 @@ class HNSWIndex:
                 [(s,) for s in shard_ids], "shard_id int"
             )
         )
-        pairs = probes.select(qid_col, query_col).crossJoin(shards_df)
+        # ONE persisted probe snapshot feeds both the shard pairs and
+        # the delta scan, so nondeterministic probe lineage cannot
+        # walk graphs for one vector and score the delta against
+        # another (the IVFIndex.search_batch contract)
+        if self._batch_snap is not None:
+            self._batch_snap.unpersist()
+        probe_snap = probes.select(qid_col, query_col).persist()
+        self._batch_snap = probe_snap
+        pairs = probe_snap.crossJoin(shards_df)
         qid_type = probes.schema[qid_col].dataType
         schema = T.StructType(
             [
@@ -1240,7 +1252,7 @@ class HNSWIndex:
             from lantern_spark.functions.distances import distance
 
             delta = (
-                probes.select(qid_col, query_col)
+                probe_snap
                 .crossJoin(
                     F.broadcast(
                         delta_df.select(

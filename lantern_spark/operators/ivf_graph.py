@@ -100,9 +100,10 @@ class IVFGraphIndex:
     def __init__(self, ivf: IVFIndex, meta: dict):
         self.ivf = ivf
         self.meta = meta
-        # one-behind centroid broadcast from the last search_batch —
-        # released at the next call (bounded driver/executor registries
-        # across repeated inference batches; unpersist is lazy-safe)
+        # one-behind (probe snapshot, centroid broadcast) from the
+        # last search_batch — released at the next call (bounded
+        # driver/executor registries across repeated inference
+        # batches; unpersist is lazy-safe)
         self._batch_bc = None
 
     # -- build ----------------------------------------------------------
@@ -374,8 +375,11 @@ class IVFGraphIndex:
             os.path.join(ivf.path, _CELL_DIR)
         ).filter(F.col("shard_id").isin(probes))
         out = graphs.mapInPandas(search_cell, schema)
-        delta_path = os.path.join(ivf.path, "delta")
-        if include_delta and _path_has_parquet(delta_path):
+        # watermark-filtered: folded rows already live in the lists
+        # (and their refreshed cell graphs) — a crash-lingering delta
+        # dir must not double-count (IVF folded_seq contract)
+        delta_df = ivf._unfolded_delta(spark) if include_delta else None
+        if delta_df is not None:
             from lantern_spark.functions.distances import distance
             from lantern_spark.functions.vectors import vec_lit
 
@@ -385,7 +389,7 @@ class IVFGraphIndex:
                 else "double"
             )
             delta = (
-                spark.read.parquet(delta_path)
+                delta_df
                 .select(
                     F.col(mf.id_column).cast("long").alias(mf.id_column),
                     distance(
@@ -457,10 +461,17 @@ class IVFGraphIndex:
 
         c, cids = ivf._centroid_arrays(spark)
         rank_udf, cent_bc = _probe_lists_udf(spark, c, cids, mf.metric, npb)
+        # ONE persisted probe snapshot feeds both the cell pairs and
+        # the delta scan — a probes DataFrame with nondeterministic
+        # lineage cannot walk cells for one vector and score the delta
+        # against another (the IVFIndex.search_batch contract).
+        # Released one-behind with the centroid broadcast.
         if self._batch_bc is not None:
-            self._batch_bc.unpersist()
-        self._batch_bc = cent_bc
-        pairs = probes.select(qid_col, query_col).withColumn(
+            for h in self._batch_bc:
+                h.unpersist()
+        probe_snap = probes.select(qid_col, query_col).persist()
+        self._batch_bc = (probe_snap, cent_bc)
+        pairs = probe_snap.withColumn(
             "list_id", F.explode(rank_udf(F.col(query_col)))
         )
         qid_type = probes.schema[qid_col].dataType
@@ -512,15 +523,15 @@ class IVFGraphIndex:
             )
 
         out = pairs.groupBy("list_id").applyInPandas(walk_cell, schema)
-        delta_path = os.path.join(ivf.path, "delta")
-        if include_delta and _path_has_parquet(delta_path):
+        delta_df = ivf._unfolded_delta(spark) if include_delta else None
+        if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
             delta = (
-                probes.select(qid_col, query_col)
+                probe_snap
                 .crossJoin(
                     F.broadcast(
-                        spark.read.parquet(delta_path).select(
+                        delta_df.select(
                             F.col(mf.id_column)
                             .cast("long")
                             .alias(mf.id_column),
