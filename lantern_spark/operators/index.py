@@ -696,17 +696,34 @@ class IVFIndex:
             rerank = rerank.withColumn(
                 dist_col, F.round(dist_col, round_digits)
             )
+        out = rerank.select(mf.id_column, mf.column, dist_col)
+        # un-folded delta rows have no codes yet — they are
+        # exact-scanned and merged, the same insert-visibility contract
+        # as search()/search_batch() (previously the ADC tier silently
+        # missed fresh inserts until a fold/rebuild)
+        d = self._unfolded_delta(spark)
+        if d is not None:
+            ddist = distance(
+                F.col(mf.column), vec_lit(list(query)), mf.metric
+            ).cast("double")
+            if round_digits is not None:
+                ddist = F.round(ddist, round_digits)
+            out = out.unionByName(
+                d.select(
+                    F.col(mf.id_column),
+                    F.col(mf.column),
+                    ddist.alias(dist_col),
+                )
+            )
         tomb_path = os.path.join(self.path, "tombstones")
         if _path_has_parquet(tomb_path):
             tombs = spark.read.parquet(tomb_path)
-            rerank = rerank.join(
+            out = out.join(
                 F.broadcast(tombs), on=mf.id_column, how="left_anti"
             )
-        return (
-            rerank.select(mf.id_column, mf.column, dist_col)
-            .orderBy(F.col(dist_col).asc(), F.col(mf.id_column).asc())
-            .limit(k)
-        )
+        return out.orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(mf.id_column).asc()
+        ).limit(k)
 
     # -- lifecycle (insert/delete/rebuild) ------------------------------
 

@@ -938,3 +938,25 @@ class TestHnswFoldVisibility:
         # most once (here: zero times, since the delta was cleaned)
         assert ids.count(460) <= 1
         assert len(set(ids)) == len(ids)
+
+
+class TestAdcDeltaVisibility:
+    def test_adc_sees_fresh_inserts_and_tombstones(self, spark, emb, tmp_path):
+        """The ADC tier must honor the same insert-visibility contract
+        as search(): a delta row is found (exact-scanned) before any
+        fold, and a tombstoned candidate never returns."""
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.types import PQSpec
+
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=8, seed=42,
+            pq=PQSpec(dim=64, splits=8, clusters=16, seed=42),
+        )
+        idx.add_delta(emb.filter("vec_id = 450"))
+        probe = [float(x) for x in emb.filter("vec_id = 450").first()["embedding"]]
+        got = idx.search_adc(spark, probe, k=3, nprobe=8, oversample=8)
+        assert got.first()["vec_id"] == 450  # pre-fold insert visible
+        idx.delete(spark.createDataFrame([(450,)], "vec_id long"))
+        got = idx.search_adc(spark, probe, k=3, nprobe=8, oversample=8)
+        assert all(r["vec_id"] != 450 for r in got.collect())
