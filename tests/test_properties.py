@@ -302,3 +302,106 @@ class TestBpeProperties:
         assert train_bpe_from_counts(counts, 10) == train_bpe_from_counts(
             counts, 10
         )
+
+
+class TestPIIProperties:
+    """redact_pii/pii_count invariants over generated PII-bearing text."""
+
+    _pii_gen = st.lists(
+        st.one_of(
+            st.from_regex(r"[a-z]{1,8}", fullmatch=True),
+            st.from_regex(r"[a-z]{2,6}@[a-z]{2,6}\.(com|org|io)", fullmatch=True),
+            st.from_regex(r"\d{3}-\d{2}-\d{4}", fullmatch=True),
+            st.from_regex(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", fullmatch=True),
+            st.from_regex(r"\(\d{3}\) \d{3}-\d{4}", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(toks=_pii_gen)
+    def test_redaction_is_idempotent_and_complete(self, spark, toks):
+        """After one redaction pass: (a) no pattern matches remain
+        (count of the redacted text is 0), (b) redacting again is a
+        no-op, (c) count equals the number of placeholders inserted."""
+        import re as _re
+
+        from lantern_spark.operators.textstats import (
+            PII_PATTERNS,
+            pii_count,
+            redact_pii,
+        )
+
+        s = " ".join(toks)
+        row = (
+            spark.createDataFrame([(s,)], "t string")
+            .select(
+                redact_pii("t").alias("c1"),
+                pii_count("t").cast("long").alias("n"),
+            )
+            .first()
+        )
+        c1, n = row["c1"], row["n"]
+        for _kind, pat in PII_PATTERNS:
+            # re.ASCII: Java and RE2 treat \d/\b as ASCII-only; Python
+            # re is the odd one out (hypothesis found '0٠0' — an
+            # Arabic-Indic digit — matching Python's \d but neither
+            # engine's). The ASCII flag checks the ACTUAL cross-engine
+            # dialect the patterns are written in.
+            assert _re.search(pat, c1, _re.ASCII) is None, (s, c1, pat)
+        row2 = (
+            spark.createDataFrame([(c1,)], "t string")
+            .select(
+                redact_pii("t").alias("c2"),
+                pii_count("t").cast("long").alias("n2"),
+            )
+            .first()
+        )
+        assert row2["c2"] == c1 and row2["n2"] == 0
+        placeholders = sum(
+            c1.count(f"<{kind.upper()}>") for kind, _ in PII_PATTERNS
+        )
+        assert placeholders == n
+
+
+class TestSemanticDedupProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        seed=st.integers(min_value=0, max_value=2**16),
+        n=st.integers(min_value=4, max_value=24),
+    )
+    def test_keep_rule_invariants(self, spark, seed, n):
+        """For any generated corpus: each cluster's min-id row is kept;
+        kept ⟺ (no prior or max_prior_sim < thr); output is a
+        permutation of the input ids."""
+        rng = np.random.RandomState(seed)
+        rows = [
+            (i, [float(x) for x in rng.randn(8)]) for i in range(n)
+        ]
+        # inject guaranteed near-dupes: copy row 0 at the highest ids
+        rows.append((1000, [v * 1.0001 for v in rows[0][1]]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from lantern_spark.operators.dedup import semantic_dedup
+
+        out = semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=3, threshold=0.98,
+            seed=7, round_digits=6,
+        ).collect()
+        assert sorted(r["id"] for r in out) == sorted(r[0] for r in rows)
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for members in by_cluster.values():
+            first = min(members, key=lambda r: r["id"])
+            assert first["kept"] and first["max_prior_sim"] is None
+            for r in members:
+                if r["max_prior_sim"] is not None:
+                    assert r["kept"] == (r["max_prior_sim"] < 0.98)
+        dup = next(r for r in out if r["id"] == 1000)
+        assert not dup["kept"], "the injected copy must drop"
