@@ -737,3 +737,81 @@ def semantic_dedup(
         .groupBy("cluster_id")
         .applyInPandas(prune_cluster, out_schema)
     )
+
+
+# ----------------------------------------------------------------------
+# line-level exact dedup (C4 / RefinedWeb-style)
+# ----------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 16,
+    scope: str = "corpus",
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove duplicate LINES, keeping each line's first occurrence —
+    the C4/RefinedWeb boilerplate scrub (C4 dropped repeated
+    3-sentence spans; RefinedWeb and The Pile dedup exact lines):
+    navigation chrome, cookie banners, and license boilerplate repeat
+    across millions of pages and would otherwise dominate the token
+    distribution.
+
+    First occurrence = lowest (``id_col``, line position) over the
+    whole corpus (``scope="corpus"``) or within each document
+    (``scope="doc"`` — cheaper: the window partitions by both doc and
+    hash, so skew from mega-duplicated lines spreads across docs).
+    Lines shorter than ``min_chars`` are kept verbatim (short lines —
+    headings, list markers — legitimately repeat; C4's rule keyed on
+    3+ sentence spans for the same reason). Documents whose lines are
+    all removed come back as empty strings, preserving row count
+    (filtering is a separate decision — compose with curate_corpus).
+
+    Shape: posexplode → ONE window shuffle keyed on md5(line) →
+    re-assemble via collect_list over a per-doc window ordered by
+    position. The line hash (16 B) is the shuffle key, never line
+    text duplicated per occurrence beyond the exploded rows
+    themselves. Scale: corpus-wide dedup of a mega-duplicated line
+    puts all its occurrences in one hash partition — at 100 TB prefer
+    ``scope="doc"`` or pre-filter known boilerplate; the corpus scope
+    matches the published recipe.
+    """
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    eligible = F.length("__line") >= min_chars
+    keys = [F.md5("__line")] if scope == "corpus" else [
+        F.col(id_col), F.md5("__line")
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    kept = (
+        lines.withColumn(
+            "__rank", F.when(eligible, F.row_number().over(w)).otherwise(1)
+        )
+        .filter(F.col("__rank") == 1)
+        .drop("__rank")
+    )
+    doc_w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rebuilt = (
+        kept.withColumn(
+            "__rebuilt",
+            F.array_join(F.collect_list("__line").over(doc_w), sep),
+        )
+        .groupBy(id_col)
+        .agg(F.first("__rebuilt").alias("__text"))
+    )
+    out = (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__text"), F.lit("")))
+        .drop("__text")
+    )
+    return out

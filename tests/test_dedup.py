@@ -352,3 +352,80 @@ class TestSemanticDedup:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLineDedup:
+    """C4/RefinedWeb-style exact line dedup (first occurrence wins)."""
+
+    def _docs(self, spark):
+        boiler = "accept our cookies to continue reading this site"
+        rows = [
+            (1, f"unique opening line one\n{boiler}\nunique tail one"),
+            (2, f"{boiler}\nunique middle two\nunique tail two"),
+            (3, f"unique three\n{boiler}"),
+            (4, boiler),
+            (5, "ok"),  # short line: kept even though it could repeat
+            (6, "ok"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_corpus_scope_keeps_first_occurrence(self, spark):
+        from lantern_spark.operators.dedup import line_dedup
+
+        out = {
+            r["doc_id"]: r["text"]
+            for r in line_dedup(self._docs(spark), "text", "doc_id").collect()
+        }
+        assert len(out) == 6  # row count preserved
+        boiler = "accept our cookies to continue reading this site"
+        assert out[1].splitlines() == [
+            "unique opening line one", boiler, "unique tail one"
+        ]
+        assert out[2].splitlines() == ["unique middle two", "unique tail two"]
+        assert out[3].splitlines() == ["unique three"]
+        assert out[4] == ""  # all lines removed → empty, not dropped
+        assert out[5] == "ok" and out[6] == "ok"  # short lines exempt
+
+    def test_doc_scope_only_dedups_within_document(self, spark):
+        from lantern_spark.operators.dedup import line_dedup
+
+        long_line = "this exact long line repeats inside one document"
+        df = spark.createDataFrame(
+            [
+                (1, f"{long_line}\nmiddle content here\n{long_line}"),
+                (2, long_line),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in line_dedup(df, "text", "doc_id", scope="doc").collect()
+        }
+        assert out[1].splitlines() == [long_line, "middle content here"]
+        assert out[2] == long_line  # cross-doc copy untouched in doc scope
+
+    def test_deterministic_and_extra_columns_preserved(self, spark):
+        from lantern_spark.operators.dedup import line_dedup
+
+        df = self._docs(spark).withColumn(
+            "lang", F.lit("en")
+        )
+        a = sorted(tuple(r) for r in line_dedup(df, "text", "doc_id").collect())
+        b = sorted(
+            tuple(r)
+            for r in line_dedup(
+                df.repartition(7), "text", "doc_id"
+            ).collect()
+        )
+        assert a == b
+        out = line_dedup(df, "text", "doc_id")
+        assert set(out.columns) == {"doc_id", "lang", "text"}
+        assert {r["lang"] for r in out.collect()} == {"en"}
+
+    def test_bad_scope_raises(self, spark):
+        import pytest as _pt
+
+        from lantern_spark.operators.dedup import line_dedup
+
+        with _pt.raises(ValueError, match="scope"):
+            line_dedup(self._docs(spark), "text", "doc_id", scope="x")
