@@ -80,6 +80,13 @@ class CurationConfig:
     # the heuristic scan. Redaction is a rewrite, not a filter, so it
     # never changes row counts.
     redact_pii: bool = False
+    # optional line-level exact dedup (C4/RefinedWeb boilerplate
+    # scrub): rewrite text_col keeping each line's first occurrence.
+    # Runs BEFORE the heuristic filters so quality/repetition scores
+    # see the de-boilerplated text (the published pipelines' order).
+    # None disables; "corpus" or "doc" selects the scope.
+    line_dedup_scope: Optional[str] = None
+    line_dedup_min_chars: int = 16
 
 
 def curate_corpus(
@@ -103,6 +110,18 @@ def curate_corpus(
         return frame
 
     out = note("input", df)
+
+    if cfg.line_dedup_scope is not None:
+        from lantern_spark.operators.dedup import line_dedup
+
+        out = note(
+            "line_dedup",
+            line_dedup(
+                out, text_col, id_col,
+                min_chars=cfg.line_dedup_min_chars,
+                scope=cfg.line_dedup_scope,
+            ),
+        )
 
     # 1-3: one fused map-only pass (pure column expressions)
     toks = token_count_ws(text_col)

@@ -255,3 +255,37 @@ class TestModelQualityAndPIIStages:
         row = out.first()
         assert "<EMAIL>" in row["text"] and "<PHONE>" in row["text"]
         assert "example.com" not in row["text"]
+
+
+class TestLineDedupStage:
+    def test_line_dedup_runs_before_filters(self, spark):
+        """A doc that is pure boilerplate after line dedup must fail
+        the min_tokens filter — proving the scrub precedes the
+        heuristics (the published pipeline order)."""
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+        )
+
+        boiler = "accept all cookies to continue to the article content"
+        good = ("the quick brown fox jumps over the lazy dog while the "
+                "bird watches from a branch above the garden gate")
+        df = spark.createDataFrame(
+            [
+                (1, f"{good}\n{boiler}"),
+                (2, boiler),  # only the (now deduped) boilerplate
+            ],
+            "doc_id long, text string",
+        )
+        out, rep = curate_corpus(
+            df, "text", "doc_id",
+            CurationConfig(
+                near_dedup=False, exact_dedup=False,
+                line_dedup_scope="corpus", min_tokens=5,
+            ),
+            report=True,
+        )
+        rows = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert set(rows) == {1}
+        assert boiler in rows[1] and good in rows[1]  # first occurrence
+        assert rep["line_dedup"] == 2 and rep["heuristics"] == 1
