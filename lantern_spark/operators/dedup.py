@@ -762,26 +762,37 @@ def line_dedup(
     whole corpus (``scope="corpus"``) or within each document
     (``scope="doc"`` — cheaper: the window partitions by both doc and
     hash, so skew from mega-duplicated lines spreads across docs).
-    Lines shorter than ``min_chars`` are kept verbatim (short lines —
-    headings, list markers — legitimately repeat; C4's rule keyed on
-    3+ sentence spans for the same reason). Documents whose lines are
-    all removed come back as empty strings, preserving row count
-    (filtering is a separate decision — compose with curate_corpus).
+    Lines shorter than ``min_chars`` are kept verbatim AND never enter
+    the dedup shuffle (short lines — headings, list markers, BLANK
+    lines — legitimately repeat, and in corpus scope every blank line
+    in the corpus would otherwise funnel into the single ``md5("")``
+    hash partition: the guaranteed-straggler shape at 100 TB; C4's
+    rule keyed on 3+ sentence spans for the same reason). Documents
+    whose lines are all removed come back as empty strings and NULL
+    text stays NULL, preserving row count (filtering is a separate
+    decision — compose with curate_corpus).
 
-    Shape: posexplode → ONE window shuffle keyed on md5(line) →
-    re-assemble via collect_list over a per-doc window ordered by
-    position. The line hash (16 B) is the shuffle key, never line
-    text duplicated per occurrence beyond the exploded rows
-    themselves. Scale: corpus-wide dedup of a mega-duplicated line
-    puts all its occurrences in one hash partition — at 100 TB prefer
-    ``scope="doc"`` or pre-filter known boilerplate; the corpus scope
-    matches the published recipe.
+    ``sep`` is a LITERAL separator (regex-escaped for the split, used
+    verbatim for the re-join).
+
+    Shape: posexplode → ONE window shuffle keyed on md5(line) over
+    the ELIGIBLE lines only → re-assemble via collect_list over a
+    per-doc window ordered by position. The line hash (16 B) is the
+    shuffle key, never line text duplicated per occurrence beyond the
+    exploded rows themselves. Scale: corpus-wide dedup of a
+    mega-duplicated eligible line still puts its occurrences in one
+    hash partition — at 100 TB prefer ``scope="doc"`` or pre-filter
+    known boilerplate; the corpus scope matches the published recipe.
     """
+    import re as _re
+
     if scope not in ("corpus", "doc"):
         raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("__pos", "__line"),
     )
     eligible = F.length("__line") >= min_chars
     keys = [F.md5("__line")] if scope == "corpus" else [
@@ -790,13 +801,17 @@ def line_dedup(
     w = Window.partitionBy(*keys).orderBy(
         F.col(id_col).asc(), F.col("__pos").asc()
     )
-    kept = (
-        lines.withColumn(
-            "__rank", F.when(eligible, F.row_number().over(w)).otherwise(1)
-        )
+    # only eligible lines pay the hash shuffle; exempt lines bypass
+    # (review r7b #4: routing them through the window keyed them all
+    # onto a handful of hot md5 partitions for a rank that was then
+    # ignored)
+    deduped = (
+        lines.filter(eligible)
+        .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") == 1)
         .drop("__rank")
     )
+    kept = deduped.unionByName(lines.filter(~eligible))
     doc_w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -809,9 +824,18 @@ def line_dedup(
         .agg(F.first("__rebuilt").alias("__text"))
     )
     out = (
-        df.drop(text_col)
+        df.withColumn("__had_text", F.col(text_col).isNotNull())
+        .drop(text_col)
         .join(rebuilt, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col("__text"), F.lit("")))
-        .drop("__text")
+        .withColumn(
+            text_col,
+            # NULL in → NULL out (review r7b #7: resurrecting NULLs as
+            # "" broke curate_corpus's stage-1 isNotNull contract)
+            F.when(
+                F.col("__had_text"),
+                F.coalesce(F.col("__text"), F.lit("")),
+            ),
+        )
+        .drop("__text", "__had_text")
     )
     return out

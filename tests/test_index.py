@@ -960,3 +960,84 @@ class TestAdcDeltaVisibility:
         idx.delete(spark.createDataFrame([(450,)], "vec_id long"))
         got = idx.search_adc(spark, probe, k=3, nprobe=8, oversample=8)
         assert all(r["vec_id"] != 450 for r in got.collect())
+
+
+class TestNewestWinsVisibility:
+    """review r7b #5: an id updated via add_delta returns ONLY its new
+    vector from every search path — the stale stored copy never
+    shadows or duplicates it."""
+
+    def _probe(self, emb, vid):
+        return [float(x) for x in emb.filter(f"vec_id = {vid}").first()["embedding"]]
+
+    def test_ivf_search_and_batch_and_adc(self, spark, emb, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.types import PQSpec
+        from pyspark.sql import functions as F
+
+        idx = IVFIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "i"), metric="l2sq", nlist=4, seed=42,
+            pq=PQSpec(dim=64, splits=8, clusters=16, seed=42),
+        )
+        # update id 7 twice — the SECOND update must win everywhere
+        for off in (5.0, 9.0):
+            idx.add_delta(
+                emb.filter("vec_id = 7").select(
+                    "vec_id",
+                    F.transform("embedding", lambda x: x + off).alias("embedding"),
+                )
+            )
+        probe = self._probe(emb, 7)  # the OLD vector
+        for rows in (
+            idx.search(spark, probe, k=10, nprobe=4).collect(),
+            idx.search_adc(spark, probe, k=10, nprobe=4, oversample=8).collect(),
+        ):
+            hits = [r for r in rows if r["vec_id"] == 7]
+            assert len(hits) <= 1
+            if hits:  # if present it must be the +9 vector, far away
+                assert hits[0]["dist"] > 1000
+        probes_df = spark.createDataFrame(
+            [(0, probe)], "qid int, query array<double>"
+        )
+        rows = idx.search_batch(spark, probes_df, k=10, nprobe=4).collect()
+        hits = [r for r in rows if r["vec_id"] == 7]
+        assert len(hits) <= 1
+        if hits:
+            assert hits[0]["dist"] > 1000
+        # probing NEAR the new vector finds exactly one copy at ~0
+        new_probe = [x + 9.0 for x in probe]
+        top = idx.search(spark, new_probe, k=3, nprobe=4).collect()
+        assert top[0]["vec_id"] == 7 and top[0]["dist"] < 1e-6
+        assert sum(1 for r in top if r["vec_id"] == 7) == 1
+
+    def test_hnsw_search_paths(self, spark, emb, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+        from pyspark.sql import functions as F
+
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "h"), m=8, ef_construction=40, shards=2, seed=42,
+        )
+        idx.add_delta(
+            emb.filter("vec_id = 7").select(
+                "vec_id",
+                F.transform("embedding", lambda x: x + 9.0).alias("embedding"),
+            )
+        )
+        probe = self._probe(emb, 7)
+        got = idx.search(spark, probe, k=10, ef=64).collect()
+        hits = [r for r in got if r["vec_id"] == 7]
+        assert len(hits) <= 1
+        if hits:
+            assert hits[0]["dist"] > 1000
+        new_probe = [x + 9.0 for x in probe]
+        seq = idx.search_batch(spark, [new_probe], k=3, ef=64).collect()
+        mine = [r for r in seq if r["vec_id"] == 7]
+        assert len(mine) == 1 and mine[0]["dist"] < 1e-6
+        probes_df = spark.createDataFrame(
+            [(0, new_probe)], "qid int, query array<double>"
+        )
+        dfp = idx.search_batch(spark, probes_df, k=3, ef=64).collect()
+        mine = [r for r in dfp if r["vec_id"] == 7]
+        assert len(mine) == 1 and mine[0]["dist"] < 1e-6
