@@ -178,18 +178,29 @@ _LIFECYCLE_CACHE: dict = {}
 
 def _lifecycle_index_for(spark, sf_dir):
     """Build-once index for the delta+tombstone lifecycle query (bench
-    times this separately from the search — round-1 methodology fix)."""
+    times this separately from the search — round-1 methodology fix).
+
+    r7: the index exercises all THREE storage tiers at once — the
+    first delta batch is FOLDED into the list partitions
+    (``fold_delta``, the incremental-reindex path), the second stays
+    an unfolded delta, and the tombstones cut across both — so the
+    oracle's exact scan over surviving rows hash-checks the fold's
+    content preservation, the delta merge, and the tombstone filter
+    in one query."""
     from lantern_spark.operators.index import IVFIndex
 
     if sf_dir not in _LIFECYCLE_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         base = emb.filter(F.col("vec_id") % 5 != 0)
-        rest = emb.filter(F.col("vec_id") % 5 == 0)
+        rest1 = emb.filter(F.col("vec_id") % 10 == 0)
+        rest2 = emb.filter(F.col("vec_id") % 10 == 5)
         path = tempfile.mkdtemp(prefix="lantern_life_")
         idx = IVFIndex.build(
             base, "embedding", "vec_id", path, metric="l2sq", nlist=4, seed=42
         )
-        idx.add_delta(rest)
+        idx.add_delta(rest1)
+        idx.fold_delta(spark)
+        idx.add_delta(rest2)
         idx.delete(emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
         _LIFECYCLE_CACHE[sf_dir] = idx
     return _LIFECYCLE_CACHE[sf_dir]
