@@ -1019,7 +1019,10 @@ class IVFIndex:
                         for c_ in cols
                     ]
                 )
-                n_delta = delta.count()
+                # n_delta comes from the per-list counts collected
+                # below — no separate count job (small folds are
+                # FIXED-COST bound: every saved action matters at
+                # stream cadence)
         if has_tomb:
             tombs = spark.read.parquet(tomb_path).select(mf.id_column)
             removal = (
@@ -1029,22 +1032,26 @@ class IVFIndex:
             return self
         removal = removal.distinct().persist()
 
-        # one (id, list_id)-pruned pass: victims' lists + live victim
-        # count (for the manifest row count)
+        # one (id, list_id)-pruned pass, ONE action: per-list victim
+        # counts give the affected lists AND the removed-row total
         idmap = self.lists(spark).select(mf.id_column, "list_id")
-        victims = idmap.join(F.broadcast(removal), mf.id_column).persist()
-        n_removed = victims.count()
-        affected = {
-            r["list_id"] for r in victims.select("list_id").distinct().collect()
-        }
+        victims = idmap.join(F.broadcast(removal), mf.id_column)
+        v_stats = (
+            victims.groupBy("list_id").agg(F.count("*").alias("c")).collect()
+        )
+        n_removed = sum(r["c"] for r in v_stats)
+        affected = {r["list_id"] for r in v_stats}
         if delta is not None:
             delta = delta.withColumn(
                 "list_id", _assign_expr(mf.column, cents, m)
             ).persist()
-            affected |= {
-                r["list_id"]
-                for r in delta.select("list_id").distinct().collect()
-            }
+            d_stats = (
+                delta.groupBy("list_id")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            n_delta = sum(r["c"] for r in d_stats)
+            affected |= {r["list_id"] for r in d_stats}
         affected_ids = sorted(affected)
         delta_path = os.path.join(self.path, "delta")
         if not affected_ids:
@@ -1053,7 +1060,6 @@ class IVFIndex:
             # BEFORE cleanup so consumed delta rows stay invisible if
             # the rmtree is lost to a crash
             removal.unpersist()
-            victims.unpersist()
             if raw_delta is not None:
                 mf.params = {**(mf.params or {}), "folded_seq": max_seq}
                 mf.save(self.path)
@@ -1113,7 +1119,6 @@ class IVFIndex:
         finally:
             shutil.rmtree(stage_root, ignore_errors=True)
         removal.unpersist()
-        victims.unpersist()
         if delta is not None:
             delta.unpersist()
         # COMMIT: watermark + epoch land before cleanup — a crash after
