@@ -795,23 +795,29 @@ def line_dedup(
         ).alias("__pos", "__line"),
     )
     eligible = F.length("__line") >= min_chars
-    keys = [F.md5("__line")] if scope == "corpus" else [
-        F.col(id_col), F.md5("__line")
-    ]
+    # ONE pass, no hot partitions: exempt (short/blank) lines get a
+    # UNIQUE per-(doc, position) window key, so each sits alone in its
+    # partition with rank 1 — they are kept verbatim without funneling
+    # every blank line in the corpus into the single md5("") partition
+    # (review r7b #4), and without a second scan through a filtered
+    # union branch (review r7c #7).
+    line_key = F.when(eligible, F.md5("__line")).otherwise(
+        F.concat_ws(
+            ":",
+            F.lit("__exempt"),
+            F.col(id_col).cast("string"),
+            F.col("__pos").cast("string"),
+        )
+    )
+    keys = [line_key] if scope == "corpus" else [F.col(id_col), line_key]
     w = Window.partitionBy(*keys).orderBy(
         F.col(id_col).asc(), F.col("__pos").asc()
     )
-    # only eligible lines pay the hash shuffle; exempt lines bypass
-    # (review r7b #4: routing them through the window keyed them all
-    # onto a handful of hot md5 partitions for a rank that was then
-    # ignored)
-    deduped = (
-        lines.filter(eligible)
-        .withColumn("__rank", F.row_number().over(w))
+    kept = (
+        lines.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") == 1)
         .drop("__rank")
     )
-    kept = deduped.unionByName(lines.filter(~eligible))
     doc_w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

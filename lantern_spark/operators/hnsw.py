@@ -675,9 +675,12 @@ class HNSWIndex:
 
             # newest row per id (highest sequence): two add_delta
             # updates of one id surface as ONE row in every search,
-            # matching what the eventual fold/rebuild keeps
+            # matching what the eventual fold/rebuild keeps.
+            # xxhash64(vector) breaks same-sequence ties (one batch
+            # carrying an id twice) deterministically by content.
             w = Window.partitionBy(self.manifest["id_column"]).orderBy(
-                F.col("__delta_seq").desc()
+                F.col("__delta_seq").desc(),
+                F.xxhash64(F.col(self.manifest["column"])).desc(),
             )
             d = (
                 d.filter(
@@ -725,22 +728,15 @@ class HNSWIndex:
                 "fold_delta cannot track a fold watermark — rebuild() "
                 "instead"
             )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(mf["id_column"]).orderBy(
-            F.col("__delta_seq").desc()
-        )
         vec_sql = (
             "array<int>" if mf["metric"] == "hamming" else "array<float>"
         )
-        rows = (
-            delta.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
-                F.col(mf["column"]).cast(vec_sql).alias(mf["column"]),
-                "__delta_seq",
-            )
+        # _unfolded_delta already keeps the newest row per id with a
+        # deterministic tie-break — no second window (review r7c #5)
+        rows = delta.select(
+            F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+            F.col(mf["column"]).cast(vec_sql).alias(mf["column"]),
+            "__delta_seq",
         )
         agg = rows.agg(
             F.max("__delta_seq").alias("mx"), F.count("*").alias("n")
@@ -755,10 +751,14 @@ class HNSWIndex:
             # quantized graphs are lossy — delta originals join the
             # exact heap BEFORE the fold commit (the build/rebuild
             # ordering contract; duplicate appends after a crash are
-            # deduped by rebuild's id rule)
-            rows.select(mf["id_column"], mf["column"]).write.mode(
-                "append"
-            ).parquet(os.path.join(self.path, "vectors"))
+            # deduped by rebuild's id rule). __fold_epoch orders heap
+            # copies by recency (base rows read NULL → 0), so a folded
+            # UPDATE beats its stale base copy at rebuild.
+            rows.select(mf["id_column"], mf["column"]).withColumn(
+                "__fold_epoch", F.lit(epoch).cast("long")
+            ).write.mode("append").parquet(
+                os.path.join(self.path, "vectors")
+            )
 
         dim, m_, efc = mf["dim"], mf["m"], mf["ef_construction"]
         seed, mval = mf["seed"], mf["metric"]
@@ -819,7 +819,18 @@ class HNSWIndex:
         (persisted counter, single-writer like the lifecycle itself)
         so rebuild can resolve SAME-ID conflicts by recency: two
         add_delta calls updating one id must fold the later vector,
-        deterministically."""
+        deterministically.
+
+        UPDATE contract: while an update of a graph-resident id sits
+        in the delta, searches return only the new vector (newest-wins
+        anti-join). But graph shards are SEALED — ``fold_delta``
+        promotes the delta into a NEW shard and cannot excise the old
+        copy from its base shard, so after a fold both copies surface
+        and ``validate()`` flags the duplicate id. Updates of stored
+        ids therefore require ``rebuild()`` (the reference's contract
+        too: aminsert grows the graph, REINDEX repairs it); fold is
+        for the append-only ingest shape. IVF's fold, whose partitions
+        are rewritable, handles updates incrementally."""
         mf = self.manifest
         seq_file = os.path.join(self.path, "delta_seq")
         seq = 0
@@ -904,10 +915,14 @@ class HNSWIndex:
         r5); f32 builds dump graph payloads via a map-only pass.
 
         ``tag_source`` adds ``__src`` (0 = delta, 1 = stored) and
-        ``__seq`` (the add_delta append counter; 0 for stored/legacy
-        rows) so rebuild can deterministically prefer the NEWEST delta
-        row when the same id exists multiple times (an updated vector
-        must win, and the latest update must win among updates)."""
+        ``__seq`` so rebuild can deterministically prefer the NEWEST
+        copy when the same id exists multiple times: for delta rows
+        the add_delta append counter; for STORED rows the shard id
+        (f32 dump) or fold epoch (quantized heap) — fold shards carry
+        strictly later data than the base build, so a folded UPDATE
+        of a graph-resident id survives a later rebuild instead of
+        tying arbitrarily with its stale base-shard copy
+        (review r7c #2)."""
         mf = self.manifest
         # hamming rows are integer[] bit packs — a float cast would
         # round words past 24 mantissa bits
@@ -919,13 +934,21 @@ class HNSWIndex:
         )
 
         def tag(df, src):
+            for helper in ("__delta_seq", "__stored_seq"):
+                if not tag_source and helper in df.columns:
+                    df = df.drop(helper)
             if not tag_source:
-                return df.drop("__delta_seq") if "__delta_seq" in df.columns else df
+                return df
             if "__delta_seq" in df.columns:
                 df = df.withColumn(
                     "__seq",
                     F.coalesce(F.col("__delta_seq"), F.lit(0)).cast("long"),
                 ).drop("__delta_seq")
+            elif "__stored_seq" in df.columns:
+                df = df.withColumn(
+                    "__seq",
+                    F.coalesce(F.col("__stored_seq"), F.lit(0)).cast("long"),
+                ).drop("__stored_seq")
             else:
                 df = df.withColumn("__seq", F.lit(0).cast("long"))
             return df.withColumn("__src", F.lit(src))
@@ -941,38 +964,51 @@ class HNSWIndex:
 
         vec_path = os.path.join(self.path, "vectors")
         if os.path.isdir(vec_path):
-            out = tag(
-                spark.read.parquet(vec_path).select(
-                    F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
-                    F.col(mf["column"]).cast(vec_sql).alias(mf["column"]),
-                ),
-                1,
-            )
+            heap = spark.read.option("mergeSchema", "true").parquet(vec_path)
+            cols = [
+                F.col(mf["id_column"]).cast("long").alias(mf["id_column"]),
+                F.col(mf["column"]).cast(vec_sql).alias(mf["column"]),
+            ]
+            if "__fold_epoch" in heap.columns:
+                # fold appends carry their epoch; base rows read NULL →
+                # 0, so later folds outrank the base build
+                cols.append(
+                    F.coalesce(F.col("__fold_epoch"), F.lit(0))
+                    .cast("long")
+                    .alias("__stored_seq")
+                )
+            out = tag(heap.select(*cols), 1)
             d = self._unfolded_delta(spark)
             if d is not None:
-                out = out.unionByName(tag(read_delta(d), 0))
+                out = out.unionByName(
+                    tag(read_delta(d), 0), allowMissingColumns=True
+                )
             return out
         schema = T.StructType(
             [
                 T.StructField(mf["id_column"], T.LongType()),
                 T.StructField(mf["column"], vec_spark),
+                T.StructField("__stored_seq", T.LongType()),
             ]
         )
 
         def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                for payload in pdf["payload"]:
+                for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
                     g = HnswGraph.from_payload(bytes(payload))
                     # DEQUANTIZED rows — for i8/pq the raw buffer holds
                     # codes, not coordinates; dumping it verbatim would
                     # feed garbage into a rebuild (lossy round-trip is
-                    # the quantized-index contract, vectors() doc)
+                    # the quantized-index contract, vectors() doc).
+                    # __stored_seq = shard id: fold shards (appended
+                    # after the base build) hold strictly newer data.
                     yield pd.DataFrame(
                         {
                             mf["id_column"]: g.ids,
                             mf["column"]: [
                                 v.tolist() for v in g.vectors()
                             ],
+                            "__stored_seq": [int(sid)] * g.n,
                         }
                     )
 
@@ -1028,19 +1064,12 @@ class HNSWIndex:
         out = self._graphs(spark).mapInPandas(search_shard, schema)
         delta_df = self._unfolded_delta(spark)
         if delta_df is not None:
-            # newest wins: graph results for delta-updated ids are
-            # suppressed (broadcast anti-join on the SMALL delta ids) —
-            # a stale stored copy must not shadow the update
-            out = out.join(
-                F.broadcast(
-                    delta_df.select(
-                        F.col(mf["id_column"])
-                        .cast("long")
-                        .alias(mf["id_column"])
-                    )
-                ),
-                on=mf["id_column"],
-                how="left_anti",
+            from lantern_spark.operators.index import _suppress_stale
+
+            # newest wins: a stale stored copy must not shadow the
+            # update (pre-fold read-your-writes)
+            out = _suppress_stale(
+                out, delta_df, mf["id_column"], cast_long=True
             )
             # delta rows are exact-scanned and merge as shard -1 (same
             # contract as IVF's delta: exact until a fold/rebuild).
@@ -1161,17 +1190,10 @@ class HNSWIndex:
         if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
-            # newest wins: suppress stale stored copies of updated ids
-            out = out.join(
-                F.broadcast(
-                    delta_df.select(
-                        F.col(mf["id_column"])
-                        .cast("long")
-                        .alias(mf["id_column"])
-                    )
-                ),
-                on=mf["id_column"],
-                how="left_anti",
+            from lantern_spark.operators.index import _suppress_stale
+
+            out = _suppress_stale(
+                out, delta_df, mf["id_column"], cast_long=True
             )
             probes = spark.createDataFrame(
                 [(j, q) for j, q in enumerate(qs)],
@@ -1293,16 +1315,9 @@ class HNSWIndex:
         if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
-            # newest wins: suppress stale stored copies of updated ids
-            out = out.join(
-                F.broadcast(
-                    delta_df.select(
-                        F.col(id_col).cast("long").alias(id_col)
-                    )
-                ),
-                on=id_col,
-                how="left_anti",
-            )
+            from lantern_spark.operators.index import _suppress_stale
+
+            out = _suppress_stale(out, delta_df, id_col, cast_long=True)
             delta = (
                 probe_snap
                 .crossJoin(

@@ -169,6 +169,23 @@ def _assign_expr(column: str, cents: np.ndarray, metric: Metric):
     return _assign(F.col(column))
 
 
+def _suppress_stale(
+    out: DataFrame, delta_df: DataFrame, id_col: str, cast_long: bool = False
+) -> DataFrame:
+    """Newest-wins read-your-writes: drop results whose id has a
+    pending (unfolded) delta update — the delta copy is authoritative
+    and merges separately, so the stale stored copy must neither
+    duplicate nor outrank it. The delta id set is small by the fold
+    contract: one broadcast anti-join. Shared by every search path of
+    every index family (review r7c #6)."""
+    ids = delta_df.select(
+        F.col(id_col).cast("long").alias(id_col)
+        if cast_long
+        else F.col(id_col)
+    )
+    return out.join(F.broadcast(ids), on=id_col, how="left_anti")
+
+
 def _rank_lists(c: np.ndarray, ids, query, metric: str, nprobe: int) -> list:
     """Top-``nprobe`` list ids by centroid distance for ONE query — the
     probe-selection kernel shared by per-query search, batched search,
@@ -480,15 +497,9 @@ class IVFIndex:
         if include_delta:
             d = self._unfolded_delta(spark)
             if d is not None:
-                # newest wins: an id updated via add_delta must return
-                # its delta vector ONLY — the stale stored copy is
-                # suppressed (review r7b #5; matches what fold/rebuild
-                # will keep). Delta is small: one broadcast anti-join.
-                scans[0] = base.join(
-                    F.broadcast(d.select(mf.id_column)),
-                    on=mf.id_column,
-                    how="left_anti",
-                )
+                # newest wins: an id updated via add_delta must
+                # return its delta vector ONLY (matches fold/rebuild)
+                scans[0] = _suppress_stale(base, d, mf.id_column)
                 scans.append(d)
         out = None
         for s in scans:
@@ -603,13 +614,8 @@ class IVFIndex:
         if include_delta:
             d = self._unfolded_delta(spark)
             if d is not None:
-                # newest wins (review r7b #5): suppress stale stored
-                # copies of delta-updated ids
-                scans[0] = scans[0].join(
-                    F.broadcast(d.select(mf.id_column)),
-                    on=mf.id_column,
-                    how="left_anti",
-                )
+                # newest wins: suppress stale stored copies
+                scans[0] = _suppress_stale(scans[0], d, mf.id_column)
                 scans.append(
                     d.select(mf.id_column, mf.column)
                     .crossJoin(vec_side)
@@ -720,11 +726,7 @@ class IVFIndex:
         # stale stored copy of an updated id is suppressed.
         d = self._unfolded_delta(spark)
         if d is not None:
-            out = out.join(
-                F.broadcast(d.select(mf.id_column)),
-                on=mf.id_column,
-                how="left_anti",
-            )
+            out = _suppress_stale(out, d, mf.id_column)
             ddist = distance(
                 F.col(mf.column), vec_lit(list(query)), mf.metric
             ).cast("double")
@@ -795,8 +797,14 @@ class IVFIndex:
         if "__delta_seq" in d.columns:
             from pyspark.sql import Window
 
+            # xxhash64(vector) breaks ties BETWEEN rows sharing one
+            # append's sequence (an input batch carrying the same id
+            # twice): content-keyed, so the winner is identical across
+            # runs/layouts — and because fold/rebuild consume THIS
+            # frame, search and fold agree by construction
             w = Window.partitionBy(self.manifest.id_column).orderBy(
-                F.col("__delta_seq").desc()
+                F.col("__delta_seq").desc(),
+                F.xxhash64(F.col(self.manifest.column)).desc(),
             )
             return (
                 d.filter(
@@ -967,17 +975,10 @@ class IVFIndex:
         n_delta = 0
         max_seq = int((mf.params or {}).get("folded_seq", 0))
         if raw_delta is not None:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(mf.id_column).orderBy(
-                F.col("__delta_seq").desc()
-            )
-            # newest update per id wins — deterministic, unlike a bare
-            # dropDuplicates (review r7 #7)
-            newest = (
-                raw_delta.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-            )
+            # _unfolded_delta already keeps the newest row per id with
+            # a deterministic tie-break — no second window here
+            # (review r7c #5: the re-dedup was a redundant shuffle)
+            newest = raw_delta
             agg = newest.agg(
                 F.max("__delta_seq").alias("mx"), F.count("*").alias("n")
             ).first()

@@ -383,18 +383,11 @@ class IVFGraphIndex:
             from lantern_spark.functions.distances import distance
             from lantern_spark.functions.vectors import vec_lit
 
-            # newest wins: suppress stale cell-graph results for
-            # delta-updated ids (the IVF search contract)
-            out = out.join(
-                F.broadcast(
-                    delta_df.select(
-                        F.col(mf.id_column)
-                        .cast("long")
-                        .alias(mf.id_column)
-                    )
-                ),
-                on=mf.id_column,
-                how="left_anti",
+            from lantern_spark.operators.index import _suppress_stale
+
+            # newest wins (the IVF search contract)
+            out = _suppress_stale(
+                out, delta_df, mf.id_column, cast_long=True
             )
             lit_dt = (
                 "int"
@@ -545,18 +538,10 @@ class IVFGraphIndex:
         if delta_df is not None:
             from lantern_spark.functions.distances import distance
 
-            # newest wins: suppress stale cell-graph results for
-            # delta-updated ids
-            out = out.join(
-                F.broadcast(
-                    delta_df.select(
-                        F.col(mf.id_column)
-                        .cast("long")
-                        .alias(mf.id_column)
-                    )
-                ),
-                on=mf.id_column,
-                how="left_anti",
+            from lantern_spark.operators.index import _suppress_stale
+
+            out = _suppress_stale(
+                out, delta_df, mf.id_column, cast_long=True
             )
             delta = (
                 probe_snap

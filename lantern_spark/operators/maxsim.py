@@ -72,9 +72,19 @@ def maxsim_score(
     def _score(bags: pd.Series) -> pd.Series:
         out = np.empty(len(bags), dtype=object)
         for i, bag in enumerate(bags):
+            if bag is not None:
+                # NULL tokens inside a bag score as absent (the repo's
+                # NULL-vector convention) instead of crashing the task
+                bag = [t for t in bag if t is not None]
             if bag is None or len(bag) == 0:
                 out[i] = None
                 continue
+            dims = {len(t) for t in bag}
+            if len(dims) != 1 or dims != {q.shape[1]}:
+                raise ValueError(
+                    f"maxsim: token dimension mismatch (bag dims {dims}, "
+                    f"query dim {q.shape[1]})"
+                )
             d = np.asarray([list(t) for t in bag], dtype=np.float64)
             if met == "cos":
                 d = d / np.maximum(
@@ -105,17 +115,22 @@ def maxsim_search(
     the ids from a pooled-vector ANN search) to re-rank only that set
     — the ColBERT serving shape, where the scan cost collapses to the
     candidate count. Ties break on (score desc, id asc) after
-    ``round_digits`` rounding, the repo's oracle convention."""
-    scored = df.select(
+    ``round_digits`` rounding, the repo's oracle convention.
+
+    The candidate join happens BEFORE scoring (review r7c #1: scoring
+    first put the Arrow kernel below the join in the physical plan, so
+    the "cheap re-rank" still ran one matmul per corpus document)."""
+    base = df
+    if candidates is not None:
+        base = df.join(
+            F.broadcast(candidates.select(id_col).distinct()), id_col
+        )
+    scored = base.select(
         F.col(id_col),
         maxsim_score(
             vec_col, query_vecs, metric=metric, round_digits=round_digits
         ).alias(score_col),
     )
-    if candidates is not None:
-        scored = scored.join(
-            F.broadcast(candidates.select(id_col).distinct()), id_col
-        )
     return scored.orderBy(
         F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     ).limit(int(k))

@@ -1041,3 +1041,53 @@ class TestNewestWinsVisibility:
         dfp = idx.search_batch(spark, probes_df, k=3, ef=64).collect()
         mine = [r for r in dfp if r["vec_id"] == 7]
         assert len(mine) == 1 and mine[0]["dist"] < 1e-6
+
+
+class TestHnswUpdateContract:
+    def test_update_visible_pre_fold_flagged_post_fold(
+        self, spark, emb, tmp_path
+    ):
+        """The documented HNSW update contract (review r7c #2): an
+        update of a graph-resident id is newest-wins while it sits in
+        the delta; folding it promotes the new copy WITHOUT excising
+        the sealed base-shard copy, so validate() flags the duplicate
+        and rebuild() repairs it."""
+        import pytest as _pt
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+        from pyspark.sql import functions as F
+
+        idx = HNSWIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id",
+            str(tmp_path / "h"), m=8, ef_construction=40, shards=2, seed=42,
+        )
+        # an IN-DISTRIBUTION update (+0.05/elem): far enough to
+        # distinguish the copies, close enough that the rebuilt graph
+        # links it normally (a many-sigma synthetic outlier would be
+        # in-edge-pruned into a search sink — inherent HNSW behavior,
+        # documented in the module caveat, not a lifecycle property)
+        idx.add_delta(
+            emb.filter("vec_id = 7").select(
+                "vec_id",
+                F.transform("embedding", lambda x: x + 0.05).alias("embedding"),
+            )
+        )
+        probe = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+        new_probe = [x + 0.05 for x in probe]
+        pre = [r for r in idx.search(spark, probe, k=10, ef=64).collect()
+               if r["vec_id"] == 7]
+        assert len(pre) <= 1  # newest-wins pre-fold
+        idx.fold_delta(spark)
+        with _pt.raises(ValueError, match="multiple shards"):
+            idx.validate(spark)  # duplicate id detected, not silent
+        re = idx.rebuild(spark)
+        v = re.validate(spark)
+        assert not v["violations"]
+        # content check: exactly one copy survived, and it is the NEW
+        # vector (fold shards outrank base shards at rebuild)
+        kept = re._all_rows(spark).filter("vec_id = 7").collect()
+        assert len(kept) == 1
+        assert abs(kept[0]["embedding"][0] - new_probe[0]) < 1e-5
+        rows = [r for r in re.search(spark, new_probe, k=3, ef=128).collect()
+                if r["vec_id"] == 7]
+        assert len(rows) == 1 and rows[0]["dist"] < 1e-6  # update won
