@@ -8,8 +8,13 @@ ANSI-SQL oracle form — these run as map-only passes at any scale.
 
 from __future__ import annotations
 
+# module-level so pandas_udf type-hint inference (which resolves the
+# stringified hints against module globals under
+# `from __future__ import annotations`) can see them
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lantern_spark.functions.text import STOPWORDS, tokenize
 
@@ -150,9 +155,20 @@ def dup_line_fraction(col) -> Column:
 def top_ngram_fraction(col, n: int = 2) -> Column:
     """Fraction of the document's tokens covered by its single most
     frequent word n-gram (Gopher: drop above ~0.20 for 2-grams, 0.18
-    for 3-grams). Pure expression — the max occurrence count is an
-    aggregate over the DISTINCT grams (O(distinct·grams) comparisons
-    per row, fine for documents; no UDF, no shuffle).
+    for 3-grams).
+
+    Kernel shape (r8, review r7 item 1): tokenization stays a pure
+    JVM expression (byte-identical to every other consumer of
+    :func:`tokenize`), and only the per-row frequency count crosses to
+    an Arrow-batched pandas UDF — one ``Counter`` pass over the
+    sliding windows, O(tokens) per row. The previous pure-expression
+    form (kept as :func:`top_ngram_fraction_expr`, and pinned equal in
+    ``tests/test_textstats.py``) re-scanned the gram array once per
+    DISTINCT gram inside interpreted HOF closures — O(tokens²) lambda
+    evaluations per row, a measured scale-killer on real web documents
+    (a 2k-token page costs ~4M closure evals; ``repetition_stats`` →
+    ``curate_corpus`` runs this corpus-wide). Still map-only: no
+    shuffle, one ArrowEvalPython stage.
 
     Deviations from the cited rule (ADVICE r6): Gopher's measure is
     CHARACTER-based (chars in the top gram's occurrences / total
@@ -161,6 +177,43 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
     of an n-gram can OVERLAP ('a a a' has two overlapping 2-grams of
     'a a'), top_count·n can exceed the token count — the result is
     clamped to 1.0 so downstream threshold filters see a fraction."""
+    from collections import Counter
+
+    nn = int(n)
+    if nn < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    @F.pandas_udf(T.DoubleType())
+    def _top_frac(tok_arrays: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_arrays:
+            if toks is None:
+                out.append(0.0)
+                continue
+            toks = list(toks)
+            size = len(toks)
+            n_grams = size - nn + 1
+            if n_grams <= 0:
+                out.append(0.0)
+                continue
+            counts = Counter(
+                tuple(toks[j : j + nn]) for j in range(n_grams)
+            )
+            top = max(counts.values())
+            # same arithmetic as the expression form: int*int, then
+            # IEEE double divide, then clamp — bit-identical results
+            out.append(min(1.0, float(top * nn) / float(size)))
+        return pd.Series(out, dtype="float64")
+
+    return _top_frac(tokenize(_c(col)))
+
+
+def top_ngram_fraction_expr(col, n: int = 2) -> Column:
+    """Pure-expression form of :func:`top_ngram_fraction` — O(tokens²)
+    interpreted-HOF work per row (the max occurrence count aggregates
+    over the DISTINCT grams, re-scanning the gram array for each).
+    Kept as the no-Python-worker fallback and as the drift pin for the
+    linear Arrow kernel above; do not use in corpus-wide curation."""
     from lantern_spark.functions.text import ngram_windows
 
     c = _c(col)

@@ -173,6 +173,9 @@ class TestRepetitionSignals:
         assert got[1] == pytest.approx(1.0)
 
     def test_repetition_stats_map_only(self, spark):
+        """Map-only contract: no shuffle, and the only Python stage is
+        the VECTORIZED Arrow kernel (row-at-a-time BatchEvalPython
+        would be the 10-100x-slower anti-pattern)."""
         from lantern_spark.operators.textstats import repetition_stats
 
         df = spark.createDataFrame(
@@ -182,7 +185,69 @@ class TestRepetitionSignals:
         row = out.first()
         assert row["top2gram_frac"] > 0.5
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "EvalPython" not in plan and "Exchange" not in plan
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_top_ngram_fraction_pins_expr_form(self, spark):
+        """The linear Arrow kernel must produce EXACTLY the values of
+        the original pure-expression form (review r7 item 1's done
+        bar) — including the overlap-clamp cases and empty/short/NULL
+        guards — on a randomized corpus."""
+        import random
+
+        from lantern_spark.operators.textstats import (
+            top_ngram_fraction,
+            top_ngram_fraction_expr,
+        )
+
+        rng = random.Random(42)
+        vocab = ["alpha", "beta", "gamma", "delta", "x", "y", "2024"]
+        rows = []
+        for i in range(60):
+            n_toks = rng.randint(0, 40)
+            toks = [rng.choice(vocab) for _ in range(n_toks)]
+            if rng.random() < 0.3 and n_toks > 4:
+                # inject a repeated run to exercise the overlap clamp
+                toks[0:3] = ["a", "a", "a"]
+            rows.append((i, " ".join(toks)))
+        rows += [(100, ""), (101, None), (102, "one"), (103, "a a a")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for n in (2, 3):
+            got = df.select(
+                "doc_id",
+                top_ngram_fraction("text", n).alias("fast"),
+                top_ngram_fraction_expr("text", n).alias("expr"),
+            ).collect()
+            for r in got:
+                assert r["fast"] == r["expr"], (
+                    f"doc {r['doc_id']} n={n}: {r['fast']} != {r['expr']}"
+                )
+
+    def test_top_ngram_fraction_linear_on_long_docs(self, spark):
+        """The quadratic cliff is gone: a 20k-token document with ~10k
+        DISTINCT grams (the worst case for the old per-distinct-gram
+        rescan, ~4e8 interpreted closure evals) completes promptly
+        under the linear kernel."""
+        import random
+        import time
+
+        from lantern_spark.operators.textstats import top_ngram_fraction
+
+        rng = random.Random(7)
+        toks = [f"w{rng.randint(0, 9999)}" for _ in range(20_000)]
+        df = spark.createDataFrame(
+            [(0, " ".join(toks))], "doc_id long, text string"
+        )
+        t0 = time.time()
+        row = df.select(
+            top_ngram_fraction("text", 2).alias("f2"),
+            top_ngram_fraction("text", 3).alias("f3"),
+        ).first()
+        elapsed = time.time() - t0
+        assert 0.0 < row["f2"] <= 1.0 and 0.0 < row["f3"] <= 1.0
+        # generous CI bound; the old HOF form does not finish this in
+        # minutes (it is O(distinct x grams) interpreted lambdas)
+        assert elapsed < 30, f"linear kernel took {elapsed:.1f}s"
 
 
 class TestPIIRedaction:
