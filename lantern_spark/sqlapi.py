@@ -234,10 +234,14 @@ _FN_CALL = (
     r"(?P<col>\w+)\s*,\s*(?P<lit>array\s*\([^)]*\))\s*\)"
 )
 
-# form 1: ORDER BY <fn>(col, array(…)) directly
+# form 1: ORDER BY <fn>(col, array(…)) directly. An optional WHERE
+# clause is captured (hnsw_select.sql:51 — the reference's index path
+# serves WHERE + ORDER BY, applying the filter post-hoc on heap rows
+# after candidate generation; SURVEY §4 row 3).
 _ANN_SQL_RX = _re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+"
     r"FROM\s+(?P<table>\w+)\s+"
+    r"(?:WHERE\s+(?P<where>.+?)\s+)?"
     r"ORDER\s+BY\s+" + _FN_CALL + r"\s*"
     r"(?:ASC\s+)?"
     r"(?:,\s*\w+\s*(?:ASC\s+)?)?"  # optional id tie-break column
@@ -252,6 +256,7 @@ _ANN_SQL_RX = _re.compile(
 _ANN_ALIAS_TAIL_RX = _re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+"
     r"FROM\s+(?P<table>\w+)\s+"
+    r"(?:WHERE\s+(?P<where>.+?)\s+)?"
     r"ORDER\s+BY\s+(?P<alias>\w+)\s*"
     r"(?:ASC\s+)?"
     r"(?:,\s*\w+\s*(?:ASC\s+)?)?"
@@ -261,8 +266,8 @@ _ANN_ALIAS_TAIL_RX = _re.compile(
 
 
 def _match_ann_sql(sql: str):
-    """(table span, col, metric, query vector, k) when ``sql`` is the
-    reference-hook shape in either form, else None."""
+    """(table span, col, metric, query vector, k, where) when ``sql``
+    is the reference-hook shape in either form, else None."""
     m = _ANN_SQL_RX.match(sql)
     if m is None:
         m2 = _ANN_ALIAS_TAIL_RX.match(sql)
@@ -293,6 +298,7 @@ def _match_ann_sql(sql: str):
         "metric": _METRIC_OF[fn.lower()],
         "query": [float(x) for x in nums],
         "k": int(m.group("k")),
+        "where": m.group("where"),
     }
 
 # ordering-equivalent metric per SQL function (l2_dist orders the same
@@ -311,23 +317,35 @@ def routed_sql(
     catalog=None,
     recall_floor: float = 0.9,
     explain: bool = False,
+    oversample: int = 4,
 ):
-    """Run ``sql``, auto-routing ``ORDER BY <dist>(col, array(…))
-    LIMIT k`` through the cost-based router when ``catalog`` holds an
-    index for (table, column, metric) whose measured recall clears
-    ``recall_floor`` — the reference's planner-hook behavior
+    """Run ``sql``, auto-routing ``[WHERE …] ORDER BY <dist>(col,
+    array(…)) LIMIT k`` through the cost-based router when ``catalog``
+    holds an index for (table, column, metric) whose measured recall
+    clears ``recall_floor`` — the reference's planner-hook behavior
     (hnsw.c:164-172): the same SQL text silently uses the index when
     one exists and the exact scan otherwise.
 
-    Index dispatch fetches the top-k candidate IDS from the routed
+    Index dispatch fetches the top candidate IDS from the routed
     access path, then re-executes the ORIGINAL SQL over just those
     rows (a temp-view rewrite of the FROM clause) — the final
-    projection, exact distance recompute, ordering, and tie-breaks are
-    all Spark's, over k rows. So the SELECT list is unrestricted, and
-    result semantics match the unrouted query up to the index's recall
-    contract. Non-matching SQL (or no catalog / no eligible index)
-    falls through to ``spark.sql`` untouched — Catalyst's
-    TakeOrderedAndProject IS the exact path.
+    projection, WHERE filter, exact distance recompute, ordering, and
+    tie-breaks are all Spark's, over the candidate rows. So the SELECT
+    list is unrestricted, and result semantics match the unrouted
+    query up to the index's recall contract. Non-matching SQL (or no
+    catalog / no eligible index) falls through to ``spark.sql``
+    untouched — Catalyst's TakeOrderedAndProject IS the exact path.
+
+    Filtered queries (the reference's post-filter contract,
+    test/sql/hnsw_select.sql:51 + SURVEY §4 row 3): when the SQL has a
+    WHERE clause, the index fetches ``k·oversample`` candidates — the
+    filter is applied POST-HOC by the re-executed SQL, so a filter
+    whose selectivity on the true neighborhood is below
+    ``1/oversample`` may UNDERFILL k (the reference's documented
+    behavior; raise ``oversample``, or fall back to the exact scan,
+    which always fills). The WHERE may reference any table column —
+    candidates are re-read from the table itself, not from index
+    payloads.
 
     Returns the DataFrame, or ``(DataFrame, RouteDecision | None)``
     with ``explain=True`` (None = pattern didn't match)."""
@@ -346,19 +364,21 @@ def routed_sql(
     if decision.access_path == "exact" or e is None:
         out = spark.sql(sql)
         return (out, decision) if explain else out
+    # WHERE → over-fetch so the post-hoc filter can still fill k
+    fetch_k = k * max(1, int(oversample)) if m["where"] else k
     if e.kind == "ivf":
         from lantern_spark.operators.index import IVFIndex
 
         idx = IVFIndex.load(e.index_path)
         cand = idx.search(
-            spark, query, k=k, nprobe=e.params["nprobe"]
+            spark, query, k=fetch_k, nprobe=e.params["nprobe"]
         )
         id_col = idx.manifest.id_column
     elif e.kind == "hnsw":
         from lantern_spark.operators.hnsw import HNSWIndex
 
         idx = HNSWIndex.load(e.index_path)
-        cand = idx.search(spark, query, k=k, ef=e.params["ef"])
+        cand = idx.search(spark, query, k=fetch_k, ef=e.params["ef"])
         id_col = idx.manifest["id_column"]
     elif e.kind == "ivf_pq":
         # the ADC tier routinely wins at scale (review r7 #2: this
@@ -368,7 +388,7 @@ def routed_sql(
 
         idx = IVFIndex.load(e.index_path)
         cand = idx.search_adc(
-            spark, query, k=k, nprobe=e.params["nprobe"],
+            spark, query, k=fetch_k, nprobe=e.params["nprobe"],
             oversample=e.params.get("oversample", 4),
         )
         id_col = idx.manifest.id_column
@@ -377,7 +397,7 @@ def routed_sql(
 
         hyb = IVFGraphIndex.load(e.index_path)
         cand = hyb.search(
-            spark, query, k=k, nprobe=e.params["nprobe"],
+            spark, query, k=fetch_k, nprobe=e.params["nprobe"],
             ef=e.params["ef"],
         )
         id_col = hyb.ivf.manifest.id_column
@@ -385,7 +405,7 @@ def routed_sql(
         raise ValueError(
             f"routed_sql: unknown catalog entry kind {e.kind!r}"
         )
-    ids = [r[0] for r in cand.select(id_col).collect()]  # ≤ k rows
+    ids = [r[0] for r in cand.select(id_col).collect()]  # ≤ fetch_k rows
     view = f"{table}__ann_candidates"
     df.filter(df[id_col].isin(ids)).createOrReplaceTempView(view)
     start, end = m["table_span"]

@@ -214,6 +214,72 @@ class TestRoute:
 # end-to-end dispatch
 # ----------------------------------------------------------------------
 
+class TestDeltaAwareRoute:
+    """Review r7 item 4: the router must price the unfolded delta —
+    every index path brute-force scans it per query — and hint 'fold
+    first' when that term dominates."""
+
+    def test_large_unfolded_delta_flips_decision_and_fold_flips_back(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.plans.router import (
+            estimate_ivf_tuples,
+            unfolded_delta_rows,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        )
+        n = emb.count()
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "ivf"),
+            metric="l2sq", nlist=8, seed=42,
+        )
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        cat.register_ivf(idx, "embeddings", nprobe=1, recall_estimate=0.99)
+
+        base = estimate_ivf_tuples(n, 8, 1)
+        d0 = route(cat, "embeddings", "embedding", "l2sq", n)
+        # formula pin: no delta -> the bare reference estimate
+        assert d0.access_path == "ivf" and d0.est_tuples == base
+        assert d0.hints == []
+
+        # append a delta LARGER than the corpus: the per-query
+        # brute-force delta scan now swamps the index path
+        delta = emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        idx.add_delta(delta)
+        idx.add_delta(
+            delta.select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+            )
+        )
+        dr = unfolded_delta_rows(idx.path)
+        assert dr == 2 * n  # footer-stats count is exact here
+        d1 = route(cat, "embeddings", "embedding", "l2sq", n)
+        # formula pin: est = base + delta rows, and exact now wins
+        ivf_cand = [c for c in d1.candidates if c[0] == "ivf"][0]
+        assert ivf_cand[1] == base + dr
+        assert d1.access_path == "exact"
+        assert any("fold first" in h for h in d1.hints)
+
+        # folding clears the watermarked delta -> decision flips back
+        idx.fold_delta(spark)
+        assert unfolded_delta_rows(idx.path) == 0
+        d2 = route(cat, "embeddings", "embedding", "l2sq", n)
+        assert d2.access_path == "ivf" and d2.est_tuples == base
+        assert d2.hints == []
+
+    def test_missing_artifact_counts_zero(self):
+        from lantern_spark.plans.router import unfolded_delta_rows
+
+        assert unfolded_delta_rows("/nonexistent/index/path") == 0
+
+
 class TestAnnSearchDispatch:
     @pytest.fixture(scope="class")
     def emb(self, spark):

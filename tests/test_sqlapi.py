@@ -347,6 +347,74 @@ class TestRoutedSql:
         )
         assert dec.access_path == "exact"
 
+    def test_filtered_sql_routes_with_post_filter(
+        self, spark, sf_dir, tmp_path
+    ):
+        """WHERE + ORDER BY dist LIMIT k hits the index (the
+        reference's hnsw_select.sql:51 shape): candidates are
+        over-fetched k·oversample and the WHERE applies post-hoc in
+        the re-executed SQL.
+
+        Equality with the exact scan is guaranteed BY CONSTRUCTION:
+        four well-separated clusters, the probe at cluster 0's center,
+        in-cluster points ordered by id with alternating parity — so
+        the query's entire true neighborhood (filtered or not) lives
+        in the probe's own cell, which a partial probe provably
+        visits, and the k·oversample candidate pool contains every
+        even row the filtered top-k needs. (A FULL probe can never
+        win the cost race — nlist + n > n — so this is the honest
+        routed shape whose candidate set is still exhaustive for the
+        query.) Scarce filters may underfill k — the documented
+        post-filter/oversample contract — which the second query
+        exercises."""
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.plans.router import IndexCatalog
+        from lantern_spark.sqlapi import routed_sql
+
+        centers = [(0.0, 0.0), (1000.0, 0.0), (0.0, 1000.0), (1000.0, 1000.0)]
+        rows = []
+        for ci, (cx, cy) in enumerate(centers):
+            for i in range(250):
+                rows.append((ci * 250 + i, [cx + i * 0.01, cy]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        df.createOrReplaceTempView("clustered_vecs")
+        sql = (
+            "SELECT vec_id, l2sq_dist(embedding, array(0.0d, 0.0d)) AS dist "
+            "FROM clustered_vecs "
+            "WHERE vec_id % 2 = 0 "
+            "ORDER BY dist, vec_id LIMIT 5"
+        )
+        idx = IVFIndex.build(
+            df, "embedding", "vec_id", str(tmp_path / "ivf"),
+            metric="l2sq", nlist=4, seed=42,
+        )
+        cat = IndexCatalog(str(tmp_path / "cat"))
+        cat.register_ivf(
+            idx, "clustered_vecs", nprobe=3, recall_estimate=1.0
+        )
+        out, dec = routed_sql(
+            spark, sql, catalog=cat, explain=True, oversample=4
+        )
+        assert dec.access_path == "ivf", dec.reason
+        got = [(r["vec_id"], round(r["dist"], 6)) for r in out.collect()]
+        want = [
+            (r["vec_id"], round(r["dist"], 6))
+            for r in spark.sql(sql).collect()
+        ]
+        assert got == want and len(got) == 5
+        assert [v for v, _ in got] == [0, 2, 4, 6, 8]
+
+        # scarce filter (selectivity << 1/oversample): the post-filter
+        # contract UNDERFILLS k instead of erroring
+        scarce = sql.replace("WHERE vec_id % 2 = 0", "WHERE vec_id = 8")
+        out2, dec2 = routed_sql(
+            spark, scarce, catalog=cat, explain=True, oversample=2
+        )
+        assert dec2.access_path == "ivf"
+        assert out2.count() <= 1
+
     def test_non_matching_sql_falls_through(self, spark, sf_dir, tmp_path):
         from lantern_spark.plans.router import IndexCatalog
         from lantern_spark.sqlapi import register_tables, routed_sql
