@@ -635,17 +635,20 @@ class HNSWIndex:
 
     def _graph_dirs(self) -> list:
         """Existing graph-row directories: the base build plus the
-        COMMITTED fold shards — epoch dirs are enumerated explicitly
-        up to the manifest's ``fold_epoch``, so a fold shard written
-        just before a crash (manifest never committed) stays invisible
-        until the re-run commits it; otherwise its rows would appear
-        from the shard AND from the still-unfolded delta scan
-        (review r7 #3: the manifest commit must be the cut-over the
-        fold docstring promises)."""
+        LIVE fold shards — epoch dirs are enumerated explicitly from
+        ``fold_epoch_base`` (exclusive; epochs at or below it were
+        merged away by a fold compaction and are superseded) up to the
+        manifest's ``fold_epoch``, so a fold shard written just before
+        a crash (manifest never committed) stays invisible until the
+        re-run commits it; otherwise its rows would appear from the
+        shard AND from the still-unfolded delta scan (review r7 #3:
+        the manifest commit must be the cut-over the fold docstring
+        promises)."""
         dirs = [os.path.join(self.path, "graphs")]
         committed = int(self.manifest.get("fold_epoch", 0))
+        base = int(self.manifest.get("fold_epoch_base", 0))
         fold = os.path.join(self.path, "graphs_delta")
-        for e in range(1, committed + 1):
+        for e in range(base + 1, committed + 1):
             dirs.append(os.path.join(fold, f"fold_epoch={e}"))
         return [d for d in dirs if os.path.isdir(d)]
 
@@ -697,7 +700,81 @@ class HNSWIndex:
             return None
         return d
 
-    def fold_delta(self, spark: SparkSession) -> "HNSWIndex":
+    def _live_fold_rows(self, spark: SparkSession):
+        """(id, vector) rows held by the LIVE fold shards (epochs in
+        (fold_epoch_base, fold_epoch]), or None when there are none —
+        the compaction input. Quantized builds read the EXACT
+        originals from the vectors heap (fold appends carry their
+        ``__fold_epoch``); f32 builds dump the fold-shard payloads,
+        which are exact by construction."""
+        mf = self.manifest
+        base = int(mf.get("fold_epoch_base", 0))
+        cur = int(mf.get("fold_epoch", 0))
+        if cur <= base:
+            return None
+        vec_sql = (
+            "array<int>" if mf["metric"] == "hamming" else "array<float>"
+        )
+        vec_spark = T.ArrayType(
+            T.IntegerType() if mf["metric"] == "hamming" else T.FloatType()
+        )
+        id_col, col = mf["id_column"], mf["column"]
+        vec_path = os.path.join(self.path, "vectors")
+        if os.path.isdir(vec_path):
+            heap = spark.read.option("mergeSchema", "true").parquet(vec_path)
+            if "__fold_epoch" not in heap.columns:
+                return None
+            # Invariant: every positive-epoch heap row with epoch ≤
+            # the COMMITTED fold_epoch lives in exactly one live fold
+            # shard (folds append, compactions merge — neither drops),
+            # so the live-fold content is epochs (0, cur] regardless
+            # of fold_epoch_base (a compacted shard carries rows whose
+            # heap epochs PREDATE the base — filtering at > base would
+            # silently drop them from the next compaction). Bounded
+            # ABOVE at cur: the in-flight fold appends its delta
+            # originals at epoch cur+1 BEFORE reading this (and a
+            # crashed prior attempt may have left epoch cur+1 rows) —
+            # including them would duplicate the delta in the shard.
+            ep = F.coalesce(F.col("__fold_epoch"), F.lit(0))
+            return heap.filter((ep > 0) & (ep <= cur)).select(
+                F.col(id_col).cast("long").alias(id_col),
+                F.col(col).cast(vec_sql).alias(col),
+            )
+        dirs = [
+            os.path.join(self.path, "graphs_delta", f"fold_epoch={e}")
+            for e in range(base + 1, cur + 1)
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return None
+        g = spark.read.parquet(dirs[0]).select("shard_id", "n", "payload")
+        for d in dirs[1:]:
+            g = g.unionByName(
+                spark.read.parquet(d).select("shard_id", "n", "payload")
+            )
+        schema = T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(col, vec_spark),
+            ]
+        )
+
+        def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for payload in pdf["payload"]:
+                    gr = HnswGraph.from_payload(bytes(payload))
+                    yield pd.DataFrame(
+                        {
+                            id_col: gr.ids,
+                            col: [v.tolist() for v in gr.vectors()],
+                        }
+                    )
+
+        return g.mapInPandas(dump, schema)
+
+    def fold_delta(
+        self, spark: SparkSession, max_fold_shards: int = 8
+    ) -> "HNSWIndex":
         """Incremental reindex: promote the delta set into ONE new
         graph shard instead of brute-force scanning it on every query
         — the 100 TB maintenance path (a full :meth:`rebuild` rewrites
@@ -705,12 +782,27 @@ class HNSWIndex:
         reference's aminsert likewise grows the existing structure,
         insert.c). Mirrors :meth:`IVFIndex.fold_delta`.
 
+        ``max_fold_shards`` bounds fold-shard accumulation (review r7
+        item 5: every fold adds one sealed shard, and each live shard
+        adds per-query deserialize+walk cost — unbounded under a
+        steady stream of small folds). Once the live fold-shard count
+        reaches the cap, the fold COMPACTS: the new delta merges with
+        every live fold shard's rows into ONE fresh shard and the old
+        fold epochs are superseded (``fold_epoch_base`` in the
+        manifest — the LSM-compaction analog; base shards are never
+        touched, so the write is still O(folded data), not O(corpus)).
+        Live shards therefore never exceed ``base + max_fold_shards``.
+        Pass ``max_fold_shards=0`` to force compaction on every fold.
+
         The fold shard lands under ``graphs_delta/fold_epoch=N/`` via
-        dynamic partition overwrite with a deterministic shard id, and
-        the manifest commit (fold_epoch, folded_seq watermark, shards)
-        is the atomic cut-over — a crash anywhere re-runs to the same
-        bytes, and rows at-or-below the watermark are invisible to
-        search even if the delta-dir cleanup never happened.
+        dynamic partition overwrite with a deterministic shard id
+        (monotonic ``next_shard_id`` counter — never reused, so f32
+        payload dumps keep their shard-id-orders-recency property),
+        and the manifest commit (fold_epoch, fold_epoch_base,
+        folded_seq watermark, shards) is the atomic cut-over — a crash
+        anywhere re-runs to the same bytes, and rows at-or-below the
+        watermark are invisible to search even if the delta-dir
+        cleanup never happened.
 
         Contract: the add-only contract of :meth:`add_delta` (an id
         already in a graph shard would DUPLICATE after folding —
@@ -744,8 +836,16 @@ class HNSWIndex:
         if not agg["n"]:
             return self
         max_seq = int(agg["mx"])
-        epoch = int(mf.get("fold_epoch", 0)) + 1
-        sid = int(mf["shards"])  # deterministic across crash re-runs
+        old_epoch = int(mf.get("fold_epoch", 0))
+        old_base = int(mf.get("fold_epoch_base", 0))
+        live_folds = old_epoch - old_base
+        compact = (
+            max_fold_shards is not None and live_folds >= max_fold_shards
+        )
+        epoch = old_epoch + 1
+        # monotonic, never-reused shard id (deterministic across crash
+        # re-runs: derived from the committed manifest)
+        sid = int(mf.get("next_shard_id", mf["shards"]))
         qval = mf.get("quant", "f32")
         if qval != "f32":
             # quantized graphs are lossy — delta originals join the
@@ -753,7 +853,9 @@ class HNSWIndex:
             # ordering contract; duplicate appends after a crash are
             # deduped by rebuild's id rule). __fold_epoch orders heap
             # copies by recency (base rows read NULL → 0), so a folded
-            # UPDATE beats its stale base copy at rebuild.
+            # UPDATE beats its stale base copy at rebuild. Compaction
+            # appends NOTHING extra: the merged fold rows already live
+            # in the heap from their own fold's append.
             rows.select(mf["id_column"], mf["column"]).withColumn(
                 "__fold_epoch", F.lit(epoch).cast("long")
             ).write.mode("append").parquet(
@@ -779,8 +881,13 @@ class HNSWIndex:
                 pq_s, pq_c, max_payload,
             )
 
+        fold_input = rows.select(id_col, col)
+        if compact:
+            merged = self._live_fold_rows(spark)
+            if merged is not None:
+                fold_input = fold_input.unionByName(merged)
         out = (
-            rows.select(id_col, col)
+            fold_input
             .repartition(1)
             .mapInPandas(build_fold, _GRAPH_SCHEMA)
             .withColumn("fold_epoch", F.lit(epoch))
@@ -794,18 +901,33 @@ class HNSWIndex:
             )
         finally:
             spark.conf.set(conf_key, old_mode)
-        # commit point: watermark + shard registration land together
+        # commit point: watermark + shard registration + (on compact)
+        # the epoch-base cut-over land together
         mf["fold_epoch"] = epoch
         mf["folded_seq"] = max_seq
-        mf["shards"] = sid + 1
+        mf["next_shard_id"] = sid + 1
+        if compact:
+            mf["fold_epoch_base"] = old_epoch
+            mf["shards"] = int(mf["shards"]) - live_folds + 1
+        else:
+            mf["shards"] = int(mf["shards"]) + 1
         with open(os.path.join(self.path, "manifest.json"), "w") as fh:
             json.dump(mf, fh)
-        # best-effort cleanup — rows ≤ folded_seq are invisible anyway
+        # best-effort cleanup — rows ≤ folded_seq are invisible anyway,
+        # and superseded fold-epoch dirs are unreachable via _graph_dirs
         import shutil
 
         shutil.rmtree(
             os.path.join(self.path, "delta"), ignore_errors=True
         )
+        if compact:
+            for e in range(old_base + 1, old_epoch + 1):
+                shutil.rmtree(
+                    os.path.join(
+                        self.path, "graphs_delta", f"fold_epoch={e}"
+                    ),
+                    ignore_errors=True,
+                )
         return self
 
     def add_delta(self, df: DataFrame) -> None:

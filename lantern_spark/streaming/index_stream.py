@@ -39,6 +39,7 @@ def incremental_index_job(
     rebuild_path: Optional[str] = None,
     max_files_per_trigger: int = 4,
     fold_threshold_rows: Optional[int] = None,
+    max_fold_shards: int = 8,
 ):
     """Start a stream appending new source rows to ``index``'s delta.
 
@@ -55,7 +56,17 @@ def incremental_index_job(
     the structure. Fold runs BEFORE the rebuild check each batch, and
     the rebuild threshold counts TOTAL ingested-since-rebuild rows
     (``state["ingested"]``) — folded rows leave the delta dir, but
-    they still age the structure toward retraining."""
+    they still age the structure toward retraining.
+
+    ``max_fold_shards`` (r8) bounds fold-shard accumulation for
+    shard-appending indexes (HNSW): a steady stream of small folds
+    would otherwise grow the live shard set — and per-query
+    deserialize+walk cost — without bound until the rebuild tier
+    fires. Passed through to ``fold_delta`` when the index's fold
+    supports it (IVF folds rewrite partitions in place and need no
+    cap)."""
+    import inspect
+
     state = {"index": index, "rebuilds": 0, "folds": 0, "ingested": 0}
 
     stream = (
@@ -73,7 +84,14 @@ def incremental_index_job(
             if _path_has_parquet(delta_path):
                 n = spark.read.parquet(delta_path).count()
                 if n >= fold_threshold_rows:
-                    idx.fold_delta(spark)
+                    if "max_fold_shards" in inspect.signature(
+                        idx.fold_delta
+                    ).parameters:
+                        idx.fold_delta(
+                            spark, max_fold_shards=max_fold_shards
+                        )
+                    else:
+                        idx.fold_delta(spark)
                     state["folds"] += 1
         if rebuild_threshold_rows and state["ingested"] >= rebuild_threshold_rows:
             new_path = rebuild_path or idx.path + f"_r{state['rebuilds'] + 1}"

@@ -812,6 +812,100 @@ class TestHnswFoldDelta:
         assert top["vec_id"] == 460
 
 
+class TestHnswFoldCompaction:
+    """Review r7 item 5: repeated small folds must not grow the live
+    shard set — and per-query deserialize+walk cost — without bound.
+    fold_delta(max_fold_shards=) compacts the live fold shards with
+    the incoming delta into ONE shard (the LSM analog), superseding
+    the old fold epochs via fold_epoch_base."""
+
+    def _build(self, spark, emb, path, **kw):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        return HNSWIndex.build(
+            emb.filter("vec_id < 400"), "embedding", "vec_id", path,
+            m=8, ef_construction=40, shards=2, seed=42, **kw,
+        )
+
+    def test_shard_count_bounded_under_many_folds(
+        self, spark, emb, tmp_path
+    ):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        idx = self._build(spark, emb, str(tmp_path / "h"))
+        cap = 3
+        folded_ids = []
+        for i in range(9):
+            vid = 400 + i
+            idx.add_delta(emb.filter(f"vec_id = {vid}"))
+            idx.fold_delta(spark, max_fold_shards=cap)
+            folded_ids.append(vid)
+            live = (
+                int(idx.manifest["fold_epoch"])
+                - int(idx.manifest.get("fold_epoch_base", 0))
+            )
+            assert live <= cap, f"fold {i}: {live} live folds > cap"
+            assert idx.manifest["shards"] <= 2 + cap
+        # search cost bounded: the per-query walk touches exactly the
+        # live shards, never the superseded epochs
+        probe = [
+            float(x)
+            for x in emb.filter("vec_id = 404").first()["embedding"]
+        ]
+        stats = idx.search(
+            spark, probe, k=3, ef=64, with_stats=True, limit_result=False
+        ).collect()
+        assert len({r["shard_id"] for r in stats}) == idx.manifest["shards"]
+        # every folded id is still retrievable (its own vector at 0)
+        for vid in folded_ids:
+            p = [
+                float(x)
+                for x in emb.filter(f"vec_id = {vid}").first()["embedding"]
+            ]
+            assert idx.search(spark, p, k=1, ef=64).first()["vec_id"] == vid
+        v = idx.validate(spark)  # strict: no duplicate ids anywhere
+        assert not v["violations"] and v["shards"] == idx.manifest["shards"]
+        # fold+compact ≡ rebuild content: same (id, vector) multiset
+        re = idx.rebuild(spark, str(tmp_path / "h2"))
+        want = sorted(
+            (r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]))
+            for r in re._all_rows(spark).collect()
+        )
+        got = sorted(
+            (r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]))
+            for r in HNSWIndex.load(str(tmp_path / "h"))
+            ._all_rows(spark)
+            .collect()
+        )
+        assert got == want
+
+    def test_quantized_compaction_keeps_early_fold_rows(
+        self, spark, emb, tmp_path
+    ):
+        """The heap-epoch invariant across REPEATED compactions: a
+        compacted shard carries rows whose heap epochs predate
+        fold_epoch_base — the merge input is heap epochs (0, cur],
+        not (base, cur] (which silently dropped fold-1 rows from the
+        second compaction)."""
+        idx = self._build(spark, emb, str(tmp_path / "h"), quant="i8")
+        for i in range(4):
+            vid = 400 + i
+            idx.add_delta(emb.filter(f"vec_id = {vid}"))
+            idx.fold_delta(spark, max_fold_shards=1)
+        assert int(idx.manifest.get("fold_epoch_base", 0)) >= 1
+        assert idx.manifest["shards"] == 3  # 2 base + 1 compacted
+        for i in range(4):
+            vid = 400 + i
+            p = [
+                float(x)
+                for x in emb.filter(f"vec_id = {vid}").first()["embedding"]
+            ]
+            got = idx.search(spark, p, k=1, ef=64).first()
+            assert got["vec_id"] == vid, f"fold-{i} row lost by compaction"
+        v = idx.validate(spark)
+        assert not v["violations"]
+
+
 class TestFoldDeltaReviewFixes:
     """Regression pins for the r7 review findings on IVF fold_delta."""
 
