@@ -31,7 +31,7 @@ HEADLINE = [
     "weighted_search_approx",
     "sq_b1_hamming_top10",
     "ivf_delta_tombstone_top10",
-    "vector_arithmetic",
+    "maxsim_top10",
     "ivf_fullprobe_top10",
     "ivf_pruned_top10",
     "ivf_filtered_top5",
@@ -538,24 +538,86 @@ def main() -> None:
     except Exception as e:
         print(f"# bench quality FAILED: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                # estimator provenance (r6 VERDICT item 4): per-query
-                # value = min over `runs_per_query` runs; `runs` holds
-                # every raw sample so the spread is auditable. Builds
-                # are single-run (one-time costs; repeats hit caches).
-                "runs_per_query": 2,
-                "runs": raw_runs,
-                "quality": quality,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        # estimator provenance (r6 VERDICT item 4): per-query value =
+        # min over `runs_per_query` runs; `runs` holds every raw
+        # sample so the spread is auditable. Builds are single-run
+        # (one-time costs; repeats hit caches).
+        "runs_per_query": 2,
+        "estimator": "min_of_runs",
+        # methodology provenance (r7 VERDICT item 3/6): estimator or
+        # warmup changes shift cross-round comparability, so they bump
+        # this and are machine-visible. History: v1 = r1-r5 (single
+        # run, session-only warmup); v2 = r6 (min-of-2 estimator);
+        # v3 = r7 (untimed pandas-UDF + partitioned-write-committer
+        # warmup absorbing ~5 s of first-use cost that previously
+        # landed inside build:ivf_pq_index).
+        "warmup_version": 3,
+        "runs": raw_runs,
+        "quality": quality,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full payload (raw samples included) → BENCH_FULL.json next to
+    # this script. The stdout line must stay SHORT: the driver records
+    # only the last ~2000 chars of stdout, and r7's line outgrew that
+    # (the headline total became unrecoverable from BENCH_r07.json —
+    # VERDICT r7 item 6). Progressive trimming below guarantees the
+    # printed line parses; nothing is lost — the full file keeps every
+    # field at full precision.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as e:
+        print(f"# bench could not write BENCH_FULL.json: {e}", file=sys.stderr)
+    line = {k: v for k, v in payload.items() if k != "runs"}
+    line["full"] = "BENCH_FULL.json"
+    budget = 1950
+
+    def _dump(d):
+        return json.dumps(d, separators=(",", ":"))
+
+    s = _dump(line)
+    if len(s) > budget:  # timings to 2 decimals (noise floor is ~0.1s)
+        line["queries"] = {
+            k: round(v, 2) for k, v in line["queries"].items()
+        }
+        line["quality"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in line["quality"].items()
+        }
+        s = _dump(line)
+    if len(s) > budget:
+        # "queries" is the driver contract — quality detail yields
+        # first: keep the headline quality numbers, point at the full
+        # file for the rest
+        keep = (
+            "fixture_rows ivf_nlist ivf_nprobe ivf_recall_at10 "
+            "ivf_scan_fraction ivf_recall_at10_nprobe1 hnsw_recall_at10 "
+            "hnsw_scan_fraction ivf_pq_recall_at10 "
+            "ivf_pq_byte_scan_fraction router_path router_nat_path "
+            "ivf_fold_clustered_s ivf_fold_scattered_s ivf_rebuild_s "
+            "hnsw_fold_s hnsw_rebuild_s"
+        ).split()
+        line["quality"] = {
+            k: v for k, v in line["quality"].items() if k in keep
+        }
+        line["quality_full"] = "BENCH_FULL.json"
+        s = _dump(line)
+    if len(s) > budget:  # still over: quality entirely in the file
+        line.pop("quality", None)
+        s = _dump(line)
+    if len(s) > budget:  # pathological; never expected
+        line.pop("queries", None)
+        line["queries_file"] = "BENCH_FULL.json"
+        s = _dump(line)
+    print(s)
     spark.stop()
 
 

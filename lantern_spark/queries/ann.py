@@ -259,3 +259,65 @@ def ivf_filtered_top5(spark, sf_dir):
         round_digits=6,
     )
     return out.select("vec_id", "label", "dist").orderBy("dist", "vec_id")
+
+
+# --- late-interaction (ColBERT MaxSim) retrieval -----------------------
+
+def _maxsim_q_sql() -> str:
+    return ", ".join(
+        "[" + ",".join(repr(float(x)) for x in q) + "]::DOUBLE[]"
+        for q in (Q64, Q64_B)
+    )
+
+
+@register(
+    "maxsim_top10",
+    f"""
+    WITH d AS (
+      SELECT label::BIGINT * 100 + vec_id % 50 AS doc_id,
+             list(embedding::DOUBLE[] ORDER BY vec_id) AS tokens
+      FROM embeddings GROUP BY 1
+    ), s AS (
+      SELECT doc_id,
+             round(list_sum(list_transform([{_maxsim_q_sql()}], q ->
+               list_max(list_transform(tokens, t ->
+                 list_sum(list_transform(list_zip(q, t),
+                                         p -> p[1]*p[2])))))), 6) AS score
+      FROM d
+    )
+    SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def maxsim_top10(spark, sf_dir):
+    """Late-interaction retrieval (operators/maxsim, arXiv:2004.12832):
+    documents are bags of token embeddings — here sharded
+    deterministically off the embeddings table (doc = (label, vec_id %
+    50), tokens = member embeddings in vec_id order, a construction
+    both engines express identically) — scored Σ_q max_t q·t with a
+    two-token query bag, top-10 by (rounded score desc, doc_id). The
+    scoring kernel is ONE BLAS matmul per doc inside an Arrow UDF
+    (map-only; bags stay with rows, no per-token shuffle) and the
+    oracle replays the same arithmetic in DuckDB list functions.
+    Promoted to the roster in r8 (VERDICT r7 item 7) in
+    vector_arithmetic's slot — see COVERAGE.md for the swap rationale."""
+    from lantern_spark.operators.maxsim import maxsim_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bags = (
+        emb.groupBy(
+            (F.col("label").cast("long") * 100 + F.col("vec_id") % 50)
+            .alias("doc_id")
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("s")
+        )
+        .select(
+            "doc_id",
+            F.transform("s", lambda x: x["embedding"]).alias("tokens"),
+        )
+    )
+    return maxsim_search(
+        bags, "tokens", "doc_id", [Q64, Q64_B], k=10, round_digits=6
+    )

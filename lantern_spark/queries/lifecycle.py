@@ -1,6 +1,6 @@
 """Registered queries: weighted approx search, binary-quantized hamming
-search, index delta+tombstone lifecycle, vector arithmetic (SURVEY
-§2.C/§2.D/§2.G parity)."""
+search, index delta+tombstone lifecycle, text→embed→search pipeline
+(SURVEY §2.C/§2.D/§2.G parity)."""
 
 from __future__ import annotations
 
@@ -8,14 +8,6 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from lantern_spark.functions.distances import hamming_dist
-from lantern_spark.functions.vectors import (
-    vec_add,
-    vec_dot,
-    vec_lit,
-    vec_norm,
-    vec_scale,
-)
 from lantern_spark.operators.knn import weighted_vector_search
 from lantern_spark.operators.pq import sq_encode_b1
 from lantern_spark.queries.common import (
@@ -230,30 +222,12 @@ def ivf_delta_tombstone_top10(spark, sf_dir):
 
 # --- vector arithmetic (pgvector-interop op surface) -------------------
 
-@register(
-    "vector_arithmetic",
-    f"""
-    SELECT vec_id,
-           round(sqrt(list_sum(list_transform(
-             list_transform(list_zip(embedding::DOUBLE[], {_QLB}),
-                            x -> x[1] + 0.5 * x[2]), y -> y*y))), 6) AS norm_mix,
-           round(list_sum(list_transform(list_zip(embedding::DOUBLE[], {_QLB}),
-                            x -> x[1] * x[2])), 6) AS dot_qb
-    FROM embeddings
-    """,
-)
-def vector_arithmetic(spark, sf_dir):
-    """Element-wise vector ops as column exprs (the pgvector-interop
-    arithmetic surface): ‖v + 0.5·q‖ and v·q per row."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qb = vec_lit(Q64_B)
-    return emb.select(
-        "vec_id",
-        F.round(vec_norm(vec_add("embedding", vec_scale(qb, 0.5))), 6).alias(
-            "norm_mix"
-        ),
-        F.round(vec_dot("embedding", qb), 6).alias("dot_qb"),
-    )
+# vector_arithmetic was retired from the roster in r8 to stay at the
+# driver's 50-query cap while promoting `maxsim_top10` (VERDICT r7
+# item 7): its vec_add/vec_scale/vec_norm/vec_dot exprs are exercised
+# hash-green through the four distance queries and the SQL-surface
+# parity suite (test_sqlapi.TestVectorAlgebraParity pins every op on
+# both surfaces). Rationale in COVERAGE.md.
 
 
 # --- pipeline composition: text → embed → search -----------------------
