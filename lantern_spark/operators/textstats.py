@@ -255,6 +255,16 @@ def repetition_stats(df, text_col: str, id_col: str):
 # are deliberately restricted to the regex intersection of Java
 # (Spark's engine) and RE2 (DuckDB / Go tooling): no backreferences,
 # no lookaround — so the scrub replays byte-identically cross-engine.
+#
+# Known dialect frontier (r8, hypothesis-found, pinned in
+# test_properties.py): the engines disagree on \b ONLY where a
+# non-ASCII word character directly abuts ASCII PII — Java's \b sees
+# no boundary in '0.0.0.0٠' (U+0660 is a word char there) and
+# conservatively skips it, while ASCII-\b engines (RE2, Python
+# re.ASCII) would redact. The byte-identical contract therefore holds
+# for text whose PII-ADJACENT characters are ASCII; PII followed by
+# e.g. Arabic-Indic digits is left unredacted by this engine (it is
+# not a cleanly-delimited token).
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),

@@ -307,13 +307,22 @@ class TestBpeProperties:
 class TestPIIProperties:
     """redact_pii/pii_count invariants over generated PII-bearing text."""
 
+    # [0-9], NOT \d: hypothesis's from_regex uses Python re semantics
+    # where \d includes Unicode digits (it generated '0.0.0.0٠' with
+    # an Arabic-Indic zero), which is outside the ASCII dialect the
+    # PII patterns are written for — and the engines genuinely
+    # diverge at that frontier (see
+    # test_unicode_digit_frontier_is_conservative).
     _pii_gen = st.lists(
         st.one_of(
             st.from_regex(r"[a-z]{1,8}", fullmatch=True),
             st.from_regex(r"[a-z]{2,6}@[a-z]{2,6}\.(com|org|io)", fullmatch=True),
-            st.from_regex(r"\d{3}-\d{2}-\d{4}", fullmatch=True),
-            st.from_regex(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", fullmatch=True),
-            st.from_regex(r"\(\d{3}\) \d{3}-\d{4}", fullmatch=True),
+            st.from_regex(r"[0-9]{3}-[0-9]{2}-[0-9]{4}", fullmatch=True),
+            st.from_regex(
+                r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+                fullmatch=True,
+            ),
+            st.from_regex(r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}", fullmatch=True),
         ),
         min_size=1,
         max_size=8,
@@ -367,6 +376,30 @@ class TestPIIProperties:
             c1.count(f"<{kind.upper()}>") for kind, _ in PII_PATTERNS
         )
         assert placeholders == n
+
+    def test_unicode_digit_frontier_is_conservative(self, spark):
+        """Documented engine-frontier pin (hypothesis found this): when
+        a Unicode word character (here U+0660, Arabic-Indic zero)
+        directly abuts ASCII PII, Java's \\b sees NO boundary — the
+        engine conservatively does NOT redact '0.0.0.0٠' (it is not a
+        cleanly-delimited IPv4 token) — while an ASCII-\\b engine
+        (Python re.ASCII, RE2) would. The cross-engine byte-identical
+        contract therefore holds for text whose PII-adjacent
+        characters are ASCII (the PII_PATTERNS docstring's dialect);
+        this pin fails if the engine's behavior ever drifts."""
+        from lantern_spark.operators.textstats import pii_count, redact_pii
+
+        s = "a 0.0.0.0٠ but 1.2.3.4 redacts"
+        row = (
+            spark.createDataFrame([(s,)], "t string")
+            .select(
+                redact_pii("t").alias("c"),
+                pii_count("t").cast("long").alias("n"),
+            )
+            .first()
+        )
+        assert row["c"] == "a 0.0.0.0٠ but <IPV4> redacts"
+        assert row["n"] == 1
 
 
 class TestSemanticDedupProperties:
