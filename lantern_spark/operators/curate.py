@@ -87,6 +87,14 @@ class CurationConfig:
     # None disables; "corpus" or "doc" selects the scope.
     line_dedup_scope: Optional[str] = None
     line_dedup_min_chars: int = 16
+    # optional URL stages (r8, operators/weburl — RefinedWeb/C4 run
+    # these FIRST: one string key per row, no content reads): a url
+    # column enables them; blocked_domains applies the C4-style
+    # registered-domain blocklist (subdomain-inclusive), url_dedup
+    # keeps each normalized URL's first occurrence.
+    url_col: Optional[str] = None
+    blocked_domains: Optional[list] = None
+    url_dedup: bool = False
 
 
 def curate_corpus(
@@ -110,6 +118,20 @@ def curate_corpus(
         return frame
 
     out = note("input", df)
+
+    # URL stages run FIRST (RefinedWeb's order): they key on one short
+    # string per row, so dropping here saves every later content read
+    if cfg.url_col is not None and cfg.blocked_domains:
+        from lantern_spark.operators.weburl import filter_domain_blocklist
+
+        out = note(
+            "url_blocklist",
+            filter_domain_blocklist(out, cfg.url_col, cfg.blocked_domains),
+        )
+    if cfg.url_col is not None and cfg.url_dedup:
+        from lantern_spark.operators.weburl import url_dedup
+
+        out = note("url_dedup", url_dedup(out, cfg.url_col, id_col))
 
     if cfg.line_dedup_scope is not None:
         from lantern_spark.operators.dedup import line_dedup

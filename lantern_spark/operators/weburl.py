@@ -1,0 +1,219 @@
+"""URL operators for web-corpus pipelines.
+
+North-star extensions: every major web pre-training corpus curates by
+URL — C4 filtered on a blocklist of domains, RefinedWeb/FineWeb
+URL-dedup before content dedup (the cheapest dedup tier: one string
+key per document, no content reads), and all of them normalize first
+so `HTTP://Example.com/a?utm_source=x` and `http://example.com/a`
+collapse.
+
+Spark-first shape: every operator is a PURE column expression
+(whole-stage codegen, map-only at any scale, no UDF) built from
+regexes in the Java∩RE2 dialect — no backreferences, no lookaround —
+so each step replays in DuckDB SQL (pinned in tests/test_weburl.py).
+URL dedup is the exact-dedup discipline (hash-groupBy on the
+normalized key, never content); blocklist filtering broadcasts.
+
+Scope notes (documented approximations):
+- ``registered_domain`` uses an embedded set of common multi-label
+  public suffixes (co.uk, com.au, …) rather than the full Public
+  Suffix List; a deployment loads the real PSL into the same
+  ``isin`` set — the expression is unchanged.
+- ``normalize_url`` lowercases scheme+host (case-insensitive by RFC
+  3986), preserves path/query case (significant), drops fragments,
+  userinfo, default ports, and the common tracking parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "url_host",
+    "url_scheme",
+    "normalize_url",
+    "registered_domain",
+    "url_dedup",
+    "filter_domain_blocklist",
+    "TRACKING_PARAMS",
+    "MULTI_LABEL_SUFFIXES",
+]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# scheme://[userinfo@]host[:port]  — the authority prefix all the
+# extractors share. Group 1 = scheme, group 2 = host[:port].
+_AUTH_RX = r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/@?#]*@)?([^/?#]*)"
+
+# Tracking parameters every pipeline strips (Google/Facebook/Mailchimp
+# click ids + the utm_* family). Kept as one alternation so the strip
+# is a single regexp_replace.
+TRACKING_PARAMS = (
+    "utm_[A-Za-z0-9_]+|fbclid|gclid|dclid|msclkid|mc_cid|mc_eid|igshid"
+)
+
+# Common multi-label public suffixes (PSL excerpt): when a host ends
+# in one of these, the registered domain takes THREE labels
+# (bbc.co.uk), not two (co.uk). A deployment swaps in the full PSL.
+MULTI_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "co.in", "net.in", "org.in",
+    "co.nz", "net.nz", "org.nz",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.tw", "com.hk", "com.sg", "com.my",
+    "co.kr", "or.kr", "co.za", "com.mx", "com.ar", "com.tr",
+]
+
+
+def url_scheme(col) -> Column:
+    """Lowercased scheme, '' when the value is not a scheme://-URL."""
+    return F.lower(F.regexp_extract(F.trim(_c(col)), _AUTH_RX, 1))
+
+
+def url_host(col) -> Column:
+    """Lowercased host (no port, no userinfo), '' for non-URLs.
+
+    A trailing dot (``example.com.`` — a rooted FQDN) is dropped so
+    the rooted and unrooted spellings key identically."""
+    hostport = F.lower(F.regexp_extract(F.trim(_c(col)), _AUTH_RX, 2))
+    host = F.regexp_replace(hostport, r":[0-9]*$", "")
+    return F.regexp_replace(host, r"\.$", "")
+
+
+def normalize_url(col, strip_params: Optional[str] = None) -> Column:
+    """Canonical URL key for dedup/joins. Steps (each a documented
+    normalization every major pipeline applies):
+
+    - lowercase scheme and host (RFC 3986: case-insensitive);
+    - drop userinfo (``user:pass@``) and the scheme's default port
+      (http:80 / https:443 — other ports are significant and kept);
+    - drop the fragment (never sent to the server);
+    - strip tracking query parameters (``strip_params`` overrides the
+      :data:`TRACKING_PARAMS` alternation), collapsing the leftover
+      ``?``/``&`` punctuation;
+    - empty path → ``/`` so ``http://a.com`` ≡ ``http://a.com/``.
+
+    Path and remaining-query case is PRESERVED (significant). Values
+    that are not scheme://-URLs pass through trimmed-unchanged —
+    normalization must never manufacture collisions from non-URL
+    junk."""
+    u = F.trim(_c(col))
+    scheme = url_scheme(col)
+    host = url_host(col)
+    hostport = F.lower(F.regexp_extract(u, _AUTH_RX, 2))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    # path + query, fragment dropped (everything after the authority,
+    # up to the first '#')
+    rest = F.regexp_extract(u, _AUTH_RX + r"([^#]*)", 3)
+    pat = strip_params if strip_params is not None else TRACKING_PARAMS
+    # strip tracking params wherever they sit in the query; then
+    # normalize the leftover separators: '?&' -> '?', '&&' runs -> '&',
+    # and a dangling '?' or '&' disappears
+    rest = F.regexp_replace(rest, r"(" + pat + r")=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        rest,
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def registered_domain(col, extra_suffixes: Iterable[str] = ()) -> Column:
+    """eTLD+1 under the embedded suffix set: the last TWO host labels,
+    or three when the last two form a known multi-label public suffix
+    (``bbc.co.uk`` → ``bbc.co.uk``, ``a.b.example.com`` →
+    ``example.com``). Hosts with <2 labels (``localhost``, IPv4
+    literals are 4 numeric labels and pass through the 2-label rule —
+    callers filtering infrastructure hosts should screen those first)
+    return the host unchanged. ``extra_suffixes`` extends the set
+    toward the full PSL."""
+    host = url_host(col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    suffixes = list(MULTI_LABEL_SUFFIXES) + list(extra_suffixes)
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 3) & last2.isin(suffixes), last3)
+        .otherwise(last2)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """First-occurrence-keep dedup on the (normalized) URL — the
+    cheapest dedup tier (RefinedWeb runs it BEFORE any content read:
+    one shuffle on a short string key kills exact re-crawls and
+    tracking-param duplicates). Smallest ``id_col`` wins per key, the
+    repo's deterministic survivor convention. Rows with NULL/empty
+    URLs are kept (no key to collide on).
+
+    Scale: one hash-partitioned window on md5(key) — never content;
+    the key cardinality ≈ corpus size so no skewed-key hazard beyond
+    genuinely mega-duplicated URLs (which this exists to remove)."""
+    key = (
+        normalize_url(url_col) if normalize else F.trim(F.col(url_col))
+    )
+    keyed = df.withColumn("__url_key", F.md5(key))
+    w = Window.partitionBy("__url_key").orderBy(F.col(id_col).asc())
+    out = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn").isNull()
+            | (F.col("__rn") == 1)
+            | F.col(url_col).isNull()
+            | (F.trim(F.col(url_col)) == "")
+        )
+        .drop("__rn", "__url_key")
+    )
+    return out
+
+
+def filter_domain_blocklist(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: Sequence[str],
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop (or keep, with ``keep_blocked=True``) rows whose URL's
+    registered domain is in ``blocked_domains`` — the C4 blocklist
+    filter. Matching is by REGISTERED DOMAIN, so ``ads.example.com``
+    is blocked by ``example.com`` (subdomain-inclusive, the blocklist
+    semantics every pipeline uses).
+
+    ``blocked_domains`` sized like real blocklists (10³-10⁵ entries)
+    compiles into an ``isin`` literal set evaluated JVM-side; for
+    larger lists pass a DataFrame join instead (broadcast) — this
+    helper intentionally takes the common literal path."""
+    dom = registered_domain(url_col)
+    hit = dom.isin([d.lower() for d in blocked_domains])
+    return df.filter(hit if keep_blocked else ~F.coalesce(hit, F.lit(False)))

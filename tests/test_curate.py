@@ -289,3 +289,39 @@ class TestLineDedupStage:
         assert set(rows) == {1}
         assert boiler in rows[1] and good in rows[1]  # first occurrence
         assert rep["line_dedup"] == 2 and rep["heuristics"] == 1
+
+class TestUrlStages:
+    def test_blocklist_and_url_dedup_run_first(self, spark):
+        """URL stages precede every content stage (RefinedWeb's order):
+        a blocked-domain doc and a re-crawled URL both drop without
+        their text ever being scored."""
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+        )
+
+        good = ("the quick brown fox jumps over the lazy dog while the "
+                "bird watches from a branch above the garden gate")
+        df = spark.createDataFrame(
+            [
+                (1, good, "https://example.com/article"),
+                (2, good + " again", "https://ads.spam.com/buy"),
+                (3, good, "HTTPS://EXAMPLE.COM/article?utm_source=x"),
+                (4, good + " four", None),  # NULL url always survives
+            ],
+            "doc_id long, text string, url string",
+        )
+        out, rep = curate_corpus(
+            df, "text", "doc_id",
+            CurationConfig(
+                near_dedup=False, exact_dedup=False,
+                url_col="url", blocked_domains=["spam.com"],
+                url_dedup=True, min_tokens=5,
+            ),
+            report=True,
+        )
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [1, 4]  # 2 blocked, 3 is a re-crawl of 1
+        assert rep["url_blocklist"] == 3
+        assert rep["url_dedup"] == 2
+        assert rep["heuristics"] == 2

@@ -879,6 +879,64 @@ class TestHnswFoldCompaction:
         )
         assert got == want
 
+    def test_compaction_crash_rerun_is_idempotent(
+        self, spark, emb, tmp_path
+    ):
+        """Crash between the compacted-shard write and the manifest
+        commit: the new epoch dir exists but is INVISIBLE (manifest
+        still points at the old epochs), searches keep answering from
+        the old shards + delta, and re-running fold_delta overwrites
+        the orphan dir and commits — same content as an uncrashed
+        run."""
+        import json as _json
+        import os as _os
+
+        idx = self._build(spark, emb, str(tmp_path / "h"))
+        for i in range(2):
+            idx.add_delta(emb.filter(f"vec_id = {400 + i}"))
+            idx.fold_delta(spark)  # live folds: 2 (default cap 8)
+        idx.add_delta(emb.filter("vec_id = 402"))
+
+        # simulate the crash: run the fold (which would compact at
+        # cap=2), then REVERT the manifest to the pre-fold state —
+        # equivalent to dying after the parquet write, before commit
+        mf_path = str(tmp_path / "h" / "manifest.json")
+        with open(mf_path) as fh:
+            pre = fh.read()
+        # stash the delta too (fold's cleanup removes it on success;
+        # a crash before commit leaves it — restore both)
+        import shutil as _sh
+
+        _sh.copytree(str(tmp_path / "h" / "delta"), str(tmp_path / "st"))
+        idx.fold_delta(spark, max_fold_shards=2)
+        post = open(mf_path).read()
+        with open(mf_path, "w") as fh:
+            fh.write(pre)
+        _sh.copytree(str(tmp_path / "st"), str(tmp_path / "h" / "delta"))
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        crashed = HNSWIndex.load(str(tmp_path / "h"))
+        # orphan epoch dir exists but stays invisible pre-commit
+        assert _os.path.isdir(
+            str(tmp_path / "h" / "graphs_delta" / "fold_epoch=3")
+        )
+        assert crashed.manifest["fold_epoch"] == 2
+        p = [
+            float(x)
+            for x in emb.filter("vec_id = 402").first()["embedding"]
+        ]
+        got = crashed.search(spark, p, k=2, ef=64).collect()
+        ids = [r["vec_id"] for r in got]
+        assert ids[0] == 402 and len(set(ids)) == len(ids)
+        # re-run commits to the SAME state as the uncrashed run
+        crashed.fold_delta(spark, max_fold_shards=2)
+        assert open(mf_path).read() == post
+        assert _json.loads(post)["fold_epoch_base"] == 2
+        got2 = crashed.search(spark, p, k=2, ef=64).collect()
+        assert got2[0]["vec_id"] == 402
+        assert not crashed.validate(spark)["violations"]
+
     def test_quantized_compaction_keeps_early_fold_rows(
         self, spark, emb, tmp_path
     ):
