@@ -95,6 +95,15 @@ class CurationConfig:
     url_col: Optional[str] = None
     blocked_domains: Optional[list] = None
     url_dedup: bool = False
+    # optional exact-substring dedup (Lee et al. 2022 "ExactSubstr",
+    # arXiv:2107.06499): remove duplicated runs of >= this many
+    # whitespace tokens, keeping each span's first corpus occurrence
+    # (paper default 50). A REWRITE like line dedup, so it runs with
+    # the rewrite stages BEFORE the heuristics — quality/repetition
+    # scores then see the de-duplicated text. None disables. This is
+    # the one curation stage that shuffles ~one row per corpus token;
+    # enable deliberately.
+    substr_dedup_min_tokens: Optional[int] = None
 
 
 def curate_corpus(
@@ -143,6 +152,17 @@ def curate_corpus(
                 min_chars=cfg.line_dedup_min_chars,
                 scope=cfg.line_dedup_scope,
             ),
+        )
+
+    if cfg.substr_dedup_min_tokens is not None:
+        from lantern_spark.operators.dedup import exact_substring_dedup
+
+        out = note(
+            "substr_dedup",
+            exact_substring_dedup(
+                out, text_col, id_col,
+                min_tokens=cfg.substr_dedup_min_tokens,
+            ).drop("removed_tokens", "removed_spans"),
         )
 
     # 1-3: one fused map-only pass (pure column expressions)

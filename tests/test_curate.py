@@ -325,3 +325,39 @@ class TestUrlStages:
         assert rep["url_blocklist"] == 3
         assert rep["url_dedup"] == 2
         assert rep["heuristics"] == 2
+
+
+class TestSubstrDedupStage:
+    def test_substr_dedup_runs_before_filters(self, spark):
+        """A doc that is mostly a duplicated span must be judged by its
+        POST-dedup token count — proving the rewrite precedes the
+        heuristics, like line dedup."""
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+        )
+
+        span = ("one two three four five six seven eight nine ten "
+                "eleven twelve")
+        df = spark.createDataFrame(
+            [
+                (1, f"{span} and a genuinely original closing sentence"),
+                (2, f"{span} tiny tail"),  # 2 tokens after dedup
+            ],
+            "doc_id long, text string",
+        )
+        out, rep = curate_corpus(
+            df, "text", "doc_id",
+            CurationConfig(
+                near_dedup=False, exact_dedup=False,
+                substr_dedup_min_tokens=6, min_tokens=5,
+                min_quality=0.0,
+            ),
+            report=True,
+        )
+        rows = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert set(rows) == {1}
+        assert span in rows[1]  # first occurrence untouched
+        assert rep["substr_dedup"] == 2 and rep["heuristics"] == 1
+        # audit columns are internal to the stage, not pipeline output
+        assert "removed_tokens" not in out.columns

@@ -342,9 +342,15 @@ class TestSemanticDedup:
 
     def test_blocked_prior_max_equals_full_gram(self):
         """The chunked kernel must produce the full-gram answer
-        exactly (review r8 pin): same BLAS inner products, masked the
-        same way — across block boundaries, with and without
-        rounding."""
+        (review r8 pin), across block boundaries, with and without
+        rounding. BLAS dgemm kernel selection is SHAPE-dependent, so a
+        slab product can legitimately differ from the full gram by
+        ~1 ulp (observed: 1.1e-16 on 1000×16) — the unrounded cases
+        therefore pin to 1e-12, while the rounded case (the
+        semantic_dedup roster contract: round_digits absorbs exactly
+        this jitter) pins EXACT equality. Block-size invariance of the
+        kernel itself (same shapes per slab height) is pinned exactly
+        in test_deterministic_under_repartition via the operator."""
         import numpy as np
 
         from lantern_spark.operators.dedup import _blocked_prior_max
@@ -364,7 +370,14 @@ class TestSemanticDedup:
             )
             # tiny block target forces MANY blocks (boundary coverage)
             got = _blocked_prior_max(v, rd, block_target_bytes=8 * c * 7)
-            assert np.array_equal(got, want), f"c={c} rd={rd}"
+            assert np.array_equal(np.isfinite(got), np.isfinite(want))
+            fin = np.isfinite(want)
+            if rd is not None:
+                assert np.array_equal(got, want), f"c={c} rd={rd}"
+            else:
+                assert np.allclose(
+                    got[fin], want[fin], rtol=0.0, atol=1e-12
+                ), f"c={c} rd={rd}"
 
     def test_large_cluster_bounded_memory(self, spark):
         """One artificially large cluster (50k members, n_clusters=1):
@@ -533,3 +546,176 @@ class TestLineDedupReviewFixes:
         # one body copy survives; both blank lines survive untouched
         assert out.count(body) == 1
         assert out.count("\n\n") >= 1 or out.split("\n").count("") >= 2
+
+
+class TestExactSubstringDedup:
+    """ExactSubstr (Lee et al. 2022): duplicated >=w-token spans are
+    removed from every occurrence after the first."""
+
+    W = 4
+
+    def _run(self, spark, rows, w=None):
+        from lantern_spark.operators.dedup import exact_substring_dedup
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = exact_substring_dedup(
+            df, "text", "doc_id", min_tokens=w or self.W
+        )
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_cross_doc_span_removed_from_second_only(self, spark):
+        shared = "alpha beta gamma delta epsilon"  # 5 tokens > W=4
+        rows = [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"other start {shared} different tail"),
+            (3, "nothing shared with anyone at all"),
+        ]
+        got = self._run(spark, rows)
+        assert got[1]["text"] == rows[0][1]  # first occurrence untouched
+        assert got[1]["removed_tokens"] == 0
+        assert got[2]["text"] == "other start different tail"
+        assert got[2]["removed_tokens"] == 5
+        assert got[2]["removed_spans"] == 1
+        assert got[3]["text"] == rows[2][1]
+
+    def test_long_run_merges_to_one_span(self, spark):
+        # 8-token duplicated run = 5 stride-1 windows -> ONE merged span
+        shared = "a1 a2 a3 a4 a5 a6 a7 a8"
+        rows = [(1, shared), (2, f"pre {shared} post")]
+        got = self._run(spark, rows)
+        assert got[1]["text"] == shared
+        assert got[2]["text"] == "pre post"
+        assert got[2]["removed_tokens"] == 8
+        assert got[2]["removed_spans"] == 1
+
+    def test_self_repeat_within_doc(self, spark):
+        span = "w x y z"
+        rows = [(1, f"{span} middle bit {span}")]
+        got = self._run(spark, rows)
+        assert got[1]["text"] == f"{span} middle bit "
+        assert got[1]["removed_tokens"] == 4
+
+    def test_fully_duplicated_doc_comes_back_empty(self, spark):
+        t = "one two three four five"
+        got = self._run(spark, [(1, t), (2, t)])
+        assert got[1]["text"] == t
+        assert got[2]["text"] == ""
+        assert got[2]["removed_tokens"] == 5
+
+    def test_null_and_short_docs_pass_through(self, spark):
+        rows = [(1, None), (2, "too short"), (3, "also just three tokens")]
+        got = self._run(spark, rows)
+        assert got[1]["text"] is None
+        assert got[2]["text"] == "too short"
+        assert got[3]["text"] == "also just three tokens"
+        assert all(got[i]["removed_tokens"] == 0 for i in (2, 3))
+
+    def test_seam_keeps_preceding_separator(self, spark):
+        # span followed by newline: cut runs to the next token start,
+        # so the PRECEDING separator survives, the trailing one goes
+        shared = "s1 s2 s3 s4"
+        rows = [(1, shared), (2, f"head\n{shared}\ntail")]
+        got = self._run(spark, rows)
+        assert got[2]["text"] == "head\ntail"
+
+    @staticmethod
+    def _reference_impl(rows, w):
+        """Independent brute-force ExactSubstr: dict of window-tuple ->
+        first (doc, pos); later occurrences marked; same merge+cut rule."""
+        import re
+
+        toks = {}
+        for doc_id, text in rows:
+            if text is None:
+                toks[doc_id] = None
+                continue
+            spans = [(m.start(), m.end()) for m in re.finditer(r"\S+", text)]
+            toks[doc_id] = (text, spans)
+        first = {}
+        for doc_id in sorted(toks):
+            if toks[doc_id] is None:
+                continue
+            text, spans = toks[doc_id]
+            words = tuple(text[s:e] for s, e in spans)
+            for p in range(len(words) - w + 1):
+                first.setdefault(words[p : p + w], (doc_id, p))
+        out = {}
+        for doc_id in sorted(toks):
+            if toks[doc_id] is None:
+                out[doc_id] = None
+                continue
+            text, spans = toks[doc_id]
+            words = tuple(text[s:e] for s, e in spans)
+            marked = [
+                p
+                for p in range(len(words) - w + 1)
+                if first[words[p : p + w]] != (doc_id, p)
+            ]
+            merged = []
+            for p in marked:
+                a, b = p, min(p + w, len(words))
+                if merged and a <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], b)
+                else:
+                    merged.append([a, b])
+            pieces, cursor = [], 0
+            for a, b in merged:
+                pieces.append(text[cursor : spans[a][0]])
+                cursor = spans[b][0] if b < len(words) else len(text)
+            pieces.append(text[cursor:])
+            out[doc_id] = "".join(pieces)
+        return out
+
+    def test_matches_bruteforce_reference_on_random_corpus(self, spark):
+        import random
+
+        rng = random.Random(42)
+        vocab = [f"t{i}" for i in range(12)]  # tiny vocab forces dups
+        rows = []
+        for doc_id in range(40):
+            n = rng.randint(0, 30)
+            rows.append(
+                (doc_id, " ".join(rng.choice(vocab) for _ in range(n)) or "")
+            )
+        for w in (3, 5):
+            expect = self._reference_impl(rows, w)
+            got = self._run(spark, rows, w=w)
+            for doc_id, _ in rows:
+                assert got[doc_id]["text"] == expect[doc_id], (
+                    f"w={w} doc={doc_id}"
+                )
+
+    def test_deterministic_under_repartition(self, spark):
+        from lantern_spark.operators.dedup import exact_substring_dedup
+
+        rows = [
+            (i, f"common c1 c2 c3 c4 c5 unique{i} more{i}") for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        a = exact_substring_dedup(df, "text", "doc_id", min_tokens=4)
+        b = exact_substring_dedup(
+            df.repartition(13), "text", "doc_id", min_tokens=4
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_no_cartesian_and_two_pandas_stages(self, spark):
+        from lantern_spark.operators.dedup import exact_substring_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id int, text string"
+        )
+        out = exact_substring_dedup(df, "text", "doc_id", min_tokens=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert plan.count("MapInPandas") == 2
+
+    def test_marked_windows_positions(self, spark):
+        from lantern_spark.operators.dedup import duplicate_token_windows
+
+        df = spark.createDataFrame(
+            [(1, "a b c d x"), (2, "y a b c d")], "doc_id int, text string"
+        )
+        marked = duplicate_token_windows(df, "text", "doc_id", min_tokens=4)
+        assert [tuple(r) for r in marked.collect()] == [(2, 1)]
