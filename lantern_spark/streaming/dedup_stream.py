@@ -92,3 +92,117 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------------------------
+# bounded-state approximate dedup (Dolma-style Bloom gate)
+# ----------------------------------------------------------------------
+
+def make_bloom_deduper(
+    id_col: str, text_col: str, m_shard: int, k: int
+):
+    """Per-SHARD stateful function: state is the shard's Bloom bitset
+    (``m_shard/8`` bytes, FOREVER — the whole point), rows are tested
+    then inserted in ascending ``id_col`` order (deterministic
+    within-batch winner, mirroring the exact deduper's min-id rule).
+    Plain generator — unit-testable with a FakeState."""
+    import numpy as np
+
+    from lantern_spark.operators.bloomset import (
+        _positions_np,
+        _set_bits,
+        _test_bits,
+    )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            bits = np.frombuffer(
+                state.get[0], dtype=np.uint8
+            ).copy()
+        else:
+            bits = np.zeros(m_shard // 8, dtype=np.uint8)
+        keep_frames = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(id_col, kind="stable")
+            keep_mask = np.zeros(len(pdf), dtype=bool)
+            h1 = pdf["__h1"].to_numpy("int64")
+            h2 = pdf["__h2"].to_numpy("int64")
+            pos = _positions_np(h1, h2, m_shard, k)
+            # sequential test-then-set: an in-batch duplicate of an
+            # earlier in-batch row must see that row's bits
+            for i in range(len(pdf)):
+                if not _test_bits(bits, pos[i : i + 1])[0]:
+                    keep_mask[i] = True
+                    _set_bits(bits, pos[i : i + 1])
+            if keep_mask.any():
+                keep_frames.append(
+                    pdf.loc[keep_mask, [id_col, text_col]]
+                )
+        state.update((bits.tobytes(),))
+        for f in keep_frames:
+            yield f
+
+    return fn
+
+
+def streaming_bloom_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_shards: int = 64,
+    m_bits: int = 1 << 27,
+    k: int = 7,
+    seed: int = 42,
+) -> DataFrame:
+    """First-seen rows of a streaming corpus through a BOUNDED-memory
+    Bloom gate (AI2 Dolma's dedup design): total state is exactly
+    ``m_bits/8`` bytes across all shards no matter how many documents
+    the stream has ever carried — the streaming twin of
+    ``operators/bloomset``, vs ``streaming_exact_dedup``'s
+    O(distinct-hashes) state.
+
+    Contract: NO false negatives (a true duplicate is always dropped);
+    false positives drop unique docs at the sized FPR
+    (``bloomset.bloom_fpr(total_expected_docs, m_bits, k)``) — size
+    ``m_bits`` for the stream's LIFETIME volume. Shard count spreads
+    state-store I/O: every touched shard rewrites its ``m_bits /
+    n_shards / 8``-byte slice per micro-batch.
+
+    Output schema: (<id_col>, <text_col>).
+    """
+    from lantern_spark.operators.bloomset import (
+        _hash_cols,
+        _m_shard,
+        _shard_col,
+    )
+
+    m_shard = _m_shard(m_bits, n_shards)
+    kc = F.col(text_col)
+    h1, h2 = _hash_cols(kc, seed)
+    keyed = (
+        stream_df.filter(kc.isNotNull())
+        .select(
+            _shard_col(kc, n_shards).alias("__shard"),
+            F.col(id_col).cast("long").alias(id_col),
+            kc.alias(text_col),
+            h1.alias("__h1"),
+            h2.alias("__h2"),
+        )
+        .groupBy("__shard")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("bits", T.BinaryType())])
+    return keyed.applyInPandasWithState(
+        make_bloom_deduper(id_col, text_col, m_shard, k),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
