@@ -1,0 +1,290 @@
+"""Optimized Product Quantization (OPQ): a learned rotation ahead of PQ.
+
+Ge et al., "Optimized Product Quantization for Approximate Nearest
+Neighbor Search" (CVPR 2013) — the non-parametric alternation:
+
+    repeat:
+      1. fix R: train the PQ codebook on X·R   (existing PQ trainer)
+      2. fix codebook: R = argmin ||X·R − Y||²  over orthonormal R,
+         where Y are the PQ reconstructions — the orthogonal
+         Procrustes solution R = U·Vᵀ from SVD(Xᵀ·Y)
+
+Plain PQ quantizes axis-aligned subvectors independently; when
+variance/correlation is spread unevenly across the split boundaries
+(every real embedding model), sub-codebooks waste bits. The rotation
+re-balances the subspaces and strictly lowers quantization distortion
+— same code size, better recall. L2 is rotation-invariant, so
+distances computed in rotated space (ADC over rotated codes with a
+rotated query) ARE the original-space distances up to quantization.
+
+Extends the reference's PQ surface (product_quantization.c:173-240,
+pq/mod.rs:73-370 — plain PQ only); OPQ is the standard upgrade the
+paper grid in SURVEY §7 anticipates.
+
+Spark shape (100 TB):
+- TRAINING is bounded: the sample is ≤ train_limit rows (the
+  reference's dataset_size_limit analog, same contract as
+  ``pq.train_codebook``); the alternation is driver-side numpy — a
+  (n_sample × d) matmul + the existing deterministic k-means per
+  subvector per iteration. No Spark job inside the loop.
+- APPLICATION is map-only: the d×d rotation broadcasts into an
+  Arrow-batched matmul UDF (one BLAS gemm per batch); encode/decode/
+  ADC reuse ``operators/pq`` unchanged on the rotated column.
+- Composition: rotate the embedding column once, persist, then build
+  any index family (IVF-PQ included) over the rotated column — the
+  rotation is metric-preserving, so every downstream contract holds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lantern_spark.types import PQSpec
+from lantern_spark.operators.pq import train_codebook_local
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class OPQModel:
+    """Learned rotation + the codebook trained in rotated space.
+
+    ``rotation`` is (d, d) orthonormal (applied as x @ rotation);
+    ``codebook_rows`` is the ``train_codebook`` row layout
+    [(subvector_id, centroid_id, c), ...] — convertible to a DataFrame
+    via :meth:`codebook_df` for the existing PQ encode/ADC kernels.
+    """
+
+    spec: PQSpec
+    rotation: np.ndarray
+    codebook_rows: list
+    train_mse: float
+
+    def codebook_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            self.codebook_rows, "subvector_id int, centroid_id int, c array<double>"
+        )
+
+    def rotate_query(self, query) -> list:
+        """Rotate a single query vector driver-side (for ADC against
+        rotated codes)."""
+        q = np.asarray(query, dtype=np.float64)
+        return (q @ self.rotation).tolist()
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "opq.json"), "w") as f:
+            json.dump(
+                {
+                    "format_version": FORMAT_VERSION,
+                    "spec": {
+                        "dim": self.spec.dim,
+                        "splits": self.spec.splits,
+                        "clusters": self.spec.clusters,
+                        "seed": self.spec.seed,
+                    },
+                    "rotation": self.rotation.tolist(),
+                    "codebook": [
+                        [sid, cid, list(c)]
+                        for sid, cid, c in self.codebook_rows
+                    ],
+                    "train_mse": self.train_mse,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "OPQModel":
+        with open(os.path.join(path, "opq.json")) as f:
+            d = json.load(f)
+        ver = d.get("format_version")
+        if ver != FORMAT_VERSION:
+            raise ValueError(
+                f"OPQ artifact format_version {ver!r} unsupported "
+                f"(expected {FORMAT_VERSION})"
+            )
+        sp = d["spec"]
+        return cls(
+            spec=PQSpec(
+                dim=sp["dim"],
+                splits=sp["splits"],
+                clusters=sp["clusters"],
+                seed=sp["seed"],
+            ),
+            rotation=np.asarray(d["rotation"], dtype=np.float64),
+            codebook_rows=[
+                (int(s), int(c), list(v)) for s, c, v in d["codebook"]
+            ],
+            train_mse=float(d["train_mse"]),
+        )
+
+
+def _seeded_rotation(d: int, seed: int) -> np.ndarray:
+    """Deterministic random orthonormal init (QR of a seeded gaussian,
+    sign-fixed so the factorization is unique — the paper's random-R
+    init made reproducible)."""
+    rng = np.random.RandomState(seed)
+    q, r = np.linalg.qr(rng.randn(d, d))
+    return q * np.sign(np.diag(r))
+
+
+def _encode_decode_local(
+    xr: np.ndarray, cb: np.ndarray, spec: PQSpec
+) -> np.ndarray:
+    """Reconstructions of rotated sample rows through the codebook —
+    vectorized per subvector (the ADC kernel's training-side twin)."""
+    out = np.empty_like(xr)
+    for sid in range(spec.splits):
+        sub = xr[:, sid * spec.subdim : (sid + 1) * spec.subdim]
+        cents = cb[sid]  # (clusters, subdim), +inf padding never wins
+        d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        out[:, sid * spec.subdim : (sid + 1) * spec.subdim] = cents[
+            np.argmin(d2, axis=1)
+        ]
+    return out
+
+
+def _codebook_np(rows: list, spec: PQSpec) -> np.ndarray:
+    arr = np.full(
+        (spec.splits, spec.clusters, spec.subdim), np.inf, dtype=np.float64
+    )
+    for sid, cid, c in rows:
+        arr[sid, cid] = c
+    return arr
+
+
+def train_opq(
+    df: DataFrame,
+    column: str,
+    spec: PQSpec,
+    iters: int = 10,
+    train_limit: Optional[int] = 10000,
+    init: str = "identity",
+) -> OPQModel:
+    """Alternate codebook fits and Procrustes rotation updates on a
+    bounded sample; returns the :class:`OPQModel`.
+
+    ``init='identity'`` starts at plain PQ (iteration 1's codebook IS
+    the plain-PQ codebook, so OPQ can only improve on it);
+    ``init='random'`` uses the paper's random rotation (seeded,
+    deterministic). The objective (sample reconstruction MSE) is
+    non-increasing in exact arithmetic; the fit stops early when it
+    stalls.
+    """
+    sample = df.select(column).where(F.col(column).isNotNull())
+    if train_limit:
+        sample = sample.limit(train_limit)
+    x = np.asarray(
+        [r[0] for r in sample.collect()], dtype=np.float64
+    )
+    if x.ndim != 2 or x.shape[1] != spec.dim:
+        raise ValueError(
+            f"train_opq: sample shape {x.shape} != (n, {spec.dim})"
+        )
+    # deterministic regardless of partition order (train_codebook_local
+    # re-sorts internally, but R updates see x directly)
+    x = x[np.lexsort(x.T[::-1])]
+    if init == "identity":
+        rot = np.eye(spec.dim)
+    elif init == "random":
+        rot = _seeded_rotation(spec.dim, spec.seed)
+    else:
+        raise ValueError(f"init must be 'identity' or 'random', got {init!r}")
+
+    best_rows, best_mse, best_rot = None, np.inf, rot
+    for _ in range(max(1, iters)):
+        xr = x @ rot
+        rows = train_codebook_local(xr, spec)
+        cb = _codebook_np(rows, spec)
+        y = _encode_decode_local(xr, cb, spec)
+        mse = float(((xr - y) ** 2).sum(axis=1).mean())
+        if mse < best_mse - 1e-12:
+            best_rows, best_mse, best_rot = rows, mse, rot
+        else:
+            break  # stalled (or numerically bounced) — keep the best
+        # Procrustes: R = U Vᵀ of SVD(Xᵀ Y) minimizes ||X R − Y||²
+        u, _s, vt = np.linalg.svd(x.T @ y)
+        rot = u @ vt
+    return OPQModel(
+        spec=spec,
+        rotation=best_rot,
+        codebook_rows=best_rows,
+        train_mse=best_mse,
+    )
+
+
+def rotate_vectors(column, rotation: np.ndarray) -> Column:
+    """Column expr: array<float/double> → rotated array<double>, one
+    broadcast BLAS gemm per Arrow batch (map-only at any scale)."""
+    rot = np.asarray(rotation, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _rot(vs: pd.Series) -> pd.Series:
+        mask = vs.notna().to_numpy()
+        res = [None] * len(vs)
+        if mask.any():
+            m = np.asarray(
+                vs.iloc[np.nonzero(mask)[0]].tolist(), dtype=np.float64
+            ) @ rot
+            for j, i in enumerate(np.nonzero(mask)[0]):
+                res[i] = m[j].tolist()
+        return pd.Series(res, index=vs.index, dtype=object)
+
+    c = column if isinstance(column, Column) else F.col(column)
+    return _rot(c)
+
+
+def opq_encode(
+    df: DataFrame,
+    column: str,
+    model: OPQModel,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Rotate then PQ-encode: map-only, composes the broadcast rotation
+    with the existing ``encode_pq`` kernel."""
+    from lantern_spark.operators.pq import encode_pq
+
+    spark = df.sparkSession
+    rotated = df.withColumn(
+        "__opq_rot", rotate_vectors(column, model.rotation)
+    )
+    out = encode_pq(
+        rotated, "__opq_rot", model.codebook_df(spark), model.spec,
+        out_col=out_col,
+    )
+    return out.drop("__opq_rot")
+
+
+def opq_adc_dist(
+    df: DataFrame,
+    code_col: str,
+    query,
+    model: OPQModel,
+    metric: str = "l2sq",
+    out_col: str = "pq_dist",
+) -> DataFrame:
+    """ADC distances of OPQ codes to an (UNROTATED) query — the query
+    is rotated once driver-side; L2 in rotated space equals L2 in the
+    original space, so the existing additive-LUT kernel applies
+    unchanged. (cos is rotation-invariant too: both the dot product
+    and the norms are preserved.)"""
+    from lantern_spark.operators.pq import pq_dist
+
+    return pq_dist(
+        df,
+        code_col,
+        model.rotate_query(query),
+        model.codebook_df(df.sparkSession),
+        model.spec,
+        metric=metric,
+        out_col=out_col,
+    )
