@@ -275,6 +275,8 @@ class IVFIndex:
         train_limit: int = 20000,
         extra_columns: Optional[Sequence[str]] = None,
         pq: Optional[PQSpec] = None,
+        opq: bool = False,
+        opq_iters: int = 8,
     ) -> "IVFIndex":
         """``pq`` enables an IVF-PQ layout: a codebook is trained on a
         bounded sample and every stored row carries its PQ codes
@@ -282,6 +284,15 @@ class IVFIndex:
         of the vector bytes, column-pruned) and re-rank exactly — the
         analog of the reference's PQ-aware index (build.c:498-501,
         scan.c:75-81).
+
+        ``opq=True`` (requires ``pq``) upgrades the codebook to OPQ
+        (Ge et al. CVPR 2013, operators/opq): a learned rotation is
+        fit on the SAME sample, codes are stored in rotated space, and
+        ``search_adc`` rotates the query once driver-side — identical
+        code bytes and query cost, lower distortion. Coarse centroids
+        and the exact re-rank stay in ORIGINAL space (L2/cos are
+        rotation-invariant, so cell assignment quality is unaffected
+        either way and re-rank semantics are unchanged).
 
         ``nlist=None`` (default) scales the coarse-cell count with the
         corpus: round(√n) clamped to [4, 4096] — the standard IVF
@@ -320,6 +331,9 @@ class IVFIndex:
             .withColumn("list_id", _assign_expr(column, cents, m))
             .observe(obs, F.count(F.lit(1)).alias("n"))
         )
+        if opq and pq is None:
+            raise ValueError("opq=True requires pq= (it rotates PQ codes)")
+        opq_rot = None
         if pq is not None:
             # codebook fits on the SAME collected sample — no second
             # sampling job/shuffle; the codebook is tiny and broadcast
@@ -329,7 +343,14 @@ class IVFIndex:
             )
 
             spark0 = df.sparkSession
-            cb_rows = train_codebook_local(sample, pq)
+            if opq:
+                from lantern_spark.operators.opq import train_opq_local
+
+                opq_rot, cb_rows, _mse = train_opq_local(
+                    sample, pq, iters=opq_iters
+                )
+            else:
+                cb_rows = train_codebook_local(sample, pq)
             codebook = spark0.createDataFrame(
                 cb_rows,
                 "subvector_id int, centroid_id int, c array<double>",
@@ -348,9 +369,19 @@ class IVFIndex:
                     "c": [[float(x) for x in r[2]] for r in cb_rows],
                 },
             )
-            assigned = encode_pq(
-                assigned, column, codebook, pq, out_col="__pq_codes"
-            )
+            if opq_rot is not None:
+                from lantern_spark.operators.opq import rotate_vectors
+
+                assigned = encode_pq(
+                    assigned.withColumn(
+                        "__opq_rot", rotate_vectors(column, opq_rot)
+                    ),
+                    "__opq_rot", codebook, pq, out_col="__pq_codes",
+                ).drop("__opq_rot")
+            else:
+                assigned = encode_pq(
+                    assigned, column, codebook, pq, out_col="__pq_codes"
+                )
         # ONE shuffle: hash-repartition on list_id BEFORE the
         # partitionBy write so each list's rows land in one task —
         # without it every input partition opens a writer per list it
@@ -401,6 +432,16 @@ class IVFIndex:
                         }
                     }
                     if pq is not None
+                    else {}
+                ),
+                **(
+                    {
+                        # stored OUTSIDE params["pq"] so PQSpec(**pq)
+                        # reconstruction keeps working everywhere
+                        "opq_rotation": [r.tolist() for r in opq_rot],
+                        "opq_iters": opq_iters,
+                    }
+                    if opq_rot is not None
                     else {}
                 ),
             },
@@ -691,10 +732,20 @@ class IVFIndex:
         codebook = spark.read.parquet(os.path.join(self.path, "pq_codebook"))
         probes = self._probe_lists(spark, query, nprobe)
         lists = self.lists(spark).filter(F.col("list_id").isin(probes))
+        # OPQ layout: codes live in rotated space — rotate the query
+        # once driver-side (L2/cos are rotation-invariant, so the ADC
+        # ranking is unchanged in meaning; probes and re-rank stay in
+        # original space)
+        rot = (mf.params or {}).get("opq_rotation")
+        adc_query = (
+            list(np.asarray(query, dtype=np.float64) @ np.asarray(rot))
+            if rot
+            else query
+        )
         cand = pq_dist(
             lists.select(mf.id_column, "__pq_codes"),
             "__pq_codes",
-            query,
+            adc_query,
             codebook,
             spec,
             metric=mf.metric,  # candidates ranked under the INDEX metric
@@ -902,6 +953,8 @@ class IVFIndex:
                 pq=(
                     PQSpec(**mf.params["pq"]) if mf.params.get("pq") else None
                 ),
+                opq=bool(mf.params.get("opq_rotation")),
+                opq_iters=mf.params.get("opq_iters", 8),
             )
         finally:
             if stage_root is not None:
@@ -1082,10 +1135,27 @@ class IVFIndex:
                 codebook = spark.read.parquet(
                     os.path.join(self.path, "pq_codebook")
                 )
-                delta = encode_pq(
-                    delta, mf.column, codebook, PQSpec(**pq_params),
-                    out_col="__pq_codes",
-                )
+                rot = (mf.params or {}).get("opq_rotation")
+                if rot:
+                    # OPQ layout: fold-encoded codes must live in the
+                    # same rotated space as the build's
+                    from lantern_spark.operators.opq import rotate_vectors
+
+                    delta = encode_pq(
+                        delta.withColumn(
+                            "__opq_rot",
+                            rotate_vectors(
+                                mf.column, np.asarray(rot, dtype=np.float64)
+                            ),
+                        ),
+                        "__opq_rot", codebook, PQSpec(**pq_params),
+                        out_col="__pq_codes",
+                    ).drop("__opq_rot")
+                else:
+                    delta = encode_pq(
+                        delta, mf.column, codebook, PQSpec(**pq_params),
+                        out_col="__pq_codes",
+                    )
             merged = existing.unionByName(
                 delta, allowMissingColumns=True
             )

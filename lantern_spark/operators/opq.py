@@ -186,6 +186,23 @@ def train_opq(
     x = np.asarray(
         [r[0] for r in sample.collect()], dtype=np.float64
     )
+    rot, rows, mse = train_opq_local(x, spec, iters=iters, init=init)
+    return OPQModel(
+        spec=spec, rotation=rot, codebook_rows=rows, train_mse=mse
+    )
+
+
+def train_opq_local(
+    x: np.ndarray,
+    spec: PQSpec,
+    iters: int = 10,
+    init: str = "identity",
+):
+    """The numpy core of :func:`train_opq` on an in-memory sample —
+    the shape ``IVFIndex.build(opq=True)`` uses, where the sample is
+    already collected for centroid training (no second Spark job).
+    Returns ``(rotation, codebook_rows, mse)``."""
+    x = np.asarray(x, dtype=np.float64)
     if x.ndim != 2 or x.shape[1] != spec.dim:
         raise ValueError(
             f"train_opq: sample shape {x.shape} != (n, {spec.dim})"
@@ -214,12 +231,7 @@ def train_opq(
         # Procrustes: R = U Vᵀ of SVD(Xᵀ Y) minimizes ||X R − Y||²
         u, _s, vt = np.linalg.svd(x.T @ y)
         rot = u @ vt
-    return OPQModel(
-        spec=spec,
-        rotation=best_rot,
-        codebook_rows=best_rows,
-        train_mse=best_mse,
-    )
+    return best_rot, best_rows, best_mse
 
 
 def rotate_vectors(column, rotation: np.ndarray) -> Column:

@@ -205,3 +205,148 @@ class TestOPQPersistence:
         json.dump(d, open(fp, "w"))
         with pytest.raises(ValueError, match="format_version"):
             OPQModel.load(p)
+
+
+class TestIvfOpq:
+    """opq=True through the IVF-PQ index family: codes stored rotated,
+    query rotated in ADC, fold re-encodes in the same space, rebuild
+    preserves the layout."""
+
+    @pytest.fixture(scope="class")
+    def corr_big(self, spark):
+        x = _correlated(n=1200, seed=21)
+        return spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(x)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def _build(self, corr_big, tmp, opq):
+        from lantern_spark.operators.index import IVFIndex
+
+        return IVFIndex.build(
+            corr_big, "embedding", "vec_id", str(tmp),
+            metric="l2sq", nlist=8, seed=42, train_limit=20000,
+            pq=PQSpec(dim=DIM, splits=SPLITS, clusters=CLUSTERS),
+            opq=opq,
+        )
+
+    @staticmethod
+    def _stored_mse(spark, idx, x_by_id):
+        """Corpus reconstruction MSE from the STORED codes: decode in
+        the space the index stores codes in, rotate back if OPQ (the
+        deterministic distortion witness — no query sampling noise)."""
+        import os
+
+        from lantern_spark.operators.opq import _codebook_np
+
+        mf = idx.manifest
+        spec = PQSpec(**mf.params["pq"])
+        cb = _codebook_np(
+            [
+                (r["subvector_id"], r["centroid_id"], r["c"])
+                for r in spark.read.parquet(
+                    os.path.join(idx.path, "pq_codebook")
+                ).collect()
+            ],
+            spec,
+        )
+        rot = mf.params.get("opq_rotation")
+        err = n = 0.0
+        for r in idx.lists(spark).select("vec_id", "__pq_codes").collect():
+            codes = np.asarray(r["__pq_codes"], dtype=np.int64)
+            recon = np.concatenate(
+                [cb[s, codes[s]] for s in range(spec.splits)]
+            )
+            if rot is not None:  # decode lives in rotated space
+                recon = recon @ np.asarray(rot).T
+            err += float(((x_by_id[r["vec_id"]] - recon) ** 2).sum())
+            n += 1
+        return err / n
+
+    def test_stored_codes_lower_distortion_than_plain(
+        self, spark, corr_big, tmp_path
+    ):
+        """The OPQ index's stored codes must reconstruct the corpus
+        with materially lower MSE than the plain-PQ index's — the
+        deterministic form of the recall win (rotating back via Rᵀ
+        puts both reconstructions in original space)."""
+        idx_opq = self._build(corr_big, tmp_path / "opq", True)
+        idx_pq = self._build(corr_big, tmp_path / "pq", False)
+        assert idx_opq.manifest.params.get("opq_rotation")
+        x_by_id = {
+            r["vec_id"]: np.asarray(r["embedding"])
+            for r in corr_big.collect()
+        }
+        mse_opq = self._stored_mse(spark, idx_opq, x_by_id)
+        mse_pq = self._stored_mse(spark, idx_pq, x_by_id)
+        assert mse_opq < 0.9 * mse_pq, (mse_opq, mse_pq)
+
+    def test_fold_encodes_in_rotated_space(self, spark, corr_big, tmp_path):
+        """The folded delta row's STORED code must equal the code of
+        its ROTATED vector under the index codebook (byte-level pin —
+        encoding unrotated would land on different codewords), and the
+        exact re-rank must surface the planted row at distance 0."""
+        from lantern_spark.operators.opq import (
+            _codebook_np,
+            _encode_decode_local,
+        )
+
+        idx = self._build(corr_big, tmp_path / "fold", True)
+        q = _correlated(n=1, seed=777)[0]
+        delta = spark.createDataFrame(
+            [(99999, q.tolist())], "vec_id long, embedding array<double>"
+        )
+        idx.add_delta(delta)
+        idx = idx.fold_delta(spark)
+        stored = (
+            idx.lists(spark).filter("vec_id = 99999").collect()
+        )
+        assert len(stored) == 1
+        got_codes = list(stored[0]["__pq_codes"])
+        mf = idx.manifest
+        spec = PQSpec(**mf.params["pq"])
+        rot = np.asarray(mf.params["opq_rotation"])
+        import os
+
+        cb = _codebook_np(
+            [
+                (r["subvector_id"], r["centroid_id"], r["c"])
+                for r in spark.read.parquet(
+                    os.path.join(idx.path, "pq_codebook")
+                ).collect()
+            ],
+            spec,
+        )
+        qr = (q @ rot)[None, :]
+        want = []
+        for s in range(spec.splits):
+            sub = qr[:, s * spec.subdim : (s + 1) * spec.subdim]
+            d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            want.append(int(np.argmin(d2, axis=1)[0]))
+        assert got_codes == want
+        # and the full ADC + exact-re-rank pipeline surfaces it
+        top = idx.search_adc(
+            spark, q.tolist(), k=1, nprobe=idx.manifest.nlist, oversample=8
+        ).collect()
+        assert top[0]["vec_id"] == 99999
+        assert abs(top[0]["dist"]) < 1e-9
+
+    def test_rebuild_preserves_opq_layout(self, spark, corr_big, tmp_path):
+        idx = self._build(corr_big, tmp_path / "rb", True)
+        rot_before = idx.manifest.params["opq_rotation"]
+        idx2 = idx.rebuild(spark)
+        assert idx2.manifest.params.get("opq_rotation") == rot_before
+        q = _correlated(n=1, seed=888)[0]
+        got = idx2.search_adc(
+            spark, q.tolist(), k=5, nprobe=idx2.manifest.nlist
+        ).collect()
+        assert len(got) == 5
+
+    def test_opq_without_pq_raises(self, spark, corr_big, tmp_path):
+        from lantern_spark.operators.index import IVFIndex
+
+        with pytest.raises(ValueError, match="requires pq"):
+            IVFIndex.build(
+                corr_big, "embedding", "vec_id", str(tmp_path / "bad"),
+                nlist=8, opq=True,
+            )
