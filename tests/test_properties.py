@@ -438,3 +438,130 @@ class TestSemanticDedupProperties:
                     assert r["kept"] == (r["max_prior_sim"] < 0.98)
         dup = next(r for r in out if r["id"] == 1000)
         assert not dup["kept"], "the injected copy must drop"
+
+
+class TestRollingHashProperties:
+    """exact_substring_dedup's window-hash kernel: equal token windows
+    hash equal (both polynomials), unequal windows collide in NEITHER
+    with overwhelming probability (driver-side kernel — the Spark op
+    is a thin exploded wrapper)."""
+
+    tokens = st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Zs", "Cc", "Cs")
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(toks=tokens, w=st.integers(min_value=2, max_value=6))
+    def test_window_count_and_self_consistency(self, toks, w):
+        from lantern_spark.operators.dedup import _window_hashes
+
+        a1, a2 = _window_hashes(toks, w)
+        n = len(toks)
+        want = max(0, n - w + 1)
+        assert len(a1) == len(a2) == want
+        # recomputing any window standalone gives the same pair
+        for p in range(want):
+            b1, b2 = _window_hashes(toks[p : p + w], w)
+            assert a1[p] == b1[0] and a2[p] == b2[0]
+
+    @settings(max_examples=50, deadline=None)
+    @given(toks=tokens.filter(lambda t: len(t) >= 4))
+    def test_equal_windows_iff_equal_tokens(self, toks):
+        from lantern_spark.operators.dedup import _window_hashes
+
+        w = 3
+        if len(toks) < w:
+            return
+        a1, a2 = _window_hashes(toks, w)
+        for i in range(len(a1)):
+            for j in range(i + 1, len(a1)):
+                same = toks[i : i + w] == toks[j : j + w]
+                pair_same = bool(a1[i] == a1[j] and a2[i] == a2[j])
+                assert pair_same == same, (i, j)
+
+
+class TestBloomSetProperties:
+    """Sharded Bloom set: inserted keys are NEVER false negatives, for
+    any shard/bit sizing; position kernel stays in-range."""
+
+    keys = st.lists(
+        st.text(min_size=0, max_size=20), min_size=1, max_size=40,
+        unique=True,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        keys=keys,
+        m_exp=st.integers(min_value=7, max_value=12),
+        k=st.integers(min_value=1, max_value=8),
+    )
+    def test_no_false_negatives_kernel(self, keys, m_exp, k):
+        import hashlib
+
+        from lantern_spark.operators.bloomset import (
+            _positions_np,
+            _set_bits,
+            _test_bits,
+        )
+
+        m = (1 << m_exp) * 8  # byte-aligned bit count
+        bits = np.zeros(m // 8, dtype=np.uint8)
+
+        def hashes(key):
+            hx = hashlib.md5(f"42:{key}".encode()).hexdigest()
+            return int(hx[0:15], 16), int(hx[16:31], 16)
+
+        hs = np.asarray([hashes(t) for t in keys], dtype=np.int64)
+        pos = _positions_np(hs[:, 0], hs[:, 1], m, k)
+        assert pos.min() >= 0 and pos.max() < m
+        _set_bits(bits, pos)
+        assert _test_bits(bits, pos).all()
+
+
+class TestOPQProperties:
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        d=st.sampled_from([4, 8, 16]),
+    )
+    def test_seeded_rotation_is_orthonormal_and_deterministic(
+        self, seed, d
+    ):
+        from lantern_spark.operators.opq import _seeded_rotation
+
+        r1 = _seeded_rotation(d, seed)
+        r2 = _seeded_rotation(d, seed)
+        assert np.array_equal(r1, r2)
+        assert np.allclose(r1 @ r1.T, np.eye(d), atol=1e-10)
+        assert np.isclose(abs(np.linalg.det(r1)), 1.0, atol=1e-10)
+
+    @settings(max_examples=15, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    def test_opq_never_worse_than_plain_pq_on_sample(self, seed):
+        """identity-init OPQ keeps the best iterate, so its sample MSE
+        is <= plain PQ's for ANY data (plain PQ IS iteration 1)."""
+        from lantern_spark.operators.opq import (
+            _codebook_np,
+            _encode_decode_local,
+            train_opq_local,
+        )
+        from lantern_spark.operators.pq import train_codebook_local
+        from lantern_spark.types import PQSpec
+
+        rng = np.random.RandomState(seed)
+        x = rng.randn(120, 8)
+        spec = PQSpec(dim=8, splits=2, clusters=4)
+        xs = x[np.lexsort(x.T[::-1])]
+        plain = train_codebook_local(xs, spec)
+        y = _encode_decode_local(xs, _codebook_np(plain, spec), spec)
+        plain_mse = float(((xs - y) ** 2).sum(axis=1).mean())
+        _rot, _rows, mse = train_opq_local(x, spec, iters=4)
+        assert mse <= plain_mse + 1e-9
