@@ -39,7 +39,12 @@ A from-scratch re-expression of the capabilities of lanterndata/lantern
   encoding (operators/bpe), stupid-backoff n-gram LM perplexity
   filtering (operators/ngram_lm), GPT-3-style 13-gram test-set
   decontamination and Gopher repetition rules (operators/curate,
-  operators/textstats).
+  operators/textstats), exact-substring span dedup (Lee et al. 2022,
+  operators/dedup.exact_substring_dedup), Dolma-style Bloom
+  membership sketches for dedup-against-history in constant memory
+  (operators/bloomset + the bounded-state streaming twin), and OPQ
+  learned-rotation product quantization (Ge et al. 2013,
+  operators/opq; IVFIndex.build(opq=True)).
 
 Everything is DataFrame-in / DataFrame-out and designed for 100 TB scale:
 no driver-side collection except tiny codebooks/centroids/manifests.
