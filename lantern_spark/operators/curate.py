@@ -87,6 +87,11 @@ class CurationConfig:
     # None disables; "corpus" or "doc" selects the scope.
     line_dedup_scope: Optional[str] = None
     line_dedup_min_chars: int = 16
+    # salt=N runs the skew-bounded two-phase first-occurrence plan in
+    # the line/substr dedup stages (mega-duplicated boilerplate keys
+    # spread over N tasks; output identical) — turn on at corpus scale
+    line_dedup_salt: Optional[int] = None
+    substr_dedup_salt: Optional[int] = None
     # optional URL stages (r8, operators/weburl — RefinedWeb/C4 run
     # these FIRST: one string key per row, no content reads): a url
     # column enables them; blocked_domains applies the C4-style
@@ -151,6 +156,7 @@ def curate_corpus(
                 out, text_col, id_col,
                 min_chars=cfg.line_dedup_min_chars,
                 scope=cfg.line_dedup_scope,
+                salt=cfg.line_dedup_salt,
             ),
         )
 
@@ -162,6 +168,7 @@ def curate_corpus(
             exact_substring_dedup(
                 out, text_col, id_col,
                 min_tokens=cfg.substr_dedup_min_tokens,
+                salt=cfg.substr_dedup_salt,
             ).drop("removed_tokens", "removed_spans"),
         )
 

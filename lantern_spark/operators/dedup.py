@@ -779,6 +779,40 @@ def semantic_dedup(
 # line-level exact dedup (C4 / RefinedWeb-style)
 # ----------------------------------------------------------------------
 
+def _first_occurrence_keep(
+    frame: DataFrame,
+    keys: list,
+    order_cols: list,
+    salt: Optional[int],
+) -> DataFrame:
+    """Rows that are the FIRST occurrence (lowest ``order_cols``) of
+    their key — min-per-key is associative, so ``salt=N`` runs the
+    skew-bounded two-phase plan (partial min inside each (key, salt)
+    bucket, final min over the ≤ N survivors — the
+    ``operators/topk.topk_per_group`` discipline): a mega-duplicated
+    key's occurrences spread over N tasks instead of one straggler.
+    Identical output either way (pinned in tests)."""
+
+    def rank1(f: DataFrame, parts: list) -> DataFrame:
+        w = Window.partitionBy(*parts).orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        return (
+            f.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") == 1)
+            .drop("__rank")
+        )
+
+    if not salt or salt <= 1:
+        return rank1(frame, keys)
+    salted = frame.withColumn(
+        "__fo_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt)),
+    )
+    partial = rank1(salted, keys + ["__fo_salt"]).drop("__fo_salt")
+    return rank1(partial, keys)
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str,
@@ -786,6 +820,7 @@ def line_dedup(
     min_chars: int = 16,
     scope: str = "corpus",
     sep: str = "\n",
+    salt: Optional[int] = None,
 ) -> DataFrame:
     """Remove duplicate LINES, keeping each line's first occurrence —
     the C4/RefinedWeb boilerplate scrub (C4 dropped repeated
@@ -816,9 +851,13 @@ def line_dedup(
     per-doc window ordered by position. The line hash (16 B) is the
     shuffle key, never line text duplicated per occurrence beyond the
     exploded rows themselves. Scale: corpus-wide dedup of a
-    mega-duplicated eligible line still puts its occurrences in one
-    hash partition — at 100 TB prefer ``scope="doc"`` or pre-filter
-    known boilerplate; the corpus scope matches the published recipe.
+    mega-duplicated eligible line puts its occurrences in one hash
+    partition — ``salt=N`` (r8) bounds that straggler with the
+    two-phase min plan (occurrences spread over N tasks; the second
+    shuffle moves ≤ N rows per distinct line), at the cost of one
+    extra small shuffle; or prefer ``scope="doc"``/pre-filters. The
+    unsalted corpus scope matches the published recipe exactly —
+    salted output is identical (min is associative), pinned in tests.
     """
     import re as _re
 
@@ -845,15 +884,11 @@ def line_dedup(
             F.col("__pos").cast("string"),
         )
     )
-    keys = [line_key] if scope == "corpus" else [F.col(id_col), line_key]
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(id_col).asc(), F.col("__pos").asc()
-    )
-    kept = (
-        lines.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") == 1)
-        .drop("__rank")
-    )
+    lines = lines.withColumn("__line_key", line_key)
+    keys = ["__line_key"] if scope == "corpus" else [id_col, "__line_key"]
+    kept = _first_occurrence_keep(
+        lines, keys, [id_col, "__pos"], salt
+    ).drop("__line_key")
     doc_w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -944,6 +979,7 @@ def duplicate_token_windows(
     text_col: str,
     id_col: str,
     min_tokens: int = 50,
+    salt: Optional[int] = None,
 ) -> DataFrame:
     """Every NON-FIRST occurrence of a duplicated ``min_tokens``-token
     window, as ``(id_col, pos)`` rows (``pos`` = 0-based token index of
@@ -1009,13 +1045,35 @@ def duplicate_token_windows(
             )
 
     win = df.select(id_col, text_col).mapInPandas(gen, win_schema)
-    ww = Window.partitionBy("__h1", "__h2").orderBy(
-        F.col(id_col).asc(), F.col("pos").asc()
+
+    def non_first(f: DataFrame, parts: list) -> tuple:
+        """(rows ranked >1, rows ranked 1) within parts by (id, pos)."""
+        w = Window.partitionBy(*parts).orderBy(
+            F.col(id_col).asc(), F.col("pos").asc()
+        )
+        ranked = f.withColumn("__rank", F.row_number().over(w))
+        return (
+            ranked.filter(F.col("__rank") > 1).drop("__rank"),
+            ranked.filter(F.col("__rank") == 1).drop("__rank"),
+        )
+
+    if not salt or salt <= 1:
+        marked, _ = non_first(win, ["__h1", "__h2"])
+        return marked.select(id_col, "pos")
+    # skew-bounded two-phase (salt=N): a mega-duplicated boilerplate
+    # window's occurrences spread over N buckets; bucket losers are
+    # marked outright (something in their bucket precedes them, so the
+    # global first does too), and the global ranking runs over only
+    # the ≤ N bucket winners per key. Output identical to unsalted
+    # (min is associative) — pinned in tests.
+    salted = win.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(salt)),
     )
-    return (
-        win.withColumn("__rank", F.row_number().over(ww))
-        .filter(F.col("__rank") > 1)
-        .select(id_col, "pos")
+    losers1, winners1 = non_first(salted, ["__h1", "__h2", "__salt"])
+    losers2, _ = non_first(winners1, ["__h1", "__h2"])
+    return losers1.select(id_col, "pos").unionByName(
+        losers2.select(id_col, "pos")
     )
 
 
@@ -1024,6 +1082,7 @@ def exact_substring_dedup(
     text_col: str,
     id_col: str,
     min_tokens: int = 50,
+    salt: Optional[int] = None,
 ) -> DataFrame:
     """Remove duplicated substrings of >= ``min_tokens`` whitespace
     tokens, keeping each span's FIRST corpus occurrence — the
@@ -1055,9 +1114,14 @@ def exact_substring_dedup(
     Shape: map-only hashing -> ONE corpus-sized shuffle on the window
     key -> per-doc span aggregation (groupBy on id: output is one
     small row per affected doc) -> left join back -> map-only cut.
+    ``salt=N`` bounds the mega-duplicated-window straggler with the
+    two-phase ranking (see :func:`duplicate_token_windows`); output is
+    identical either way.
     """
     w = int(min_tokens)
-    marked = duplicate_token_windows(df, text_col, id_col, min_tokens=w)
+    marked = duplicate_token_windows(
+        df, text_col, id_col, min_tokens=w, salt=salt
+    )
     spans = marked.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("__dup_pos")
     )

@@ -719,3 +719,82 @@ class TestExactSubstringDedup:
         )
         marked = duplicate_token_windows(df, "text", "doc_id", min_tokens=4)
         assert [tuple(r) for r in marked.collect()] == [(2, 1)]
+
+
+class TestSaltedFirstOccurrence:
+    """salt=N two-phase plans must produce IDENTICAL output to the
+    single-window form (min is associative) while adding exactly one
+    extra (small) shuffle — the skew bound for mega-duplicated keys."""
+
+    def test_line_dedup_salted_equivalent(self, spark):
+        from lantern_spark.operators.dedup import line_dedup
+
+        boiler = "this exact boilerplate line repeats everywhere"
+        rows = [
+            (i, f"unique opener {i}\n{boiler}\nok\nunique closer {i}")
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        plain = sorted(
+            map(tuple, line_dedup(df, "text", "doc_id").collect())
+        )
+        for n in (2, 7):
+            salted = sorted(
+                map(tuple, line_dedup(df, "text", "doc_id", salt=n).collect())
+            )
+            assert salted == plain, f"salt={n}"
+
+    def test_substr_dedup_salted_equivalent(self, spark):
+        import random
+
+        from lantern_spark.operators.dedup import exact_substring_dedup
+
+        rng = random.Random(5)
+        vocab = [f"t{i}" for i in range(10)]
+        hot = "h1 h2 h3 h4 h5"  # a mega-duplicated span in every doc
+        rows = [
+            (
+                i,
+                f"{hot} " + " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(0, 15))
+                ),
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        plain = sorted(
+            map(
+                tuple,
+                exact_substring_dedup(
+                    df, "text", "doc_id", min_tokens=4
+                ).collect(),
+            )
+        )
+        for n in (3, 8):
+            salted = sorted(
+                map(
+                    tuple,
+                    exact_substring_dedup(
+                        df, "text", "doc_id", min_tokens=4, salt=n
+                    ).collect(),
+                )
+            )
+            assert salted == plain, f"salt={n}"
+
+    def test_salted_plan_adds_one_exchange(self, spark):
+        from lantern_spark.operators.dedup import duplicate_token_windows
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id int, text string"
+        )
+        p0 = (
+            duplicate_token_windows(df, "text", "doc_id", min_tokens=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        p1 = (
+            duplicate_token_windows(
+                df, "text", "doc_id", min_tokens=4, salt=4
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert p1.count("Exchange") > p0.count("Exchange")
