@@ -47,6 +47,8 @@ HEADLINE = [
     "hybrid_rrf_top10",
     "tokenize_docs",
     "dedup_prefix_groups",
+    "url_dedup_docs",
+    "substr_dup_windows_docs",
     "semdedup_survivors",
     "lsh_candidate_pairs",
     "dedup_components",
@@ -123,6 +125,15 @@ def main() -> None:
     from lantern_spark import registry
 
     qs = registry.queries()
+    # Queries retired from the 50-cap oracle roster stay TIMED here so
+    # the bench series remains comparable across rounds (the r8 swaps:
+    # knn_cos_top10 / tpch_q10 out, url_dedup_docs /
+    # substr_dup_windows_docs in).
+    from lantern_spark.queries.relational import tpch_q10_returned_items
+    from lantern_spark.queries.vector import knn_cos_top10
+
+    qs.setdefault("knn_cos_top10", knn_cos_top10)
+    qs.setdefault("tpch_q10_returned_items", tpch_q10_returned_items)
 
     # Untimed warmup: initialize codegen/Arrow and touch every table's
     # footer so per-query timings reflect steady state, not first-JVM
@@ -656,6 +667,71 @@ def main() -> None:
     except Exception as e:
         print(f"# bench quality FAILED: {e}", file=sys.stderr)
 
+    # r8 pipeline-op telemetry: the new span-level and sketch-based
+    # dedup tiers, timed on the documents table with correctness
+    # witnesses (removed-token count > 0 proves spans were actually
+    # found; member fraction 1.0 proves zero false negatives; the
+    # outsider fraction shows the sized FPR). Telemetry, not headline
+    # entries — the headline roster stays comparable across rounds.
+    spark.sparkContext.setJobDescription("bench:pipeline_ops")
+    try:
+        from pyspark.sql import functions as SF
+
+        from lantern_spark.operators.dedup import exact_substring_dedup
+        from lantern_spark.queries.common import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        t0 = time.time()
+        scrub = exact_substring_dedup(docs, "text", "doc_id", min_tokens=12)
+        agg = scrub.select(
+            SF.col("removed_tokens"), SF.xxhash64("text").alias("__h")
+        ).agg(
+            SF.sum("removed_tokens").alias("rt"),
+            SF.expr("bit_xor(__h)").alias("h"),
+        ).collect()[0]
+        quality["substr_dedup_s"] = round(time.time() - t0, 3)
+        quality["substr_removed_tokens"] = int(agg["rt"] or 0)
+    except Exception as e:
+        print(f"# bench substr_dedup FAILED: {e}", file=sys.stderr)
+    try:
+        from lantern_spark.operators.bloomset import (
+            bloom_fpr,
+            build_bloom_set,
+            probe_bloom_set,
+        )
+
+        bparams = dict(n_shards=32, m_bits=32 * 4096 * 8, k=7)
+        t0 = time.time()
+        bloom = build_bloom_set(docs, "text", **bparams).cache()
+        bloom.count()
+        members = (
+            probe_bloom_set(docs, bloom, "text", **bparams)
+            .filter("probable_member")
+            .count()
+        )
+        quality["bloom_build_probe_s"] = round(time.time() - t0, 3)
+        n_docs_b = docs.count()
+        quality["bloom_member_fraction"] = round(
+            members / max(n_docs_b, 1), 4
+        )
+        outsiders = spark.range(n_docs_b).select(
+            SF.concat(SF.lit("bench-outsider-"), SF.col("id")).alias("text")
+        )
+        fp = (
+            probe_bloom_set(outsiders, bloom, "text", **bparams)
+            .filter("probable_member")
+            .count()
+        )
+        quality["bloom_fp_fraction"] = round(fp / max(n_docs_b, 1), 4)
+        quality["bloom_fp_theoretical"] = round(
+            bloom_fpr(n_docs_b, bparams["m_bits"], bparams["k"]), 4
+        )
+        bloom.unpersist()
+    except Exception as e:
+        print(f"# bench bloomset FAILED: {e}", file=sys.stderr)
+
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -722,7 +798,9 @@ def main() -> None:
             "ivf_pq_byte_scan_fraction router_path router_nat_path "
             "ivf_fold_clustered_s ivf_fold_scattered_s ivf_rebuild_s "
             "hnsw_fold_s hnsw_rebuild_s "
-            "maxsim_twostage_recall_at10 maxsim_candidate_fraction"
+            "maxsim_twostage_recall_at10 maxsim_candidate_fraction "
+            "substr_dedup_s substr_removed_tokens bloom_build_probe_s "
+            "bloom_member_fraction bloom_fp_fraction"
         ).split()
         line["quality"] = {
             k: v for k, v in line["quality"].items() if k in keep

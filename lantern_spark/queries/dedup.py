@@ -272,6 +272,173 @@ def dedup_components(spark, sf_dir):
     )
 
 
+# --- URL dedup (RefinedWeb's cheapest tier) ---------------------------
+
+# The documents table carries no URL column, so both engines synthesize
+# the SAME deterministic messy URL from doc_id (the `pii_redact_docs`
+# augmentation pattern) covering every normalization branch: scheme
+# case, userinfo, default port, rooted-FQDN host, multi-label public
+# suffix, tracking params, fragments. Normalization must then collapse
+# the mess so distinct doc_ids collide and the first-occurrence rule
+# has real work to do.
+_URL_HOSTS = [
+    "example.com", "News.BBC.co.uk", "a.b.shop.com.au",
+    "x.co", "Sub.Domain.org", "example.com.",
+]
+_URL_AUTH = r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/@?#]*@)?([^/?#]*)"
+
+
+def _synth_url_sql() -> str:
+    hosts = ", ".join(f"'{h}'" for h in _URL_HOSTS)
+    return (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)"
+        " || '://'"
+        " || (CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END)"
+        f" || ([{hosts}])[(doc_id % 6)::INT + 1]"
+        " || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)"
+        " || '/page/' || (doc_id % 10)::VARCHAR"
+        " || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&utm_medium=y'"
+        "          WHEN doc_id % 3 = 1 THEN '?fbclid=abc123'"
+        "          ELSE '' END)"
+        " || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+    )
+
+
+def _url_dedup_oracle_sql() -> str:
+    """DuckDB replay of synth → normalize_url → registered_domain →
+    first-occurrence keep, generated from the SAME constants as the
+    engine expressions (operators/weburl.py) so patterns can't drift."""
+    from lantern_spark.operators.weburl import (
+        MULTI_LABEL_SUFFIXES,
+        TRACKING_PARAMS,
+    )
+
+    sufs = ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return f"""
+    WITH urls AS (SELECT doc_id, {_synth_url_sql()} AS u FROM documents),
+    parts AS (
+      SELECT doc_id, u,
+             lower(regexp_extract(u, '{_URL_AUTH}', 1)) AS scheme,
+             lower(regexp_extract(u, '{_URL_AUTH}', 2)) AS hostport,
+             regexp_extract(u, '{_URL_AUTH}([^#]*)', 3) AS rest0
+      FROM urls),
+    hp AS (
+      SELECT *,
+             regexp_replace(regexp_replace(hostport, ':[0-9]*$', ''),
+                            '\\.$', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+      FROM parts),
+    cleaned AS (
+      SELECT *,
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(rest0, '({TRACKING_PARAMS})=[^&#]*', '', 'g'),
+               '&&+', '&', 'g'), '\\?&', '?', 'g'),
+               '[?&]+$', '', 'g') AS rest1
+      FROM hp),
+    normed AS (
+      SELECT doc_id, u, host,
+             CASE WHEN scheme = '' THEN u
+                  ELSE scheme || '://' || host ||
+                    CASE WHEN port <> '' AND NOT (
+                           (scheme='http' AND port='80') OR
+                           (scheme='https' AND port='443'))
+                         THEN ':' || port ELSE '' END ||
+                    CASE WHEN rest1 = '' THEN '/' ELSE rest1 END
+             END AS n,
+             string_split(host, '.') AS labels
+      FROM cleaned),
+    ranked AS (
+      SELECT doc_id, n,
+             CASE WHEN len(labels) <= 1 THEN host
+                  WHEN len(labels) >= 3 AND
+                       (labels[-2] || '.' || labels[-1]) IN ({sufs})
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  ELSE labels[-2] || '.' || labels[-1]
+             END AS d,
+             row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
+      FROM normed)
+    SELECT doc_id, n AS norm_url, d AS domain FROM ranked WHERE rn = 1
+    """
+
+
+@register("url_dedup_docs", _url_dedup_oracle_sql())
+def url_dedup_docs(spark, sf_dir):
+    """URL dedup (RefinedWeb's cheapest tier, promoted to the roster in
+    r8): first-occurrence keep on the NORMALIZED URL — one short-string
+    shuffle, zero content reads. Both engines synthesize the same
+    deterministic messy URL per doc_id, then must agree on the full
+    normalize → registered-domain → survivor chain (pure column exprs
+    in the Java∩RE2 dialect, so the oracle replays every step)."""
+    from lantern_spark.operators.weburl import (
+        normalize_url,
+        registered_domain,
+        url_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.element_at(hosts, (d % 6).cast("int") + 1),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), (d % 10).cast("string"),
+        F.when(d % 3 == 0, F.lit("?utm_source=x&utm_medium=y"))
+        .when(d % 3 == 1, F.lit("?fbclid=abc123"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    survivors = url_dedup(docs.withColumn("url", url), "url", "doc_id")
+    return survivors.select(
+        "doc_id",
+        normalize_url("url").alias("norm_url"),
+        registered_domain("url").alias("domain"),
+    )
+
+
+# --- ExactSubstr detection layer (Lee et al. 2022) ---------------------
+
+_SUBSTR_W = 12
+
+
+@register(
+    "substr_dup_windows_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[i : i + {_SUBSTR_W - 1}], chr(1)) AS win
+      FROM toks, unnest(generate_series(1, len(t) - {_SUBSTR_W} + 1)) AS u(i)
+      WHERE len(t) >= {_SUBSTR_W}),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      FROM wins)
+    SELECT doc_id, pos::INT AS pos FROM ranked WHERE rn > 1
+    """,
+)
+def substr_dup_windows_docs(spark, sf_dir):
+    """ExactSubstr detection layer (arXiv:2107.06499, promoted to the
+    roster in r8): every non-first occurrence of a duplicated
+    {w}-token window as (doc_id, pos). The engine keys windows on two
+    independent 64-bit rolling hashes of per-token md5 halves
+    (collision odds ~2^-128 — treated as exact); the oracle keys on
+    the literal token sequence, so a hash-match here proves the
+    rolling-hash windowing IS window equality on this corpus."""
+    from lantern_spark.operators.dedup import duplicate_token_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_token_windows(
+        docs, "text", "doc_id", min_tokens=_SUBSTR_W
+    )
+    return out.select("doc_id", "pos")
+
+
 _SEMDEDUP_THR = 0.4
 
 

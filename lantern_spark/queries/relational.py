@@ -331,25 +331,18 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     )
 
 
-@register(
-    "tpch_q10_returned_items",
-    """
-    SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-           n.n_name, round(c.c_acctbal, 4) AS c_acctbal
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
-    ORDER BY revenue DESC, c.c_custkey
-    LIMIT 20
-    """,
-)
 def tpch_q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: 4-way join (two broadcast dims, one fact-fact)
-    + grouped revenue over returned items."""
+    + grouped revenue over returned items.
+
+    Retired from the oracle roster in r8 (50-query driver cap): the
+    multi-join-breadth coverage row stays starred via
+    ``tpch_q3_shipping_priority`` (the same broadcast-dim + fact-fact
+    join shape), and the agg-over-join shape is also hash-checked by
+    ``revenue_by_nation``; the slot funds ``substr_dup_windows_docs``
+    (ExactSubstr's detection layer, the newest first-class pipeline
+    op). Still timed in bench (direct import) so the series stays
+    comparable."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")

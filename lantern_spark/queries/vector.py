@@ -130,16 +130,15 @@ def knn_l2sq_top10(spark, sf_dir):
     )
 
 
-@register(
-    "knn_cos_top10",
-    f"""
-    SELECT vec_id, round({duck_cos('embedding::DOUBLE[]', _QL)}, 6) AS dist
-    FROM embeddings
-    ORDER BY round({duck_cos('embedding::DOUBLE[]', _QL)}, 6), vec_id
-    LIMIT 10
-    """,
-)
 def knn_cos_top10(spark, sf_dir):
+    """Exact top-10 KNN under cosine distance.
+
+    Retired from the oracle roster in r8 (50-query driver cap): the
+    top-k machinery is the SAME metric-agnostic TakeOrdered path
+    already hash-checked by ``knn_l2sq_top10``, and the cosine
+    expression itself is hash-checked by ``dist_cos_all`` — this entry
+    was redundant evidence; its slot funds ``url_dedup_docs``. Still
+    timed in bench (direct import) so the series stays comparable."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.withColumn("dist", F.round(cos_dist("embedding", vec_lit(Q64)), 6))
