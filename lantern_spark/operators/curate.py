@@ -181,7 +181,10 @@ def curate_corpus(
     )
     out = out.filter(quality_score(text_col) >= cfg.min_quality)
     if cfg.require_english:
-        out = out.filter(lang_id_en(text_col))
+        # lang_id_en yields a label ('en'/'unk'), not a boolean — the
+        # bare filter(label) form crashed under ANSI casts (caught by
+        # the r8 audit tests; this stage had no coverage before)
+        out = out.filter(lang_id_en(text_col) == "en")
     if cfg.max_dup_line_frac is not None:
         from lantern_spark.operators.textstats import dup_line_fraction
 
@@ -236,6 +239,76 @@ def curate_corpus(
     if report:
         return out, stages
     return out
+
+
+def heuristic_drop_reason(text_col: str, config: Optional[CurationConfig] = None):
+    """The FIRST heuristic stage that drops a row, as a string column
+    (NULL = the row survives every map-only stage). Stage order matches
+    ``curate_corpus`` exactly, so ``count(reason = s)`` equals the rows
+    stage ``s`` would remove from its input in the sequential pipeline.
+
+    Pure column expression — composes into any scan. This is how a
+    100 TB run answers "what did each filter cost me" in ONE pass
+    (see :func:`curation_audit`) instead of one count() job per stage
+    boundary (``report=True``'s shape, which re-scans per boundary).
+    """
+    cfg = config or CurationConfig()
+    toks = token_count_ws(text_col)
+    reason = (
+        F.when(F.col(text_col).isNull(), F.lit("null_text"))
+        .when(toks < cfg.min_tokens, F.lit("too_short"))
+        .when(toks > cfg.max_tokens, F.lit("too_long"))
+        .when(quality_score(text_col) < cfg.min_quality, F.lit("low_quality"))
+    )
+    if cfg.require_english:
+        reason = reason.when(
+            lang_id_en(text_col) != "en", F.lit("not_english")
+        )
+    if cfg.max_dup_line_frac is not None:
+        from lantern_spark.operators.textstats import dup_line_fraction
+
+        reason = reason.when(
+            dup_line_fraction(text_col) > cfg.max_dup_line_frac,
+            F.lit("dup_lines"),
+        )
+    if cfg.max_top2gram_frac is not None:
+        from lantern_spark.operators.textstats import top_ngram_fraction
+
+        reason = reason.when(
+            top_ngram_fraction(text_col, 2) > cfg.max_top2gram_frac,
+            F.lit("repetitive_2gram"),
+        )
+    for i, pred in enumerate(cfg.extra_predicates):
+        # filter(pred) drops NULL-evaluating rows too — so must the audit
+        reason = reason.when(
+            ~F.coalesce(pred, F.lit(False)), F.lit(f"extra_predicate_{i}")
+        )
+    return reason.otherwise(F.lit(None))
+
+
+def curation_audit(
+    df: DataFrame,
+    text_col: str,
+    config: Optional[CurationConfig] = None,
+) -> DataFrame:
+    """Per-stage drop accounting for the map-only heuristic stages in
+    ONE job: ``(stage, n_rows)`` where ``stage`` is the first filter
+    that would drop the row (``kept`` = survives them all). Contrast
+    with ``curate_corpus(report=True)``, which runs one count() job —
+    one full scan — per stage boundary; at 100 TB this is the audit
+    you can afford to run on every ingest.
+
+    Evaluates the heuristics on the text AS GIVEN: run it after any
+    rewrite stages (line/substr dedup, PII redaction) to see what the
+    filters do to the text the pipeline actually scores. The dedup
+    stages' drops are not included — they are shuffle stages with their
+    own single-aggregate accounting (``exact_dup_groups`` et al.)."""
+    reason = heuristic_drop_reason(text_col, config)
+    return (
+        df.select(F.coalesce(reason, F.lit("kept")).alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_rows"))
+    )
 
 
 def decontaminate(

@@ -361,3 +361,109 @@ class TestSubstrDedupStage:
         assert rep["substr_dedup"] == 2 and rep["heuristics"] == 1
         # audit columns are internal to the stage, not pipeline output
         assert "removed_tokens" not in out.columns
+
+
+class TestCurationAudit:
+    """Single-pass drop accounting: heuristic_drop_reason must agree
+    with the sequential curate_corpus filters, rule by rule, and the
+    whole audit must be ONE scan."""
+
+    def _cfg(self):
+        from lantern_spark.operators.curate import CurationConfig
+
+        return CurationConfig(
+            min_tokens=3, max_tokens=10, min_quality=0.2,
+            require_english=True, max_dup_line_frac=0.5,
+            exact_dedup=False, near_dedup=False,
+        )
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, None),                                   # null_text
+                (1, "one two"),                              # too_short
+                (2, " ".join(["tok"] * 20)),                 # too_long
+                (3, "a1!!! b2??? c3%%% d4$$$ e5###"),        # low_quality
+                (4, "zzz qqq xxx vvv www"),                  # not_english
+                (5, "the dog\nthe dog\nthe dog\nthe dog"),   # dup_lines
+                (6, "the quick brown fox is here"),          # kept
+                (7, "a small cat sat on the mat"),           # kept
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_reasons_match_rules(self, spark):
+        from lantern_spark.operators.curate import heuristic_drop_reason
+
+        df = self._corpus(spark)
+        got = {
+            r["doc_id"]: r["why"]
+            for r in df.select(
+                "doc_id",
+                heuristic_drop_reason("text", self._cfg()).alias("why"),
+            ).collect()
+        }
+        assert got[0] == "null_text"
+        assert got[1] == "too_short"
+        assert got[2] == "too_long"
+        assert got[3] == "low_quality"
+        assert got[4] == "not_english"
+        assert got[5] == "dup_lines"
+        assert got[6] is None and got[7] is None
+
+    def test_kept_equals_sequential_pipeline(self, spark):
+        from lantern_spark.operators.curate import (
+            curate_corpus,
+            curation_audit,
+        )
+
+        df = self._corpus(spark)
+        audit = {
+            r["stage"]: r["n_rows"]
+            for r in curation_audit(df, "text", self._cfg()).collect()
+        }
+        survivors = curate_corpus(df, "text", "doc_id", self._cfg())
+        assert audit.get("kept", 0) == survivors.count() == 2
+        assert sum(audit.values()) == df.count()
+
+    def test_extra_predicate_null_drops(self, spark):
+        """filter(pred) drops NULL-evaluating rows; the audit must
+        attribute them to the predicate, not count them kept."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+            curation_audit,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox is here", 5),
+                (2, "a small cat sat on the mat", None),
+            ],
+            "doc_id long, text string, score int",
+        )
+        cfg = CurationConfig(
+            min_quality=0.0, exact_dedup=False, near_dedup=False,
+            extra_predicates=[F.col("score") > 3],
+        )
+        audit = {
+            r["stage"]: r["n_rows"]
+            for r in curation_audit(df, "text", cfg).collect()
+        }
+        assert audit == {"kept": 1, "extra_predicate_0": 1}
+        assert curate_corpus(df, "text", "doc_id", cfg).count() == 1
+
+    def test_single_scan_plan(self, spark, sf_dir):
+        from lantern_spark.operators.curate import curation_audit
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            curation_audit(docs, "text", self._cfg())
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 1
+        assert "EvalPython" not in plan
