@@ -111,6 +111,128 @@ class CurationConfig:
     substr_dedup_min_tokens: Optional[int] = None
 
 
+def _curation_stages(text_col: str, id_col: str, cfg: CurationConfig):
+    """The pipeline as an ordered ``[(name, DataFrame -> DataFrame)]``
+    list — the single source of stage order, shared by the one-plan
+    :func:`curate_corpus` and the checkpointed
+    :func:`curate_corpus_staged`."""
+    stages = []
+
+    # URL stages run FIRST (RefinedWeb's order): they key on one short
+    # string per row, so dropping here saves every later content read
+    if cfg.url_col is not None and cfg.blocked_domains:
+        from lantern_spark.operators.weburl import filter_domain_blocklist
+
+        stages.append((
+            "url_blocklist",
+            lambda f: filter_domain_blocklist(
+                f, cfg.url_col, cfg.blocked_domains
+            ),
+        ))
+    if cfg.url_col is not None and cfg.url_dedup:
+        from lantern_spark.operators.weburl import url_dedup
+
+        stages.append((
+            "url_dedup", lambda f: url_dedup(f, cfg.url_col, id_col)
+        ))
+
+    if cfg.line_dedup_scope is not None:
+        from lantern_spark.operators.dedup import line_dedup
+
+        stages.append((
+            "line_dedup",
+            lambda f: line_dedup(
+                f, text_col, id_col,
+                min_chars=cfg.line_dedup_min_chars,
+                scope=cfg.line_dedup_scope,
+                salt=cfg.line_dedup_salt,
+            ),
+        ))
+
+    if cfg.substr_dedup_min_tokens is not None:
+        from lantern_spark.operators.dedup import exact_substring_dedup
+
+        stages.append((
+            "substr_dedup",
+            lambda f: exact_substring_dedup(
+                f, text_col, id_col,
+                min_tokens=cfg.substr_dedup_min_tokens,
+                salt=cfg.substr_dedup_salt,
+            ).drop("removed_tokens", "removed_spans"),
+        ))
+
+    def heuristics(out: DataFrame) -> DataFrame:
+        # one fused map-only pass (pure column expressions)
+        toks = token_count_ws(text_col)
+        out = out.filter(
+            F.col(text_col).isNotNull()
+            & (toks >= cfg.min_tokens)
+            & (toks <= cfg.max_tokens)
+        )
+        out = out.filter(quality_score(text_col) >= cfg.min_quality)
+        if cfg.require_english:
+            # lang_id_en yields a label ('en'/'unk'), not a boolean —
+            # the bare filter(label) form crashed under ANSI casts
+            # (caught by the r8 audit tests; the stage had no coverage)
+            out = out.filter(lang_id_en(text_col) == "en")
+        if cfg.max_dup_line_frac is not None:
+            from lantern_spark.operators.textstats import dup_line_fraction
+
+            out = out.filter(
+                dup_line_fraction(text_col) <= cfg.max_dup_line_frac
+            )
+        if cfg.max_top2gram_frac is not None:
+            from lantern_spark.operators.textstats import top_ngram_fraction
+
+            out = out.filter(
+                top_ngram_fraction(text_col, 2) <= cfg.max_top2gram_frac
+            )
+        for pred in cfg.extra_predicates:
+            out = out.filter(pred)
+        if cfg.redact_pii:
+            from lantern_spark.operators.textstats import redact_pii
+
+            out = out.withColumn(text_col, redact_pii(text_col))
+        return out
+
+    stages.append(("heuristics", heuristics))
+
+    if cfg.quality_model is not None and cfg.min_model_prob is not None:
+        stages.append((
+            "model_quality",
+            lambda f: cfg.quality_model.filter(
+                f, text_col, min_prob=cfg.min_model_prob
+            ),
+        ))
+
+    if cfg.lm is not None and cfg.max_ppl is not None:
+        stages.append((
+            "perplexity",
+            lambda f: cfg.lm.perplexity_filter(
+                f, text_col, id_col, cfg.max_ppl
+            ).drop("ppl"),
+        ))
+
+    if cfg.exact_dedup:
+        stages.append((
+            "exact_dedup", lambda f: exact_dedup(f, text_col, id_col)
+        ))
+    if cfg.near_dedup:
+        stages.append((
+            "near_dedup",
+            lambda f: dedup_clusters(
+                f,
+                text_col,
+                id_col,
+                threshold=cfg.near_threshold,
+                n_hashes=cfg.minhash_hashes,
+                bands=cfg.minhash_bands,
+                shingle_k=cfg.shingle_k,
+            ),
+        ))
+    return stages
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str,
@@ -121,7 +243,8 @@ def curate_corpus(
     """Apply the full curation pipeline; returns the filtered DataFrame,
     or (DataFrame, report dict) with per-stage surviving counts when
     ``report=True`` (each report row costs one count() job — leave off
-    in production and read stage counts from the Spark UI instead).
+    in production and read stage counts from the Spark UI instead, or
+    use :func:`curation_audit` for one-scan heuristic accounting).
     """
     cfg = config or CurationConfig()
     stages = {}
@@ -132,112 +255,119 @@ def curate_corpus(
         return frame
 
     out = note("input", df)
-
-    # URL stages run FIRST (RefinedWeb's order): they key on one short
-    # string per row, so dropping here saves every later content read
-    if cfg.url_col is not None and cfg.blocked_domains:
-        from lantern_spark.operators.weburl import filter_domain_blocklist
-
-        out = note(
-            "url_blocklist",
-            filter_domain_blocklist(out, cfg.url_col, cfg.blocked_domains),
-        )
-    if cfg.url_col is not None and cfg.url_dedup:
-        from lantern_spark.operators.weburl import url_dedup
-
-        out = note("url_dedup", url_dedup(out, cfg.url_col, id_col))
-
-    if cfg.line_dedup_scope is not None:
-        from lantern_spark.operators.dedup import line_dedup
-
-        out = note(
-            "line_dedup",
-            line_dedup(
-                out, text_col, id_col,
-                min_chars=cfg.line_dedup_min_chars,
-                scope=cfg.line_dedup_scope,
-                salt=cfg.line_dedup_salt,
-            ),
-        )
-
-    if cfg.substr_dedup_min_tokens is not None:
-        from lantern_spark.operators.dedup import exact_substring_dedup
-
-        out = note(
-            "substr_dedup",
-            exact_substring_dedup(
-                out, text_col, id_col,
-                min_tokens=cfg.substr_dedup_min_tokens,
-                salt=cfg.substr_dedup_salt,
-            ).drop("removed_tokens", "removed_spans"),
-        )
-
-    # 1-3: one fused map-only pass (pure column expressions)
-    toks = token_count_ws(text_col)
-    out = out.filter(
-        F.col(text_col).isNotNull()
-        & (toks >= cfg.min_tokens)
-        & (toks <= cfg.max_tokens)
-    )
-    out = out.filter(quality_score(text_col) >= cfg.min_quality)
-    if cfg.require_english:
-        # lang_id_en yields a label ('en'/'unk'), not a boolean — the
-        # bare filter(label) form crashed under ANSI casts (caught by
-        # the r8 audit tests; this stage had no coverage before)
-        out = out.filter(lang_id_en(text_col) == "en")
-    if cfg.max_dup_line_frac is not None:
-        from lantern_spark.operators.textstats import dup_line_fraction
-
-        out = out.filter(
-            dup_line_fraction(text_col) <= cfg.max_dup_line_frac
-        )
-    if cfg.max_top2gram_frac is not None:
-        from lantern_spark.operators.textstats import top_ngram_fraction
-
-        out = out.filter(
-            top_ngram_fraction(text_col, 2) <= cfg.max_top2gram_frac
-        )
-    for pred in cfg.extra_predicates:
-        out = out.filter(pred)
-    if cfg.redact_pii:
-        from lantern_spark.operators.textstats import redact_pii
-
-        out = out.withColumn(text_col, redact_pii(text_col))
-    out = note("heuristics", out)
-
-    if cfg.quality_model is not None and cfg.min_model_prob is not None:
-        out = note(
-            "model_quality",
-            cfg.quality_model.filter(
-                out, text_col, min_prob=cfg.min_model_prob
-            ),
-        )
-
-    if cfg.lm is not None and cfg.max_ppl is not None:
-        out = note(
-            "perplexity",
-            cfg.lm.perplexity_filter(
-                out, text_col, id_col, cfg.max_ppl
-            ).drop("ppl"),
-        )
-
-    if cfg.exact_dedup:
-        out = note("exact_dedup", exact_dedup(out, text_col, id_col))
-    if cfg.near_dedup:
-        out = note(
-            "near_dedup",
-            dedup_clusters(
-                out,
-                text_col,
-                id_col,
-                threshold=cfg.near_threshold,
-                n_hashes=cfg.minhash_hashes,
-                bands=cfg.minhash_bands,
-                shingle_k=cfg.shingle_k,
-            ),
-        )
+    for name, fn in _curation_stages(text_col, id_col, cfg):
+        out = note(name, fn(out))
     if report:
         return out, stages
+    return out
+
+
+def _config_fingerprint(text_col: str, id_col: str, cfg: CurationConfig) -> str:
+    """Stable hash of everything that determines a stage's OUTPUT given
+    its input: the column names plus every primitive config field. The
+    lm / quality_model objects cannot be fingerprinted robustly — they
+    contribute presence + class name; swapping in a different trained
+    artifact of the same class between resumed runs is the caller's
+    responsibility (same contract as swapping the input DataFrame)."""
+    import dataclasses
+    import hashlib
+    import json
+
+    d = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if f.name in ("lm", "quality_model"):
+            d[f.name] = None if v is None else type(v).__name__
+        elif f.name == "extra_predicates":
+            d[f.name] = [str(p) for p in v]
+        else:
+            d[f.name] = v
+    d["__cols"] = [text_col, id_col]
+    return hashlib.md5(
+        json.dumps(d, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
+def curate_corpus_staged(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    config: Optional[CurationConfig] = None,
+) -> DataFrame:
+    """:func:`curate_corpus` with a parquet CHECKPOINT after every
+    stage — the operational shape of a multi-day 100 TB curation run:
+
+    - each stage writes ``<checkpoint_dir>/<NN>_<stage>`` via a staged
+      temp dir + one atomic rename, so a crash mid-stage leaves only a
+      ``__tmp`` dir the next run clears — never a half-written
+      checkpoint;
+    - a re-run RESUMES: stages whose checkpoint exists (Spark
+      ``_SUCCESS`` marker + a config fingerprint match) are loaded,
+      not recomputed — a failure in stage 7 of 9 costs stage 7, not
+      the week of dedup shuffles behind it;
+    - a CONFIG change invalidates the first stage it affects and
+      everything after it (fingerprint mismatch drops that checkpoint
+      and all later ones — later stages derive from it);
+    - each checkpoint also truncates lineage, so the near-dedup stage's
+      plan never re-derives the URL scrub.
+
+    The price is one corpus write + read per stage — at 100 TB, buy it
+    for the expensive shuffle stages by running the cheap map-only
+    stages inline (they're one fused scan in :func:`curate_corpus`)
+    and checkpointing the output of each dedup tier; this helper
+    checkpoints every stage for a uniform resume contract.
+
+    Resuming against a DIFFERENT input DataFrame is undetectable (an
+    input fingerprint would cost a full scan) and on the caller, as
+    with any checkpointed pipeline. Single-writer, like the index
+    maintenance paths.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+
+    cfg = config or CurationConfig()
+    fp = _config_fingerprint(text_col, id_col, cfg)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    # a crash mid-stage leaves __tmp staging — clear it first
+    for stale in glob.glob(os.path.join(checkpoint_dir, "*__tmp")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+    def meta_path(d):
+        return os.path.join(d, "_curate_meta.json")
+
+    def valid(d, name):
+        if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+            return False
+        try:
+            with open(meta_path(d)) as fh:
+                m = json.load(fh)
+        except OSError:
+            return False
+        return m.get("fingerprint") == fp and m.get("stage") == name
+
+    out = df
+    invalidated = False
+    for i, (name, fn) in enumerate(_curation_stages(text_col, id_col, cfg)):
+        stage_dir = os.path.join(checkpoint_dir, f"{i:02d}_{name}")
+        if invalidated and os.path.isdir(stage_dir):
+            # an earlier stage recomputed — everything downstream is
+            # derived from it and must too
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        if not invalidated and valid(stage_dir, name):
+            out = spark.read.parquet(stage_dir)
+            continue
+        invalidated = True
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        tmp = stage_dir + "__tmp"
+        fn(out).write.mode("overwrite").parquet(tmp)
+        with open(meta_path(tmp), "w") as fh:
+            json.dump({"fingerprint": fp, "stage": name}, fh)
+        os.rename(tmp, stage_dir)  # atomic promote
+        out = spark.read.parquet(stage_dir)
     return out
 
 

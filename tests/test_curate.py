@@ -467,3 +467,133 @@ class TestCurationAudit:
         )
         assert plan.count("Scan parquet") == 1
         assert "EvalPython" not in plan
+
+
+class TestCurateStaged:
+    """Checkpointed pipeline: identical output, real resume, config
+    invalidation, crash-staging cleanup."""
+
+    def _cfg(self):
+        from lantern_spark.operators.curate import CurationConfig
+
+        return CurationConfig(
+            min_tokens=2, min_quality=0.0, line_dedup_scope="corpus",
+            line_dedup_min_chars=4, near_dedup=False,
+        )
+
+    def _corpus(self, spark):
+        boiler = "shared boilerplate line here"
+        rows = [
+            (i, f"doc {i} opening words\n{boiler}\ndoc {i} closing words")
+            for i in range(12)
+        ] + [(100, "the same duplicated document"),
+             (101, "the same duplicated document")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _mtimes(self, ckpt):
+        import glob
+        import os
+
+        return {
+            os.path.basename(d): os.path.getmtime(d)
+            for d in glob.glob(f"{ckpt}/*")
+            if os.path.isdir(d)
+        }
+
+    def test_staged_equals_inline(self, spark, tmp_path):
+        from lantern_spark.operators.curate import (
+            curate_corpus,
+            curate_corpus_staged,
+        )
+
+        df = self._corpus(spark)
+        want = sorted(
+            map(tuple, curate_corpus(df, "text", "doc_id", self._cfg()).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                curate_corpus_staged(
+                    spark, df, "text", "doc_id",
+                    str(tmp_path / "ckpt"), self._cfg(),
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+    def test_resume_reuses_checkpoints(self, spark, tmp_path):
+        from lantern_spark.operators.curate import curate_corpus_staged
+
+        df = self._corpus(spark)
+        ckpt = str(tmp_path / "ckpt")
+        first = sorted(
+            map(
+                tuple,
+                curate_corpus_staged(
+                    spark, df, "text", "doc_id", ckpt, self._cfg()
+                ).collect(),
+            )
+        )
+        m1 = self._mtimes(ckpt)
+        assert set(m1) == {"00_line_dedup", "01_heuristics", "02_exact_dedup"}
+        second = sorted(
+            map(
+                tuple,
+                curate_corpus_staged(
+                    spark, df, "text", "doc_id", ckpt, self._cfg()
+                ).collect(),
+            )
+        )
+        assert second == first
+        assert self._mtimes(ckpt) == m1  # nothing recomputed
+
+    def test_config_change_invalidates_downstream_only(self, spark, tmp_path):
+        import dataclasses
+
+        from lantern_spark.operators.curate import curate_corpus_staged
+
+        df = self._corpus(spark)
+        ckpt = str(tmp_path / "ckpt")
+        curate_corpus_staged(spark, df, "text", "doc_id", ckpt, self._cfg())
+        m1 = self._mtimes(ckpt)
+        cfg2 = dataclasses.replace(self._cfg(), min_tokens=3)
+        out = curate_corpus_staged(spark, df, "text", "doc_id", ckpt, cfg2)
+        m2 = self._mtimes(ckpt)
+        # every stage carries the config fingerprint, so a config
+        # change recomputes from the first stage (uniform contract)
+        assert m2["01_heuristics"] > m1["01_heuristics"]
+        assert m2["02_exact_dedup"] > m1["02_exact_dedup"]
+        assert out.count() > 0
+
+    def test_crash_staging_cleared_and_partial_recomputed(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from lantern_spark.operators.curate import curate_corpus_staged
+
+        df = self._corpus(spark)
+        ckpt = str(tmp_path / "ckpt")
+        first = sorted(
+            map(
+                tuple,
+                curate_corpus_staged(
+                    spark, df, "text", "doc_id", ckpt, self._cfg()
+                ).collect(),
+            )
+        )
+        # simulate a crash: stale __tmp staging + a checkpoint whose
+        # _SUCCESS marker is missing (half-written)
+        os.makedirs(f"{ckpt}/01_heuristics__tmp", exist_ok=True)
+        os.remove(f"{ckpt}/01_heuristics/_SUCCESS")
+        again = sorted(
+            map(
+                tuple,
+                curate_corpus_staged(
+                    spark, df, "text", "doc_id", ckpt, self._cfg()
+                ).collect(),
+            )
+        )
+        assert again == first
+        assert not os.path.isdir(f"{ckpt}/01_heuristics__tmp")
+        assert os.path.isfile(f"{ckpt}/01_heuristics/_SUCCESS")
+        shutil.rmtree(ckpt, ignore_errors=True)
