@@ -731,6 +731,91 @@ def main() -> None:
         bloom.unpersist()
     except Exception as e:
         print(f"# bench bloomset FAILED: {e}", file=sys.stderr)
+    # Anisotropic PQ (ScaNN, r8) on the HONEST 60k fixture: the
+    # score-aware loss promises lower inner-product score error on the
+    # pairs that matter (the true top-k) at the same code size — so the
+    # headline witness is top-10 score RMSE, APQ vs plain PQ, plus the
+    # two-stage serving number (truth top-10 found in a 10× ADC
+    # shortlist, the oversample-re-rank shape). Raw ADC-only recall is
+    # reported too; at 8 bytes/vector it is noise-bound for both.
+    spark.sparkContext.setJobDescription("bench:apq_quality")
+    try:
+        import numpy as _np
+
+        from lantern_spark.fixtures import held_out_probes, replicated_corpus
+        from lantern_spark.operators.anisotropic import (
+            APQModel,
+            apq_codes_local,
+            apq_encode,
+            default_eta,
+            train_apq_local,
+        )
+        from lantern_spark.operators.pq import train_codebook_local
+        from lantern_spark.queries.common import load_table
+        from lantern_spark.types import PQSpec
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        fix = replicated_corpus(emb, 30)
+        fix, probes = held_out_probes(fix, 20)
+        x = _np.asarray(
+            [r["embedding"] for r in fix.collect()], dtype=_np.float64
+        )
+        queries = _np.asarray(probes, dtype=_np.float64)
+        dim = x.shape[1]
+        spec = PQSpec(dim=dim, splits=8, clusters=64, seed=42)
+        eta = default_eta(dim)
+        t0 = time.time()
+        apq = train_apq_local(x[:10000], spec, eta=eta, iters=5)
+        quality["apq_train_s"] = round(time.time() - t0, 3)
+        plain = APQModel(
+            spec=spec, eta=1.0,
+            codebook_rows=train_codebook_local(x[:10000], spec),
+            train_loss=0.0,
+        )
+
+        def _metrics(model):
+            cb = model.codebook_array()
+            cbz = _np.where(_np.isfinite(cb), cb, 0.0)
+            codes = apq_codes_local(x, model)
+            dec = _np.concatenate(
+                [cbz[s, codes[:, s]] for s in range(spec.splits)], axis=1
+            )
+            hits = short = 0
+            se = []
+            for q in queries:
+                s_true, s_adc = x @ q, dec @ q
+                top = _np.argsort(-s_true)[:10]
+                truth = set(top.tolist())
+                hits += len(truth & set(_np.argsort(-s_adc)[:10].tolist()))
+                short += len(
+                    truth & set(_np.argsort(-s_adc)[:100].tolist())
+                )
+                se.extend(((s_true[top] - s_adc[top]) ** 2).tolist())
+            nq = len(queries)
+            return (
+                hits / (10 * nq),
+                short / (10 * nq),
+                float(_np.sqrt(_np.mean(se))),
+            )
+
+        r_a, sh_a, rmse_a = _metrics(apq)
+        r_p, sh_p, rmse_p = _metrics(plain)
+        quality["apq_topk_score_rmse"] = round(rmse_a, 4)
+        quality["pq_topk_score_rmse"] = round(rmse_p, 4)
+        quality["apq_shortlist100_recall_at10"] = round(sh_a, 4)
+        quality["pq_shortlist100_recall_at10"] = round(sh_p, 4)
+        quality["apq_ip_recall_at10"] = round(r_a, 4)
+        quality["pq_ip_recall_at10"] = round(r_p, 4)
+        quality["apq_eta"] = round(eta, 3)
+        t0 = time.time()
+        apq_encode(emb, "embedding", apq).select(
+            SF.xxhash64("embedding_apq").alias("h")
+        ).agg(SF.expr("bit_xor(h)")).collect()
+        quality["apq_encode_s"] = round(time.time() - t0, 3)
+    except Exception as e:
+        print(f"# bench apq FAILED: {e}", file=sys.stderr)
 
     payload = {
         "metric": "headline_queries_total_wall",
@@ -800,7 +885,9 @@ def main() -> None:
             "hnsw_fold_s hnsw_rebuild_s "
             "maxsim_twostage_recall_at10 maxsim_candidate_fraction "
             "substr_dedup_s substr_removed_tokens bloom_build_probe_s "
-            "bloom_member_fraction bloom_fp_fraction"
+            "bloom_member_fraction bloom_fp_fraction "
+            "apq_topk_score_rmse pq_topk_score_rmse "
+            "apq_shortlist100_recall_at10 pq_shortlist100_recall_at10"
         ).split()
         line["quality"] = {
             k: v for k, v in line["quality"].items() if k in keep

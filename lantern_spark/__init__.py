@@ -42,9 +42,14 @@ A from-scratch re-expression of the capabilities of lanterndata/lantern
   operators/textstats), exact-substring span dedup (Lee et al. 2022,
   operators/dedup.exact_substring_dedup), Dolma-style Bloom
   membership sketches for dedup-against-history in constant memory
-  (operators/bloomset + the bounded-state streaming twin), and OPQ
+  (operators/bloomset + the bounded-state streaming twin), OPQ
   learned-rotation product quantization (Ge et al. 2013,
-  operators/opq; IVFIndex.build(opq=True)).
+  operators/opq; IVFIndex.build(opq=True)), anisotropic PQ for
+  inner-product retrieval (ScaNN, Guo et al. 2020,
+  operators/anisotropic), overlapping-token-window document chunking
+  with provenance (operators/chunk), one-scan curation drop audits and
+  resumable per-stage checkpointed curation (operators/curate), and
+  skew-bounded salted first-occurrence dedup (operators/dedup salt=N).
 
 Everything is DataFrame-in / DataFrame-out and designed for 100 TB scale:
 no driver-side collection except tiny codebooks/centroids/manifests.
