@@ -40,8 +40,17 @@ def incremental_index_job(
     max_files_per_trigger: int = 4,
     fold_threshold_rows: Optional[int] = None,
     max_fold_shards: int = 8,
+    transform=None,
 ):
     """Start a stream appending new source rows to ``index``'s delta.
+
+    ``transform`` (r8): an optional STATELESS ``DataFrame -> DataFrame``
+    applied to the stream before ingestion — the hook that turns this
+    into the RAG ingestion stack: ``transform=lambda df:
+    embed(chunk_text(df, ...))`` chunks and embeds each new document
+    micro-batch and the index syncs over CHUNK rows (map-only
+    transforms keep the stream append-only; stateful transforms belong
+    in their own stage).
 
     Returns (query, state) where ``state["index"]`` always points at
     the live index handle (it changes identity after an automatic
@@ -74,6 +83,8 @@ def incremental_index_job(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_path)
     )
+    if transform is not None:
+        stream = transform(stream)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         idx = state["index"]

@@ -496,3 +496,75 @@ class TestStreamingFoldTier:
         probe = [float(x) for x in emb.filter("vec_id = 450").first()["embedding"]]
         top = idx.search(spark, probe, k=1, ef=64).first()
         assert top["vec_id"] == 450
+
+
+class TestStreamingRagIngestion:
+    """r8: the RAG ingestion stack as ONE stream — new documents chunk
+    and embed inside the stream transform (stateless pure exprs), the
+    index syncs over CHUNK rows with doc provenance stored."""
+
+    def test_chunk_embed_index_stream(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.chunk import chunk_text
+        from lantern_spark.operators.embed import (
+            md5_embed_batch,
+            md5_embed_expr,
+        )
+        from lantern_spark.operators.index import IVFIndex
+        from lantern_spark.streaming.index_stream import (
+            incremental_index_job,
+        )
+
+        def rag(df):
+            ch = chunk_text(df, "text", "doc_id", max_tokens=6, overlap=2)
+            return ch.select(
+                (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("vec_id"),
+                md5_embed_expr("chunk_text", 16).alias("embedding"),
+                "doc_id",
+                "chunk_id",
+            ).where(F.col("embedding").isNotNull())
+
+        schema = "doc_id long, text string"
+        base_docs = spark.createDataFrame(
+            [
+                (i, f"base document {i} with some body text tokens t{i} u{i}")
+                for i in range(30)
+            ],
+            schema,
+        )
+        idx = IVFIndex.build(
+            rag(base_docs), "embedding", "vec_id",
+            str(tmp_path / "rag_idx"), metric="cos", nlist=4, seed=42,
+            extra_columns=["doc_id", "chunk_id"],
+        )
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        q, state = incremental_index_job(
+            spark, idx, src,
+            spark.createDataFrame([], schema).schema,
+            str(tmp_path / "ck"),
+            transform=rag,
+        )
+        needle = "streamed rag needle tokens here"  # 5 tokens -> 1 chunk
+        try:
+            spark.createDataFrame(
+                [(100, needle), (101, " ".join(f"w{j}" for j in range(14)))],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # doc 101: 14 tokens -> ceil(8/4)+1 = 3 chunks; doc 100: 1 chunk
+        qvec = md5_embed_batch([needle], 16)[0]
+        hit = idx.search(
+            spark, qvec, k=1, nprobe=4,
+            select_columns=["doc_id", "chunk_id"],
+        ).first()
+        assert hit["doc_id"] == 100 and hit["chunk_id"] == 0
+        assert hit["vec_id"] == 100000
+        assert hit["dist"] == pytest.approx(0.0, abs=1e-9)
+        # the stream ingested CHUNK rows (1 + 3), not document rows
+        assert state["ingested"] == 4
