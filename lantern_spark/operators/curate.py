@@ -50,6 +50,24 @@ class CurationConfig:
     # map-only heuristic scan.
     max_dup_line_frac: Optional[float] = None
     max_top2gram_frac: Optional[float] = None
+    # Dolma-family compression-ratio band (zlib bytes / raw bytes):
+    # boilerplate compresses far below prose, byte soup above it —
+    # keep the middle. OPT-IN; the signal is an Arrow kernel, so
+    # enabling it adds one ArrowEvalPython stage to the heuristic scan
+    # (still map-only, no shuffle).
+    min_compression_ratio: Optional[float] = None
+    max_compression_ratio: Optional[float] = None
+    # the FULL Gopher Table A1 document-rule block at published
+    # defaults (word-count band, mean word length, symbol/word ratio,
+    # bullet/ellipsis line fractions, alpha-word fraction, >= 2
+    # required stopwords) as one fused boolean expr; pair with the
+    # repetition knobs above for the complete Gopher filter. OPT-IN.
+    gopher_rules: bool = False
+    # C4 cleaning (Raffel et al. 2020 §2.2): drop pages with bad
+    # markers / < 5 sentences, then REWRITE pages keeping only lines
+    # with >= 3 words ending in terminal punctuation. A rewrite stage —
+    # runs with the other rewrites BEFORE the heuristics. OPT-IN.
+    c4_clean: bool = False
     exact_dedup: bool = True
     near_dedup: bool = True
     near_threshold: float = 0.8
@@ -136,6 +154,19 @@ def _curation_stages(text_col: str, id_col: str, cfg: CurationConfig):
             "url_dedup", lambda f: url_dedup(f, cfg.url_col, id_col)
         ))
 
+    if cfg.c4_clean:
+        from lantern_spark.operators.textstats import (
+            c4_clean_lines,
+            c4_page_ok,
+        )
+
+        stages.append((
+            "c4_clean",
+            lambda f: f.filter(c4_page_ok(text_col)).withColumn(
+                text_col, c4_clean_lines(text_col)
+            ),
+        ))
+
     if cfg.line_dedup_scope is not None:
         from lantern_spark.operators.dedup import line_dedup
 
@@ -187,6 +218,21 @@ def _curation_stages(text_col: str, id_col: str, cfg: CurationConfig):
             out = out.filter(
                 top_ngram_fraction(text_col, 2) <= cfg.max_top2gram_frac
             )
+        if cfg.gopher_rules:
+            from lantern_spark.operators.textstats import gopher_rules_ok
+
+            out = out.filter(gopher_rules_ok(text_col))
+        if (
+            cfg.min_compression_ratio is not None
+            or cfg.max_compression_ratio is not None
+        ):
+            from lantern_spark.operators.textstats import compression_ratio
+
+            cr = compression_ratio(text_col)
+            if cfg.min_compression_ratio is not None:
+                out = out.filter(cr >= cfg.min_compression_ratio)
+            if cfg.max_compression_ratio is not None:
+                out = out.filter(cr <= cfg.max_compression_ratio)
         for pred in cfg.extra_predicates:
             out = out.filter(pred)
         if cfg.redact_pii:
@@ -408,6 +454,27 @@ def heuristic_drop_reason(text_col: str, config: Optional[CurationConfig] = None
             top_ngram_fraction(text_col, 2) > cfg.max_top2gram_frac,
             F.lit("repetitive_2gram"),
         )
+    if cfg.gopher_rules:
+        from lantern_spark.operators.textstats import gopher_rules_ok
+
+        reason = reason.when(
+            ~gopher_rules_ok(text_col), F.lit("gopher_rules")
+        )
+    if (
+        cfg.min_compression_ratio is not None
+        or cfg.max_compression_ratio is not None
+    ):
+        from lantern_spark.operators.textstats import compression_ratio
+
+        cr = compression_ratio(text_col)
+        if cfg.min_compression_ratio is not None:
+            reason = reason.when(
+                cr < cfg.min_compression_ratio, F.lit("too_compressible")
+            )
+        if cfg.max_compression_ratio is not None:
+            reason = reason.when(
+                cr > cfg.max_compression_ratio, F.lit("incompressible")
+            )
     for i, pred in enumerate(cfg.extra_predicates):
         # filter(pred) drops NULL-evaluating rows too — so must the audit
         reason = reason.when(

@@ -245,6 +245,39 @@ def repetition_stats(df, text_col: str, id_col: str):
     )
 
 
+def compression_ratio(col, level: int = 6) -> Column:
+    """zlib-compressed bytes / raw UTF-8 bytes — the Dolma-family
+    quality signal (a DEFLATE pass is a cheap universal repetition
+    detector): boilerplate/templated/looping text compresses far below
+    natural prose (≲ 0.3), while random-looking byte soup compresses
+    above it (≳ 1.0 with header overhead). Pipelines keep a middle
+    band — both tails are junk.
+
+    Arrow-batched pandas UDF (zlib is not a Catalyst expression) at
+    the default compression level 6 — O(bytes) per row, map-only, no
+    shuffle. NULL → NULL; empty text → 0.0 (nothing to compress, and a
+    divide-by-zero guard)."""
+    import zlib
+
+    lv = int(level)
+
+    @F.pandas_udf(T.DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8", "surrogatepass")
+            if not raw:
+                out.append(0.0)
+                continue
+            out.append(len(zlib.compress(raw, lv)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return _ratio(_c(col))
+
+
 # ----------------------------------------------------------------------
 # PII redaction (C4/FineWeb-style pre-training scrub)
 # ----------------------------------------------------------------------
@@ -303,3 +336,175 @@ def pii_count(col, kinds=None) -> Column:
         total = total + F.regexp_count(c, F.lit(pat))
         c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
     return total
+
+
+# ----------------------------------------------------------------------
+# Gopher Table A1 quality rules (Rae et al. 2021, arXiv:2112.11446)
+# ----------------------------------------------------------------------
+
+def _ws_words(col):
+    """Whitespace words (\\S+ runs) — Gopher's 'word' unit, as opposed
+    to the alnum `tokenize` the lexical stats use."""
+    return F.filter(
+        F.split(F.coalesce(_c(col), F.lit("")), r"\s+"), lambda w: w != ""
+    )
+
+
+def _lines(col):
+    return F.filter(
+        F.split(F.coalesce(_c(col), F.lit("")), r"\n"),
+        lambda ln: F.trim(ln) != "",
+    )
+
+
+def symbol_word_ratio(col) -> Column:
+    """(# of '#' and '...' occurrences) / word count — Gopher drops
+    above 0.1 (hashtag/ellipsis soup)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    hashes = F.size(F.regexp_extract_all(c, F.lit("#"), 0))
+    dots = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
+    n = F.size(_ws_words(col))
+    return F.when(n > 0, (hashes + dots).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def bullet_line_fraction(col) -> Column:
+    """Fraction of non-empty lines starting with a bullet marker —
+    Gopher drops above 0.9 (pure listings)."""
+    lines = _lines(col)
+    n = F.size(lines)
+    hits = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣◦]"))
+    )
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(col) -> Column:
+    """Fraction of non-empty lines ending with an ellipsis — Gopher
+    drops above 0.3 (truncated-teaser pages)."""
+    lines = _lines(col)
+    n = F.size(lines)
+    hits = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(col) -> Column:
+    """Fraction of words containing at least one alphabetic character —
+    Gopher requires >= 0.8 (number/symbol soup fails)."""
+    words = _ws_words(col)
+    n = F.size(words)
+    hits = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+#: Gopher's required-stopword set: a document must contain >= 2 of
+#: these (Table A1's "stop word" rule — distinct from the lexical
+#: stopword RATIO above).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_stopword_count(col) -> Column:
+    """How many DISTINCT Gopher stopwords the document contains."""
+    toks = F.array_distinct(
+        F.filter(
+            F.transform(_ws_words(col), lambda w: F.lower(w)),
+            lambda w: w.isin(GOPHER_STOPWORDS),
+        )
+    )
+    return F.size(toks)
+
+
+def gopher_rules_ok(
+    col,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    """The full Gopher Table A1 document-level rule block as ONE
+    boolean column expression (published defaults; the repetition
+    rules live in :func:`dup_line_fraction` / :func:`top_ngram_fraction`
+    and `CurationConfig(max_dup_line_frac=, max_top2gram_frac=)` —
+    compose both for the complete filter). Pure expressions: fuses
+    into the heuristic scan, no UDF, no shuffle."""
+    n_words = F.size(_ws_words(col))
+    words = _ws_words(col)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mwl = F.when(
+        n_words > 0, word_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    return (
+        _c(col).isNotNull()
+        & (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (symbol_word_ratio(col) <= max_symbol_word_ratio)
+        & (bullet_line_fraction(col) <= max_bullet_line_frac)
+        & (ellipsis_line_fraction(col) <= max_ellipsis_line_frac)
+        & (alpha_word_fraction(col) >= min_alpha_word_frac)
+        & (gopher_stopword_count(col) >= min_stopwords)
+    )
+
+
+# ----------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# ----------------------------------------------------------------------
+
+#: a page containing any of these is dropped outright (C4's
+#: placeholder/code heuristics; the policy-phrase list is a deployment
+#: choice layered on the same expression).
+C4_BAD_PAGE_MARKERS = ["lorem ipsum", "{"]
+
+
+def c4_clean_lines(
+    col,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+) -> Column:
+    """Rewrite a page keeping only C4-clean lines: at least
+    ``min_words`` words and (optionally) ending in terminal
+    punctuation — the C4 line-level retention rule. Pure expressions
+    (filter + array_join); dropped lines shrink the page, page-level
+    decisions belong to :func:`c4_page_ok`."""
+    lines = _lines(col)
+
+    def ok(ln):
+        cond = F.size(
+            F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")
+        ) >= min_words
+        if require_terminal_punct:
+            cond = cond & F.trim(ln).rlike(r"[.!?\"']$")
+        return cond
+
+    return F.when(
+        _c(col).isNotNull(),
+        F.array_join(F.filter(lines, ok), "\n"),
+    )
+
+
+def c4_page_ok(col, min_sentences: int = 5) -> Column:
+    """C4 page-level keep rule: no bad marker ('lorem ipsum',
+    code-brace) and at least ``min_sentences`` sentences (terminal
+    punctuation marks approximate sentence ends, the paper's
+    heuristic)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    low = F.lower(c)
+    bad = F.lit(False)
+    for marker in C4_BAD_PAGE_MARKERS:
+        bad = bad | low.contains(marker)
+    sentences = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0))
+    return _c(col).isNotNull() & ~bad & (sentences >= min_sentences)

@@ -597,3 +597,107 @@ class TestCurateStaged:
         assert not os.path.isdir(f"{ckpt}/01_heuristics__tmp")
         assert os.path.isfile(f"{ckpt}/01_heuristics/_SUCCESS")
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestCompressionBandStage:
+    def test_band_filters_and_audit_agree(self, spark):
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+            curation_audit,
+        )
+
+        import random
+        import string
+
+        rng = random.Random(8)
+        prose = (
+            "Researchers at the institute announced a collaboration to "
+            "study coastal erosion patterns along the northern shoreline. "
+            "Early findings suggest that sediment transport varies "
+            "seasonally, with winter storms moving far more material than "
+            "summer currents. Local officials plan to incorporate the "
+            "results into the next infrastructure review."
+        )  # non-repetitive prose: ratio ~0.64
+        boiler = "buy now click here " * 150  # ~0.02
+        soup = "".join(
+            rng.choice(string.ascii_letters + string.digits + string.punctuation + " ")
+            for _ in range(3000)
+        )  # ~0.8
+        df = spark.createDataFrame(
+            [(0, boiler), (1, prose), (2, soup)], "doc_id long, text string"
+        )
+        cfg = CurationConfig(
+            min_quality=0.0, exact_dedup=False, near_dedup=False,
+            min_compression_ratio=0.3, max_compression_ratio=0.7,
+        )
+        kept = [r["doc_id"] for r in curate_corpus(df, "text", "doc_id", cfg).collect()]
+        assert kept == [1]
+        audit = {
+            r["stage"]: r["n_rows"]
+            for r in curation_audit(df, "text", cfg).collect()
+        }
+        assert audit == {
+            "too_compressible": 1, "kept": 1, "incompressible": 1
+        }
+
+
+class TestGopherAndC4Stages:
+    def test_gopher_stage_and_audit(self, spark):
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+            curation_audit,
+        )
+
+        good = (
+            "The researchers have found that the new method works well "
+            "and scales to larger corpora of text with consistent "
+            "improvements across every benchmark they tried so far in "
+            "the latest series of experiments which continued for weeks "
+            "and produced results that have to be checked with care by "
+            "independent reviewers before the final publication appears."
+        )
+        listy = "\n".join(f"- bullet item number {i} right here today" for i in range(20))
+        df = spark.createDataFrame(
+            [(0, good), (1, listy)], "doc_id long, text string"
+        )
+        cfg = CurationConfig(
+            min_quality=0.0, min_tokens=1, exact_dedup=False,
+            near_dedup=False, gopher_rules=True,
+        )
+        kept = [r["doc_id"] for r in curate_corpus(df, "text", "doc_id", cfg).collect()]
+        assert kept == [0]
+        audit = {
+            r["stage"]: r["n_rows"]
+            for r in curation_audit(df, "text", cfg).collect()
+        }
+        assert audit == {"kept": 1, "gopher_rules": 1}
+
+    def test_c4_stage_rewrites_and_drops(self, spark):
+        from lantern_spark.operators.curate import (
+            CurationConfig,
+            curate_corpus,
+        )
+
+        good = (
+            "This is the first proper sentence of the page.\n"
+            "no punctuation here so it goes away\n"
+            "Here is another complete sentence that stays!\n"
+            "And more sentences follow. They keep coming. Right here."
+        )
+        df = spark.createDataFrame(
+            [
+                (0, good),
+                (1, "Contains lorem ipsum. " + good),  # page marker drop
+            ],
+            "doc_id long, text string",
+        )
+        cfg = CurationConfig(
+            min_quality=0.0, min_tokens=1, exact_dedup=False,
+            near_dedup=False, c4_clean=True,
+        )
+        out = {r["doc_id"]: r["text"] for r in curate_corpus(df, "text", "doc_id", cfg).collect()}
+        assert set(out) == {0}
+        assert "no punctuation here" not in out[0]
+        assert "first proper sentence" in out[0]
