@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_text", "chunk_count"]
+__all__ = ["chunk_text", "chunk_count", "chunk_sentences"]
 
 
 def _tokens(col):
@@ -124,3 +124,125 @@ def chunk_text(
             F.col("__c.end_token").alias("end_token"),
         )
     )
+
+
+# sentence-boundary split: a sentence ends at ./!/?/… followed by
+# whitespace (Java lookbehind — stays JVM-side in the split)
+_SENT_RX = r"(?<=[.!?…])\s+"
+
+
+def chunk_sentences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 512,
+    overlap_sentences: int = 1,
+) -> DataFrame:
+    """Sentence-aware chunking: split at sentence boundaries, greedily
+    pack whole sentences into chunks of at most ``max_tokens``
+    whitespace tokens, and start each following chunk with the previous
+    chunk's last ``overlap_sentences`` sentences (context carry-over).
+    Fixed windows (:func:`chunk_text`) cut mid-sentence; retrieval
+    pipelines usually want passages that READ — this is that splitter.
+
+    Output schema matches :func:`chunk_text` (``chunk_id``,
+    ``chunk_text``, ``start_token``/``end_token`` document token spans;
+    overlapped sentences make spans of consecutive chunks overlap).
+    Contracts:
+
+    - a single sentence LONGER than ``max_tokens`` is emitted as its
+      own oversized chunk (never split mid-sentence here — compose
+      with ``chunk_text`` on the result if a hard cap is required);
+    - overlap is skipped when the carried sentences alone would fill
+      the budget (the next chunk must make progress);
+    - inter-sentence whitespace normalizes to one space; whitespace
+      INSIDE a sentence is preserved (token spans stay exact either
+      way — tokens are ``\\S+`` runs);
+    - token-less documents yield no rows.
+
+    Shape: the sentence split is a JVM expression; the greedy packing
+    is one Arrow-batched kernel (irregular accumulation — a running
+    token budget — is not a healthy fit for interpreted HOF
+    accumulators). Map-only, row-local, deterministic under any
+    partitioning.
+    """
+    max_tokens = int(max_tokens)
+    overlap_sentences = int(overlap_sentences)
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if overlap_sentences < 0:
+        raise ValueError(
+            f"overlap_sentences must be >= 0, got {overlap_sentences}"
+        )
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("chunk_id", T.IntegerType()),
+            T.StructField("chunk_text", T.StringType()),
+            T.StructField("start_token", T.IntegerType()),
+            T.StructField("end_token", T.IntegerType()),
+        ]
+    )
+    ov = overlap_sentences
+
+    def pack(batches):
+        import re
+
+        sent_rx = re.compile(r"(?<=[.!?…])\s+")
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not text.strip():
+                    continue
+                sents = [s for s in sent_rx.split(text.strip()) if s.strip()]
+                counts = [len(s.split()) for s in sents]
+                starts = []  # document token offset of each sentence
+                acc = 0
+                for c in counts:
+                    starts.append(acc)
+                    acc += c
+                i, cid = 0, 0
+                n_s = len(sents)
+                while i < n_s:
+                    # carried overlap from the previous chunk — shrink
+                    # it until the NEW sentence also fits (overlap is
+                    # padding, never a reason to bust the budget)
+                    lo = i
+                    if cid > 0 and ov > 0:
+                        lo = max(0, i - ov)
+                        while lo < i and sum(counts[lo : i + 1]) > max_tokens:
+                            lo += 1
+                    total = sum(counts[lo : i + 1])
+                    j = i + 1
+                    # total may already exceed max_tokens ONLY when the
+                    # single sentence i is oversized (emitted alone)
+                    while j < n_s and total + counts[j] <= max_tokens:
+                        total += counts[j]
+                        j += 1
+                    out[id_col].append(doc_id)
+                    out["chunk_id"].append(cid)
+                    out["chunk_text"].append(" ".join(sents[lo:j]))
+                    out["start_token"].append(starts[lo])
+                    out["end_token"].append(starts[j - 1] + counts[j - 1])
+                    cid += 1
+                    i = j
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out[id_col], dtype=object),
+                    "chunk_id": pd.Series(out["chunk_id"], dtype="int32"),
+                    "chunk_text": pd.Series(
+                        out["chunk_text"], dtype=object
+                    ),
+                    "start_token": pd.Series(
+                        out["start_token"], dtype="int32"
+                    ),
+                    "end_token": pd.Series(out["end_token"], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(pack, out_schema)

@@ -208,3 +208,136 @@ class TestChunkRagComposition:
         assert hit["chunk_id"] == 1
         assert hit["start_token"] == probe["start_token"]
         assert hit["dist"] == pytest.approx(0.0, abs=1e-6)
+
+
+def _ref_sent_chunks(text, max_tokens, ov):
+    """Independent python reference for sentence packing."""
+    import re
+
+    sents = [
+        s for s in re.split(r"(?<=[.!?…])\s+", text.strip()) if s.strip()
+    ] if text and text.strip() else []
+    counts = [len(s.split()) for s in sents]
+    starts, acc = [], 0
+    for c in counts:
+        starts.append(acc)
+        acc += c
+    out, i, cid = [], 0, 0
+    while i < len(sents):
+        lo = i
+        if cid > 0 and ov > 0:
+            lo = max(0, i - ov)
+            while lo < i and sum(counts[lo : i + 1]) > max_tokens:
+                lo += 1
+        total = sum(counts[lo : i + 1])
+        j = i + 1
+        while j < len(sents) and total + counts[j] <= max_tokens:
+            total += counts[j]
+            j += 1
+        out.append(
+            (cid, " ".join(sents[lo:j]), starts[lo],
+             starts[j - 1] + counts[j - 1])
+        )
+        i, cid = j, cid + 1
+    return out
+
+
+class TestChunkSentences:
+    def test_hand_golden(self, spark):
+        from lantern_spark.operators.chunk import chunk_sentences
+
+        text = (
+            "One two three. Four five. Six seven eight nine! "
+            "Ten? Eleven twelve."
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        got = [
+            (r["chunk_id"], r["chunk_text"], r["start_token"], r["end_token"])
+            for r in chunk_sentences(
+                df, "text", "doc_id", max_tokens=6, overlap_sentences=1
+            ).orderBy("chunk_id").collect()
+        ]
+        # pack: [One two three. | Four five.] (5 toks) ; next starts
+        # with overlap "Four five." + "Six...nine!" (2+4=6) ; then
+        # overlap (4) + "Ten?" (1) + "Eleven twelve." (2) hits 7 > 6 so
+        # overlap carries "Six seven eight nine!" + Ten? only... assert
+        # against the reference instead of hand-deriving the tail:
+        assert got == _ref_sent_chunks(text, 6, 1)
+        assert got[0][1] == "One two three. Four five."
+        assert got[1][1].startswith("Four five.")  # sentence overlap
+
+    def test_never_splits_sentences(self, spark):
+        from lantern_spark.operators.chunk import chunk_sentences
+
+        sents = [f"Sentence number {i} has exactly six words." for i in range(12)]
+        df = spark.createDataFrame(
+            [(1, " ".join(sents))], "doc_id int, text string"
+        )
+        rows = chunk_sentences(
+            df, "text", "doc_id", max_tokens=20, overlap_sentences=0
+        ).collect()
+        for r in rows:
+            # every chunk is a concatenation of whole sentences
+            for part in r["chunk_text"].split("words."):
+                assert part == "" or part.strip().startswith("Sentence number")
+
+    def test_oversized_sentence_emitted_alone(self, spark):
+        from lantern_spark.operators.chunk import chunk_sentences
+
+        big = " ".join(f"w{j}" for j in range(30)) + "."
+        text = f"Short one. {big} Short two."
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        rows = chunk_sentences(
+            df, "text", "doc_id", max_tokens=10, overlap_sentences=1
+        ).orderBy("chunk_id").collect()
+        assert rows[0]["chunk_text"] == "Short one."
+        assert rows[1]["chunk_text"] == big  # alone, over budget
+        assert rows[2]["chunk_text"].endswith("Short two.")
+
+    def test_matches_reference_sweep(self, spark):
+        import random
+
+        from lantern_spark.operators.chunk import chunk_sentences
+
+        rng = random.Random(13)
+        rows, want = [], {}
+        for doc_id in range(40):
+            n_sents = rng.randint(0, 12)
+            text = " ".join(
+                " ".join(f"s{doc_id}w{i}x{j}" for j in range(rng.randint(1, 9)))
+                + rng.choice([".", "!", "?"])
+                for i in range(n_sents)
+            )
+            rows.append((doc_id, text))
+            want[doc_id] = _ref_sent_chunks(text, 12, 1)
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {}
+        for r in chunk_sentences(
+            df, "text", "doc_id", max_tokens=12, overlap_sentences=1
+        ).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"], r["start_token"], r["end_token"])
+            )
+        for doc_id in want:
+            assert sorted(got.get(doc_id, [])) == want[doc_id], doc_id
+
+    def test_empty_null_and_determinism(self, spark):
+        from lantern_spark.operators.chunk import chunk_sentences
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "   "), (3, "A fine sentence. Another one.")],
+            "doc_id int, text string",
+        )
+        a = sorted(
+            map(tuple, chunk_sentences(df, "text", "doc_id", 4, 1).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                chunk_sentences(
+                    df.repartition(5), "text", "doc_id", 4, 1
+                ).collect(),
+            )
+        )
+        assert a == b
+        assert {t[0] for t in a} == {3}
