@@ -1173,3 +1173,31 @@ def exact_substring_dedup(
             yield res
 
     return joined.mapInPandas(cut, out_schema)
+
+
+def tune_lsh(threshold: float, n_hashes: int) -> tuple:
+    """Pick ``(bands, rows_per_band)`` for :func:`lsh_candidate_pairs`
+    from a target Jaccard threshold — the standard S-curve solve: a
+    pair with similarity s collides in some band with probability
+    ``1 − (1 − s^r)^b``, whose steepest point sits near
+    ``(1/b)^(1/r)``. Among layouts with ``b·r ≤ n_hashes`` (using as
+    many of the paid-for hashes as possible), choose the one whose
+    midpoint is closest to ``threshold`` — ties prefer more bands
+    (recall over precision, the conventional bias for a CANDIDATE
+    generator whose pairs get verified anyway).
+
+    Driver-side arithmetic over ≤ n_hashes layouts; no Spark."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_hashes < 2:
+        raise ValueError(f"n_hashes must be >= 2, got {n_hashes}")
+    best = None
+    for r in range(1, n_hashes + 1):
+        b = n_hashes // r
+        if b < 1:
+            break
+        midpoint = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        score = (abs(midpoint - threshold), -b)
+        if best is None or score < best[0]:
+            best = (score, b, r)
+    return best[1], best[2]

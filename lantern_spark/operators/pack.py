@@ -172,3 +172,102 @@ def pack_stats(
         F.count("*").alias("n_docs"),
         F.sum(token_count_ws(text_col)).alias("total_tokens"),
     )
+
+
+def rates_for_token_budgets(
+    df: DataFrame,
+    source_col: str,
+    budgets: Dict[str, float],
+    token_count,
+) -> Dict[str, float]:
+    """Per-source keep rates that hit TOKEN budgets in expectation:
+    rate_s = min(1, budget_s / total_tokens_s). One aggregate scan
+    (n_sources rows to the driver)."""
+    tc = token_count if not isinstance(token_count, str) else F.col(token_count)
+    totals = {
+        r[source_col]: r["t"]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(tc).alias("t"))
+        .collect()
+    }
+    return {
+        s: min(1.0, float(b) / totals[s])
+        for s, b in budgets.items()
+        if s in totals and totals[s]
+    }
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    budgets: Dict[str, float],
+    token_count,
+    exact: bool = False,
+    salt: str = "",
+    keep_unbudgeted: bool = True,
+) -> DataFrame:
+    """Deterministically sample each source down to a TOKEN budget —
+    the "mixture by token share" step of a pretraining recipe
+    ("1B tokens: 60% web, 20% code, 20% wiki") where
+    :func:`mixture_sample` speaks per-row rates.
+
+    ``token_count``: a column name or Column expression giving each
+    row's token count (e.g. ``token_count_ws("text")`` or a
+    precomputed column).
+
+    Two modes, same md5-priority determinism (retry-safe, no rand()):
+
+    - ``exact=False`` (default, the 100 TB path): convert budgets to
+      per-source keep RATES from one aggregate scan
+      (:func:`rates_for_token_budgets`) and filter map-only. Budgets
+      are hit in EXPECTATION — relative error ~1/sqrt(docs_kept),
+      negligible at corpus scale.
+    - ``exact=True``: admit docs in priority order while the running
+      per-source token total is under budget (overshoot < one doc,
+      the `pack_sequences` start-offset convention). Costs a window
+      shuffle PARTITIONED BY SOURCE — one task per source, so a
+      mega-source becomes a straggler; meant for moderate corpora or
+      many-sourced mixtures, and documented as such.
+
+    Sources without a budget are kept whole (``keep_unbudgeted=True``)
+    or dropped — both deterministic."""
+    tc = token_count if not isinstance(token_count, str) else F.col(token_count)
+    spark = df.sparkSession
+    budget_rows = [(k, float(v)) for k, v in budgets.items()]
+    budgets_df = F.broadcast(
+        spark.createDataFrame(
+            budget_rows, f"{source_col} string, __budget double"
+        )
+    )
+    u = _unit_uniform(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    joined = df.join(budgets_df, source_col, "left")
+    unbudgeted_keep = (
+        F.col("__budget").isNull()
+        if keep_unbudgeted
+        else F.lit(False) & F.col("__budget").isNull()
+    )
+    if not exact:
+        rates = rates_for_token_budgets(df, source_col, budgets, tc)
+        rates_df = F.broadcast(
+            spark.createDataFrame(
+                [(k, v) for k, v in rates.items()] or [(None, 0.0)],
+                f"{source_col} string, __rate double",
+            )
+        )
+        return (
+            joined.join(rates_df, source_col, "left")
+            .filter(unbudgeted_keep | (u < F.coalesce("__rate", F.lit(0.0))))
+            .drop("__budget", "__rate")
+        )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(u.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tc).over(w), F.lit(0).cast("double"))
+    return (
+        joined.withColumn("__before", before)
+        .filter(unbudgeted_keep | (F.col("__before") < F.col("__budget")))
+        .drop("__budget", "__before")
+    )

@@ -508,3 +508,58 @@ def c4_page_ok(col, min_sentences: int = 5) -> Column:
         bad = bad | low.contains(marker)
     sentences = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0))
     return _c(col).isNotNull() & ~bad & (sentences >= min_sentences)
+
+
+# ----------------------------------------------------------------------
+# Multi-language ID (the lang_id_en heuristic generalized)
+# ----------------------------------------------------------------------
+
+#: Function-word marker sets per language — the highest-frequency
+#: closed-class words, which are near-disjoint across these languages
+#: (the textcat-style evidence signal). A deployment extends/replaces
+#: the sets; the expression is unchanged.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was",
+           "for", "with", "as", "his", "this", "have", "not"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un",
+           "una", "es", "por", "con", "para", "del", "se"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "en", "que",
+           "une", "dans", "pour", "qui", "au", "pas", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den",
+           "nicht", "ein", "eine", "auf", "sich", "dem", "des", "im"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "non",
+           "sono", "con", "del", "gli", "nel", "alla", "anche"],
+    "pt": ["o", "os", "de", "que", "e", "do", "da", "em", "um", "uma",
+           "para", "com", "nao", "por", "mais", "como"],
+}
+
+
+def lang_marker_ratio(col, markers) -> Column:
+    """Fraction of tokens that are in ``markers`` (lowercased alnum
+    tokens — the same tokenizer every lexical stat uses)."""
+    toks = tokenize(_c(col))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(list(markers))))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def lang_id(col, markers: dict = None, min_ratio: float = 0.04) -> Column:
+    """Argmax-marker-ratio language ID over :data:`LANG_MARKERS` (or a
+    caller set): the language whose function words cover the largest
+    token fraction wins, 'unk' when no language clears ``min_ratio``.
+    Pure expressions — one greatest() over per-language ratios, fused
+    into any scan; ties break by language-key order (deterministic).
+
+    Honest scope: a closed-class-word heuristic, not a trained
+    classifier — strong on prose in the marker languages, 'unk' on
+    short/technical text; plug `operators/quality_clf` with language
+    labels where a trained model is warranted (same serving shape)."""
+    sets = markers or LANG_MARKERS
+    ratios = [(name, lang_marker_ratio(col, ws)) for name, ws in sorted(sets.items())]
+    best = F.greatest(*[r for _, r in ratios]) if len(ratios) > 1 else ratios[0][1]
+    out = F.lit("unk")
+    # reversed: the FIRST language in key order wins ties (when chains
+    # evaluate in order, so build from the last backwards)
+    for name, r in reversed(ratios):
+        out = F.when((r == best) & (best >= min_ratio), F.lit(name)).otherwise(out)
+    return out

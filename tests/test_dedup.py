@@ -798,3 +798,31 @@ class TestSaltedFirstOccurrence:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert p1.count("Exchange") > p0.count("Exchange")
+
+
+class TestTuneLsh:
+    def test_known_layouts(self):
+        from lantern_spark.operators.dedup import tune_lsh
+
+        assert tune_lsh(0.8, 16) == (3, 5)   # midpoint (1/3)^(1/5) ~ 0.803
+        assert tune_lsh(0.5, 8) == (4, 2)    # (1/4)^(1/2) = 0.5 exactly
+
+    def test_monotone_in_threshold(self):
+        from lantern_spark.operators.dedup import tune_lsh
+
+        rows = [tune_lsh(t, 64)[1] for t in (0.2, 0.5, 0.8, 0.95)]
+        assert rows == sorted(rows)  # higher threshold -> more rows/band
+
+    def test_budget_respected_and_validation(self):
+        import pytest as _pytest
+
+        from lantern_spark.operators.dedup import tune_lsh
+
+        for t in (0.3, 0.6, 0.9):
+            for n in (4, 16, 100):
+                b, r = tune_lsh(t, n)
+                assert b * r <= n and b >= 1 and r >= 1
+        with _pytest.raises(ValueError):
+            tune_lsh(1.5, 16)
+        with _pytest.raises(ValueError):
+            tune_lsh(0.5, 1)

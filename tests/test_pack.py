@@ -119,3 +119,74 @@ class TestPackSequences:
         packed = pack_sequences(docs, "text", "doc_id", 512, chunks=8)
         plan = packed._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange ") <= 1
+
+
+class TestTokenBudgetSampling:
+    def _corpus(self, spark):
+        rows = []
+        for i in range(300):
+            src = ["web", "code", "wiki"][i % 3]
+            rows.append((i, src, 10 + (i % 7)))  # tokens 10..16
+        return spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+
+    def test_expected_mode_hits_budget(self, spark):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.pack import sample_to_token_budget
+
+        df = self._corpus(spark)
+        budgets = {"web": 400.0, "code": 200.0}
+        out = sample_to_token_budget(
+            df, "source", "doc_id", budgets, token_count="n_tok"
+        )
+        got = {
+            r["source"]: r["t"]
+            for r in out.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+        }
+        # wiki unbudgeted: kept whole (100 docs * ~13 tokens)
+        assert got["wiki"] == df.filter("source='wiki'").agg(F.sum("n_tok")).first()[0]
+        # budgeted sources land near budget (expectation; generous band)
+        assert 0.4 * 400 <= got.get("web", 0) <= 1.8 * 400
+        assert 0.4 * 200 <= got.get("code", 0) <= 1.8 * 200
+
+    def test_exact_mode_overshoot_below_one_doc(self, spark):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.pack import sample_to_token_budget
+
+        df = self._corpus(spark)
+        budgets = {"web": 333.0, "code": 150.0}
+        out = sample_to_token_budget(
+            df, "source", "doc_id", budgets, token_count="n_tok", exact=True
+        )
+        got = {
+            r["source"]: r["t"]
+            for r in out.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+        }
+        for s, b in budgets.items():
+            assert got[s] >= b  # admitted while under budget
+            assert got[s] < b + 16  # overshoot < max doc tokens
+
+    def test_deterministic_and_drop_unbudgeted(self, spark):
+        from lantern_spark.operators.pack import sample_to_token_budget
+
+        df = self._corpus(spark)
+        kw = dict(budgets={"web": 300.0}, token_count="n_tok",
+                  exact=True, keep_unbudgeted=False)
+        a = sorted(r["doc_id"] for r in sample_to_token_budget(
+            df, "source", "doc_id", **kw).collect())
+        b = sorted(r["doc_id"] for r in sample_to_token_budget(
+            df.repartition(7), "source", "doc_id", **kw).collect())
+        assert a == b and len(a) > 0
+        srcs = {r["source"] for r in sample_to_token_budget(
+            df, "source", "doc_id", **kw).select("source").distinct().collect()}
+        assert srcs == {"web"}
+
+    def test_budget_above_total_keeps_everything(self, spark):
+        from lantern_spark.operators.pack import sample_to_token_budget
+
+        df = self._corpus(spark)
+        out = sample_to_token_budget(
+            df, "source", "doc_id", {"web": 1e9}, token_count="n_tok"
+        )
+        assert out.count() == df.count()

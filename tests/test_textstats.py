@@ -542,3 +542,63 @@ class TestC4Cleaning:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestMultiLangId:
+    def test_six_languages_and_unk(self, spark):
+        from lantern_spark.operators.textstats import lang_id
+
+        df = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat and it was happy with this"),
+                (1, "el gato se sienta en la alfombra y es feliz con una manta"),
+                (2, "le chat est dans la maison et il est content pour les vacances"),
+                (3, "der hund ist mit dem ball auf der wiese und das ist gut"),
+                (4, "il gatto e sul tappeto e non sono con gli altri nel giardino"),
+                (5, "o gato esta em um tapete e nao quer mais sair para a rua como antes"),
+                (6, "zzz qqq xxx vvv"),
+                (7, None),
+                (8, ""),
+            ],
+            "i long, text string",
+        )
+        got = {
+            r["i"]: r["l"]
+            for r in df.select("i", lang_id("text").alias("l")).collect()
+        }
+        assert got[0] == "en" and got[1] == "es" and got[2] == "fr"
+        assert got[3] == "de" and got[4] == "it" and got[5] == "pt"
+        assert got[6] == "unk" and got[7] == "unk" and got[8] == "unk"
+
+    def test_custom_markers_and_tie_break(self, spark):
+        from lantern_spark.operators.textstats import lang_id
+
+        markers = {"aa": ["foo", "bar"], "bb": ["foo", "bar"]}
+        df = spark.createDataFrame([(0, "foo bar baz")], "i long, text string")
+        # identical ratios: first language in key order wins the tie
+        got = df.select(lang_id("text", markers).alias("l")).first()["l"]
+        assert got == "aa"
+
+    def test_backwards_compatible_en(self, spark):
+        from lantern_spark.operators.textstats import lang_id, lang_id_en
+
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox is on the hill and it is fine")],
+            "i long, text string",
+        )
+        r = df.select(
+            lang_id_en("text").alias("a"), lang_id("text").alias("b")
+        ).first()
+        assert r["a"] == "en" and r["b"] == "en"
+
+    def test_pure_expression(self, spark, sf_dir):
+        from lantern_spark.operators.textstats import lang_id
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            docs.select(lang_id("text"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan and "Exchange" not in plan
