@@ -426,8 +426,9 @@ def substr_dup_windows_docs(spark, sf_dir):
     """ExactSubstr detection layer (arXiv:2107.06499, promoted to the
     roster in r8): every non-first occurrence of a duplicated
     {w}-token window as (doc_id, pos). The engine keys windows on two
-    independent 64-bit rolling hashes of per-token md5 halves
-    (collision odds ~2^-128 — treated as exact); the oracle keys on
+    independent 64-bit rolling hashes of vectorized SipHash token
+    hashes (collision odds ~2^-128 — treated as exact; r9: the
+    per-token Python md5 loop is gone); the oracle keys on
     the literal token sequence, so a hash-match here proves the
     rolling-hash windowing IS window equality on this corpus."""
     from lantern_spark.operators.dedup import duplicate_token_windows
