@@ -728,6 +728,17 @@ def main() -> None:
         quality["bloom_fp_theoretical"] = round(
             bloom_fpr(n_docs_b, bparams["m_bits"], bparams["k"]), 4
         )
+        # saturation diagnostics (r9): fill ratio per shard — the
+        # guard in probe_bloom_set refuses past 0.95; this row shows
+        # the headroom at bench scale
+        from lantern_spark.operators.bloomset import bloom_fill_stats
+
+        fills = bloom_fill_stats(bloom, k=bparams["k"]).agg(
+            SF.avg("fill_ratio").alias("avg"),
+            SF.max("fill_ratio").alias("mx"),
+        ).first()
+        quality["bloom_fill_ratio_avg"] = round(float(fills["avg"]), 6)
+        quality["bloom_fill_ratio_max"] = round(float(fills["mx"]), 6)
         bloom.unpersist()
     except Exception as e:
         print(f"# bench bloomset FAILED: {e}", file=sys.stderr)

@@ -143,6 +143,55 @@ def build_bloom_set(
     return hashed.groupBy("shard").applyInPandas(fold, out_schema)
 
 
+# byte → set-bit-count lookup (one pass popcount, no 8x unpack blowup)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _fill_ratio(bits: np.ndarray) -> float:
+    """Set-bit fraction of one shard bitset — O(bytes), table-driven."""
+    if len(bits) == 0:
+        return 0.0
+    return float(_POPCOUNT8[bits].sum(dtype=np.int64)) / (len(bits) * 8)
+
+
+def bloom_fill_stats(
+    bloom_df: DataFrame, m_bits: int = 1 << 30, n_shards: int = 256,
+    k: int = 7,
+) -> DataFrame:
+    """Per-shard saturation diagnostics: ``(shard, fill_ratio,
+    fpr_estimate)`` where ``fpr_estimate = fill_ratio**k`` (a probe
+    false-positives iff all k bits are set; with fill fraction p of
+    bits set, that is ~p^k). Distributed popcount — each task reads
+    only its shard's bytes; aggregate with ``avg(fill_ratio)`` /
+    ``max(fill_ratio)`` for the corpus view. The silent failure mode
+    this surfaces (r8 review item 6): an over-capacity filter's FPR →
+    1, i.e. it starts dropping EVERYTHING as "seen"."""
+    del m_bits, n_shards  # sizing is implicit in the stored bitsets
+    schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("fill_ratio", T.DoubleType()),
+            T.StructField("fpr_estimate", T.DoubleType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            fills = [
+                _fill_ratio(np.frombuffer(b, dtype=np.uint8))
+                for b in pdf["bits"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "shard": pdf["shard"].astype("int32"),
+                    "fill_ratio": fills,
+                    "fpr_estimate": [f**k for f in fills],
+                }
+            )
+
+    return bloom_df.mapInPandas(stats, schema)
+
+
 def probe_bloom_set(
     df: DataFrame,
     bloom_df: DataFrame,
@@ -152,6 +201,7 @@ def probe_bloom_set(
     k: int = 7,
     seed: int = DEFAULT_SEED,
     flag_col: str = "probable_member",
+    max_fill_ratio: Optional[float] = 0.95,
 ) -> DataFrame:
     """All rows of ``df`` plus a boolean ``flag_col``: True when
     ``key_col`` is PROBABLY in the Bloom set (FPR by sizing), False
@@ -163,7 +213,15 @@ def probe_bloom_set(
     shard's one bitset row) — the bitset crosses once per shard, never
     once per row. Missing shard rows (no history in that shard) probe
     False.
-    """
+
+    Saturation guard (r9, review r8 item 6): each probe task popcounts
+    its shard's bitset (O(m_shard/8), already in memory) and REFUSES —
+    raises ValueError — when the fill fraction exceeds
+    ``max_fill_ratio``: past saturation the FPR → 1 and the filter
+    silently drops everything as "seen", which is far worse than
+    failing loudly. ``max_fill_ratio=None`` disables (diagnostics via
+    :func:`bloom_fill_stats`). At the default 0.95 the k=7 FPR is
+    already ~0.70 — any sane sizing sits far below."""
     m_shard = _m_shard(m_bits, n_shards)
     kc = F.col(key_col)
     h1, h2 = _hash_cols(kc, seed)
@@ -189,6 +247,16 @@ def probe_bloom_set(
             res[flag_col] = False
             return res
         bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+        if max_fill_ratio is not None:
+            fill = _fill_ratio(bits)
+            if fill > max_fill_ratio:
+                raise ValueError(
+                    f"bloom shard {int(key[0])} is saturated: fill "
+                    f"ratio {fill:.3f} > max_fill_ratio "
+                    f"{max_fill_ratio} (estimated FPR {fill**k:.3f} — "
+                    "the filter would drop unique docs as 'seen'); "
+                    "rebuild with larger m_bits"
+                )
         pos = _positions_np(
             left["__h1"].to_numpy(np.int64),
             left["__h2"].to_numpy(np.int64),

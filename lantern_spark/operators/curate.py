@@ -308,26 +308,73 @@ def curate_corpus(
     return out
 
 
-def _config_fingerprint(text_col: str, id_col: str, cfg: CurationConfig) -> str:
+# Which CurationConfig fields each stage's OUTPUT depends on (given its
+# input). Fields claimed by no stage are hashed into EVERY stage's
+# fingerprint — the conservative fallback, so forgetting to register a
+# future knob can only over-invalidate, never reuse a stale checkpoint.
+_STAGE_FIELDS = {
+    "url_blocklist": ("url_col", "blocked_domains"),
+    "url_dedup": ("url_col", "url_dedup"),
+    "c4_clean": ("c4_clean",),
+    "line_dedup": (
+        "line_dedup_scope", "line_dedup_min_chars", "line_dedup_salt",
+    ),
+    "substr_dedup": ("substr_dedup_min_tokens", "substr_dedup_salt"),
+    "heuristics": (
+        "min_tokens", "max_tokens", "min_quality", "require_english",
+        "max_dup_line_frac", "max_top2gram_frac", "gopher_rules",
+        "min_compression_ratio", "max_compression_ratio",
+        "extra_predicates", "redact_pii",
+    ),
+    "model_quality": ("quality_model", "min_model_prob"),
+    "perplexity": ("lm", "max_ppl"),
+    "exact_dedup": ("exact_dedup",),
+    "near_dedup": (
+        "near_dedup", "near_threshold", "minhash_hashes",
+        "minhash_bands", "shingle_k",
+    ),
+}
+
+
+def _fingerprint_value(name: str, v):
+    if name in ("lm", "quality_model"):
+        return None if v is None else type(v).__name__
+    if name == "extra_predicates":
+        return [str(p) for p in v]
+    return v
+
+
+def _config_fingerprint(
+    text_col: str, id_col: str, cfg: CurationConfig, stage: str = None
+) -> str:
     """Stable hash of everything that determines a stage's OUTPUT given
-    its input: the column names plus every primitive config field. The
-    lm / quality_model objects cannot be fingerprinted robustly — they
-    contribute presence + class name; swapping in a different trained
-    artifact of the same class between resumed runs is the caller's
-    responsibility (same contract as swapping the input DataFrame)."""
+    its input: the column names plus the config fields THAT STAGE
+    consumes (``_STAGE_FIELDS``) plus any unregistered fields (hashed
+    everywhere, the safe default). With ``stage=None``, hashes every
+    field — the whole-pipeline fingerprint.
+
+    Per-stage scoping is what makes resume useful for tuning: changing
+    ``near_threshold`` after a multi-day run re-runs near_dedup alone,
+    not the dedup shuffles before it. The lm / quality_model objects
+    cannot be fingerprinted robustly — they contribute presence +
+    class name; swapping in a different trained artifact of the same
+    class between resumed runs is the caller's responsibility (same
+    contract as swapping the input DataFrame)."""
     import dataclasses
     import hashlib
     import json
 
-    d = {}
-    for f in dataclasses.fields(cfg):
-        v = getattr(cfg, f.name)
-        if f.name in ("lm", "quality_model"):
-            d[f.name] = None if v is None else type(v).__name__
-        elif f.name == "extra_predicates":
-            d[f.name] = [str(p) for p in v]
-        else:
-            d[f.name] = v
+    all_names = [f.name for f in dataclasses.fields(cfg)]
+    if stage is None:
+        names = all_names
+    else:
+        claimed = {n for fields in _STAGE_FIELDS.values() for n in fields}
+        names = [
+            n
+            for n in all_names
+            if n in _STAGE_FIELDS.get(stage, ()) or n not in claimed
+        ]
+    d = {n: _fingerprint_value(n, getattr(cfg, n)) for n in names}
     d["__cols"] = [text_col, id_col]
     return hashlib.md5(
         json.dumps(d, sort_keys=True, default=str).encode()
@@ -354,8 +401,11 @@ def curate_corpus_staged(
       not recomputed — a failure in stage 7 of 9 costs stage 7, not
       the week of dedup shuffles behind it;
     - a CONFIG change invalidates the first stage it affects and
-      everything after it (fingerprint mismatch drops that checkpoint
-      and all later ones — later stages derive from it);
+      everything after it: fingerprints are PER-STAGE (each hashes
+      only the config fields that stage consumes, ``_STAGE_FIELDS``),
+      so tuning a late-stage knob after days of dedup shuffles re-runs
+      that stage forward, not the whole pipeline (r8 ADVICE: the old
+      global fingerprint recomputed everything on any change);
     - each checkpoint also truncates lineage, so the near-dedup stage's
       plan never re-derives the URL scrub.
 
@@ -376,7 +426,6 @@ def curate_corpus_staged(
     import shutil
 
     cfg = config or CurationConfig()
-    fp = _config_fingerprint(text_col, id_col, cfg)
     os.makedirs(checkpoint_dir, exist_ok=True)
     # a crash mid-stage leaves __tmp staging — clear it first
     for stale in glob.glob(os.path.join(checkpoint_dir, "*__tmp")):
@@ -385,13 +434,16 @@ def curate_corpus_staged(
     def meta_path(d):
         return os.path.join(d, "_curate_meta.json")
 
-    def valid(d, name):
+    def valid(d, name, fp):
         if not os.path.isfile(os.path.join(d, "_SUCCESS")):
             return False
         try:
             with open(meta_path(d)) as fh:
                 m = json.load(fh)
-        except OSError:
+        except (OSError, ValueError):
+            # unreadable OR corrupt/truncated meta: the checkpoint is
+            # not trustworthy — recompute (r8 ADVICE: JSONDecodeError
+            # crashed the resume instead)
             return False
         return m.get("fingerprint") == fp and m.get("stage") == name
 
@@ -399,11 +451,12 @@ def curate_corpus_staged(
     invalidated = False
     for i, (name, fn) in enumerate(_curation_stages(text_col, id_col, cfg)):
         stage_dir = os.path.join(checkpoint_dir, f"{i:02d}_{name}")
+        fp = _config_fingerprint(text_col, id_col, cfg, stage=name)
         if invalidated and os.path.isdir(stage_dir):
             # an earlier stage recomputed — everything downstream is
             # derived from it and must too
             shutil.rmtree(stage_dir, ignore_errors=True)
-        if not invalidated and valid(stage_dir, name):
+        if not invalidated and valid(stage_dir, name, fp):
             out = spark.read.parquet(stage_dir)
             continue
         invalidated = True

@@ -98,9 +98,12 @@ def mips_knn(
 ) -> DataFrame:
     """Exact MIPS top-k via the reduction: augment → cos top-k →
     report the RAW inner product (computed on the original column —
-    the caller-facing score). One scan, ``TakeOrderedAndProject``.
-    For the index-accelerated path, persist ``mips_augment``'s column
-    and build any cos-metric index over it; search with
+    the caller-facing score). The ranking scan is ONE pass ending in
+    ``TakeOrderedAndProject``; with ``m=None`` it is preceded by
+    :func:`max_norm`'s full aggregate scan, and every call re-augments
+    — TWO jobs per query on the exact path. For repeated queries pass
+    a pinned ``m`` (one job), or better: persist ``mips_augment``'s
+    column once and build any cos-metric index over it; search with
     ``mips_query(q)`` — the reduction is exact, so every downstream
     recall/routing contract carries over unchanged."""
     from lantern_spark.functions.distances import cos_dist, inner_dist

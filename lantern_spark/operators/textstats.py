@@ -534,6 +534,35 @@ LANG_MARKERS = {
 }
 
 
+#: Unicode script ranges as Java-regex character-class bodies — the
+#: big non-Latin pretraining scripts. Pure ``regexp_count`` exprs; a
+#: deployment extends the dict (plus a label in :func:`lang_id`'s
+#: script chain) to add coverage.
+SCRIPT_RANGES = {
+    "han": "\\u4e00-\\u9fff\\u3400-\\u4dbf\\uf900-\\ufaff",
+    "kana": "\\u3040-\\u309f\\u30a0-\\u30ff\\u31f0-\\u31ff",
+    "hangul": "\\uac00-\\ud7af\\u1100-\\u11ff\\u3130-\\u318f",
+    "cyrillic": "\\u0400-\\u04ff\\u0500-\\u052f",
+    "arabic": "\\u0600-\\u06ff\\u0750-\\u077f\\u08a0-\\u08ff",
+    "devanagari": "\\u0900-\\u097f",
+}
+
+
+def script_fraction(col, script: str) -> Column:
+    """Fraction of non-whitespace characters in a Unicode script
+    (:data:`SCRIPT_RANGES` key, or a raw char-class body). Two
+    ``regexp_count`` passes — pure expressions, fuse into any scan.
+    Whitespace-blind so CJK text (no word spaces) and spaced scripts
+    measure on the same denominator."""
+    ranges = SCRIPT_RANGES.get(script, script)
+    c = F.coalesce(_c(col), F.lit(""))
+    total = F.regexp_count(c, F.lit(r"\S"))
+    hits = F.regexp_count(c, F.lit(f"[{ranges}]"))
+    return F.when(total > 0, hits.cast("double") / total).otherwise(
+        F.lit(0.0)
+    )
+
+
 def lang_marker_ratio(col, markers) -> Column:
     """Fraction of tokens that are in ``markers`` (lowercased alnum
     tokens — the same tokenizer every lexical stat uses)."""
@@ -543,17 +572,46 @@ def lang_marker_ratio(col, markers) -> Column:
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def lang_id(col, markers: dict = None, min_ratio: float = 0.04) -> Column:
-    """Argmax-marker-ratio language ID over :data:`LANG_MARKERS` (or a
-    caller set): the language whose function words cover the largest
-    token fraction wins, 'unk' when no language clears ``min_ratio``.
-    Pure expressions — one greatest() over per-language ratios, fused
-    into any scan; ties break by language-key order (deterministic).
+def lang_id(
+    col,
+    markers: dict = None,
+    min_ratio: float = 0.04,
+    script_min: float = 0.3,
+    kana_min: float = 0.05,
+) -> Column:
+    """Two-tier language ID, all pure expressions fused into one scan:
 
-    Honest scope: a closed-class-word heuristic, not a trained
-    classifier — strong on prose in the marker languages, 'unk' on
-    short/technical text; plug `operators/quality_clf` with language
-    labels where a trained model is warranted (same serving shape)."""
+    1. SCRIPT tier (r9, review r8 item 3): Unicode-script character
+       fractions decide non-Latin text FIRST — the marker tier
+       whitespace-tokenizes, so CJK (no word spaces) and
+       Cyrillic/Arabic/Devanagari corpora all classified 'unk' before.
+       Kana presence (≥ ``kana_min``) → 'ja' (kana is uniquely
+       Japanese; ja text mixes Han + kana, so this check precedes
+       Han); then Han/Hangul/Cyrillic/Arabic/Devanagari ≥
+       ``script_min`` → 'zh'/'ko'/'ru'/'ar'/'hi'.
+    2. MARKER tier: argmax function-word coverage over
+       :data:`LANG_MARKERS` (or a caller set) — the language whose
+       function words cover the largest token fraction wins, 'unk'
+       when none clears ``min_ratio``. Ties break by language-key
+       order (deterministic).
+
+    Honest scope: a script/closed-class-word heuristic, not a trained
+    classifier. The script labels are SCRIPT-level proxies ('ru' =
+    Cyrillic — also Bulgarian/Serbian/...; 'hi' = Devanagari — also
+    Marathi/Nepali; 'zh' = Han without kana); within-script
+    disambiguation needs a trained model — plug
+    `operators/quality_clf` with language labels (same serving
+    shape)."""
+    script_pred = (
+        F.when(script_fraction(col, "kana") >= kana_min, F.lit("ja"))
+        .when(script_fraction(col, "han") >= script_min, F.lit("zh"))
+        .when(script_fraction(col, "hangul") >= script_min, F.lit("ko"))
+        .when(script_fraction(col, "cyrillic") >= script_min, F.lit("ru"))
+        .when(script_fraction(col, "arabic") >= script_min, F.lit("ar"))
+        .when(
+            script_fraction(col, "devanagari") >= script_min, F.lit("hi")
+        )
+    )
     sets = markers or LANG_MARKERS
     ratios = [(name, lang_marker_ratio(col, ws)) for name, ws in sorted(sets.items())]
     best = F.greatest(*[r for _, r in ratios]) if len(ratios) > 1 else ratios[0][1]
@@ -562,4 +620,4 @@ def lang_id(col, markers: dict = None, min_ratio: float = 0.04) -> Column:
     # evaluate in order, so build from the last backwards)
     for name, r in reversed(ratios):
         out = F.when((r == best) & (best >= min_ratio), F.lit(name)).otherwise(out)
-    return out
+    return F.coalesce(script_pred, out)

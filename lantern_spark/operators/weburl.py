@@ -15,10 +15,12 @@ URL dedup is the exact-dedup discipline (hash-groupBy on the
 normalized key, never content); blocklist filtering broadcasts.
 
 Scope notes (documented approximations):
-- ``registered_domain`` uses an embedded set of common multi-label
-  public suffixes (co.uk, com.au, …) rather than the full Public
-  Suffix List; a deployment loads the real PSL into the same
-  ``isin`` set — the expression is unchanged.
+- ``registered_domain`` defaults to an embedded set of common
+  multi-label public suffixes (co.uk, com.au, …); pass
+  ``psl=load_psl(path_to_public_suffix_list.dat)`` for the full PSL
+  algorithm (exact + wildcard + exception rules, r9) — the rules
+  compile into the same JVM-side ``isin`` when-chain at plan time,
+  so workers never need the file.
 - ``normalize_url`` lowercases scheme+host (case-insensitive by RFC
   3986), preserves path/query case (significant), drops fragments,
   userinfo, default ports, and the common tracking parameters.
@@ -36,11 +38,25 @@ __all__ = [
     "url_scheme",
     "normalize_url",
     "registered_domain",
+    "parse_psl",
+    "load_psl",
     "url_dedup",
     "filter_domain_blocklist",
     "TRACKING_PARAMS",
     "MULTI_LABEL_SUFFIXES",
+    "PSL_SNIPPET_PATH",
 ]
+
+import os as _os
+
+#: A real-rules PSL excerpt shipped with the package (wildcard +
+#: exception examples included) — the dev/test stand-in for the full
+#: downloaded public_suffix_list.dat.
+PSL_SNIPPET_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data",
+    "psl_snippet.dat",
+)
 
 
 def _c(x) -> Column:
@@ -137,31 +153,119 @@ def normalize_url(col, strip_params: Optional[str] = None) -> Column:
     return F.when(scheme == "", u).otherwise(rebuilt)
 
 
-def registered_domain(col, extra_suffixes: Iterable[str] = ()) -> Column:
-    """eTLD+1 under the embedded suffix set: the last TWO host labels,
-    or three when the last two form a known multi-label public suffix
-    (``bbc.co.uk`` → ``bbc.co.uk``, ``a.b.example.com`` →
-    ``example.com``). Hosts with <2 labels (``localhost``, IPv4
-    literals are 4 numeric labels and pass through the 2-label rule —
-    callers filtering infrastructure hosts should screen those first)
-    return the host unchanged. ``extra_suffixes`` extends the set
-    toward the full PSL."""
+def parse_psl(text: str) -> dict:
+    """Parse Public Suffix List text (the standard
+    ``public_suffix_list.dat`` format: ``//`` comments, blank lines,
+    one rule per line; ``*.base`` wildcard rules; ``!rule``
+    exceptions) into the rule sets :func:`registered_domain` compiles
+    into expressions:
+
+    ``{"exact": {label_count: set}, "wildcard": {base_label_count:
+    set}, "exception": {label_count: set}}``
+
+    Single-label exact rules (plain TLDs — the bulk of the file) are
+    dropped: they are the default 2-label registered-domain rule
+    already. Rules are lowercased; IDN rules are kept in whatever form
+    the file uses (unicode in the canonical PSL) — hosts must be in
+    the SAME form to match (document your pipeline's IDN
+    normalization)."""
+    exact, wildcard, exception = {}, {}, {}
+    for line in text.splitlines():
+        line = line.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            rule = line[1:]
+            exception.setdefault(rule.count(".") + 1, set()).add(rule)
+        elif line.startswith("*."):
+            base = line[2:]
+            wildcard.setdefault(base.count(".") + 1, set()).add(base)
+        else:
+            k = line.count(".") + 1
+            if k >= 2:
+                exact.setdefault(k, set()).add(line)
+    return {"exact": exact, "wildcard": wildcard, "exception": exception}
+
+
+def load_psl(path: str) -> dict:
+    """:func:`parse_psl` over a file — point this at a downloaded
+    ``public_suffix_list.dat`` for full-PSL eTLD+1. The package ships
+    ``lantern_spark/data/psl_snippet.dat`` (a small real excerpt with
+    wildcard/exception examples) as a test/dev stand-in."""
+    with open(path, encoding="utf-8") as fh:
+        return parse_psl(fh.read())
+
+
+def registered_domain(
+    col, extra_suffixes: Iterable[str] = (), psl=None
+) -> Column:
+    """eTLD+1 as a pure column expression.
+
+    Default (``psl=None``): the last TWO host labels, or three when
+    the last two form a known multi-label public suffix
+    (:data:`MULTI_LABEL_SUFFIXES` + ``extra_suffixes``; ``bbc.co.uk``
+    → ``bbc.co.uk``, ``a.b.example.com`` → ``example.com``).
+
+    Full-PSL mode (r9, review r8 item 2): pass ``psl`` as a parsed
+    rule dict (:func:`parse_psl`) or a ``public_suffix_list.dat``
+    path, and the standard PSL algorithm compiles into ONE when-chain
+    of ``isin`` literal sets (JVM-side, no UDF): exception rules win
+    outright (the exception itself is the registered domain), else
+    the longest matching rule (wildcard ``*.base`` counts base+1
+    labels), else the 1-label default. ``*.nagoya.jp``-style
+    registries come out right: ``shop.foo.nagoya.jp`` →
+    ``shop.foo.nagoya.jp`` stays wrong under the 2-label default but
+    is ``foo``'s 4-label domain under the PSL.
+
+    Hosts with <2 labels (``localhost``; IPv4 literals are 4 numeric
+    labels and pass through the 2-label rule — screen infrastructure
+    hosts first) return the host unchanged, as does a host that IS a
+    public suffix (no registered domain exists)."""
     host = url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(
-        ".",
-        F.element_at(labels, -3),
-        F.element_at(labels, -2),
-        F.element_at(labels, -1),
+
+    def lastk(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(labels, -j) for j in range(k, 0, -1)]
+        )
+
+    if psl is None:
+        suffixes = list(MULTI_LABEL_SUFFIXES) + list(extra_suffixes)
+        return (
+            F.when(n <= 1, host)
+            .when((n >= 3) & lastk(2).isin(suffixes), lastk(3))
+            .otherwise(lastk(2))
+        )
+
+    if isinstance(psl, str):
+        psl = load_psl(psl)
+    # (guard, result) arms in PSL priority order: exceptions (longest
+    # first), then rules by effective suffix length descending — a
+    # wildcard with base k is a (k+1)-label suffix, tied with exact
+    # (k+1)-label rules (PSL: "the rule with the most labels").
+    arms = []
+    for k in sorted(psl["exception"], reverse=True):
+        arms.append(
+            ((n >= k) & lastk(k).isin(sorted(psl["exception"][k])), lastk(k))
+        )
+    suffix_lens = sorted(
+        {k + 1 for k in psl["wildcard"]} | set(psl["exact"]), reverse=True
     )
-    suffixes = list(MULTI_LABEL_SUFFIXES) + list(extra_suffixes)
-    return (
-        F.when(n <= 1, host)
-        .when((n >= 3) & last2.isin(suffixes), last3)
-        .otherwise(last2)
-    )
+    for s in suffix_lens:
+        if s - 1 in psl["wildcard"]:
+            wc = sorted(psl["wildcard"][s - 1])
+            arms.append(((n >= s + 1) & lastk(s - 1).isin(wc), lastk(s + 1)))
+            # the host IS inside the wildcard suffix itself
+            arms.append(((n == s) & lastk(s - 1).isin(wc), host))
+        if s in psl["exact"]:
+            ex = sorted(psl["exact"][s])
+            arms.append(((n >= s + 1) & lastk(s).isin(ex), lastk(s + 1)))
+            arms.append(((n == s) & lastk(s).isin(ex), host))
+    out = F.when(n <= 1, host)
+    for guard, result in arms:
+        out = out.when(guard, result)
+    return out.otherwise(lastk(2))
 
 
 def url_dedup(

@@ -231,7 +231,7 @@ import re as _re
 
 _FN_CALL = (
     r"(?P<fn>l2sq_dist|l2_dist|cos_dist|hamming_dist)\s*\(\s*"
-    r"(?P<col>\w+)\s*,\s*(?P<lit>array\s*\([^)]*\))\s*\)"
+    r"(?P<col>\w+)\s*,\s*(?P<lit>array\s*\([^)]*\)|:\w+)\s*\)"
 )
 
 # form 1: ORDER BY <fn>(col, array(…)) directly. An optional WHERE
@@ -266,13 +266,23 @@ _ANN_ALIAS_TAIL_RX = _re.compile(
 
 
 def _match_ann_sql(sql: str):
-    """(table span, col, metric, query vector, k, where) when ``sql``
-    is the reference-hook shape in either form, else None."""
+    """``(match_dict, None)`` when ``sql`` is the reference-hook shape
+    in either form, else ``(None, reason)`` — the reason is what
+    ``routed_sql(explain=True)`` reports so a silent exact fallback is
+    diagnosable (review r8 item 7). The query vector is an
+    ``array(...)`` literal or a ``:name`` parameter marker (resolved
+    from ``routed_sql``'s ``params``)."""
     m = _ANN_SQL_RX.match(sql)
     if m is None:
         m2 = _ANN_ALIAS_TAIL_RX.match(sql)
         if m2 is None:
-            return None
+            return None, (
+                "sql shape not recognized — routable forms are "
+                "SELECT <proj> FROM <t> [WHERE ...] ORDER BY "
+                "<dist>(col, array(...)|:param) [, id] LIMIT k, or "
+                "the same with the distance aliased in the SELECT "
+                "list and ORDER BY <alias>"
+            )
         # the ORDER BY alias must be defined in the select list as
         # exactly one distance call over a bare column + array literal
         alias_def = _re.search(
@@ -281,7 +291,11 @@ def _match_ann_sql(sql: str):
             _re.IGNORECASE | _re.DOTALL,
         )
         if alias_def is None:
-            return None
+            return None, (
+                f"ORDER BY alias {m2.group('alias')!r} is not defined "
+                "in the SELECT list as a single "
+                "<dist>(col, array(...)|:param) call"
+            )
         fn, col, lit = (
             alias_def.group("fn"),
             alias_def.group("col"),
@@ -290,16 +304,21 @@ def _match_ann_sql(sql: str):
         m = m2
     else:
         fn, col, lit = m.group("fn"), m.group("col"), m.group("lit")
-    nums = _re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", lit)
+    if lit.startswith(":"):
+        query, param = None, lit[1:]
+    else:
+        nums = _re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", lit)
+        query, param = [float(x) for x in nums], None
     return {
         "table": m.group("table"),
         "table_span": m.span("table"),
         "col": col,
         "metric": _METRIC_OF[fn.lower()],
-        "query": [float(x) for x in nums],
+        "query": query,
+        "param": param,
         "k": int(m.group("k")),
         "where": m.group("where"),
-    }
+    }, None
 
 # ordering-equivalent metric per SQL function (l2_dist orders the same
 # rows as l2sq — the monotone map the reference also exploits)
@@ -311,6 +330,19 @@ _METRIC_OF = {
 }
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class SqlFallback:
+    """Why ``routed_sql`` executed the plain exact scan instead of an
+    index route — returned as the decision with ``explain=True`` so
+    the fallback is never silent (review r8 item 7)."""
+
+    reason: str
+    access_path: str = "exact"
+
+
 def routed_sql(
     spark: SparkSession,
     sql: str,
@@ -318,6 +350,7 @@ def routed_sql(
     recall_floor: float = 0.9,
     explain: bool = False,
     oversample: int = 4,
+    params: Optional[dict] = None,
 ):
     """Run ``sql``, auto-routing ``[WHERE …] ORDER BY <dist>(col,
     array(…)) LIMIT k`` through the cost-based router when ``catalog``
@@ -347,22 +380,45 @@ def routed_sql(
     candidates are re-read from the table itself, not from index
     payloads.
 
-    Returns the DataFrame, or ``(DataFrame, RouteDecision | None)``
-    with ``explain=True`` (None = pattern didn't match)."""
+    Named query vectors (r9): write ``<dist>(col, :qvec)`` and pass
+    ``params={"qvec": [...]}`` — realistic embedding dims never belong
+    inline in SQL text. ``params`` also feeds Spark's native named
+    parameter markers on every execution path (exact fallback and the
+    candidate re-execution), so non-vector ``:params`` in WHERE work
+    too.
+
+    Returns the DataFrame, or ``(DataFrame, RouteDecision |
+    SqlFallback)`` with ``explain=True`` — a ``SqlFallback`` carries
+    the REASON the exact path ran (unparseable SQL, missing param, no
+    catalog), so fallbacks are diagnosable rather than silent."""
     from lantern_spark.plans.router import route
 
-    m = _match_ann_sql(sql)
+    def run_sql(q):
+        return spark.sql(q, args=params) if params else spark.sql(q)
+
+    m, why = _match_ann_sql(sql)
     if m is None or catalog is None:
-        out = spark.sql(sql)
-        return (out, None) if explain else out
+        out = run_sql(sql)
+        fb = SqlFallback(reason=why or "no index catalog provided")
+        return (out, fb) if explain else out
     table, col = m["table"], m["col"]
     metric, query, k = m["metric"], m["query"], m["k"]
+    if m["param"] is not None:
+        if params is None or m["param"] not in params:
+            # the exact path could not execute either (the SQL's
+            # parameter marker is unbound) — fail with OUR message,
+            # not Spark's generic UNBOUND_SQL_PARAMETER
+            raise ValueError(
+                f"routed_sql: named query-vector parameter "
+                f":{m['param']} not provided in params"
+            )
+        query = [float(v) for v in params[m["param"]]]
     df = spark.table(table)
     n_rows = df.count()
     decision = route(catalog, table, col, metric, n_rows, recall_floor)
     e = decision.entry
     if decision.access_path == "exact" or e is None:
-        out = spark.sql(sql)
+        out = run_sql(sql)
         return (out, decision) if explain else out
     # WHERE → over-fetch so the post-hoc filter can still fill k
     fetch_k = k * max(1, int(oversample)) if m["where"] else k
@@ -409,7 +465,7 @@ def routed_sql(
     view = f"{table}__ann_candidates"
     df.filter(df[id_col].isin(ids)).createOrReplaceTempView(view)
     start, end = m["table_span"]
-    out = spark.sql(sql[:start] + view + sql[end:])
+    out = run_sql(sql[:start] + view + sql[end:])
     return (out, decision) if explain else out
 
 

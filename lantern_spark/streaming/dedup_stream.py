@@ -99,16 +99,24 @@ def streaming_exact_dedup(
 # ----------------------------------------------------------------------
 
 def make_bloom_deduper(
-    id_col: str, text_col: str, m_shard: int, k: int
+    id_col: str, text_col: str, m_shard: int, k: int,
+    max_fill_ratio=0.95,
 ):
     """Per-SHARD stateful function: state is the shard's Bloom bitset
     (``m_shard/8`` bytes, FOREVER — the whole point), rows are tested
     then inserted in ascending ``id_col`` order (deterministic
     within-batch winner, mirroring the exact deduper's min-id rule).
-    Plain generator — unit-testable with a FakeState."""
+    Plain generator — unit-testable with a FakeState.
+
+    Saturation guard (r9, review r8 item 6): every micro-batch
+    popcounts the loaded shard bitset and raises ValueError past
+    ``max_fill_ratio`` — an over-capacity filter's FPR → 1 and it
+    silently drops every incoming doc as "seen"; failing the stream
+    loudly is the correct behavior. ``None`` disables."""
     import numpy as np
 
     from lantern_spark.operators.bloomset import (
+        _fill_ratio,
         _positions_np,
         _set_bits,
         _test_bits,
@@ -121,10 +129,26 @@ def make_bloom_deduper(
             ).copy()
         else:
             bits = np.zeros(m_shard // 8, dtype=np.uint8)
-        keep_frames = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        if max_fill_ratio is not None:
+            fill = _fill_ratio(bits)
+            if fill > max_fill_ratio:
+                raise ValueError(
+                    f"streaming bloom shard is saturated: fill ratio "
+                    f"{fill:.3f} > max_fill_ratio {max_fill_ratio}; "
+                    "restart the stream with larger m_bits"
+                )
+        # a shard group can arrive as MULTIPLE Arrow chunks — the
+        # min-id winner is only deterministic if the sort spans all of
+        # them, so concatenate first (r8 ADVICE; state is already
+        # O(m_shard), the group concat does not change the memory
+        # shape — the group was materialized to be sorted either way)
+        frames = [pdf for pdf in pdfs if len(pdf) > 0]
+        if frames:
+            pdf = (
+                frames[0]
+                if len(frames) == 1
+                else pd.concat(frames, ignore_index=True)
+            )
             pdf = pdf.sort_values(id_col, kind="stable")
             keep_mask = np.zeros(len(pdf), dtype=bool)
             h1 = pdf["__h1"].to_numpy("int64")
@@ -137,12 +161,8 @@ def make_bloom_deduper(
                     keep_mask[i] = True
                     _set_bits(bits, pos[i : i + 1])
             if keep_mask.any():
-                keep_frames.append(
-                    pdf.loc[keep_mask, [id_col, text_col]]
-                )
+                yield pdf.loc[keep_mask, [id_col, text_col]]
         state.update((bits.tobytes(),))
-        for f in keep_frames:
-            yield f
 
     return fn
 
@@ -155,6 +175,7 @@ def streaming_bloom_dedup(
     m_bits: int = 1 << 27,
     k: int = 7,
     seed: int = 42,
+    max_fill_ratio=0.95,
 ) -> DataFrame:
     """First-seen rows of a streaming corpus through a BOUNDED-memory
     Bloom gate (AI2 Dolma's dedup design): total state is exactly
@@ -200,7 +221,9 @@ def streaming_bloom_dedup(
     )
     state_schema = T.StructType([T.StructField("bits", T.BinaryType())])
     return keyed.applyInPandasWithState(
-        make_bloom_deduper(id_col, text_col, m_shard, k),
+        make_bloom_deduper(
+            id_col, text_col, m_shard, k, max_fill_ratio=max_fill_ratio
+        ),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

@@ -153,6 +153,23 @@ class TestStreamingBloomDedup:
         out = pd.concat(list(fn((0,), iter([b]), st)))
         assert list(out["doc_id"]) == [3]
 
+    def test_fn_min_id_wins_across_arrow_chunks(self):
+        """A shard group may arrive as multiple Arrow chunks; the
+        min-id winner must hold across chunk boundaries (r8 ADVICE:
+        per-chunk sorting let a higher-id row survive when the lower
+        id landed in a later chunk)."""
+        from lantern_spark.streaming.dedup_stream import make_bloom_deduper
+        from tests.test_streaming import FakeState
+
+        m_shard, k = 4096 * 8, 7
+        fn = make_bloom_deduper("doc_id", "text", m_shard, k)
+        st = FakeState()
+        # duplicate's LOWER id arrives in the SECOND chunk
+        c1 = self._fake_batch([9, 10], ["same", "other"], m_shard, k)
+        c2 = self._fake_batch([3], ["same"], m_shard, k)
+        out = pd.concat(list(fn((0,), iter([c1, c2]), st)))
+        assert sorted(out["doc_id"]) == [3, 10]
+
     def test_file_stream_end_to_end(self, spark, tmp_path):
         from lantern_spark.streaming.dedup_stream import streaming_bloom_dedup
 
@@ -196,3 +213,89 @@ class TestStreamingBloomDedup:
             assert got2 == {(1, "alpha"), (3, "beta"), (5, "gamma")}
         finally:
             q.stop()
+
+
+class TestSaturationGuard:
+    """r9 (review r8 item 6): past saturation a Bloom filter's FPR -> 1
+    and it silently drops everything as 'seen' — the probe path and the
+    streaming twin must fail loudly instead, and fill diagnostics must
+    be queryable."""
+
+    def test_fill_stats_values(self, spark):
+        import numpy as np
+
+        from lantern_spark.operators.bloomset import bloom_fill_stats
+
+        half = np.zeros(64, dtype=np.uint8)
+        half[:32] = 0xFF  # exactly half the bits set
+        bloom = spark.createDataFrame(
+            [(0, bytes(half)), (1, b"\xff" * 64), (2, b"\x00" * 64)],
+            "shard int, bits binary",
+        )
+        got = {
+            r["shard"]: (r["fill_ratio"], r["fpr_estimate"])
+            for r in bloom_fill_stats(bloom, k=7).collect()
+        }
+        assert got[0][0] == 0.5 and abs(got[0][1] - 0.5**7) < 1e-12
+        assert got[1] == (1.0, 1.0)
+        assert got[2] == (0.0, 0.0)
+
+    def test_probe_refuses_saturated_shard(self, spark):
+        import pytest as _pytest
+
+        from lantern_spark.operators.bloomset import probe_bloom_set
+
+        n_shards, m_bits = 4, 4 * 64 * 8
+        bloom = spark.createDataFrame(
+            [(s, b"\xff" * 64) for s in range(n_shards)],
+            "shard int, bits binary",
+        )
+        probes = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+        )
+        out = probe_bloom_set(
+            probes, bloom, "text", n_shards=n_shards, m_bits=m_bits
+        )
+        with _pytest.raises(Exception, match="saturated"):
+            out.collect()
+        # None disables the guard (diagnostics-only mode)
+        ok = probe_bloom_set(
+            probes, bloom, "text", n_shards=n_shards, m_bits=m_bits,
+            max_fill_ratio=None,
+        ).collect()
+        assert all(r["probable_member"] for r in ok)
+
+    def test_probe_passes_healthy_filter(self, spark):
+        from lantern_spark.operators.bloomset import (
+            build_bloom_set,
+            probe_bloom_set,
+        )
+
+        n_shards, m_bits = 4, 4 * 1024 * 8
+        members = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+        )
+        bloom = build_bloom_set(
+            members, "text", n_shards=n_shards, m_bits=m_bits
+        )
+        out = probe_bloom_set(
+            members, bloom, "text", n_shards=n_shards, m_bits=m_bits
+        ).collect()  # default guard on — healthy fill sails through
+        assert all(r["probable_member"] for r in out)
+
+    def test_streaming_deduper_refuses_saturated_state(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from lantern_spark.streaming.dedup_stream import make_bloom_deduper
+        from tests.test_streaming import FakeState
+
+        m_shard, k = 512 * 8, 7
+        fn = make_bloom_deduper("doc_id", "text", m_shard, k)
+        st = FakeState()
+        st.update((b"\xff" * 512,))  # saturated prior state
+        b = pd.DataFrame(
+            {"doc_id": [1], "text": ["x"], "__h1": [123], "__h2": [45]}
+        )
+        with _pytest.raises(ValueError, match="saturated"):
+            list(fn((0,), iter([b]), st))

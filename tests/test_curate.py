@@ -559,11 +559,63 @@ class TestCurateStaged:
         cfg2 = dataclasses.replace(self._cfg(), min_tokens=3)
         out = curate_corpus_staged(spark, df, "text", "doc_id", ckpt, cfg2)
         m2 = self._mtimes(ckpt)
-        # every stage carries the config fingerprint, so a config
-        # change recomputes from the first stage (uniform contract)
+        # fingerprints are PER-STAGE (r9): a heuristics knob leaves the
+        # line_dedup checkpoint untouched and recomputes only the first
+        # affected stage and everything after it
+        assert m2["00_line_dedup"] == m1["00_line_dedup"]
         assert m2["01_heuristics"] > m1["01_heuristics"]
         assert m2["02_exact_dedup"] > m1["02_exact_dedup"]
         assert out.count() > 0
+
+    def test_late_stage_knob_reuses_upstream(self, spark, tmp_path):
+        """The resume feature's main use case (r8 ADVICE): tuning a
+        LAST-stage parameter after the expensive dedup shuffles must
+        recompute only that stage."""
+        import dataclasses
+
+        from lantern_spark.operators.curate import curate_corpus_staged
+
+        cfg = dataclasses.replace(
+            self._cfg(), near_dedup=True, near_threshold=0.8
+        )
+        df = self._corpus(spark)
+        ckpt = str(tmp_path / "ckpt")
+        curate_corpus_staged(spark, df, "text", "doc_id", ckpt, cfg)
+        m1 = self._mtimes(ckpt)
+        cfg2 = dataclasses.replace(cfg, near_threshold=0.7)
+        out = curate_corpus_staged(spark, df, "text", "doc_id", ckpt, cfg2)
+        m2 = self._mtimes(ckpt)
+        assert m2["03_near_dedup"] > m1["03_near_dedup"]
+        for kept in ("00_line_dedup", "01_heuristics", "02_exact_dedup"):
+            assert m2[kept] == m1[kept], kept
+        assert out.count() > 0
+
+    def test_corrupt_meta_recomputes_instead_of_crashing(
+        self, spark, tmp_path
+    ):
+        from lantern_spark.operators.curate import curate_corpus_staged
+
+        df = self._corpus(spark)
+        ckpt = str(tmp_path / "ckpt")
+        first = sorted(
+            map(
+                tuple,
+                curate_corpus_staged(
+                    spark, df, "text", "doc_id", ckpt, self._cfg()
+                ).collect(),
+            )
+        )
+        with open(f"{ckpt}/01_heuristics/_curate_meta.json", "w") as fh:
+            fh.write('{"fingerprint": "tru')  # truncated mid-write
+        again = sorted(
+            map(
+                tuple,
+                curate_corpus_staged(
+                    spark, df, "text", "doc_id", ckpt, self._cfg()
+                ).collect(),
+            )
+        )
+        assert again == first
 
     def test_crash_staging_cleared_and_partial_recomputed(self, spark, tmp_path):
         import os

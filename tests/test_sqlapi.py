@@ -34,6 +34,34 @@ def _installed(spark):
     return install_sql_functions(spark)
 
 
+def _synth_blobs(spark, tmp_path):
+    """2000 points in 8 well-separated blobs (250 each, dim 4),
+    registered as view `synth_emb` + an IVF catalog over it. The
+    query vector sits in blob 0, so its true neighbors all share one
+    IVF list — a partial probe that routes is also EXACT, which makes
+    routed-vs-exact row equality a fair assertion."""
+    from lantern_spark.operators.index import IVFIndex
+    from lantern_spark.plans.router import IndexCatalog
+
+    rows = []
+    for i in range(2000):
+        b = i // 250
+        jit = (i % 250) * 0.003
+        rows.append(
+            (i, [100.0 * b + jit, 100.0 * b, 100.0 * b - jit, 0.0])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.createOrReplaceTempView("synth_emb")
+    idx = IVFIndex.build(
+        df, "embedding", "vec_id", str(tmp_path / "ivf_synth"),
+        metric="l2sq", nlist=8, seed=42,
+    )
+    cat = IndexCatalog(str(tmp_path / "cat_synth"))
+    cat.register_ivf(idx, "synth_emb", nprobe=3, recall_estimate=0.99)
+    query = [0.001, 0.0, 0.0, 0.0]  # inside blob 0
+    return cat, query
+
+
 VECS = [
     ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
     ([0.5, -1.25, 8.0], [0.5, -1.25, 8.0]),
@@ -427,8 +455,72 @@ class TestRoutedSql:
             catalog=cat,
             explain=True,
         )
-        assert dec is None  # pattern not matched — plain spark.sql
+        # r9: the fallback is decision-logged, not silent — the
+        # reason says WHY the exact path ran
+        from lantern_spark.sqlapi import SqlFallback
+
+        assert isinstance(dec, SqlFallback)
+        assert dec.access_path == "exact"
+        assert "not recognized" in dec.reason
         assert out.first()["n"] > 0
+
+    def test_projected_filtered_routed_equals_exact(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Real user SQL — projection list + WHERE + aliased distance —
+        must route AND return the same rows as the unrouted exact
+        query (r9, review r8 item 7)."""
+        from lantern_spark.sqlapi import routed_sql
+
+        cat, q = _synth_blobs(spark, tmp_path)
+        lit = "array(" + ", ".join(f"{v}D" for v in q) + ")"
+        sql = (
+            "SELECT vec_id, "
+            f"l2sq_dist(embedding, {lit}) AS d "
+            "FROM synth_emb WHERE vec_id % 2 = 0 "
+            "ORDER BY d, vec_id LIMIT 5"
+        )
+        exact = spark.sql(sql).collect()
+        routed, dec = routed_sql(
+            spark, sql, catalog=cat, explain=True, recall_floor=0.0,
+            oversample=64,
+        )
+        assert dec.access_path != "exact", dec.reason
+        got = routed.collect()
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+        assert got[0].asDict().keys() == exact[0].asDict().keys()
+
+    def test_named_query_vector_param_routes(
+        self, spark, sf_dir, tmp_path
+    ):
+        """`<dist>(col, :qvec)` + params routes identically to the
+        inline-literal form — realistic dims never belong in SQL
+        text."""
+        from lantern_spark.sqlapi import SqlFallback, routed_sql
+
+        cat, q = _synth_blobs(spark, tmp_path)
+        sql = (
+            "SELECT vec_id, l2sq_dist(embedding, :qvec) AS d "
+            "FROM synth_emb ORDER BY d, vec_id LIMIT 5"
+        )
+        routed, dec = routed_sql(
+            spark, sql, catalog=cat, explain=True, recall_floor=0.0,
+            params={"qvec": q},
+        )
+        assert dec.access_path != "exact", dec.reason
+        lit = "array(" + ", ".join(f"{v}D" for v in q) + ")"
+        exact = spark.sql(sql.replace(":qvec", lit)).collect()
+        assert [r["vec_id"] for r in routed.collect()] == [
+            r["vec_id"] for r in exact
+        ]
+        # missing vector param: the exact path could not run either
+        # (unbound marker) — expect OUR clear error, not Spark's
+        with pytest.raises(ValueError, match=":qvec"):
+            routed_sql(
+                spark, sql, catalog=cat, explain=True,
+                recall_floor=0.0, params={"qvec2": q},
+            )
+        assert SqlFallback is not None  # imported symbol exercised above
 
 
 class TestSqlOnlyBM25:

@@ -602,3 +602,63 @@ class TestMultiLangId:
             .toString()
         )
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+    def test_script_tier_non_latin(self, spark):
+        """r9 (review r8 item 3): Unicode-script fractions decide
+        non-Latin docs ahead of the (whitespace-tokenized) Latin
+        marker argmax — these all classified 'unk' before."""
+        from lantern_spark.operators.textstats import lang_id
+
+        docs = [
+            # zh: Han only, no spaces (golden from a CC-style page)
+            (0, "今天天气很好，"
+                "我们去公园散步。"
+                "这是一个美丽的城市"),
+            # ja: Han + kana mix — kana presence must beat the Han check
+            (1, "今日はいい天気です"
+                "ね。公園へ行きまし"
+                "ょう。とても楽しい"),
+            # ko: Hangul syllables
+            (2, "오늘은 날씨가 좋습니"
+                "다 공원에 갑시다 정말"
+                " 좋아요"),
+            # ru: Cyrillic
+            (3, "сегодня хо"
+                "рошая пого"
+                "да мы идём в"
+                " парк гулять"),
+            # ar: Arabic
+            (4, "الطقس جميل"
+                " اليوم نذهب"
+                " إلى الحديقة"),
+            # hi: Devanagari
+            (5, "आज मौसम अच्"
+                "छा है हम पार"
+                "्क जाते हैं"),
+            # Latin marker tier still works behind the script gate
+            (6, "the cat sat on the mat and it was happy with this"),
+            # a few foreign WORDS inside English prose must not flip it
+            (7, "the word 今天 means today and it is used in"
+                " the sentence we saw with all of the other words"),
+        ]
+        df = spark.createDataFrame(docs, "i long, text string")
+        got = {
+            r["i"]: r["l"]
+            for r in df.select("i", lang_id("text").alias("l")).collect()
+        }
+        want = {0: "zh", 1: "ja", 2: "ko", 3: "ru", 4: "ar", 5: "hi",
+                6: "en", 7: "en"}
+        assert got == want, got
+
+    def test_script_fraction_values(self, spark):
+        from lantern_spark.operators.textstats import script_fraction
+
+        df = spark.createDataFrame(
+            [(0, "ab 一二")], "i long, text string"
+        )
+        r = df.select(
+            script_fraction("text", "han").alias("h"),
+            script_fraction("text", "cyrillic").alias("c"),
+        ).first()
+        assert abs(r["h"] - 0.5) < 1e-9  # 2 Han of 4 non-space chars
+        assert r["c"] == 0.0

@@ -295,3 +295,96 @@ class TestBlocklist:
             ).collect()
         )
         assert blocked == [1, 2]
+
+
+class TestFullPsl:
+    """r9 (review r8 item 2): file-driven Public Suffix List with the
+    real algorithm — exact + wildcard (*.nagoya.jp) + exception
+    (!city.nagoya.jp) rules, compiled to pure isin expressions."""
+
+    def _domains(self, spark, urls, **kw):
+        from lantern_spark.operators.weburl import registered_domain
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, url string"
+        )
+        rows = df.select(
+            "i", registered_domain("url", **kw).alias("d")
+        ).collect()
+        return [r["d"] for r in sorted(rows, key=lambda r: r["i"])]
+
+    def test_parse_psl_rule_sets(self):
+        from lantern_spark.operators.weburl import PSL_SNIPPET_PATH, load_psl
+
+        psl = load_psl(PSL_SNIPPET_PATH)
+        assert "co.uk" in psl["exact"][2]
+        assert "s3.amazonaws.com" in psl["exact"][3]
+        assert "nagoya.jp" in psl["wildcard"][2]
+        assert "ck" in psl["wildcard"][1]
+        assert "city.nagoya.jp" in psl["exception"][3]
+        assert "www.ck" in psl["exception"][2]
+        # 1-label TLDs fold into the default rule, not the sets
+        assert 1 not in psl["exact"]
+
+    def test_exact_wildcard_exception_rules(self, spark):
+        from lantern_spark.operators.weburl import PSL_SNIPPET_PATH
+
+        got = self._domains(
+            spark,
+            [
+                "https://news.bbc.co.uk/page",          # 2-label exact
+                "https://a.b.shop.com.au/x",            # 2-label exact, deep
+                "https://bucket.s3.amazonaws.com/k",    # 3-label exact (private)
+                "https://shop.foo.nagoya.jp/x",         # wildcard *.nagoya.jp
+                "https://foo.nagoya.jp/x",              # host IS a public suffix
+                "https://www.city.nagoya.jp/x",         # exception rule
+                "https://city.nagoya.jp/x",             # the exception itself
+                "https://x.example.ck/x",               # wildcard *.ck
+                "https://www.ck/x",                     # exception !www.ck
+                "https://deep.sub.example.com/x",       # plain default
+                "https://localhost/x",                  # single label
+            ],
+            psl=PSL_SNIPPET_PATH,
+        )
+        assert got == [
+            "bbc.co.uk",
+            "shop.com.au",
+            "bucket.s3.amazonaws.com",
+            "shop.foo.nagoya.jp",
+            "foo.nagoya.jp",
+            "city.nagoya.jp",
+            "city.nagoya.jp",
+            "x.example.ck",
+            "www.ck",
+            "example.com",
+            "localhost",
+        ]
+
+    def test_default_embedded_unchanged(self, spark):
+        got = self._domains(
+            spark,
+            ["https://news.bbc.co.uk/p", "https://a.b.example.com/p",
+             "https://shop.foo.nagoya.jp/x"],
+        )
+        # embedded default: 2-label rule for unknown registries (the
+        # documented approximation the PSL mode fixes)
+        assert got == ["bbc.co.uk", "example.com", "nagoya.jp"]
+
+    def test_pure_expression_and_blocklist_compose(self, spark):
+        from lantern_spark.operators.weburl import (
+            PSL_SNIPPET_PATH,
+            load_psl,
+            registered_domain,
+        )
+
+        psl = load_psl(PSL_SNIPPET_PATH)
+        df = spark.createDataFrame(
+            [(0, "https://a.b.nagoya.jp/x")], "i long, url string"
+        )
+        plan = (
+            df.select(registered_domain("url", psl=psl))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan and "Exchange" not in plan
