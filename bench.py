@@ -662,6 +662,57 @@ def main() -> None:
         rec_p, frac_p = _twostage_recall(pool_cand, cand_k)
         quality["maxsim_pooled_recall_at10"] = rec_p
         quality["maxsim_pooled_candidate_fraction"] = frac_p
+
+        # (c) PLAID tier (arXiv:2205.09707, r9): tokens quantize ONCE
+        # to IVF centroids + an m-byte PQ code of the residual
+        # (~(4+m) B/token vs 4·dim raw); the candidate stage scores
+        # approximate MaxSim entirely from the compressed codes (a
+        # |Q|×nlist centroid table + a |Q|×m×256 residual LUT, zero
+        # token reads) and the exact re-rank touches only the 10%
+        # shortlist. The centroid-ONLY proxy is also reported: on this
+        # fixture the true ranking is decided by WITHIN-cell geometry,
+        # so the pure centroid score plateaus (honest limit — the
+        # reason PLAID carries residuals at all).
+        from lantern_spark.operators.maxsim import (
+            plaid_candidates,
+            plaid_doc_codes,
+            plaid_encode,
+            plaid_refine,
+        )
+
+        plaid_idx = IVFIndex.build(
+            emb.select("vec_id", "embedding"),
+            "embedding", "vec_id", f"{qroot3}/plaid_cents",
+            metric="cos", nlist=64, seed=42,
+        )
+        n_plaid_cand = max(10, int(0.1 * n_docs))
+        t0 = time.time()
+        enc, rcb = plaid_encode(
+            bags, "tokens", "doc_id", plaid_idx, metric="cos", m=16
+        )
+        enc = enc.cache()
+        enc.count()
+        quality["maxsim_plaid_encode_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        plaid_cand = plaid_refine(
+            enc, "doc_id", qs_bag, plaid_idx, rcb,
+            n_candidates=n_plaid_cand, metric="cos",
+        ).select("doc_id")
+        rec_c, frac_c = _twostage_recall(plaid_cand, n_plaid_cand)
+        quality["maxsim_plaid_stage_s"] = round(time.time() - t0, 3)
+        quality["maxsim_plaid_recall_at10"] = rec_c
+        quality["maxsim_plaid_candidate_fraction"] = frac_c
+        cent_codes = plaid_doc_codes(
+            bags, "tokens", "doc_id", plaid_idx, metric="cos"
+        )
+        cent_cand = plaid_candidates(
+            cent_codes, "doc_id", qs_bag, plaid_idx,
+            n_candidates=n_plaid_cand, metric="cos",
+        ).select("doc_id")
+        rec_c0, _ = _twostage_recall(cent_cand, n_plaid_cand)
+        quality["maxsim_plaid_centroid_only_recall_at10"] = rec_c0
+        enc.unpersist()
+
         bags.unpersist()
         shutil.rmtree(qroot3, ignore_errors=True)
     except Exception as e:

@@ -210,6 +210,61 @@ def _cd_assign(
     return codes, pm
 
 
+def _rows_to_cb(rows: list, spec: PQSpec) -> np.ndarray:
+    """Densify [(sid, cid, c), ...] into a (splits, k, subdim) array
+    (k = max centroid id + 1; every split trains the same k since the
+    shrink is sample-size driven)."""
+    k = max(cid for _sid, cid, _c in rows) + 1
+    cb = np.full((spec.splits, k, spec.subdim), np.inf, dtype=np.float64)
+    for sid, cid, c in rows:
+        cb[sid, cid] = c
+    return cb
+
+
+def _update_stats(x3, u3, codes, pm, k: int):
+    """Sufficient statistics of the closed-form weighted-LS codebook
+    update, summed over this batch of rows: per (m, j) the count,
+    ``Σ u uᵀ`` (subdim×subdim), ``Σ x_m`` and ``Σ (s_minus + u·x) u``.
+    Row-local given (x, codes, cb) — the whole update distributes as
+    a partial-sum reduction of these four tensors."""
+    splits, subdim = x3.shape[1], x3.shape[2]
+    s_n = np.zeros((splits, k))
+    s_uu = np.zeros((splits, k, subdim, subdim))
+    s_bx = np.zeros((splits, k, subdim))
+    s_bu = np.zeros((splits, k, subdim))
+    s_tot = pm.sum(axis=1)
+    for m in range(splits):
+        s_minus = s_tot - pm[:, m]
+        um, xm = u3[:, m], x3[:, m]
+        w = s_minus + (um * xm).sum(axis=1)
+        cm = codes[:, m]
+        for j in np.unique(cm):
+            sel = cm == j
+            uj = um[sel]
+            s_n[m, j] = int(sel.sum())
+            s_uu[m, j] = uj.T @ uj
+            s_bx[m, j] = xm[sel].sum(axis=0)
+            s_bu[m, j] = (w[sel, None] * uj).sum(axis=0)
+    return s_n, s_uu, s_bx, s_bu
+
+
+def _solve_update(cb: np.ndarray, stats, eta: float) -> np.ndarray:
+    """New codebook from the summed sufficient statistics — the
+    closed-form per-(m, j) linear solve, shared verbatim by the local
+    and distributed trainers."""
+    s_n, s_uu, s_bx, s_bu = stats
+    new = cb.copy()
+    eye = np.eye(cb.shape[2])
+    for m in range(cb.shape[0]):
+        for j in range(cb.shape[1]):
+            if s_n[m, j] == 0:
+                continue
+            a = s_n[m, j] * eye + (eta - 1.0) * s_uu[m, j]
+            b = s_bx[m, j] + (eta - 1.0) * s_bu[m, j]
+            new[m, j] = np.linalg.solve(a, b)
+    return new
+
+
 def _plain_codes(x3: np.ndarray, cb: np.ndarray) -> np.ndarray:
     """Nearest-L2 codes per subspace — the warm start (and the η = 1
     assignment)."""
@@ -272,36 +327,19 @@ def train_apq_local(
 
     x = x[np.lexsort(x.T[::-1])]
     x3, u3 = _directions(x, spec.splits, spec.subdim)
-    k = spec.clusters
-    cb = np.stack(
-        [
-            _kmeans_fit(np.ascontiguousarray(x3[:, m]), k, seed=spec.seed + m)
-            for m in range(spec.splits)
-        ]
-    )
-    k = cb.shape[1]  # _kmeans_fit may shrink k below spec.clusters
+    # plain-PQ init through the SHARED trainer (r9): per-slice lexsort
+    # + seed+sid — byte-identical to pq.train_codebook's distributed
+    # applyInPandas fit, which is what makes train_apq(distributed=
+    # True) ≡ local pinnable. (Previously: _kmeans_fit directly on the
+    # full-row-sorted slice — same quality, unsharable order.)
+    cb = _rows_to_cb(train_codebook_local(x, spec), spec)
+    k = cb.shape[1]  # the trainer may shrink k below spec.clusters
     codes = _plain_codes(x3, cb)
-    n = x.shape[0]
-    eye = np.eye(spec.subdim)
     for _ in range(iters):
         codes, pm = _cd_assign(x3, u3, cb, eta, codes, passes=cd_passes)
-        new = cb.copy()
-        s_tot = pm.sum(axis=1)
-        for m in range(spec.splits):
-            s_minus = s_tot - pm[:, m]
-            um, xm = u3[:, m], x3[:, m]
-            ux = (um * xm).sum(axis=1)
-            for j in range(k):
-                sel = codes[:, m] == j
-                nj = int(sel.sum())
-                if nj == 0:
-                    continue
-                uj = um[sel]
-                A = nj * eye + (eta - 1.0) * (uj.T @ uj)
-                b = xm[sel].sum(axis=0) + (eta - 1.0) * (
-                    (s_minus[sel] + ux[sel])[:, None] * uj
-                ).sum(axis=0)
-                new[m, j] = np.linalg.solve(A, b)
+        new = _solve_update(
+            cb, _update_stats(x3, u3, codes, pm, k), eta
+        )
         if np.abs(new - cb).max() < 1e-7:
             cb = new
             break
@@ -330,20 +368,204 @@ def train_apq(
     column: str,
     spec: PQSpec,
     eta: Optional[float] = None,
-    train_limit: int = 20000,
+    train_limit: Optional[int] = 20000,
     iters: int = 10,
+    distributed: bool = False,
 ) -> APQModel:
-    """Bounded-sample training (the reference's dataset_size_limit
-    contract, pq/mod.rs:109-131): one limited collect, then the
-    driver-side alternation — no Spark job in the loop."""
-    sample = (
-        df.select(column)
-        .where(F.col(column).isNotNull())
-        .limit(int(train_limit))
-        .collect()
+    """``distributed=False`` (default): bounded-sample training (the
+    reference's dataset_size_limit contract, pq/mod.rs:109-131) — one
+    limited collect, then the driver-side alternation, no Spark job
+    in the loop.
+
+    ``distributed=True`` (r9, review r8 item 5): the sample never
+    collects — init runs the distributed per-subvector k-means
+    (``pq.train_codebook``, same seeds/ordering as the local init),
+    each alternation is one row-local coordinate-descent assignment
+    pass (codes persist as a column between iterations — the SAME
+    warm-start chain as the local loop) plus a sufficient-statistics
+    reduction (per (m, j): count, Σuuᵀ, Σx, Σwu — a few hundred KB
+    regardless of sample size), and the driver solves the
+    closed-form update from the summed stats. Same math through the
+    SHARED ``_update_stats``/``_solve_update`` kernels; distributed ≡
+    local at equal sample is pinned in tests (float-sum-order
+    tolerance). ``train_limit=None`` trains on the whole table."""
+    sample = df.select(column).where(F.col(column).isNotNull())
+    if train_limit:
+        sample = sample.limit(int(train_limit))
+    if not distributed:
+        x = np.asarray(
+            [r[column] for r in sample.collect()], dtype=np.float64
+        )
+        return train_apq_local(x, spec, eta=eta, iters=iters)
+    return _train_apq_distributed(
+        sample, column, spec, eta=eta, iters=iters
     )
-    x = np.asarray([r[column] for r in sample], dtype=np.float64)
-    return train_apq_local(x, spec, eta=eta, iters=iters)
+
+
+def _train_apq_distributed(
+    sample: DataFrame,
+    column: str,
+    spec: PQSpec,
+    eta: Optional[float],
+    iters: int,
+    cd_passes: int = 2,
+) -> APQModel:
+    from lantern_spark.operators.pq import train_codebook
+
+    if eta is None:
+        eta = default_eta(spec.dim)
+    rows0 = [
+        (r["subvector_id"], r["centroid_id"], r["c"])
+        for r in train_codebook(
+            sample, column, spec, train_limit=None
+        ).collect()
+    ]
+    cb = _rows_to_cb(rows0, spec)
+    k = cb.shape[1]
+    splits, subdim = spec.splits, spec.subdim
+    eta_f = float(eta)
+    passes = int(cd_passes)
+
+    codes_schema = T.StructType(
+        [
+            T.StructField("__x", T.ArrayType(T.DoubleType())),
+            T.StructField("__codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    stats_schema = T.StructType(
+        [
+            T.StructField("s_n", T.ArrayType(T.DoubleType())),
+            T.StructField("s_uu", T.ArrayType(T.DoubleType())),
+            T.StructField("s_bx", T.ArrayType(T.DoubleType())),
+            T.StructField("s_bu", T.ArrayType(T.DoubleType())),
+            T.StructField("loss_sum", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def assign_pass(cb_now, warm: bool):
+        cbl = cb_now.copy()
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.asarray(pdf["__x"].tolist(), dtype=np.float64)
+                x3, u3 = _directions(x, splits, subdim)
+                if warm:
+                    codes = np.asarray(
+                        pdf["__codes"].tolist(), dtype=np.int64
+                    )
+                else:
+                    codes = _plain_codes(x3, cbl)
+                if eta_f != 1.0:
+                    codes, _ = _cd_assign(
+                        x3, u3, cbl, eta_f, codes, passes=passes
+                    )
+                yield pd.DataFrame(
+                    {
+                        "__x": pdf["__x"],
+                        "__codes": [c.tolist() for c in codes.astype(int)],
+                    }
+                )
+
+        return fn
+
+    def stats_pass(cb_now):
+        cbl, _finite = _finite_cb(cb_now)
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.asarray(pdf["__x"].tolist(), dtype=np.float64)
+                codes = np.asarray(pdf["__codes"].tolist(), dtype=np.int64)
+                x3, u3 = _directions(x, splits, subdim)
+                # pm is recomputable row-locally from (x, codes, cb)
+                pm = np.empty((len(x), splits))
+                dec = np.empty_like(x)
+                for m in range(splits):
+                    cm = cbl[m, codes[:, m]]
+                    pm[:, m] = (u3[:, m] * (x3[:, m] - cm)).sum(axis=1)
+                    dec[:, m * subdim : (m + 1) * subdim] = cm
+                s_n, s_uu, s_bx, s_bu = _update_stats(
+                    x3, u3, codes, pm, k
+                )
+                r = x - dec
+                par = pm.sum(axis=1)
+                loss = float(
+                    ((r * r).sum(axis=1) + (eta_f - 1.0) * par * par).sum()
+                )
+                yield pd.DataFrame(
+                    {
+                        "s_n": [s_n.ravel().tolist()],
+                        "s_uu": [s_uu.ravel().tolist()],
+                        "s_bx": [s_bx.ravel().tolist()],
+                        "s_bu": [s_bu.ravel().tolist()],
+                        "loss_sum": [loss],
+                        "n": [len(x)],
+                    }
+                )
+
+        return fn
+
+    def reduce_stats(codes_df, cb_now):
+        parts = codes_df.mapInPandas(stats_pass(cb_now), stats_schema).collect()
+        if not parts:
+            raise ValueError("train_apq: no rows to train on")
+        s_n = np.zeros((splits, k))
+        s_uu = np.zeros((splits, k, subdim, subdim))
+        s_bx = np.zeros((splits, k, subdim))
+        s_bu = np.zeros((splits, k, subdim))
+        loss_sum, n = 0.0, 0
+        for r in parts:
+            s_n += np.asarray(r["s_n"]).reshape(splits, k)
+            s_uu += np.asarray(r["s_uu"]).reshape(splits, k, subdim, subdim)
+            s_bx += np.asarray(r["s_bx"]).reshape(splits, k, subdim)
+            s_bu += np.asarray(r["s_bu"]).reshape(splits, k, subdim)
+            loss_sum += r["loss_sum"]
+            n += r["n"]
+        return (s_n, s_uu, s_bx, s_bu), loss_sum / max(n, 1)
+
+    base = sample.select(
+        F.col(column).alias("__x"),
+        F.lit(None).cast(T.ArrayType(T.IntegerType())).alias("__codes"),
+    )
+    codes_df = base.mapInPandas(assign_pass(cb, warm=False), codes_schema)
+    codes_df = codes_df.persist()
+    try:
+        if eta_f != 1.0:
+            for _ in range(max(1, iters)):
+                stats, _ = reduce_stats(codes_df, cb)
+                new = _solve_update(cb, stats, eta_f)
+                done = bool(np.abs(new - cb).max() < 1e-7)
+                cb = new
+                if done:
+                    break
+                nxt = codes_df.mapInPandas(
+                    assign_pass(cb, warm=True), codes_schema
+                ).persist()
+                nxt.count()
+                codes_df.unpersist()
+                codes_df = nxt
+            # final assignment under the final codebook for the loss
+            nxt = codes_df.mapInPandas(
+                assign_pass(cb, warm=True), codes_schema
+            ).persist()
+            nxt.count()
+            codes_df.unpersist()
+            codes_df = nxt
+        _stats, loss = reduce_stats(codes_df, cb)
+    finally:
+        codes_df.unpersist()
+    rows = []
+    for m in range(splits):
+        cents = cb[m][np.lexsort(cb[m].T[::-1])]
+        for cid, c in enumerate(cents):
+            rows.append((m, cid, c.tolist()))
+    return APQModel(
+        spec=spec, eta=eta_f, codebook_rows=rows, train_loss=loss
+    )
 
 
 def apq_codes_local(

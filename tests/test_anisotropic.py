@@ -251,3 +251,70 @@ class TestApqSpark:
         ):
             assert (s1, c1) == (s2, c2)
             assert v1 == pytest.approx(v2)
+
+
+class TestDistributedAPQ:
+    """r9 (review r8 item 5): the assignment/update alternation runs
+    cluster-side — codes persist as a column, the closed-form update
+    reduces sufficient statistics, the sample never collects."""
+
+    def _df(self, spark):
+        x = _sample()
+        return spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(x)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_distributed_equals_local_at_equal_sample(self, spark):
+        df = self._df(spark)
+        local = train_apq(
+            df, "embedding", SPEC, eta=ETA, train_limit=None, iters=5
+        )
+        dist = train_apq(
+            df, "embedding", SPEC, eta=ETA, train_limit=None, iters=5,
+            distributed=True,
+        )
+        assert dist.eta == local.eta
+        assert dist.train_loss == pytest.approx(local.train_loss, rel=1e-6)
+        cb_l = {(s, c): tuple(v) for s, c, v in local.codebook_rows}
+        cb_d = {(s, c): tuple(v) for s, c, v in dist.codebook_rows}
+        assert set(cb_l) == set(cb_d)
+        for key in cb_l:
+            assert np.allclose(cb_l[key], cb_d[key], atol=1e-6), key
+
+    def test_distributed_eta1_delegates_to_plain(self, spark):
+        df = self._df(spark)
+        local = train_apq(
+            df, "embedding", SPEC, eta=1.0, train_limit=None, iters=3
+        )
+        dist = train_apq(
+            df, "embedding", SPEC, eta=1.0, train_limit=None, iters=3,
+            distributed=True,
+        )
+        cb_l = {(s, c): tuple(v) for s, c, v in local.codebook_rows}
+        cb_d = {(s, c): tuple(v) for s, c, v in dist.codebook_rows}
+        for key in cb_l:
+            assert np.allclose(cb_l[key], cb_d[key], atol=1e-9), key
+        assert dist.train_loss == pytest.approx(local.train_loss, rel=1e-9)
+
+    def test_distributed_no_sample_collect(self, spark, monkeypatch):
+        df = self._df(spark)
+        df_cls = type(df)
+        real_collect = df_cls.collect
+        sizes = []
+
+        def spy(self):
+            rows = real_collect(self)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(df_cls, "collect", spy)
+        try:
+            train_apq(
+                df, "embedding", SPEC, eta=ETA, train_limit=None,
+                iters=2, distributed=True,
+            )
+        finally:
+            monkeypatch.undo()
+        # 800-row sample: only codebook rows + per-batch stat rows
+        assert sizes and max(sizes) <= SPEC.splits * SPEC.clusters + 64

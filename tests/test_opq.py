@@ -350,3 +350,55 @@ class TestIvfOpq:
                 corr_big, "embedding", "vec_id", str(tmp_path / "bad"),
                 nlist=8, opq=True,
             )
+
+
+class TestDistributedOPQ:
+    """r9 (review r8 item 5): the alternation can run its refits
+    cluster-side — the sample never collects to the driver."""
+
+    def test_distributed_equals_local_at_equal_sample(self, corr_df):
+        spec = PQSpec(dim=DIM, splits=SPLITS, clusters=CLUSTERS)
+        local = train_opq(
+            corr_df, "embedding", spec, iters=6, train_limit=None
+        )
+        dist = train_opq(
+            corr_df, "embedding", spec, iters=6, train_limit=None,
+            distributed=True,
+        )
+        # same math, same seeds, same per-subvector lexsort — only
+        # float summation order differs between the two paths
+        assert np.allclose(dist.rotation, local.rotation, atol=1e-6)
+        assert dist.train_mse == pytest.approx(local.train_mse, rel=1e-6)
+        cb_l = {(s, c): tuple(v) for s, c, v in local.codebook_rows}
+        cb_d = {(s, c): tuple(v) for s, c, v in dist.codebook_rows}
+        assert set(cb_l) == set(cb_d)
+        for key in cb_l:
+            assert np.allclose(cb_l[key], cb_d[key], atol=1e-6), key
+
+    def test_distributed_no_sample_collect(self, corr_df, monkeypatch):
+        """The distributed path must never materialize the sample on
+        the driver: collects are allowed only for the codebook
+        (splits·clusters rows) and the per-batch partial stats."""
+        spec = PQSpec(dim=DIM, splits=SPLITS, clusters=CLUSTERS)
+        # patch the RUNTIME class (Spark 4: instances are
+        # pyspark.sql.classic.dataframe.DataFrame; patching the
+        # abstract pyspark.sql.DataFrame never intercepts)
+        df_cls = type(corr_df)
+        real_collect = df_cls.collect
+        sizes = []
+
+        def spy(self):
+            rows = real_collect(self)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(df_cls, "collect", spy)
+        try:
+            train_opq(
+                corr_df, "embedding", spec, iters=2, train_limit=None,
+                distributed=True,
+            )
+        finally:
+            monkeypatch.undo()
+        # 2000-row sample: every collect must be far smaller
+        assert sizes and max(sizes) <= SPLITS * CLUSTERS + 64
