@@ -793,6 +793,63 @@ def main() -> None:
         bloom.unpersist()
     except Exception as e:
         print(f"# bench bloomset FAILED: {e}", file=sys.stderr)
+    try:
+        # r9 stretch (VERDICT r8 item 8): the north-star pipeline
+        # COMPOSED — curate (URL dedup + heuristics) → substring/
+        # exact/LSH dedup → 13-gram decontamination vs a held-out
+        # sample → token-budget mixture → sequence packing, one
+        # staged-checkpoint run over the sf corpus with per-stage
+        # drop accounting. This is a cross-stage contract check as
+        # much as a timing row: every stage consumes the previous
+        # stage's real output.
+        from lantern_spark.operators.assemble import (
+            assemble_pretraining_corpus,
+        )
+        from lantern_spark.operators.curate import CurationConfig
+
+        aroot = tempfile.mkdtemp(prefix="bench_assemble_")
+        from lantern_spark.queries.common import load_table as _alt
+
+        docs = _alt(spark, sf_dir, "documents")  # FULL schema (source!)
+        d = SF.xxhash64("doc_id")
+        with_url = docs.withColumn(
+            "url",
+            SF.concat(
+                SF.lit("https://www.dom"),
+                SF.pmod(d, SF.lit(97)).cast("string"),
+                SF.lit(".com/p/"),
+                SF.pmod(d, SF.lit(1000)).cast("string"),
+                SF.when(d % 3 == 0, SF.lit("?utm_source=x")).otherwise(
+                    SF.lit("")
+                ),
+            ),
+        )
+        heldout = docs.filter(SF.pmod(SF.xxhash64("doc_id"), SF.lit(100)) == 7)
+        budgets = {f"src{i}": 8_000.0 for i in range(0, 10)}
+        t0 = time.time()
+        res = assemble_pretraining_corpus(
+            spark, with_url, "text", "doc_id", f"{aroot}/ckpt",
+            curation=CurationConfig(
+                min_tokens=5, min_quality=0.0,
+                url_col="url", url_dedup=True,
+                blocked_domains=["dom13.com"],
+                substr_dedup_min_tokens=25, substr_dedup_salt=4,
+                exact_dedup=True, near_dedup=True, near_threshold=0.8,
+            ),
+            heldout=heldout,
+            source_col="source",
+            token_budgets=budgets,
+            seq_tokens=512,
+        )
+        res.df.count()
+        quality["assemble_pipeline_s"] = round(time.time() - t0, 3)
+        quality["assemble_stage_rows"] = res.stage_rows
+        quality["assemble_tokens_in"] = res.tokens_in
+        quality["assemble_tokens_out"] = res.tokens_out
+        quality["assemble_n_packs"] = res.n_packs
+        shutil.rmtree(aroot, ignore_errors=True)
+    except Exception as e:
+        print(f"# bench assemble FAILED: {e}", file=sys.stderr)
     # Anisotropic PQ (ScaNN, r8) on the HONEST 60k fixture: the
     # score-aware loss promises lower inner-product score error on the
     # pairs that matter (the true top-k) at the same code size — so the

@@ -1,0 +1,144 @@
+"""End-to-end pretraining-corpus assembly — the north-star pipeline
+COMPOSED: curation (URL scrub + rewrites + heuristics) → dedup tiers
+(exact / LSH near-dup / exact-substring, as curation stages) →
+decontamination against a held-out eval set → token-budget mixture →
+sequence packing. One call, staged checkpoints, per-stage row/token
+accounting.
+
+This is the integration surface the unit operators exist for — a
+cross-stage contract test as much as a feature: every stage consumes
+the previous stage's exact output schema, and the whole run is
+resumable at stage granularity (``curate_corpus_staged``'s atomic
+checkpoint/fingerprint machinery for the curation tiers; the cheap
+tail stages — decontaminate, budget, pack — recompute from the last
+curation checkpoint, which is where the expensive shuffles live).
+
+Scale shape (100 TB): identical to the parts — the pipeline adds NO
+new shuffles beyond its stages' own (documented per operator); stage
+accounting reads checkpoint row counts (cheap at bench scale; at
+corpus scale use ``curation_audit``'s one-scan reason accounting for
+the heuristic block instead — the report includes it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lantern_spark.operators.curate import (
+    CurationConfig,
+    _curation_stages,
+    curate_corpus_staged,
+    decontaminate,
+)
+from lantern_spark.operators.pack import pack_sequences, sample_to_token_budget
+from lantern_spark.operators.textstats import token_count_ws
+
+
+@dataclass
+class AssemblyResult:
+    """The packed corpus plus the per-stage accounting a multi-day run
+    reports: ``stage_rows`` in pipeline order (input → each curation
+    stage → decontaminated → budgeted), token totals in/out, and pack
+    stats."""
+
+    df: DataFrame
+    stage_rows: Dict[str, int] = field(default_factory=dict)
+    tokens_in: int = 0
+    tokens_out: int = 0
+    n_packs: int = 0
+
+
+def assemble_pretraining_corpus(
+    spark,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    curation: Optional[CurationConfig] = None,
+    heldout: Optional[DataFrame] = None,
+    decontaminate_ngram: int = 13,
+    source_col: Optional[str] = None,
+    token_budgets: Optional[Dict[str, float]] = None,
+    seq_tokens: int = 1024,
+    report: bool = True,
+) -> AssemblyResult:
+    """Run the full assembly; returns :class:`AssemblyResult`.
+
+    - ``curation``: any :class:`CurationConfig` — its stage list (URL
+      scrub, rewrites, heuristics, exact/near/substring dedup) runs
+      through :func:`curate_corpus_staged`, so a re-run resumes from
+      the first stage whose config changed;
+    - ``heldout``: eval corpus for GPT-3-style 13-gram
+      decontamination (skipped when None);
+    - ``token_budgets``: per-``source_col`` token budgets for the
+      mixture step (skipped when None) — expectation-exact map-only
+      rates, the 100 TB mode of :func:`sample_to_token_budget`;
+    - ``seq_tokens``: training-sequence budget for
+      :func:`pack_sequences` (GPT concat-then-chunk start-offset
+      binning).
+
+    ``report=True`` counts rows at each stage boundary (one cheap job
+    per boundary at bench scale — turn off for production and read
+    the curation checkpoints / ``curation_audit`` instead)."""
+    cfg = curation or CurationConfig()
+    res = AssemblyResult(df=docs)
+    tok = token_count_ws(text_col)
+
+    def note(name: str, frame: DataFrame) -> DataFrame:
+        if report:
+            res.stage_rows[name] = frame.count()
+        return frame
+
+    note("input", docs)
+    if report:
+        res.tokens_in = int(
+            docs.agg(F.sum(tok).alias("t")).first()["t"] or 0
+        )
+
+    out = curate_corpus_staged(
+        spark, docs, text_col, id_col, checkpoint_dir, cfg
+    )
+    if report:
+        # per-stage counts straight from the checkpoints — no
+        # recompute (each read is one parquet count over the stage's
+        # own output)
+        import os
+
+        for i, (name, _fn) in enumerate(
+            _curation_stages(text_col, id_col, cfg)
+        ):
+            stage_dir = os.path.join(checkpoint_dir, f"{i:02d}_{name}")
+            res.stage_rows[name] = spark.read.parquet(stage_dir).count()
+
+    if heldout is not None:
+        out = note(
+            "decontaminated",
+            decontaminate(
+                out, heldout, text_col, id_col, ngram=decontaminate_ngram
+            ),
+        )
+
+    if token_budgets:
+        if not source_col:
+            raise ValueError("token_budgets requires source_col")
+        out = note(
+            "budgeted",
+            sample_to_token_budget(
+                out, source_col, id_col, token_budgets, tok
+            ),
+        )
+
+    out = pack_sequences(out, text_col, id_col, max_tokens=int(seq_tokens))
+    res.df = out
+    if report:
+        agg = out.agg(
+            F.sum(tok).alias("t"),
+            F.countDistinct("pack_id").alias("p"),
+        ).first()
+        res.tokens_out = int(agg["t"] or 0)
+        res.n_packs = int(agg["p"] or 0)
+    return res
