@@ -1,0 +1,106 @@
+"""Streaming near-duplicate gate (streaming/neardup_stream, r9): the
+MinHash/LSH tier of the continuous-dedup family — history collisions,
+in-batch min-id winners, Jaccard verification, epoch idempotence."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _wait(q, seconds=60):
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        q.processAllAvailable()
+        return
+    raise TimeoutError
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles watch from a mossy log near the river bend and "
+    "count passing clouds all afternoon in complete silence"
+)
+
+
+def _docs():
+    return {
+        1: BASE,
+        2: BASE.replace("clouds", "boats"),          # near-dup of 1
+        3: "an entirely different document about spark shuffles and "
+           "partition pruning with no shared shingles at all here",
+        4: BASE.replace("turtles", "rabbits"),       # near-dup of 1
+        5: "another unique text concerning bloom filters rolling "
+           "hashes and suffix arrays in large corpora deduplication",
+        6: BASE.replace("clouds", "boats").replace("silence", "quiet"),
+    }
+
+
+class TestStreamingNearDup:
+    def _run(self, spark, tmp_path, batches, verify_threshold=0.8):
+        from lantern_spark.streaming.neardup_stream import (
+            incremental_neardup_job,
+            load_neardup_survivors,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir(parents=True)
+        schema = "doc_id long, text string"
+        docs = _docs()
+        for i, ids in enumerate(batches):
+            spark.createDataFrame(
+                [(d, docs[d]) for d in ids], schema
+            ).repartition(1).write.mode("overwrite").parquet(
+                str(src / f"b{i}")
+            )
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        store = str(tmp_path / "store")
+        q = incremental_neardup_job(
+            stream, "text", "doc_id", store,
+            str(tmp_path / "chk"),
+            verify_threshold=verify_threshold,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(
+            r["doc_id"]
+            for r in load_neardup_survivors(spark, store).collect()
+        )
+
+    def test_history_and_in_batch_dups_drop(self, spark, tmp_path):
+        # batch 0: original + unrelated; batch 1: two near-dups of doc
+        # 1 (one also in-batch-dup of the other) + a fresh unique doc
+        got = self._run(spark, tmp_path, [[1, 3], [2, 4, 5]])
+        assert got == [1, 3, 5]
+
+    def test_in_batch_min_id_wins(self, spark, tmp_path):
+        # 6 differs from 2 by ONE token — an in-batch near-dup pair
+        got = self._run(spark, tmp_path, [[2, 6, 3]])
+        assert got == [2, 3]  # min id survives the shared buckets
+
+    def test_verification_rescues_banding_fps(self, spark, tmp_path):
+        """verify_threshold=None drops on ANY bucket collision;
+        the default verifies with exact Jaccard, so genuinely
+        different docs survive even if a band ever collides — and
+        near-dups still drop under both modes."""
+        strict = self._run(
+            spark, tmp_path / "a", [[1], [2, 3]], verify_threshold=0.8
+        )
+        assert strict == [1, 3]
+        loose = self._run(
+            spark, tmp_path / "b", [[1], [2, 3]], verify_threshold=None
+        )
+        assert 2 not in loose and 1 in loose
+
+    def test_chained_duplicates_collapse_to_representative(
+        self, spark, tmp_path
+    ):
+        """2 dups of 1 arriving in separate batches both collapse to
+        doc 1 — the dropped copy's buckets are never stored, so the
+        third copy still collides with the representative."""
+        got = self._run(spark, tmp_path, [[1], [2], [4]])
+        assert got == [1]
