@@ -1148,14 +1148,56 @@ class HNSWIndex:
         ef: int = 64,
         with_stats: bool = False,
         limit_result: bool = True,
+        where=None,
+        source_df: Optional[DataFrame] = None,
+        oversample: int = 4,
     ) -> DataFrame:
         """Global top-k: every shard answers locally (map-only over the
         graph rows), then TakeOrdered merges P·k tuples. ``with_stats``
         adds per-row (shard_id, n_dist) — shard distance evaluations —
         for scan-fraction accounting; ``limit_result=False`` returns
         all P·k local candidates (stats probes need every shard's
-        contribution, which the global limit would drop)."""
+        contribution, which the global limit would drop).
+
+        ``where`` + ``source_df`` (r9): the reference's filtered-scan
+        post-filter contract on the HNSW family too (test/sql/
+        hnsw_select.sql:51, previously IVF-only API parity — the SQL
+        router already served it via candidate re-execution): the
+        graph answers ``k·oversample`` candidates, the predicate runs
+        over ``source_df``'s matching rows (graph payloads store only
+        id+vector, so attribute filters need the source table — the
+        heap, in reference terms), and the top-k keeps graph
+        distances. Scarce filters may UNDERFILL k — raise
+        ``oversample`` or fall back to an exact scan, which always
+        fills (the reference's documented behavior)."""
         mf = self.manifest
+        if where is not None:
+            if source_df is None:
+                raise ValueError(
+                    "search(where=...) needs source_df: graph payloads "
+                    "store only id+vector, attribute predicates read "
+                    "the source table"
+                )
+            cand = self.search(
+                spark, query,
+                k=int(k) * max(1, int(oversample)),
+                ef=max(ef, int(k) * max(1, int(oversample))),
+                with_stats=with_stats, limit_result=limit_result,
+            )
+            keep = (
+                source_df.filter(where)
+                .select(
+                    F.col(mf["id_column"]).cast("long").alias(
+                        mf["id_column"]
+                    )
+                )
+                .distinct()
+            )
+            out = cand.join(keep, mf["id_column"], "left_semi").orderBy(
+                F.col("dist").asc_nulls_last(),
+                F.col(mf["id_column"]).asc(),
+            )
+            return out.limit(int(k)) if limit_result else out
         q = list(float(x) for x in query)
         id_field = T.LongType()
         schema = T.StructType(

@@ -1,0 +1,73 @@
+"""HNSW family API tests that don't fit the scale/index suites:
+r9 filtered search (the reference's WHERE post-filter contract,
+hnsw_select.sql:51 — graph core tests live in test_scale.py /
+test_index.py / test_router.py)."""
+
+class TestHnswFilteredSearch:
+    """r9: the reference's WHERE post-filter contract on the HNSW
+    family API (hnsw_select.sql:51) — previously IVF-only; the SQL
+    router served it via candidate re-execution."""
+
+    def _fixture(self, spark, tmp_path):
+        import numpy as np
+
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        rng = np.random.default_rng(9)
+        rows = [
+            (i, [float(v) for v in rng.normal(0, 1, 8)], i % 2)
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, parity int"
+        )
+        idx = HNSWIndex.build(
+            df, "embedding", "vec_id", str(tmp_path / "h"),
+            metric="l2sq", seed=42,
+        )
+        return df, idx, [0.0] * 8
+
+    def test_filtered_matches_exact_postfilter(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df, idx, q = self._fixture(spark, tmp_path)
+        got = idx.search(
+            spark, q, k=5, ef=600, where=F.col("parity") == 1,
+            source_df=df, oversample=60,  # generous: candidate set ≈ corpus
+        ).collect()
+        assert all(r["vec_id"] % 2 == 1 for r in got)
+        from lantern_spark.functions.distances import l2sq_dist
+        from lantern_spark.functions.vectors import vec_lit
+
+        want = (
+            df.filter(F.col("parity") == 1)
+            .select(
+                "vec_id",
+                F.round(
+                    l2sq_dist("embedding", vec_lit(q)), 9
+                ).alias("d"),
+            )
+            .orderBy("d", "vec_id")
+            .limit(5)
+            .collect()
+        )
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+    def test_scarce_filter_may_underfill(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df, idx, q = self._fixture(spark, tmp_path)
+        got = idx.search(
+            spark, q, k=5, ef=64, where=F.col("vec_id") == 7,
+            source_df=df, oversample=2,
+        ).collect()
+        assert len(got) <= 5  # underfill is the documented contract
+        assert all(r["vec_id"] == 7 for r in got)
+
+    def test_where_without_source_raises(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        _df, idx, q = self._fixture(spark, tmp_path)
+        with _pytest.raises(ValueError, match="source_df"):
+            idx.search(spark, q, k=5, where=F.col("parity") == 1)

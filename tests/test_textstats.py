@@ -662,3 +662,121 @@ class TestMultiLangId:
         ).first()
         assert abs(r["h"] - 0.5) < 1e-9  # 2 Han of 4 non-space chars
         assert r["c"] == 0.0
+
+
+class TestLangIdDuckDbReplay:
+    """FULL SQL replay of the two-tier lang_id (oracle-grade parity
+    outside the roster, the repo's established pattern): DuckDB
+    recomputes the Unicode-script fractions AND the marker argmax from
+    the same constants and must agree row-for-row on a corpus mixing
+    all six Latin marker languages, the six script labels, and 'unk'
+    junk."""
+
+    def test_replay_agrees(self, spark):
+        import duckdb
+
+        from lantern_spark.operators.textstats import (
+            LANG_MARKERS,
+            SCRIPT_RANGES,
+            lang_id,
+        )
+
+        docs = [
+            "the cat sat on the mat and it was happy with this",
+            "el gato se sienta en la alfombra y es feliz con una manta",
+            "le chat est dans la maison et il est content pour les vacances",
+            "der hund ist mit dem ball auf der wiese und das ist gut",
+            "il gatto e sul tappeto e non sono con gli altri nel giardino",
+            "o gato esta em um tapete e nao quer mais sair como antes",
+            "今天天气很好我们去公园散步这是一个美丽的城市",
+            "今日はいい天気ですね公園へ行きましょうとても楽しい",
+            "오늘은 날씨가 좋습니다 공원에 갑시다 정말 좋아요",
+            "сегодня хорошая погода мы идём в парк гулять",
+            "الطقس جميل اليوم نذهب إلى الحديقة",
+            "आज मौसम अच्छा है हम पार्क जाते हैं",
+            "zzz qqq xxx vvv",
+            "",
+        ]
+        sdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "i long, text string"
+        )
+        got = {
+            r["i"]: r["l"]
+            for r in sdf.select("i", lang_id("text").alias("l")).collect()
+        }
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, ?)" for i in range(len(docs)))
+            + ") t(i, text)",
+            docs,
+        )
+        tok = (
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')"
+        )
+
+        def frac(script):
+            # chars in the script class / non-space chars. The module
+            # ranges use Java \\uXXXX escapes; RE2 (DuckDB) spells the
+            # same codepoints \\x{XXXX}
+            import re as _re
+
+            cls = _re.sub(
+                r"\\u([0-9a-fA-F]{4})", r"\\x{\1}", SCRIPT_RANGES[script]
+            )
+            return (
+                f"CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0 "
+                f"THEN length(regexp_replace(regexp_replace(text, '\\s', '', 'g'), '[^{cls}]', '', 'g'))::DOUBLE "
+                f"/ length(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END"
+            )
+
+        def ratio(markers):
+            lst = ", ".join(f"'{m}'" for m in markers)
+            return (
+                f"CASE WHEN len({tok}) > 0 THEN "
+                f"len(list_filter({tok}, x -> list_contains([{lst}], x)))::DOUBLE"
+                f" / len({tok}) ELSE 0.0 END"
+            )
+
+        names = sorted(LANG_MARKERS)
+        ratios = ", ".join(
+            f"{ratio(LANG_MARKERS[n])} AS r_{n}" for n in names
+        )
+        best = "greatest(" + ", ".join(f"r_{n}" for n in names) + ")"
+        marker_chain = "'unk'"
+        for n in reversed(names):
+            marker_chain = (
+                f"CASE WHEN r_{n} = {best} AND {best} >= 0.04 "
+                f"THEN '{n}' ELSE {marker_chain} END"
+            )
+        sql = f"""
+        WITH t AS (
+          SELECT i,
+                 {frac('kana')} AS f_kana, {frac('han')} AS f_han,
+                 {frac('hangul')} AS f_hangul,
+                 {frac('cyrillic')} AS f_cyr,
+                 {frac('arabic')} AS f_ar,
+                 {frac('devanagari')} AS f_dev,
+                 {ratios}
+          FROM d)
+        SELECT i,
+               coalesce(
+                 CASE WHEN f_kana >= 0.05 THEN 'ja'
+                      WHEN f_han >= 0.3 THEN 'zh'
+                      WHEN f_hangul >= 0.3 THEN 'ko'
+                      WHEN f_cyr >= 0.3 THEN 'ru'
+                      WHEN f_ar >= 0.3 THEN 'ar'
+                      WHEN f_dev >= 0.3 THEN 'hi' END,
+                 {marker_chain}) AS l
+        FROM t
+        """
+        want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+        assert got == want, {k: (got[k], want.get(k)) for k in got if got[k] != want.get(k)}
+        # and the labels themselves are the intended ones
+        assert [want[i] for i in range(12)] == [
+            "en", "es", "fr", "de", "it", "pt",
+            "zh", "ja", "ko", "ru", "ar", "hi",
+        ]
+        assert want[12] == "unk" and want[13] == "unk"
