@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 
 from lantern_spark.operators.dedup import minhash_docs
 
-__all__ = ["incremental_neardup_job", "load_neardup_survivors"]
+__all__ = [
+    "incremental_neardup_job",
+    "load_neardup_survivors",
+    "consolidate_neardup_store",
+]
 
 
 def _band_keys(
@@ -80,6 +84,36 @@ def load_neardup_survivors(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def consolidate_neardup_store(spark: SparkSession, path: str) -> None:
+    """Compact the per-epoch fragments (the small-file problem of any
+    epoch-append layout — the bm25_stream consolidation analog): docs
+    and buckets each rewrite as one ``batch_consolidated`` directory
+    via staged write + ``replace_dir`` swap (recoverable ``__old``
+    backup across the only non-atomic window; :func:`recover_dir` at
+    job start restores a crashed swap). Contents are unchanged —
+    reads go through ``recursiveFileLookup`` either way — so the gate
+    never pauses: run it from the foreachBatch cadence
+    (``consolidate_every_batches``) or out-of-band."""
+    import shutil
+
+    from lantern_spark._fsutil import recover_dir, replace_dir
+
+    for sub in ("docs", "buckets"):
+        live = os.path.join(path, sub)
+        recover_dir(live)
+        if not os.path.isdir(live):
+            continue
+        staged = live.rstrip("/") + "__staged"
+        shutil.rmtree(staged, ignore_errors=True)
+        (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(live)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staged, "batch_consolidated"))
+        )
+        replace_dir(staged, live)
+
+
 def incremental_neardup_job(
     stream_df: DataFrame,
     text_col: str,
@@ -91,6 +125,7 @@ def incremental_neardup_job(
     shingle_k: int = 3,
     verify_threshold: Optional[float] = 0.8,
     trigger: Optional[dict] = None,
+    consolidate_every_batches: Optional[int] = 32,
 ):
     """Start the gate; returns the StreamingQuery.
 
@@ -99,8 +134,21 @@ def incremental_neardup_job(
     but pays the banding FP rate in lost unique docs; the default
     verifies, the batch operator's contract). Layout under
     ``store_path``: ``docs/batch_<epoch>`` (survivors, full input
-    schema) and ``buckets/batch_<epoch>`` ((band, key, doc_id))."""
+    schema) and ``buckets/batch_<epoch>`` ((band, key, doc_id));
+    fragments compact every ``consolidate_every_batches`` epoch dirs
+    (:func:`consolidate_neardup_store` — staged swap, contents
+    unchanged; None disables)."""
+    from lantern_spark._fsutil import recover_dir
+
     spark = stream_df.sparkSession
+    for sub in ("docs", "buckets"):
+        recover_dir(os.path.join(store_path, sub))
+
+    def _fragments(sub: str) -> int:
+        d = os.path.join(store_path, sub)
+        if not os.path.isdir(d):
+            return 0
+        return sum(1 for n in os.listdir(d) if n.startswith("batch_"))
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
@@ -198,6 +246,11 @@ def incremental_neardup_job(
             )
             survivors.unpersist()
             keys.unpersist()
+            if (
+                consolidate_every_batches
+                and _fragments("buckets") >= consolidate_every_batches
+            ):
+                consolidate_neardup_store(spark, store_path)
         finally:
             batch_df.unpersist()
 

@@ -104,3 +104,47 @@ class TestStreamingNearDup:
         third copy still collides with the representative."""
         got = self._run(spark, tmp_path, [[1], [2], [4]])
         assert got == [1]
+
+    def test_consolidation_compacts_and_preserves(self, spark, tmp_path):
+        """Fragment compaction (the bm25_stream analog): with the
+        threshold at 2, three batches collapse the epoch dirs while
+        the gate's output stays identical."""
+        import os
+
+        from lantern_spark.streaming.neardup_stream import (
+            incremental_neardup_job,
+            load_neardup_survivors,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir(parents=True)
+        schema = "doc_id long, text string"
+        docs = _docs()
+        for i, ids in enumerate([[1], [3], [2, 5]]):
+            spark.createDataFrame(
+                [(d, docs[d]) for d in ids], schema
+            ).repartition(1).write.mode("overwrite").parquet(
+                str(src / f"b{i}")
+            )
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        store = str(tmp_path / "store")
+        q = incremental_neardup_job(
+            stream, "text", "doc_id", store, str(tmp_path / "chk"),
+            consolidate_every_batches=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            r["doc_id"]
+            for r in load_neardup_survivors(spark, store).collect()
+        )
+        assert got == [1, 3, 5]  # 2 dropped as near-dup of 1
+        frags = [
+            n for n in os.listdir(os.path.join(store, "buckets"))
+            if n.startswith("batch_")
+        ]
+        assert len(frags) <= 2  # compacted at least once
