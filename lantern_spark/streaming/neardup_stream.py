@@ -28,6 +28,15 @@ O(survivors × bands) rows of ~20 B, a few GB per billion survivors;
 it lives on storage (not the state store), so restarts recover from
 the checkpoint + the epoch directories alone. The survivor text store
 doubles as the verification corpus.
+
+Scale honesty: every micro-batch joins its band keys against the FULL
+store — one shuffle whose store side grows with history (AQE
+broadcasts the batch side once the store dominates, so the steady
+state is a store-partitioned semi-join: each batch scans the store
+once). At very large histories, prefilter with a Bloom set over the
+band keys (operators/bloomset — constant memory, no false negatives)
+so only batches with probable collisions pay the store scan, and keep
+``consolidate_every_batches`` on so the scan reads compacted files.
 """
 
 from __future__ import annotations

@@ -388,3 +388,112 @@ class TestFullPsl:
             .toString()
         )
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+class TestPslDuckDbReplay:
+    """FULL SQL replay of the PSL algorithm (oracle-grade parity
+    outside the roster): DuckDB recompiles the SAME parsed rule sets
+    into the SAME priority chain and must agree host-for-host —
+    exceptions beat wildcards beat exact rules beat the default."""
+
+    def test_replay_agrees(self, spark):
+        import duckdb
+
+        from lantern_spark.operators.weburl import (
+            PSL_SNIPPET_PATH,
+            load_psl,
+            registered_domain,
+            url_host,
+        )
+
+        urls = [
+            "https://news.bbc.co.uk/page",
+            "https://a.b.shop.com.au/x",
+            "https://bucket.s3.amazonaws.com/k",
+            "https://shop.foo.nagoya.jp/x",
+            "https://foo.nagoya.jp/x",
+            "https://www.city.nagoya.jp/x",
+            "https://city.nagoya.jp/x",
+            "https://x.example.ck/x",
+            "https://www.ck/x",
+            "https://deep.sub.example.com/x",
+            "https://localhost/x",
+            "https://Example.COM./x",
+        ]
+        psl = load_psl(PSL_SNIPPET_PATH)
+        sdf = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, url string"
+        )
+        got = {
+            r["i"]: (r["h"], r["d"])
+            for r in sdf.select(
+                "i",
+                url_host("url").alias("h"),
+                registered_domain("url", psl=psl).alias("d"),
+            ).collect()
+        }
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE u AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, ?)" for i in range(len(urls)))
+            + ") t(i, url)",
+            urls,
+        )
+        # host extraction, RE2 spelling of the shared authority regex
+        host = (
+            "regexp_replace(regexp_replace(lower(regexp_extract(trim(url), "
+            "'^([A-Za-z][A-Za-z0-9+.\\-]*)://(?:[^/@?#]*@)?([^/?#]*)', 2)), "
+            "':[0-9]*$', ''), '\\.$', '')"
+        )
+
+        def lastk(k):
+            parts = ", ".join(f"labels[-{j}]" for j in range(k, 0, -1))
+            return f"array_to_string([{parts}], '.')"
+
+        def inlist(vals):
+            return ", ".join(f"'{v}'" for v in sorted(vals))
+
+        arms = []
+        for k in sorted(psl["exception"], reverse=True):
+            arms.append(
+                f"WHEN n >= {k} AND list_contains([{inlist(psl['exception'][k])}], {lastk(k)}) THEN {lastk(k)}"
+            )
+        suffix_lens = sorted(
+            {k + 1 for k in psl["wildcard"]} | set(psl["exact"]),
+            reverse=True,
+        )
+        for s in suffix_lens:
+            if s - 1 in psl["wildcard"]:
+                wc = inlist(psl["wildcard"][s - 1])
+                arms.append(
+                    f"WHEN n >= {s + 1} AND list_contains([{wc}], {lastk(s - 1)}) THEN {lastk(s + 1)}"
+                )
+                arms.append(
+                    f"WHEN n = {s} AND list_contains([{wc}], {lastk(s - 1)}) THEN host"
+                )
+            if s in psl["exact"]:
+                ex = inlist(psl["exact"][s])
+                arms.append(
+                    f"WHEN n >= {s + 1} AND list_contains([{ex}], {lastk(s)}) THEN {lastk(s + 1)}"
+                )
+                arms.append(
+                    f"WHEN n = {s} AND list_contains([{ex}], {lastk(s)}) THEN host"
+                )
+        chain = "\n".join(arms)
+        sql = f"""
+        WITH t AS (
+          SELECT i, {host} AS host,
+                 string_split({host}, '.') AS labels,
+                 len(string_split({host}, '.')) AS n
+          FROM u)
+        SELECT i, host,
+               CASE WHEN n <= 1 THEN host
+                    {chain}
+                    ELSE {lastk(2)} END AS d
+        FROM t
+        """
+        want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+        assert got == want, {
+            k: (got[k], want.get(k)) for k in got if got[k] != want.get(k)
+        }
