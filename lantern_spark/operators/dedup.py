@@ -1029,8 +1029,26 @@ def _hash_string_array(arr, pows: _PowerCache):
             w = p[e - 1]
             nz = s > 0
             w[nz] -= p[s[nz] - 1]
-            out.append(w * fwd[e - 1] + fwd[e - s])
+            out.append(_mix64(w * fwd[e - 1] + fwd[e - s]))
     return out[0], out[1]
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, bijective): raw byte
+    polynomials are STRUCTURED — same-length tokens differing in the
+    last byte hash 1 apart (weight B^0 = 1), which would feed the
+    window polynomials small correlated deltas instead of uniform
+    values. Three xorshift-multiply passes restore uniformity at
+    ~nothing (applied to the unique-token dictionary only); bijective,
+    so distinctness is exactly preserved."""
+    with np.errstate(over="ignore"):
+        z = z.astype(np.uint64, copy=True)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
 
 
 def _hash_token_batch(tokens, pows: _PowerCache = None):

@@ -565,3 +565,57 @@ class TestOPQProperties:
         plain_mse = float(((xs - y) ** 2).sum(axis=1).mean())
         _rot, _rows, mse = train_opq_local(x, spec, iters=4)
         assert mse <= plain_mse + 1e-9
+
+
+class TestBytePolyTokenHashProperties:
+    """r9 token-hash kernel (_hash_token_batch): equality iff equal
+    strings (overwhelming probability), leading-NUL aliasing killed by
+    the length sentinel, both channels independent."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        toks=st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_equal_iff_equal(self, toks):
+        import numpy as np
+
+        from lantern_spark.operators.dedup import _hash_token_batch
+
+        h1, h2 = _hash_token_batch(toks)
+        assert len(h1) == len(h2) == len(toks)
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                same = toks[i] == toks[j]
+                assert (h1[i] == h1[j] and h2[i] == h2[j]) == same or (
+                    not same
+                    and not (h1[i] == h1[j] and h2[i] == h2[j])
+                ), (i, j)
+
+    def test_leading_nul_not_aliased(self):
+        from lantern_spark.operators.dedup import _hash_token_batch
+
+        pairs = [("a", "\x00a"), ("\x00", "\x00\x00"), ("ab", "\x00ab")]
+        for x, y in pairs:
+            h1, h2 = _hash_token_batch([x, y])
+            assert not (h1[0] == h1[1] and h2[0] == h2[1]), (x, y)
+
+    def test_channels_differ(self):
+        import numpy as np
+
+        from lantern_spark.operators.dedup import _hash_token_batch
+
+        toks = [f"t{i}" for i in range(200)]
+        h1, h2 = _hash_token_batch(toks)
+        # two independent bases: the channels must not be equal or a
+        # constant offset of each other
+        assert not np.array_equal(h1, h2)
+        with np.errstate(over="ignore"):
+            assert len(np.unique(h2 - h1)) > 190
