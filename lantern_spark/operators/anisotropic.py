@@ -388,7 +388,15 @@ def train_apq(
     closed-form update from the summed stats. Same math through the
     SHARED ``_update_stats``/``_solve_update`` kernels; distributed ≡
     local at equal sample is pinned in tests (float-sum-order
-    tolerance). ``train_limit=None`` trains on the whole table."""
+    tolerance). ``train_limit=None`` trains on the whole table.
+
+    η = 1 boundary: BOTH paths skip the alternation loop by design —
+    at η = 1 the anisotropic loss degenerates to plain reconstruction
+    error, so the plain-PQ trainer's fit (``train_codebook``) is taken
+    as final, matching what ``quantize`` computes at η = 1.
+    ``train_apq_local`` short-circuits identically (see its η = 1
+    branch); distributed ≡ local at η = 1 is pinned at 1e-9 in
+    ``test_anisotropic.py::test_distributed_eta1_delegates_to_plain``."""
     sample = df.select(column).where(F.col(column).isNotNull())
     if train_limit:
         sample = sample.limit(int(train_limit))

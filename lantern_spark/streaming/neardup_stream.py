@@ -13,7 +13,13 @@ candidates with exact n-gram Jaccard against the stored survivors
 the banding false-positive rate), and appends the batch's surviving
 docs + their buckets in per-epoch OVERWRITE directories (replayed
 micro-batches rewrite identical files — the at-least-once idempotence
-contract).
+contract). Replay safety is structural: history reads list the
+committed ``batch_*`` directories explicitly, EXCLUDING the current
+epoch's own (a crashed attempt's leftover would otherwise self-pair
+every doc and erase the batch), a ``__new_id != __old_id`` guard
+backstops the join, and in-stream consolidation folds only epochs
+strictly older than the one being processed (committed, so they never
+replay).
 
 Semantics (first-seen-representative, like the exact/Bloom gates): a
 doc is dropped when it is a (verified) near-duplicate of an earlier
@@ -93,33 +99,55 @@ def load_neardup_survivors(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def consolidate_neardup_store(spark: SparkSession, path: str) -> None:
+def consolidate_neardup_store(
+    spark: SparkSession, path: str, exclude_epoch: Optional[int] = None
+) -> None:
     """Compact the per-epoch fragments (the small-file problem of any
     epoch-append layout — the bm25_stream consolidation analog): docs
     and buckets each rewrite as one ``batch_consolidated`` directory
     via staged write + ``replace_dir`` swap (recoverable ``__old``
     backup across the only non-atomic window; :func:`recover_dir` at
     job start restores a crashed swap). Contents are unchanged —
-    reads go through ``recursiveFileLookup`` either way — so the gate
-    never pauses: run it from the foreachBatch cadence
-    (``consolidate_every_batches``) or out-of-band."""
+    reads go through ``recursiveFileLookup`` either way.
+
+    ``exclude_epoch``: leave that epoch's ``batch_<epoch>`` directory
+    standalone (copied into the staged layout, not folded). The
+    in-stream cadence passes the CURRENT epoch here so consolidation
+    only ever folds checkpoint-committed epochs — an uncommitted
+    epoch that later replays must overwrite its own directory, and
+    folding it first would leave its rows duplicated in
+    ``batch_consolidated``. Out-of-band (no ``exclude_epoch``) is the
+    full compaction: run it only while the stream is stopped."""
     import shutil
 
     from lantern_spark._fsutil import recover_dir, replace_dir
 
+    keep = (
+        f"batch_{exclude_epoch}" if exclude_epoch is not None else None
+    )
     for sub in ("docs", "buckets"):
         live = os.path.join(path, sub)
         recover_dir(live)
         if not os.path.isdir(live):
             continue
+        srcs = [
+            os.path.join(live, n)
+            for n in sorted(os.listdir(live))
+            if n.startswith("batch_") and n != keep
+        ]
+        if len(srcs) < 2:
+            continue
         staged = live.rstrip("/") + "__staged"
         shutil.rmtree(staged, ignore_errors=True)
         (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(live)
+            spark.read.parquet(*srcs)
             .write.mode("overwrite")
             .parquet(os.path.join(staged, "batch_consolidated"))
         )
+        if keep is not None and os.path.isdir(os.path.join(live, keep)):
+            shutil.copytree(
+                os.path.join(live, keep), os.path.join(staged, keep)
+            )
         replace_dir(staged, live)
 
 
@@ -159,6 +187,24 @@ def incremental_neardup_job(
             return 0
         return sum(1 for n in os.listdir(d) if n.startswith("batch_"))
 
+    def _epoch_dirs(sub: str, epoch: int) -> list:
+        """Committed store fragments — every ``batch_*`` directory
+        EXCEPT the current epoch's own: an at-least-once replay finds
+        its crashed attempt's ``batch_<epoch>`` already on disk, and
+        reading it back would pair every doc with its own stored copy
+        (Jaccard 1.0), empty the survivor set, and let the epoch
+        overwrite erase the batch — the exact data-loss the
+        idempotence contract forbids."""
+        d = os.path.join(store_path, sub)
+        if not os.path.isdir(d):
+            return []
+        skip = f"batch_{epoch}"
+        return [
+            os.path.join(d, n)
+            for n in sorted(os.listdir(d))
+            if n.startswith("batch_") and n != skip
+        ]
+
     def process(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
@@ -184,18 +230,23 @@ def incremental_neardup_job(
             bucket_dir = os.path.join(store_path, "buckets")
             docs_dir = os.path.join(store_path, "docs")
             pairs = in_batch
-            have_history = os.path.isdir(bucket_dir) and any(
-                n.startswith("batch_") for n in os.listdir(bucket_dir)
-            )
-            if have_history:
-                store = spark.read.option(
-                    "recursiveFileLookup", "true"
-                ).parquet(bucket_dir)
-                hist = keys.join(
-                    store.withColumnRenamed(id_col, "__old_id"),
-                    ["band", "key"],
-                ).select(
-                    F.col(id_col).alias("__new_id"), F.col("__old_id")
+            bucket_paths = _epoch_dirs("buckets", epoch)
+            doc_paths = _epoch_dirs("docs", epoch)
+            if bucket_paths:
+                store = spark.read.parquet(*bucket_paths)
+                hist = (
+                    keys.join(
+                        store.withColumnRenamed(id_col, "__old_id"),
+                        ["band", "key"],
+                    )
+                    .select(
+                        F.col(id_col).alias("__new_id"),
+                        F.col("__old_id"),
+                    )
+                    # defense in depth against a replayed epoch's own
+                    # rows reaching the store read: a doc is never a
+                    # near-dup of itself
+                    .filter(F.col("__new_id") != F.col("__old_id"))
                 )
                 pairs = pairs.unionByName(hist)
             pairs = pairs.distinct()
@@ -206,9 +257,9 @@ def incremental_neardup_job(
                     F.col(id_col).alias("__old_id"),
                     F.col(text_col).alias("__old_text"),
                 )
-                if have_history:
+                if doc_paths:
                     olds = olds.unionByName(
-                        load_neardup_survivors(spark, store_path).select(
+                        spark.read.parquet(*doc_paths).select(
                             F.col(id_col).alias("__old_id"),
                             F.col(text_col).alias("__old_text"),
                         )
@@ -259,7 +310,15 @@ def incremental_neardup_job(
                 consolidate_every_batches
                 and _fragments("buckets") >= consolidate_every_batches
             ):
-                consolidate_neardup_store(spark, store_path)
+                # fold only epochs STRICTLY OLDER than this one — those
+                # are checkpoint-committed (foreachBatch for epoch N
+                # runs only after N-1 committed) and never replay; the
+                # current epoch stays standalone so a replay's
+                # overwrite is idempotent instead of duplicating its
+                # rows next to a consolidated copy
+                consolidate_neardup_store(
+                    spark, store_path, exclude_epoch=epoch
+                )
         finally:
             batch_df.unpersist()
 

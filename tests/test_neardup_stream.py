@@ -105,6 +105,79 @@ class TestStreamingNearDup:
         got = self._run(spark, tmp_path, [[1], [2], [4]])
         assert got == [1]
 
+    def _replay_last_epoch(self, spark, tmp_path, batches, **kw):
+        """Run the gate to completion, then delete the LAST epoch's
+        commit marker from the checkpoint and restart — Structured
+        Streaming's at-least-once contract replays that epoch against
+        a store already holding its own writes."""
+        import os
+
+        from lantern_spark.streaming.neardup_stream import (
+            incremental_neardup_job,
+            load_neardup_survivors,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir(parents=True)
+        schema = "doc_id long, text string"
+        docs = _docs()
+        for i, ids in enumerate(batches):
+            spark.createDataFrame(
+                [(d, docs[d]) for d in ids], schema
+            ).repartition(1).write.mode("overwrite").parquet(
+                str(src / f"b{i}")
+            )
+        store = str(tmp_path / "store")
+        chk = str(tmp_path / "chk")
+
+        def _go():
+            stream = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(str(src) + "/*")
+            q = incremental_neardup_job(
+                stream, "text", "doc_id", store, chk, **kw
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        _go()
+        last = max(
+            int(n) for n in os.listdir(os.path.join(chk, "commits"))
+            if n.isdigit()
+        )
+        os.remove(os.path.join(chk, "commits", str(last)))
+        crc = os.path.join(chk, "commits", f".{last}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        _go()
+        rows = load_neardup_survivors(spark, store).collect()
+        return sorted(r["doc_id"] for r in rows)
+
+    def test_replayed_epoch_keeps_its_survivors(self, spark, tmp_path):
+        """At-least-once replay must NOT erase the epoch's survivors:
+        the crashed attempt's own batch dir is on disk, and reading it
+        back as history would self-pair every doc (Jaccard 1.0) and
+        overwrite the epoch with an empty survivor set."""
+        got = self._replay_last_epoch(
+            spark, tmp_path, [[1, 3], [2, 4, 5]]
+        )
+        assert got == [1, 3, 5]
+
+    def test_replay_after_consolidation_no_duplicates(
+        self, spark, tmp_path
+    ):
+        """In-stream consolidation folds only committed (strictly
+        older) epochs, so a replayed epoch's overwrite stays
+        idempotent instead of duplicating its rows next to a
+        consolidated copy."""
+        got = self._replay_last_epoch(
+            spark, tmp_path, [[1], [3], [2, 5]],
+            consolidate_every_batches=2,
+        )
+        assert got == [1, 3, 5]  # each survivor exactly once
+
     def test_consolidation_compacts_and_preserves(self, spark, tmp_path):
         """Fragment compaction (the bm25_stream analog): with the
         threshold at 2, three batches collapse the epoch dirs while
