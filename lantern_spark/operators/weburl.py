@@ -15,12 +15,16 @@ URL dedup is the exact-dedup discipline (hash-groupBy on the
 normalized key, never content); blocklist filtering broadcasts.
 
 Scope notes (documented approximations):
-- ``registered_domain`` defaults to an embedded set of common
-  multi-label public suffixes (co.uk, com.au, …); pass
-  ``psl=load_psl(path_to_public_suffix_list.dat)`` for the full PSL
-  algorithm (exact + wildcard + exception rules, r9) — the rules
-  compile into the same JVM-side ``isin`` when-chain at plan time,
-  so workers never need the file.
+- ``registered_domain`` defaults (r10) to a BUNDLED curated subset of
+  the Public Suffix List (``data/public_suffix_list.dat``, ~1.1k
+  multi-label rules: ICANN second-level registries incl. JP
+  wildcard/exception city rules and the US state hierarchy, plus the
+  web-corpus private suffixes — blogspot.com, github.io, …); pass
+  ``psl=load_psl(path_to_public_suffix_list.dat)`` to swap in the
+  full downloaded PSL (~9.6k rules) for exotic registries, or
+  ``psl=False`` for the legacy embedded 2-label chain. Rules compile
+  into a JVM-side ``isin`` when-chain at plan time, so workers never
+  need the file.
 - ``normalize_url`` lowercases scheme+host (case-insensitive by RFC
   3986), preserves path/query case (significant), drops fragments,
   userinfo, default ports, and the common tracking parameters.
@@ -40,11 +44,14 @@ __all__ = [
     "registered_domain",
     "parse_psl",
     "load_psl",
+    "default_psl",
+    "psl_duckdb_case",
     "url_dedup",
     "filter_domain_blocklist",
     "TRACKING_PARAMS",
     "MULTI_LABEL_SUFFIXES",
     "PSL_SNIPPET_PATH",
+    "BUNDLED_PSL_PATH",
 ]
 
 import os as _os
@@ -57,6 +64,36 @@ PSL_SNIPPET_PATH = _os.path.join(
     "data",
     "psl_snippet.dat",
 )
+
+#: The bundled curated PSL subset (r10) — ~1.1k high-traffic
+#: multi-label rules (ICANN second-level registries incl. the JP
+#: wildcard/exception city rules and the US state hierarchy, plus the
+#: web-corpus-critical private-section hosts like blogspot.com /
+#: github.io). This is the DEFAULT ruleset for
+#: :func:`registered_domain`; swap in a downloaded full
+#: ``public_suffix_list.dat`` (MPL-2.0, ~9.6k rules) via ``psl=path``
+#: when crawling exotic registries.
+BUNDLED_PSL_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+_DEFAULT_PSL_CACHE: list = []
+
+
+def default_psl() -> Optional[dict]:
+    """Parsed bundled ruleset (:data:`BUNDLED_PSL_PATH`), cached after
+    the first load — plan construction calls this per expression, the
+    ~10 KB parse must not repeat. Returns None when the data file is
+    missing from the installation (→ callers fall back to the embedded
+    :data:`MULTI_LABEL_SUFFIXES` 2-label chain)."""
+    if not _DEFAULT_PSL_CACHE:
+        try:
+            _DEFAULT_PSL_CACHE.append(load_psl(BUNDLED_PSL_PATH))
+        except OSError:
+            _DEFAULT_PSL_CACHE.append(None)
+    return _DEFAULT_PSL_CACHE[0]
 
 
 def _c(x) -> Column:
@@ -201,10 +238,15 @@ def registered_domain(
 ) -> Column:
     """eTLD+1 as a pure column expression.
 
-    Default (``psl=None``): the last TWO host labels, or three when
-    the last two form a known multi-label public suffix
-    (:data:`MULTI_LABEL_SUFFIXES` + ``extra_suffixes``; ``bbc.co.uk``
-    → ``bbc.co.uk``, ``a.b.example.com`` → ``example.com``).
+    Default (``psl=None``, r10): the BUNDLED curated PSL subset
+    (:func:`default_psl` — exact + wildcard + exception rules, so
+    ``bbc.co.uk`` → ``bbc.co.uk``, ``shop.foo.nagoya.jp`` →
+    ``foo.nagoya.jp``, ``city.nagoya.jp`` → ``city.nagoya.jp`` all
+    come out right with NO arguments, the safe-by-default contract).
+    ``extra_suffixes`` merge in as additional exact rules. If the
+    bundled data file is absent, falls back to the embedded
+    :data:`MULTI_LABEL_SUFFIXES` 2-label chain — also selectable
+    explicitly with ``psl=False`` (the r8/r9 default behavior).
 
     Full-PSL mode (r9, review r8 item 2): pass ``psl`` as a parsed
     rule dict (:func:`parse_psl`) or a ``public_suffix_list.dat``
@@ -212,10 +254,7 @@ def registered_domain(
     of ``isin`` literal sets (JVM-side, no UDF): exception rules win
     outright (the exception itself is the registered domain), else
     the longest matching rule (wildcard ``*.base`` counts base+1
-    labels), else the 1-label default. ``*.nagoya.jp``-style
-    registries come out right: ``shop.foo.nagoya.jp`` →
-    ``shop.foo.nagoya.jp`` stays wrong under the 2-label default but
-    is ``foo``'s 4-label domain under the PSL.
+    labels), else the 1-label default.
 
     Hosts with <2 labels (``localhost``; IPv4 literals are 4 numeric
     labels and pass through the 2-label rule — screen infrastructure
@@ -231,6 +270,8 @@ def registered_domain(
         )
 
     if psl is None:
+        psl = default_psl()
+    if psl is None or psl is False:
         suffixes = list(MULTI_LABEL_SUFFIXES) + list(extra_suffixes)
         return (
             F.when(n <= 1, host)
@@ -240,6 +281,17 @@ def registered_domain(
 
     if isinstance(psl, str):
         psl = load_psl(psl)
+    if extra_suffixes:
+        psl = {
+            "exact": {k: set(v) for k, v in psl["exact"].items()},
+            "wildcard": psl["wildcard"],
+            "exception": psl["exception"],
+        }
+        for s in extra_suffixes:
+            s = s.strip().lower()
+            k = s.count(".") + 1
+            if k >= 2:
+                psl["exact"].setdefault(k, set()).add(s)
     # (guard, result) arms in PSL priority order: exceptions (longest
     # first), then rules by effective suffix length descending — a
     # wildcard with base k is a (k+1)-label suffix, tied with exact
@@ -266,6 +318,60 @@ def registered_domain(
     for guard, result in arms:
         out = out.when(guard, result)
     return out.otherwise(lastk(2))
+
+
+def psl_duckdb_case(
+    psl, host: str = "host", labels: str = "labels", n: str = "n"
+) -> str:
+    """DuckDB SQL ``CASE`` replaying :func:`registered_domain`'s PSL
+    when-chain rule-for-rule — the oracle/test codegen counterpart
+    (same priority order: exceptions, then rules by effective suffix
+    length descending, then the 2-label default). ``host``/``labels``/
+    ``n`` name SQL expressions for the lowercased host, its
+    ``string_split(host, '.')`` list, and ``len(labels)``. Shared by
+    the roster oracle (queries/dedup.py) and the pytest replay so the
+    two codegens cannot drift from the Spark chain independently."""
+    if isinstance(psl, str):
+        psl = load_psl(psl)
+
+    def lastk(k: int) -> str:
+        parts = ", ".join(f"{labels}[-{j}]" for j in range(k, 0, -1))
+        return f"array_to_string([{parts}], '.')"
+
+    def inlist(vals) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    arms = []
+    for k in sorted(psl["exception"], reverse=True):
+        arms.append(
+            f"WHEN {n} >= {k} AND list_contains([{inlist(psl['exception'][k])}], {lastk(k)}) THEN {lastk(k)}"
+        )
+    suffix_lens = sorted(
+        {k + 1 for k in psl["wildcard"]} | set(psl["exact"]), reverse=True
+    )
+    for s in suffix_lens:
+        if s - 1 in psl["wildcard"]:
+            wc = inlist(psl["wildcard"][s - 1])
+            arms.append(
+                f"WHEN {n} >= {s + 1} AND list_contains([{wc}], {lastk(s - 1)}) THEN {lastk(s + 1)}"
+            )
+            arms.append(
+                f"WHEN {n} = {s} AND list_contains([{wc}], {lastk(s - 1)}) THEN {host}"
+            )
+        if s in psl["exact"]:
+            ex = inlist(psl["exact"][s])
+            arms.append(
+                f"WHEN {n} >= {s + 1} AND list_contains([{ex}], {lastk(s)}) THEN {lastk(s + 1)}"
+            )
+            arms.append(
+                f"WHEN {n} = {s} AND list_contains([{ex}], {lastk(s)}) THEN {host}"
+            )
+    body = "\n             ".join(arms)
+    return (
+        f"CASE WHEN {n} <= 1 THEN {host}\n             "
+        f"{body}\n             "
+        f"ELSE {lastk(2)} END"
+    )
 
 
 def url_dedup(

@@ -307,13 +307,19 @@ def _synth_url_sql() -> str:
 def _url_dedup_oracle_sql() -> str:
     """DuckDB replay of synth → normalize_url → registered_domain →
     first-occurrence keep, generated from the SAME constants as the
-    engine expressions (operators/weburl.py) so patterns can't drift."""
+    engine expressions (operators/weburl.py) so patterns can't drift.
+    The domain column replays the r10 default — the bundled-PSL
+    when-chain, codegen'd rule-for-rule by ``psl_duckdb_case`` from
+    the same parse the Spark expression compiles."""
     from lantern_spark.operators.weburl import (
-        MULTI_LABEL_SUFFIXES,
         TRACKING_PARAMS,
+        default_psl,
+        psl_duckdb_case,
     )
 
-    sufs = ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    domain_case = psl_duckdb_case(
+        default_psl(), host="host", labels="labels", n="len(labels)"
+    )
     return f"""
     WITH urls AS (SELECT doc_id, {_synth_url_sql()} AS u FROM documents),
     parts AS (
@@ -349,12 +355,7 @@ def _url_dedup_oracle_sql() -> str:
       FROM cleaned),
     ranked AS (
       SELECT doc_id, n,
-             CASE WHEN len(labels) <= 1 THEN host
-                  WHEN len(labels) >= 3 AND
-                       (labels[-2] || '.' || labels[-1]) IN ({sufs})
-                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-                  ELSE labels[-2] || '.' || labels[-1]
-             END AS d,
+             {domain_case} AS d,
              row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
       FROM normed)
     SELECT doc_id, n AS norm_url, d AS domain FROM ranked WHERE rn = 1

@@ -360,15 +360,55 @@ class TestFullPsl:
             "localhost",
         ]
 
-    def test_default_embedded_unchanged(self, spark):
+    def test_default_is_bundled_psl(self, spark):
+        """r10 (review r9 item 1): no-arg registered_domain resolves
+        through the BUNDLED PSL subset — wildcard registries and
+        private-section suffixes come out right with no setup."""
+        got = self._domains(
+            spark,
+            ["https://news.bbc.co.uk/p", "https://a.b.example.com/p",
+             "https://shop.foo.nagoya.jp/x", "https://city.nagoya.jp/x",
+             "https://me.blogspot.com/x", "https://a.k12.ca.us/x"],
+        )
+        assert got == [
+            "bbc.co.uk", "example.com", "shop.foo.nagoya.jp",
+            "city.nagoya.jp", "me.blogspot.com", "a.k12.ca.us",
+        ]
+
+    def test_psl_false_selects_embedded_legacy(self, spark):
         got = self._domains(
             spark,
             ["https://news.bbc.co.uk/p", "https://a.b.example.com/p",
              "https://shop.foo.nagoya.jp/x"],
+            psl=False,
         )
-        # embedded default: 2-label rule for unknown registries (the
-        # documented approximation the PSL mode fixes)
+        # embedded 2-label rule for unknown registries (the documented
+        # approximation the bundled/full PSL modes fix)
         assert got == ["bbc.co.uk", "example.com", "nagoya.jp"]
+
+    def test_default_extra_suffixes_merge_as_exact_rules(self, spark):
+        got = self._domains(
+            spark,
+            ["https://a.b.examplereg.zz/x", "https://news.bbc.co.uk/p"],
+            extra_suffixes=["examplereg.zz"],
+        )
+        # examplereg.zz becomes a public suffix → eTLD+1 is one label
+        # deeper; the bundled rules still apply alongside
+        assert got == ["b.examplereg.zz", "bbc.co.uk"]
+
+    def test_default_falls_back_when_bundle_missing(self, spark):
+        import lantern_spark.operators.weburl as W
+
+        old_cache = list(W._DEFAULT_PSL_CACHE)
+        W._DEFAULT_PSL_CACHE.clear()
+        old_path, W.BUNDLED_PSL_PATH = W.BUNDLED_PSL_PATH, "/nonexistent.dat"
+        try:
+            got = self._domains(spark, ["https://shop.foo.nagoya.jp/x"])
+            assert got == ["nagoya.jp"]  # embedded 2-label fallback
+        finally:
+            W.BUNDLED_PSL_PATH = old_path
+            W._DEFAULT_PSL_CACHE.clear()
+            W._DEFAULT_PSL_CACHE.extend(old_cache)
 
     def test_pure_expression_and_blocklist_compose(self, spark):
         from lantern_spark.operators.weburl import (
@@ -446,51 +486,82 @@ class TestPslDuckDbReplay:
             "'^([A-Za-z][A-Za-z0-9+.\\-]*)://(?:[^/@?#]*@)?([^/?#]*)', 2)), "
             "':[0-9]*$', ''), '\\.$', '')"
         )
+        from lantern_spark.operators.weburl import psl_duckdb_case
 
-        def lastk(k):
-            parts = ", ".join(f"labels[-{j}]" for j in range(k, 0, -1))
-            return f"array_to_string([{parts}], '.')"
-
-        def inlist(vals):
-            return ", ".join(f"'{v}'" for v in sorted(vals))
-
-        arms = []
-        for k in sorted(psl["exception"], reverse=True):
-            arms.append(
-                f"WHEN n >= {k} AND list_contains([{inlist(psl['exception'][k])}], {lastk(k)}) THEN {lastk(k)}"
-            )
-        suffix_lens = sorted(
-            {k + 1 for k in psl["wildcard"]} | set(psl["exact"]),
-            reverse=True,
-        )
-        for s in suffix_lens:
-            if s - 1 in psl["wildcard"]:
-                wc = inlist(psl["wildcard"][s - 1])
-                arms.append(
-                    f"WHEN n >= {s + 1} AND list_contains([{wc}], {lastk(s - 1)}) THEN {lastk(s + 1)}"
-                )
-                arms.append(
-                    f"WHEN n = {s} AND list_contains([{wc}], {lastk(s - 1)}) THEN host"
-                )
-            if s in psl["exact"]:
-                ex = inlist(psl["exact"][s])
-                arms.append(
-                    f"WHEN n >= {s + 1} AND list_contains([{ex}], {lastk(s)}) THEN {lastk(s + 1)}"
-                )
-                arms.append(
-                    f"WHEN n = {s} AND list_contains([{ex}], {lastk(s)}) THEN host"
-                )
-        chain = "\n".join(arms)
+        case = psl_duckdb_case(psl)
         sql = f"""
         WITH t AS (
           SELECT i, {host} AS host,
                  string_split({host}, '.') AS labels,
                  len(string_split({host}, '.')) AS n
           FROM u)
-        SELECT i, host,
-               CASE WHEN n <= 1 THEN host
-                    {chain}
-                    ELSE {lastk(2)} END AS d
+        SELECT i, host, {case} AS d
+        FROM t
+        """
+        want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+        assert got == want, {
+            k: (got[k], want.get(k)) for k in got if got[k] != want.get(k)
+        }
+
+    def test_bundled_default_replay_agrees(self, spark):
+        """The r10 DEFAULT ruleset (bundled ~1.1k-rule subset) replays
+        in DuckDB through the SAME shared codegen the roster oracle
+        uses — exercises large isin sets, the JP city exception tier,
+        wildcard TLDs, and the private section at once."""
+        import duckdb
+
+        from lantern_spark.operators.weburl import (
+            psl_duckdb_case,
+            registered_domain,
+            url_host,
+        )
+
+        urls = [
+            "https://news.bbc.co.uk/page",
+            "https://shop.foo.nagoya.jp/x",
+            "https://city.nagoya.jp/x",
+            "https://me.blogspot.com/x",
+            "https://a.k12.ca.us/x",
+            "https://x.example.bd/",
+            "https://www.ck/x",
+            "https://b.co.kr/x",
+            "https://a.b.gov.br/x",
+            "https://deep.sub.example.com/x",
+            "https://localhost/x",
+        ]
+        sdf = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, url string"
+        )
+        got = {
+            r["i"]: (r["h"], r["d"])
+            for r in sdf.select(
+                "i",
+                url_host("url").alias("h"),
+                registered_domain("url").alias("d"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE u AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, ?)" for i in range(len(urls)))
+            + ") t(i, url)",
+            urls,
+        )
+        host = (
+            "regexp_replace(regexp_replace(lower(regexp_extract(trim(url), "
+            "'^([A-Za-z][A-Za-z0-9+.\\-]*)://(?:[^/@?#]*@)?([^/?#]*)', 2)), "
+            "':[0-9]*$', ''), '\\.$', '')"
+        )
+        from lantern_spark.operators.weburl import default_psl
+
+        case = psl_duckdb_case(default_psl())
+        sql = f"""
+        WITH t AS (
+          SELECT i, {host} AS host,
+                 string_split({host}, '.') AS labels,
+                 len(string_split({host}, '.')) AS n
+          FROM u)
+        SELECT i, host, {case} AS d
         FROM t
         """
         want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
