@@ -35,14 +35,21 @@ it lives on storage (not the state store), so restarts recover from
 the checkpoint + the epoch directories alone. The survivor text store
 doubles as the verification corpus.
 
-Scale honesty: every micro-batch joins its band keys against the FULL
-store — one shuffle whose store side grows with history (AQE
-broadcasts the batch side once the store dominates, so the steady
-state is a store-partitioned semi-join: each batch scans the store
-once). At very large histories, prefilter with a Bloom set over the
-band keys (operators/bloomset — constant memory, no false negatives)
-so only batches with probable collisions pay the store scan, and keep
-``consolidate_every_batches`` on so the scan reads compacted files.
+Scale honesty: a micro-batch with probable collisions joins its band
+keys against the FULL store — one shuffle whose store side grows with
+history (AQE broadcasts the batch side once the store dominates, so
+the steady state is a store-partitioned semi-join). The default
+``bloom_prefilter`` (r10, review r9 item 2) bounds how often that
+scan happens: a sharded Bloom set over the stored ``band\\x1fkey``
+composites (operators/bloomset — constant ``m_bits/8`` memory, NO
+false negatives, so semantics are unchanged) is probed first, and a
+batch none of whose keys are probable members skips the store read
+entirely — the steady-state cost for collision-free traffic is one
+tiny cogroup against a 16 MB filter instead of a history-sized scan.
+The filter updates by OR-merge per epoch (idempotent under replay)
+and bootstraps from the full store when the gate first runs against
+pre-existing history. Keep ``consolidate_every_batches`` on so the
+scans that DO happen read compacted files.
 """
 
 from __future__ import annotations
@@ -163,6 +170,11 @@ def incremental_neardup_job(
     verify_threshold: Optional[float] = 0.8,
     trigger: Optional[dict] = None,
     consolidate_every_batches: Optional[int] = 32,
+    bloom_prefilter: bool = True,
+    bloom_m_bits: int = 1 << 27,
+    bloom_shards: int = 64,
+    bloom_k: int = 7,
+    bloom_max_fill_ratio: Optional[float] = 0.95,
 ):
     """Start the gate; returns the StreamingQuery.
 
@@ -174,11 +186,22 @@ def incremental_neardup_job(
     schema) and ``buckets/batch_<epoch>`` ((band, key, doc_id));
     fragments compact every ``consolidate_every_batches`` epoch dirs
     (:func:`consolidate_neardup_store` — staged swap, contents
-    unchanged; None disables)."""
+    unchanged; None disables).
+
+    ``bloom_prefilter`` (r10): keep a sharded Bloom set over the
+    stored band-key composites at ``store_path/bloom`` and skip the
+    history scan for batches with no probable member (no false
+    negatives — a skip is always safe; a Bloom FP merely pays the
+    scan that finds nothing). Default sizing 2^27 bits = 16 MB / 64
+    shards / k=7 holds ~10M bucket keys under 1% FP — size up via
+    ``bloom_m_bits`` for bigger survivor stores. Probes run the
+    ``bloom_max_fill_ratio`` saturation guard (operators/bloomset,
+    the r9 loud-failure contract): a saturated filter raises instead
+    of silently degrading every batch back to the full scan."""
     from lantern_spark._fsutil import recover_dir
 
     spark = stream_df.sparkSession
-    for sub in ("docs", "buckets"):
+    for sub in ("docs", "buckets", "bloom"):
         recover_dir(os.path.join(store_path, sub))
 
     def _fragments(sub: str) -> int:
@@ -204,6 +227,87 @@ def incremental_neardup_job(
             for n in sorted(os.listdir(d))
             if n.startswith("batch_") and n != skip
         ]
+
+    bloom_dir = os.path.join(store_path, "bloom")
+    _bkey = F.concat_ws(
+        "\x1f", F.col("band").cast("string"), F.col("key")
+    ).alias("__bk")
+
+    def _have_bloom() -> bool:
+        return os.path.isdir(bloom_dir) and any(
+            n.endswith(".parquet") or n.startswith("part-")
+            for n in os.listdir(bloom_dir)
+        )
+
+    def _history_probable(keys_df: DataFrame) -> bool:
+        """One cogroup of the batch's composite band keys against the
+        16 MB filter: False means NO key is even probably in the
+        store — the history scan is skipped outright (Bloom sets have
+        no false negatives, so a skip can never admit a duplicate)."""
+        from lantern_spark.operators.bloomset import probe_bloom_set
+
+        flags = probe_bloom_set(
+            keys_df.select(_bkey),
+            spark.read.parquet(bloom_dir),
+            "__bk",
+            n_shards=bloom_shards,
+            m_bits=bloom_m_bits,
+            k=bloom_k,
+            max_fill_ratio=bloom_max_fill_ratio,
+        )
+        return (
+            flags.filter(F.col("probable_member")).limit(1).count() > 0
+        )
+
+    def _update_bloom(
+        new_keys_df: DataFrame, bootstrap_paths: list
+    ) -> None:
+        """Fold the epoch's surviving band keys into the persisted
+        filter (staged swap — crash-recoverable like the stores). OR
+        is idempotent, so a replayed epoch re-folding the same keys
+        is a no-op; ``bootstrap_paths`` seeds the filter from a
+        pre-existing store the first time the prefilter runs."""
+        import shutil
+
+        import pandas as pd
+
+        from lantern_spark._fsutil import replace_dir
+        from lantern_spark.operators.bloomset import build_bloom_set
+
+        src = new_keys_df.select(_bkey)
+        if bootstrap_paths:
+            src = src.unionByName(
+                spark.read.parquet(*bootstrap_paths).select(_bkey)
+            )
+        delta = build_bloom_set(
+            src, "__bk", n_shards=bloom_shards, m_bits=bloom_m_bits,
+            k=bloom_k,
+        )
+        if _have_bloom():
+            delta = spark.read.parquet(bloom_dir).unionByName(delta)
+        out_schema = "shard int, bits binary"
+
+        def or_fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            acc = None
+            for b in pdf["bits"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                acc = arr.copy() if acc is None else (acc | arr)
+            return pd.DataFrame(
+                {"shard": [int(key[0])], "bits": [acc.tobytes()]}
+            )
+
+        merged = delta.groupBy("shard").applyInPandas(
+            or_fold, out_schema
+        )
+        staged = bloom_dir.rstrip("/") + "__staged"
+        shutil.rmtree(staged, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(bloom_dir):
+            replace_dir(staged, bloom_dir)
+        else:
+            os.rename(staged, bloom_dir)
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
@@ -232,7 +336,13 @@ def incremental_neardup_job(
             pairs = in_batch
             bucket_paths = _epoch_dirs("buckets", epoch)
             doc_paths = _epoch_dirs("docs", epoch)
-            if bucket_paths:
+            need_bootstrap = (
+                bloom_prefilter and bool(bucket_paths) and not _have_bloom()
+            )
+            hist_scan = bool(bucket_paths)
+            if hist_scan and bloom_prefilter and _have_bloom():
+                hist_scan = _history_probable(keys)
+            if hist_scan:
                 store = spark.read.parquet(*bucket_paths)
                 hist = (
                     keys.join(
@@ -257,7 +367,10 @@ def incremental_neardup_job(
                     F.col(id_col).alias("__old_id"),
                     F.col(text_col).alias("__old_text"),
                 )
-                if doc_paths:
+                # stored survivor texts are only candidate partners
+                # when the history join actually ran — in-batch pairs
+                # always verify against batch texts
+                if doc_paths and hist_scan:
                     olds = olds.unionByName(
                         spark.read.parquet(*doc_paths).select(
                             F.col(id_col).alias("__old_id"),
@@ -299,11 +412,15 @@ def incremental_neardup_job(
             survivors.write.mode("overwrite").parquet(
                 os.path.join(docs_dir, f"batch_{epoch}")
             )
-            keys.join(
-                survivors.select(id_col), id_col
-            ).write.mode("overwrite").parquet(
+            kept_keys = keys.join(survivors.select(id_col), id_col)
+            kept_keys.write.mode("overwrite").parquet(
                 os.path.join(bucket_dir, f"batch_{epoch}")
             )
+            if bloom_prefilter:
+                _update_bloom(
+                    kept_keys,
+                    bootstrap_paths=bucket_paths if need_bootstrap else [],
+                )
             survivors.unpersist()
             keys.unpersist()
             if (

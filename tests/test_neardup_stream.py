@@ -37,7 +37,7 @@ def _docs():
 
 
 class TestStreamingNearDup:
-    def _run(self, spark, tmp_path, batches, verify_threshold=0.8):
+    def _run(self, spark, tmp_path, batches, verify_threshold=0.8, **kw):
         from lantern_spark.streaming.neardup_stream import (
             incremental_neardup_job,
             load_neardup_survivors,
@@ -61,6 +61,7 @@ class TestStreamingNearDup:
             stream, "text", "doc_id", store,
             str(tmp_path / "chk"),
             verify_threshold=verify_threshold,
+            **kw,
         )
         try:
             q.processAllAvailable()
@@ -104,6 +105,72 @@ class TestStreamingNearDup:
         third copy still collides with the representative."""
         got = self._run(spark, tmp_path, [[1], [2], [4]])
         assert got == [1]
+
+    def test_bloom_prefilter_skips_store_scan(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r10 (review r9 item 2): batches whose band keys all probe
+        definitely-absent never read the bucket/doc stores — the
+        history cost for collision-free traffic is one cogroup
+        against the 16 MB filter. Spied via DataFrameReader.parquet
+        (every store read in the gate goes through it)."""
+        from pyspark.sql.readwriter import DataFrameReader
+
+        from lantern_spark.streaming.neardup_stream import (
+            incremental_neardup_job,
+            load_neardup_survivors,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir(parents=True)
+        schema = "doc_id long, text string"
+        docs = _docs()
+        # three batches of mutually-unique docs: no history collision
+        for i, ids in enumerate([[1], [3], [5]]):
+            spark.createDataFrame(
+                [(d, docs[d]) for d in ids], schema
+            ).repartition(1).write.mode("overwrite").parquet(
+                str(src / f"b{i}")
+            )
+        store = str(tmp_path / "store")
+        reads = []
+        real = DataFrameReader.parquet
+
+        def spy(self, *paths, **kw):
+            reads.extend(paths)
+            return real(self, *paths, **kw)
+
+        monkeypatch.setattr(DataFrameReader, "parquet", spy)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        q = incremental_neardup_job(
+            stream, "text", "doc_id", store, str(tmp_path / "chk")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        monkeypatch.undo()
+        store_reads = [
+            p for p in reads
+            if "/buckets/batch" in p or "/docs/batch" in p
+        ]
+        assert store_reads == []  # bloom said absent → no store scan
+        assert any("/bloom" in p for p in reads)  # ...but probes ran
+        got = sorted(
+            r["doc_id"]
+            for r in load_neardup_survivors(spark, store).collect()
+        )
+        assert got == [1, 3, 5]
+
+    def test_bloom_prefilter_off_same_output(self, spark, tmp_path):
+        on = self._run(spark, tmp_path / "on", [[1, 3], [2, 4, 5]])
+        off = self._run(
+            spark, tmp_path / "off", [[1, 3], [2, 4, 5]],
+            bloom_prefilter=False,
+        )
+        assert on == off == [1, 3, 5]
 
     def _replay_last_epoch(self, spark, tmp_path, batches, **kw):
         """Run the gate to completion, then delete the LAST epoch's
