@@ -534,6 +534,42 @@ LANG_MARKERS = {
 }
 
 
+#: Within-script function-word tables (r10, review r9 item 3): the
+#: script tier identifies the SCRIPT; these tables disambiguate the
+#: big same-script language families AFTER it — Cyrillic (ru/uk/bg),
+#: Arabic script (ar/fa/ur). List order = preference order: the FIRST
+#: language wins ties, and heads its family as the default when no
+#: marker clears the family floor (the script-level proxy label).
+#: Shared function words legitimately appear in several lists; the
+#: distinctive ones (uk і/що/це, bg да/се/ще, fa است/که/را, ur
+#: ہے/اور/کے) decide. Matching tokenizes with the UNICODE tokenizer —
+#: the ASCII default would strip these scripts entirely.
+SCRIPT_FAMILY_MARKERS = {
+    "cyrillic": [
+        ("ru", ["и", "что", "это", "не", "на", "он", "она", "как",
+                "его", "но", "же", "из", "был", "была", "мы", "только",
+                "или", "чтобы"]),
+        ("uk", ["і", "що", "це", "він", "вона", "як", "його", "але",
+                "із", "був", "була", "ми", "тільки", "або", "та", "й",
+                "до", "щоб"]),
+        ("bg", ["и", "да", "не", "се", "на", "той", "тя", "като",
+                "но", "от", "за", "това", "са", "ще", "или", "беше",
+                "ние", "бъде"]),
+    ],
+    "arabic": [
+        ("ar", ["في", "من", "على", "إلى", "أن", "هذا", "هذه", "التي",
+                "الذي", "كان", "مع", "عن", "لا", "ما", "هو", "هي",
+                "و", "أو"]),
+        ("fa", ["در", "از", "به", "که", "این", "آن", "را", "با",
+                "برای", "است", "بود", "شد", "می", "ها", "تا", "خود",
+                "ما", "یک"]),
+        ("ur", ["میں", "سے", "کے", "کی", "کا", "کو", "نے", "پر",
+                "ہے", "ہیں", "تھا", "اور", "یہ", "وہ", "ہم", "رہے",
+                "لیے", "گیا"]),
+    ],
+}
+
+
 #: Unicode script ranges as Java-regex character-class bodies — the
 #: big non-Latin pretraining scripts. Pure ``regexp_count`` exprs; a
 #: deployment extends the dict (plus a label in :func:`lang_id`'s
@@ -563,13 +599,33 @@ def script_fraction(col, script: str) -> Column:
     )
 
 
-def lang_marker_ratio(col, markers) -> Column:
+def lang_marker_ratio(col, markers, unicode_tokens: bool = False) -> Column:
     """Fraction of tokens that are in ``markers`` (lowercased alnum
-    tokens — the same tokenizer every lexical stat uses)."""
-    toks = tokenize(_c(col))
+    tokens — the same tokenizer every lexical stat uses).
+    ``unicode_tokens=True`` switches to the Unicode tokenizer — the
+    ASCII default strips non-Latin scripts, so within-script family
+    markers (Cyrillic/Arabic) must match with it on."""
+    toks = tokenize(_c(col), unicode=unicode_tokens)
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: t.isin(list(markers))))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def _family_pick(col, family, family_min: float) -> Column:
+    """Within-script argmax over a :data:`SCRIPT_FAMILY_MARKERS`
+    family: the first (preference-ordered) language whose marker
+    coverage equals the family max wins; the family head is the
+    default when nothing clears ``family_min`` (the script-level
+    proxy label — e.g. plain 'ru' for marker-free Cyrillic)."""
+    ratios = [
+        (name, lang_marker_ratio(col, ws, unicode_tokens=True))
+        for name, ws in family
+    ]
+    best = F.greatest(*[r for _, r in ratios])
+    out = F.lit(family[0][0])
+    for name, r in reversed(ratios):
+        out = F.when((r == best) & (best >= family_min), F.lit(name)).otherwise(out)
+    return out
 
 
 def lang_id(
@@ -578,8 +634,11 @@ def lang_id(
     min_ratio: float = 0.04,
     script_min: float = 0.3,
     kana_min: float = 0.05,
+    family_markers: dict = None,
+    family_min: float = 0.02,
 ) -> Column:
-    """Two-tier language ID, all pure expressions fused into one scan:
+    """Three-tier language ID, all pure expressions fused into one
+    scan:
 
     1. SCRIPT tier (r9, review r8 item 3): Unicode-script character
        fractions decide non-Latin text FIRST — the marker tier
@@ -587,27 +646,48 @@ def lang_id(
        Cyrillic/Arabic/Devanagari corpora all classified 'unk' before.
        Kana presence (≥ ``kana_min``) → 'ja' (kana is uniquely
        Japanese; ja text mixes Han + kana, so this check precedes
-       Han); then Han/Hangul/Cyrillic/Arabic/Devanagari ≥
-       ``script_min`` → 'zh'/'ko'/'ru'/'ar'/'hi'.
-    2. MARKER tier: argmax function-word coverage over
+       Han); then Han/Hangul ≥ ``script_min`` → 'zh'/'ko',
+       Devanagari → 'hi'.
+    2. FAMILY tier (r10, review r9 item 3): Cyrillic and Arabic-script
+       text disambiguates WITHIN the script by function-word argmax
+       over :data:`SCRIPT_FAMILY_MARKERS` (Unicode-tokenized) —
+       uk/bg no longer misfile as 'ru', fa/ur no longer as 'ar'. The
+       family head ('ru'/'ar') remains the default when no marker
+       clears ``family_min`` (marker-free Cyrillic is still best
+       labeled by its script). ``family_markers={}`` disables the
+       tier (legacy script-proxy labels).
+    3. MARKER tier: argmax function-word coverage over
        :data:`LANG_MARKERS` (or a caller set) — the language whose
        function words cover the largest token fraction wins, 'unk'
        when none clears ``min_ratio``. Ties break by language-key
        order (deterministic).
 
     Honest scope: a script/closed-class-word heuristic, not a trained
-    classifier. The script labels are SCRIPT-level proxies ('ru' =
-    Cyrillic — also Bulgarian/Serbian/...; 'hi' = Devanagari — also
-    Marathi/Nepali; 'zh' = Han without kana); within-script
-    disambiguation needs a trained model — plug
+    classifier. Remaining proxies: 'hi' = Devanagari (also
+    Marathi/Nepali), 'zh' = Han without kana, and within-family
+    coverage is {ru,uk,bg}/{ar,fa,ur} — extend
+    :data:`SCRIPT_FAMILY_MARKERS` for more, or plug
     `operators/quality_clf` with language labels (same serving
     shape)."""
+    fams = (
+        SCRIPT_FAMILY_MARKERS if family_markers is None else family_markers
+    )
+    cyr = (
+        _family_pick(col, fams["cyrillic"], family_min)
+        if fams.get("cyrillic")
+        else F.lit("ru")
+    )
+    arb = (
+        _family_pick(col, fams["arabic"], family_min)
+        if fams.get("arabic")
+        else F.lit("ar")
+    )
     script_pred = (
         F.when(script_fraction(col, "kana") >= kana_min, F.lit("ja"))
         .when(script_fraction(col, "han") >= script_min, F.lit("zh"))
         .when(script_fraction(col, "hangul") >= script_min, F.lit("ko"))
-        .when(script_fraction(col, "cyrillic") >= script_min, F.lit("ru"))
-        .when(script_fraction(col, "arabic") >= script_min, F.lit("ar"))
+        .when(script_fraction(col, "cyrillic") >= script_min, cyr)
+        .when(script_fraction(col, "arabic") >= script_min, arb)
         .when(
             script_fraction(col, "devanagari") >= script_min, F.lit("hi")
         )

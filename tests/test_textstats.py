@@ -677,6 +677,7 @@ class TestLangIdDuckDbReplay:
 
         from lantern_spark.operators.textstats import (
             LANG_MARKERS,
+            SCRIPT_FAMILY_MARKERS,
             SCRIPT_RANGES,
             lang_id,
         )
@@ -691,11 +692,18 @@ class TestLangIdDuckDbReplay:
             "今天天气很好我们去公园散步这是一个美丽的城市",
             "今日はいい天気ですね公園へ行きましょうとても楽しい",
             "오늘은 날씨가 좋습니다 공원에 갑시다 정말 좋아요",
-            "сегодня хорошая погода мы идём в парк гулять",
-            "الطقس جميل اليوم نذهب إلى الحديقة",
+            "сегодня хорошая погода и мы идём в парк это хорошо",
+            "الطقس جميل اليوم نذهب إلى الحديقة مع الأصدقاء هذا يوم جميل",
             "आज मौसम अच्छा है हम पार्क जाते हैं",
             "zzz qqq xxx vvv",
             "",
+            # r10 family tier: same-script siblings must disambiguate
+            "сьогодні гарна погода і ми йдемо до парку це дуже добре",
+            "времето днес е хубаво и ще отидем в парка това е добре",
+            "امروز هوا خوب است و ما به پارک می رویم این شهر زیبا است",
+            "آج موسم بہت اچھا ہے اور ہم پارک جا رہے ہیں یہ شہر اچھا ہے",
+            # marker-free Cyrillic → family head 'ru' (script proxy)
+            "абвг дежз иклм",
         ]
         sdf = spark.createDataFrame(
             [(i, t) for i, t in enumerate(docs)], "i long, text string"
@@ -740,6 +748,39 @@ class TestLangIdDuckDbReplay:
                 f" / len({tok}) ELSE 0.0 END"
             )
 
+        # family tier tokenizes with the UNICODE tokenizer (the ASCII
+        # one strips Cyrillic/Arabic outright) — same RE2 class
+        utok = (
+            "list_filter(string_split_regex(lower(text),"
+            " '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+        )
+
+        def uratio(markers):
+            lst = ", ".join(f"'{m}'" for m in markers)
+            return (
+                f"CASE WHEN len({utok}) > 0 THEN "
+                f"len(list_filter({utok}, x -> list_contains([{lst}], x)))::DOUBLE"
+                f" / len({utok}) ELSE 0.0 END"
+            )
+
+        def family_case(family, prefix):
+            names = [n for n, _ in family]
+            best = "greatest(" + ", ".join(f"{prefix}_{n}" for n in names) + ")"
+            chain = f"'{names[0]}'"
+            for n in reversed(names):
+                chain = (
+                    f"CASE WHEN {prefix}_{n} = {best} AND {best} >= 0.02 "
+                    f"THEN '{n}' ELSE {chain} END"
+                )
+            return chain
+
+        cyr_fam = SCRIPT_FAMILY_MARKERS["cyrillic"]
+        arb_fam = SCRIPT_FAMILY_MARKERS["arabic"]
+        fam_ratios = ", ".join(
+            [f"{uratio(ws)} AS c_{n}" for n, ws in cyr_fam]
+            + [f"{uratio(ws)} AS a_{n}" for n, ws in arb_fam]
+        )
+
         names = sorted(LANG_MARKERS)
         ratios = ", ".join(
             f"{ratio(LANG_MARKERS[n])} AS r_{n}" for n in names
@@ -759,15 +800,16 @@ class TestLangIdDuckDbReplay:
                  {frac('cyrillic')} AS f_cyr,
                  {frac('arabic')} AS f_ar,
                  {frac('devanagari')} AS f_dev,
-                 {ratios}
+                 {ratios},
+                 {fam_ratios}
           FROM d)
         SELECT i,
                coalesce(
                  CASE WHEN f_kana >= 0.05 THEN 'ja'
                       WHEN f_han >= 0.3 THEN 'zh'
                       WHEN f_hangul >= 0.3 THEN 'ko'
-                      WHEN f_cyr >= 0.3 THEN 'ru'
-                      WHEN f_ar >= 0.3 THEN 'ar'
+                      WHEN f_cyr >= 0.3 THEN {family_case(cyr_fam, 'c')}
+                      WHEN f_ar >= 0.3 THEN {family_case(arb_fam, 'a')}
                       WHEN f_dev >= 0.3 THEN 'hi' END,
                  {marker_chain}) AS l
         FROM t
@@ -780,3 +822,8 @@ class TestLangIdDuckDbReplay:
             "zh", "ja", "ko", "ru", "ar", "hi",
         ]
         assert want[12] == "unk" and want[13] == "unk"
+        # r10 family tier goldens: uk/bg flip from 'ru', fa/ur from
+        # 'ar'; marker-free Cyrillic keeps the family-head proxy
+        assert [want[i] for i in range(14, 19)] == [
+            "uk", "bg", "fa", "ur", "ru",
+        ]
