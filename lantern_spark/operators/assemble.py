@@ -65,6 +65,7 @@ def assemble_pretraining_corpus(
     token_budgets: Optional[Dict[str, float]] = None,
     seq_tokens: int = 1024,
     report: bool = True,
+    token_count=None,
 ) -> AssemblyResult:
     """Run the full assembly; returns :class:`AssemblyResult`.
 
@@ -79,14 +80,21 @@ def assemble_pretraining_corpus(
       rates, the 100 TB mode of :func:`sample_to_token_budget`;
     - ``seq_tokens``: training-sequence budget for
       :func:`pack_sequences` (GPT concat-then-chunk start-offset
-      binning).
+      binning);
+    - ``token_count`` (r10, review r9 item 4): one Column expression
+      used for EVERY token accounting in the run — the tokens_in/out
+      report, the mixture budgets, and the packing bins (e.g.
+      ``BPETokenizer(...).token_count_expr(text_col)`` so budgets are
+      in the unit the trainer tokenizes). Default stays the
+      whitespace counter. One counter everywhere by construction —
+      budgets, bins, and stats can never disagree on units.
 
     ``report=True`` counts rows at each stage boundary (one cheap job
     per boundary at bench scale — turn off for production and read
     the curation checkpoints / ``curation_audit`` instead)."""
     cfg = curation or CurationConfig()
     res = AssemblyResult(df=docs)
-    tok = token_count_ws(text_col)
+    tok = token_count if token_count is not None else token_count_ws(text_col)
 
     def note(name: str, frame: DataFrame) -> DataFrame:
         if report:
@@ -132,7 +140,9 @@ def assemble_pretraining_corpus(
             ),
         )
 
-    out = pack_sequences(out, text_col, id_col, max_tokens=int(seq_tokens))
+    out = pack_sequences(
+        out, text_col, id_col, max_tokens=int(seq_tokens), token_count=tok
+    )
     res.df = out
     if report:
         agg = out.agg(

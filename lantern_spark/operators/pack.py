@@ -165,12 +165,22 @@ def pack_sequences(
 
 
 def pack_stats(
-    packed: DataFrame, text_col: str, pack_col: str = "pack_id"
+    packed: DataFrame,
+    text_col: str,
+    pack_col: str = "pack_id",
+    token_count=None,
 ) -> DataFrame:
-    """(pack_id, n_docs, total_tokens) — the fill-rate probe."""
+    """(pack_id, n_docs, total_tokens) — the fill-rate probe.
+
+    ``token_count`` (r10, review r9 nit 1): pass the SAME counter the
+    bins were packed with (e.g. ``BPETokenizer.token_count_expr``) so
+    the fill rates report in the unit the budget was set in; the
+    default remains the whitespace counter, matching
+    :func:`pack_sequences`'s own default."""
+    tc = token_count if token_count is not None else token_count_ws(text_col)
     return packed.groupBy(pack_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(token_count_ws(text_col)).alias("total_tokens"),
+        F.sum(tc).alias("total_tokens"),
     )
 
 

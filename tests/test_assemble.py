@@ -93,6 +93,49 @@ class TestAssemble:
         }
         assert set(kept_by_src) <= {"src0", "src1", "src2"}
 
+    def test_bpe_token_count_threads_through(self, spark, tmp_path):
+        """r10 (review r9 item 4): one token_count expression drives
+        budgets, bins, AND the report — assembly with a real learned
+        BPE counter accounts in BPE tokens end-to-end (tokens_in
+        equals the corpus's own BPE total, not the whitespace one)."""
+        from lantern_spark.operators.assemble import (
+            assemble_pretraining_corpus,
+        )
+        from lantern_spark.operators.bpe import train_bpe
+        from lantern_spark.operators.textstats import token_count_ws
+
+        docs = _corpus(spark)
+        bpe = train_bpe(docs, "text", num_merges=50)
+        tc = bpe.token_count_expr("text")
+        res = assemble_pretraining_corpus(
+            spark, docs, "text", "doc_id",
+            str(tmp_path / "ckpt"),
+            curation=_cfg(),
+            source_col="source",
+            token_budgets={"src0": 800.0},
+            seq_tokens=256,
+            token_count=tc,
+        )
+        want_in = int(docs.agg(F.sum(tc).alias("t")).first()["t"])
+        ws_in = int(
+            docs.agg(F.sum(token_count_ws("text")).alias("t")).first()["t"]
+        )
+        assert res.tokens_in == want_in != ws_in
+        assert res.tokens_out <= res.tokens_in
+        assert res.n_packs >= 1
+        # the packed output's per-bin BPE totals respect the bin
+        # budget up to the start-offset overshoot contract (< one doc
+        # beyond seq_tokens, docs clamped to one bin width)
+        from lantern_spark.operators.pack import pack_stats
+
+        stats = pack_stats(res.df, "text", token_count=tc)
+        max_doc = int(
+            res.df.agg(F.max(F.least(tc, F.lit(256))).alias("m"))
+            .first()["m"]
+        )
+        top = stats.agg(F.max("total_tokens").alias("m")).first()["m"]
+        assert top < 256 + max_doc
+
     def test_resume_and_late_knob(self, spark, tmp_path):
         """Second run resumes (same output); changing near_threshold
         recomputes only near_dedup forward — the per-stage fingerprint

@@ -115,6 +115,29 @@ class TestPackSequences:
         # multi-doc bins fill near the budget (docs are ~100-500 toks)
         assert row["avg"] > 1024
 
+    def test_pack_stats_reports_in_the_packing_unit(self, docs):
+        """r10 (review r9 nit 1): pack_stats accepts the same
+        token_count the bins were built with, so fill rates and bin
+        budgets share a unit — a 2× counter doubles total_tokens bin
+        for bin, never silently reverting to whitespace counts."""
+        from lantern_spark.operators.textstats import token_count_ws
+
+        tc = token_count_ws("text") * 2
+        packed = pack_sequences(
+            docs, "text", "doc_id", max_tokens=2048, chunks=8,
+            token_count=tc,
+        )
+        ws = {
+            r["pack_id"]: r["total_tokens"]
+            for r in pack_stats(packed, "text").collect()
+        }
+        custom = {
+            r["pack_id"]: r["total_tokens"]
+            for r in pack_stats(packed, "text", token_count=tc).collect()
+        }
+        assert set(ws) == set(custom)
+        assert all(custom[k] == 2 * ws[k] for k in ws)
+
     def test_one_shuffle(self, docs):
         packed = pack_sequences(docs, "text", "doc_id", 512, chunks=8)
         plan = packed._jdf.queryExecution().executedPlan().toString()
