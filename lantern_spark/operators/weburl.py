@@ -389,20 +389,28 @@ def url_dedup(
 
     Scale: one hash-partitioned window on md5(key) — never content;
     the key cardinality ≈ corpus size so no skewed-key hazard beyond
-    genuinely mega-duplicated URLs (which this exists to remove)."""
+    genuinely mega-duplicated URLs (which this exists to remove).
+    NULL/empty-URL rows (kept by definition) get a UNIQUE per-row
+    window key instead of funneling through the single md5(NULL)
+    partition (r10, review r9 nit 2 — the line-dedup exempt-row
+    pattern, dedup.py line_dedup): a 90%-no-URL corpus no longer
+    lands 90% of the window shuffle in one task."""
     key = (
         normalize_url(url_col) if normalize else F.trim(F.col(url_col))
     )
-    keyed = df.withColumn("__url_key", F.md5(key))
+    eligible = F.col(url_col).isNotNull() & (
+        F.trim(F.col(url_col)) != ""
+    )
+    url_key = F.when(eligible, F.md5(key)).otherwise(
+        F.concat_ws(
+            ":", F.lit("__nourl"), F.col(id_col).cast("string")
+        )
+    )
+    keyed = df.withColumn("__url_key", url_key)
     w = Window.partitionBy("__url_key").orderBy(F.col(id_col).asc())
     out = (
         keyed.withColumn("__rn", F.row_number().over(w))
-        .filter(
-            F.col("__rn").isNull()
-            | (F.col("__rn") == 1)
-            | F.col(url_col).isNull()
-            | (F.trim(F.col(url_col)) == "")
-        )
+        .filter(F.col("__rn") == 1)
         .drop("__rn", "__url_key")
     )
     return out

@@ -239,6 +239,41 @@ class TestUrlDedup:
         )
         assert ids == [1, 3, 5, 6, 7, 8]
 
+    def test_null_urls_spread_across_partitions(self, spark):
+        """r10 (review r9 nit 2): a mostly-no-URL corpus must not
+        funnel its NULL rows into the single md5(NULL) window
+        partition — exempt rows carry a unique per-id key (the
+        line-dedup pattern), so the window shuffle spreads them while
+        output semantics stay identical (all kept)."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.weburl import url_dedup
+
+        # 90% NULL urls + a duplicated real URL
+        rows = [(i, None) for i in range(90)]
+        rows += [(100 + i, "https://example.com/a") for i in range(5)]
+        rows += [(200 + i, f"https://example.com/{i}") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = url_dedup(df, "url", "doc_id")
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == (
+            list(range(90)) + [100] + [200 + i for i in range(5)]
+        )
+        # skew witness: the window keys of the NULL rows are unique,
+        # so the largest single key group is the duplicated URL (5),
+        # never the 90-row NULL block
+        key = F.when(
+            F.col("url").isNotNull() & (F.trim(F.col("url")) != ""),
+            F.md5(F.col("url")),
+        ).otherwise(
+            F.concat_ws(":", F.lit("__nourl"), F.col("doc_id").cast("string"))
+        )
+        top = (
+            df.groupBy(key.alias("k")).count()
+            .agg(F.max("count").alias("m")).first()["m"]
+        )
+        assert top == 5
+
     def test_no_normalize_mode(self, spark):
         from lantern_spark.operators.weburl import url_dedup
 
