@@ -329,6 +329,50 @@ def plaid_maxsim_search(
     )
 
 
+def _train_plaid_residuals_distributed(
+    df: DataFrame, vec_col: str, c: np.ndarray, spec, met: str,
+    train_limit: Optional[int],
+):
+    """Codebook rows for the PLAID residual PQ with the sample kept
+    cluster-side: explode tokens, compute residuals against the
+    broadcast centroid matrix in one Arrow pass (float64, the exact
+    local-path math), and hand the residual column to
+    ``pq.train_codebook`` — whose per-subvector applyInPandas k-means
+    is the r9-pinned distributed ≡ local trainer. Driver traffic is
+    the m·clusters codebook rows, never tokens."""
+    from lantern_spark.operators.pq import train_codebook
+
+    toks = df.select(F.explode(F.col(vec_col)).alias("__tok")).where(
+        F.col("__tok").isNotNull()
+    )
+    if train_limit:
+        toks = toks.limit(int(train_limit))
+    cl = c.copy()
+
+    def resid_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["__tok"].tolist(), dtype=np.float64)
+            if met == "cos":
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+                )
+            r = x - cl[(x @ cl.T).argmax(axis=1)]
+            yield pd.DataFrame({"__resid": [row.tolist() for row in r]})
+
+    resid_df = toks.mapInPandas(resid_fn, "__resid array<double>")
+    rows = [
+        (r["subvector_id"], r["centroid_id"], r["c"])
+        for r in train_codebook(
+            resid_df, "__resid", spec, train_limit=None
+        ).collect()
+    ]
+    if not rows:
+        raise ValueError("plaid_encode: no tokens to train on")
+    return rows
+
+
 def plaid_encode(
     df: DataFrame,
     vec_col: str,
@@ -337,8 +381,9 @@ def plaid_encode(
     metric: str = "dot",
     m: int = 8,
     clusters: int = 256,
-    train_limit: int = 20000,
+    train_limit: Optional[int] = 20000,
     seed: int = 42,
+    distributed: bool = False,
 ):
     """PLAID's compressed document representation (arXiv:2205.09707
     §3.1): per token, its nearest-centroid id PLUS an ``m``-byte PQ
@@ -348,10 +393,20 @@ def plaid_encode(
     ~(4 + m) bytes per token instead of 4·dim — and the codebook is a
     ``(m, clusters, dim/m)`` numpy array.
 
-    Training collects a bounded token sample to the driver
-    (``train_limit`` tokens — the reference's ``dataset_size_limit``
-    contract, pq/mod.rs:109-131) and reuses the repo's deterministic
-    PQ trainer; encoding is one map-only Arrow pass."""
+    ``distributed=False`` (default): training collects a bounded
+    token sample to the driver (``train_limit`` tokens — the
+    reference's ``dataset_size_limit`` contract, pq/mod.rs:109-131)
+    and reuses the repo's deterministic PQ trainer.
+
+    ``distributed=True`` (r10, review r9 item 6 — the one quantizer
+    trainer that didn't get the r9 treatment): the token sample never
+    collects — residuals compute cluster-side in one Arrow pass
+    (same float64 nearest-centroid math as the local path) and feed
+    ``pq.train_codebook``'s per-subvector applyInPandas fan-out; only
+    the m·clusters codebook rows reach the driver. Distributed ≡
+    local at equal sample is pinned in tests (the
+    ``TestDistributedOPQ`` pattern). ``train_limit=None`` trains on
+    every token. Encoding is one map-only Arrow pass either way."""
     from lantern_spark.operators.pq import train_codebook_local
     from lantern_spark.types import PQSpec
 
@@ -364,20 +419,28 @@ def plaid_encode(
     spec = PQSpec(dim=dim, splits=m, clusters=clusters, seed=seed)
     met = metric
 
-    sample = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in df.select(F.explode(F.col(vec_col))).limit(
-            int(train_limit)
-        ).collect()
-        if r[0] is not None
-    ]
-    if not sample:
-        raise ValueError("plaid_encode: no tokens to train on")
-    x = np.asarray(sample)
-    if met == "cos":
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-    resid = x - c[(x @ c.T).argmax(axis=1)]
-    rows = train_codebook_local(resid, spec)
+    if distributed:
+        rows = _train_plaid_residuals_distributed(
+            df, vec_col, c, spec, met, train_limit
+        )
+    else:
+        sample_q = df.select(F.explode(F.col(vec_col)))
+        if train_limit:
+            sample_q = sample_q.limit(int(train_limit))
+        sample = [
+            np.asarray(r[0], dtype=np.float64)
+            for r in sample_q.collect()
+            if r[0] is not None
+        ]
+        if not sample:
+            raise ValueError("plaid_encode: no tokens to train on")
+        x = np.asarray(sample)
+        if met == "cos":
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+            )
+        resid = x - c[(x @ c.T).argmax(axis=1)]
+        rows = train_codebook_local(resid, spec)
     cb = np.full((m, clusters, dim // m), np.inf, dtype=np.float64)
     for sid, cid, cv in rows:
         cb[sid, cid] = cv

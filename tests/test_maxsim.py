@@ -426,6 +426,61 @@ class TestPlaidResidualRefine:
         assert len(out) == 5
         assert all(r["adc_score"] is not None for r in out)
 
+    def test_distributed_training_equals_local(self, spark):
+        """r10 (review r9 item 6): the residual codebook trained
+        cluster-side (pq.train_codebook fan-out over Arrow-computed
+        residuals) equals the driver-collected local fit at equal
+        sample — the TestDistributedOPQ pin applied to the one
+        trainer that didn't get the r9 treatment."""
+        from lantern_spark.operators.maxsim import plaid_encode
+
+        df = self._corpus(spark)
+        rng = np.random.default_rng(7)
+        cents = [
+            list(map(float, v)) for v in rng.normal(0, 1.0, size=(8, 16))
+        ]
+        _, cb_local = plaid_encode(
+            df, "tokens", "doc_id", cents, m=4, clusters=8,
+            train_limit=None,
+        )
+        _, cb_dist = plaid_encode(
+            df, "tokens", "doc_id", cents, m=4, clusters=8,
+            train_limit=None, distributed=True,
+        )
+        assert cb_local.shape == cb_dist.shape
+        assert np.allclose(cb_local, cb_dist, atol=1e-9, equal_nan=True)
+
+    def test_distributed_no_token_collect(self, spark, monkeypatch):
+        """The token sample never reaches the driver: the only
+        collect is the m·clusters codebook rows."""
+        from lantern_spark.operators.maxsim import plaid_encode
+
+        df = self._corpus(spark)
+        rng = np.random.default_rng(7)
+        cents = [
+            list(map(float, v)) for v in rng.normal(0, 1.0, size=(8, 16))
+        ]
+        DF = type(df)  # the concrete (classic) DataFrame class
+        real_collect = DF.collect
+        sizes = []
+
+        def spy(self):
+            rows = real_collect(self)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(DF, "collect", spy)
+        try:
+            plaid_encode(
+                df, "tokens", "doc_id", cents, m=4, clusters=8,
+                train_limit=None, distributed=True,
+            )
+        finally:
+            monkeypatch.undo()
+        # corpus has 40 docs x 5 tokens = 200; every collect must be
+        # codebook-sized (m*clusters = 32), never token-sized
+        assert sizes and all(s <= 32 for s in sizes)
+
     def test_dim_not_divisible_raises(self, spark):
         from lantern_spark.operators.maxsim import plaid_encode
 
