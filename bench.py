@@ -100,10 +100,29 @@ def _build_phases(spark, sf_dir):
     ]
 
 
+def _host_snapshot() -> dict:
+    """Load average + uptime at a point in time — the bench runs on a
+    shared VM whose load swings per-query wall times 2-3× with no
+    plan change (r8/r9 adjudication kept re-deriving this); recording
+    host conditions in the artifact makes noise machine-adjudicable."""
+    snap = {}
+    try:
+        snap["load_avg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as fh:
+            snap["uptime_s"] = round(float(fh.read().split()[0]), 1)
+    except OSError:
+        pass
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    host_start = _host_snapshot()
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -982,6 +1001,21 @@ def main() -> None:
         # landed inside build:ivf_pq_index).
         "warmup_version": 3,
         "runs": raw_runs,
+        # host-condition provenance (r10, review r9 item 7): per-query
+        # swings of ±30% at sub-second times with no plan change are
+        # VM noise — load averages bracket the run, and run_spread
+        # summarizes max−min over the raw samples so the reviewer can
+        # discount noisy queries without re-deriving it from `runs`.
+        "host": {
+            "start": host_start,
+            "end": _host_snapshot(),
+            "cpu_count": os.cpu_count(),
+        },
+        "run_spread": {
+            name: round(max(s) - min(s), 3)
+            for name, s in raw_runs.items()
+            if len(s) > 1
+        },
         "quality": quality,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -1000,7 +1034,12 @@ def main() -> None:
             json.dump(payload, f, indent=1)
     except OSError as e:
         print(f"# bench could not write BENCH_FULL.json: {e}", file=sys.stderr)
-    line = {k: v for k, v in payload.items() if k != "runs"}
+    # run_spread stays file-only (derivable from `runs`, both in the
+    # full payload); host conditions ride the short line — they are
+    # the first thing a reviewer needs against a noisy round
+    line = {
+        k: v for k, v in payload.items() if k not in ("runs", "run_spread")
+    }
     line["full"] = "BENCH_FULL.json"
     budget = 1950
 
