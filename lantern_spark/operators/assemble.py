@@ -22,8 +22,9 @@ the heuristic block instead — the report includes it).
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,14 +43,156 @@ from lantern_spark.operators.textstats import token_count_ws
 class AssemblyResult:
     """The packed corpus plus the per-stage accounting a multi-day run
     reports: ``stage_rows`` in pipeline order (input → each curation
-    stage → decontaminated → budgeted), token totals in/out, and pack
-    stats."""
+    stage → decontaminated → budgeted), token totals in/out, pack
+    stats, and (when :func:`plan_assembly` drove the tier choice) the
+    plan decision."""
 
     df: DataFrame
     stage_rows: Dict[str, int] = field(default_factory=dict)
     tokens_in: int = 0
     tokens_out: int = 0
     n_packs: int = 0
+    plan: Optional["AssemblyPlan"] = None
+
+
+@dataclass(frozen=True)
+class StageProfile:
+    """One dedup tier's measured economics, read off a prior run's
+    per-stage drop table (the bench assembly row publishes exactly
+    this): ``drop_rate`` = fraction of input tokens the tier removes,
+    ``cost_per_mtok`` = seconds per million input tokens."""
+
+    name: str
+    drop_rate: float
+    cost_per_mtok: float
+
+
+@dataclass
+class AssemblyPlan:
+    """A tier selection plus its predicted economics and the reason —
+    :func:`plan_assembly`'s output, recorded in
+    :class:`AssemblyResult` so the choice is auditable."""
+
+    run: List[str]
+    skip: List[str]
+    predicted_tokens_out: int
+    predicted_cost_s: float
+    feasible: bool
+    decision: str
+
+    def apply_to(self, cfg):
+        """A copy of ``cfg`` with the SKIPPED tiers disabled (plan
+        names map to CurationConfig knobs: ``url_dedup``,
+        ``exact_dedup``, ``near_dedup``, ``substr_dedup``). Tiers the
+        plan runs must already be enabled in ``cfg`` — planning
+        selects among configured tiers, it cannot invent the knobs
+        (min-token spans, thresholds) a tier needs."""
+        updates = {}
+        knobs = {
+            "url_dedup": ("url_dedup", False),
+            "exact_dedup": ("exact_dedup", False),
+            "near_dedup": ("near_dedup", False),
+            "substr_dedup": ("substr_dedup_min_tokens", None),
+        }
+        for tier in self.skip:
+            if tier in knobs:
+                field_name, off = knobs[tier]
+                updates[field_name] = off
+        for tier in self.run:
+            if tier not in knobs:
+                continue
+            field_name, off = knobs[tier]
+            if getattr(cfg, field_name) == off:
+                raise ValueError(
+                    f"plan runs tier {tier!r} but the config has "
+                    f"{field_name}={off!r} — enable it (with its "
+                    "knobs) before planning"
+                )
+        return dataclasses.replace(cfg, **updates)
+
+
+def plan_assembly(
+    tokens_in: int,
+    target_tokens: int,
+    profiles: Sequence[StageProfile],
+    required: Sequence[str] = (),
+) -> AssemblyPlan:
+    """Choose which dedup tiers to run so the corpus lands at
+    ``target_tokens`` at minimum cost — the reference autotune's
+    selection rule (index_autotune/mod.rs:161-186: min latency among
+    variants meeting the recall target, else max recall) applied to
+    the assembly pipeline's measured per-tier drop/cost profiles.
+
+    Model: tiers apply in ``profiles`` order (the pipeline order —
+    URL → exact → LSH → substring); a chosen tier removes
+    ``drop_rate`` of the tokens REACHING it and costs
+    ``cost_per_mtok`` per million of those tokens, so skipping an
+    early tier makes every later tier both more expensive and
+    higher-volume — which is why this is a search over subsets
+    (2^n, n = a handful) rather than a per-tier threshold.
+
+    A variant is FEASIBLE when dedup alone brings predicted tokens to
+    ≤ ``target_tokens`` — then the mixture sampler never has to
+    discard unique documents to hit the budget. Among feasible
+    variants the cheapest wins; if none is feasible the plan keeps
+    the variant with the fewest predicted tokens (max total drop,
+    cheapest on ties) and reports ``feasible=False`` — the honest
+    "every configured tier still overshoots" answer. ``required``
+    tiers are always run (e.g. decontamination-adjacent policies)."""
+    req = set(required)
+    names = [p.name for p in profiles]
+    unknown = req - set(names)
+    if unknown:
+        raise ValueError(f"required tiers not in profiles: {sorted(unknown)}")
+    best: Optional[Tuple[bool, float, int, List[str]]] = None
+    n = len(profiles)
+    for mask in range(1 << n):
+        chosen = [profiles[i] for i in range(n) if mask >> i & 1]
+        chosen_names = [p.name for p in chosen]
+        if not req.issubset(chosen_names):
+            continue
+        toks = float(tokens_in)
+        cost = 0.0
+        for p in chosen:
+            cost += toks / 1e6 * p.cost_per_mtok
+            toks *= 1.0 - p.drop_rate
+        feasible = toks <= target_tokens
+        key = (feasible, cost, int(toks), chosen_names)
+        if best is None:
+            best = key
+            continue
+        b_feas, b_cost, b_toks, _ = best
+        if feasible and not b_feas:
+            best = key
+        elif feasible == b_feas:
+            if feasible:
+                if cost < b_cost:
+                    best = key
+            else:
+                if (int(toks), cost) < (b_toks, b_cost):
+                    best = key
+    feasible, cost, toks, chosen_names = best
+    skip = [p.name for p in profiles if p.name not in chosen_names]
+    if feasible:
+        decision = (
+            f"run {chosen_names or ['<none>']}: cheapest variant "
+            f"predicted to reach {toks} <= budget {target_tokens} "
+            f"tokens at {cost:.2f}s"
+        )
+    else:
+        decision = (
+            f"no variant reaches budget {target_tokens}; running "
+            f"{chosen_names} for max drop ({toks} tokens predicted, "
+            f"{cost:.2f}s) — the mixture sampler covers the rest"
+        )
+    return AssemblyPlan(
+        run=chosen_names,
+        skip=skip,
+        predicted_tokens_out=toks,
+        predicted_cost_s=round(cost, 3),
+        feasible=feasible,
+        decision=decision,
+    )
 
 
 def assemble_pretraining_corpus(
@@ -66,6 +209,7 @@ def assemble_pretraining_corpus(
     seq_tokens: int = 1024,
     report: bool = True,
     token_count=None,
+    plan: Optional[AssemblyPlan] = None,
 ) -> AssemblyResult:
     """Run the full assembly; returns :class:`AssemblyResult`.
 
@@ -89,11 +233,18 @@ def assemble_pretraining_corpus(
       whitespace counter. One counter everywhere by construction —
       budgets, bins, and stats can never disagree on units.
 
+    ``plan`` (r10, review r9 item 8): a :func:`plan_assembly` tier
+    selection — its skipped dedup tiers are disabled on a COPY of the
+    curation config and the decision is recorded on the result
+    (``res.plan``), so the report shows WHY a tier didn't run.
+
     ``report=True`` counts rows at each stage boundary (one cheap job
     per boundary at bench scale — turn off for production and read
     the curation checkpoints / ``curation_audit`` instead)."""
     cfg = curation or CurationConfig()
-    res = AssemblyResult(df=docs)
+    if plan is not None:
+        cfg = plan.apply_to(cfg)
+    res = AssemblyResult(df=docs, plan=plan)
     tok = token_count if token_count is not None else token_count_ws(text_col)
 
     def note(name: str, frame: DataFrame) -> DataFrame:

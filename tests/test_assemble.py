@@ -181,6 +181,51 @@ class TestAssemble:
             k for k in mt3 if k.endswith("near_dedup")
         }, changed
 
+    def test_plan_drives_tier_selection_end_to_end(self, spark, tmp_path):
+        """A plan that skips the near-dup tier disables exactly that
+        stage on a config copy and is recorded in the report."""
+        from lantern_spark.operators.assemble import (
+            AssemblyPlan,
+            assemble_pretraining_corpus,
+        )
+
+        docs = _corpus(spark)
+        plan = AssemblyPlan(
+            run=["exact_dedup", "substr_dedup"],
+            skip=["near_dedup"],
+            predicted_tokens_out=3000,
+            predicted_cost_s=1.0,
+            feasible=True,
+            decision="test plan",
+        )
+        cfg = _cfg()
+        res = assemble_pretraining_corpus(
+            spark, docs, "text", "doc_id", str(tmp_path / "ckpt"),
+            curation=cfg, plan=plan,
+        )
+        assert res.plan is plan
+        assert "near_dedup" not in res.stage_rows
+        assert "exact_dedup" in res.stage_rows
+        assert cfg.near_dedup is True  # caller's config untouched
+
+    def test_plan_refuses_unconfigured_tier(self, spark, tmp_path):
+        from lantern_spark.operators.assemble import (
+            AssemblyPlan,
+            assemble_pretraining_corpus,
+        )
+        from lantern_spark.operators.curate import CurationConfig
+
+        plan = AssemblyPlan(
+            run=["url_dedup"], skip=[], predicted_tokens_out=0,
+            predicted_cost_s=0.0, feasible=True, decision="",
+        )
+        with pytest.raises(ValueError, match="url_dedup"):
+            assemble_pretraining_corpus(
+                spark, _corpus(spark), "text", "doc_id",
+                str(tmp_path / "ckpt"),
+                curation=CurationConfig(), plan=plan,
+            )
+
     def test_budgets_require_source_col(self, spark, tmp_path):
         from lantern_spark.operators.assemble import (
             assemble_pretraining_corpus,
@@ -191,3 +236,72 @@ class TestAssemble:
                 spark, _corpus(spark), "text", "doc_id",
                 str(tmp_path / "c2"), token_budgets={"src0": 10.0},
             )
+
+
+class TestPlanAssembly:
+    """Tier selection over synthetic drop/cost profiles (r10, review
+    r9 item 8): the reference autotune's rule — min cost among
+    variants meeting the target, else max drop."""
+
+    def _profiles(self):
+        from lantern_spark.operators.assemble import StageProfile
+
+        # pipeline order: cheap/high-drop first, expensive last
+        return [
+            StageProfile("url_dedup", drop_rate=0.20, cost_per_mtok=1.0),
+            StageProfile("exact_dedup", drop_rate=0.10, cost_per_mtok=2.0),
+            StageProfile("near_dedup", drop_rate=0.15, cost_per_mtok=20.0),
+            StageProfile("substr_dedup", drop_rate=0.10, cost_per_mtok=50.0),
+        ]
+
+    def test_loose_budget_skips_expensive_tiers(self):
+        from lantern_spark.operators.assemble import plan_assembly
+
+        # 10M tokens, budget 7.5M: url alone (drop 20% -> 8M) misses;
+        # url+exact (-> 7.2M) reaches it — the cheapest feasible pair
+        p = plan_assembly(10_000_000, 7_500_000, self._profiles())
+        assert p.feasible
+        assert p.run == ["url_dedup", "exact_dedup"]
+        assert set(p.skip) == {"near_dedup", "substr_dedup"}
+        assert p.predicted_tokens_out <= 7_500_000
+        # cost = 10.0 (url) + 8M/1e6*2 (exact) = 26.0
+        assert p.predicted_cost_s == 26.0
+
+    def test_budget_already_met_runs_nothing(self):
+        from lantern_spark.operators.assemble import plan_assembly
+
+        p = plan_assembly(1_000_000, 2_000_000, self._profiles())
+        assert p.feasible and p.run == [] and p.predicted_cost_s == 0.0
+
+    def test_infeasible_budget_takes_max_drop(self):
+        from lantern_spark.operators.assemble import plan_assembly
+
+        # even all four tiers only reach 10M*0.8*0.9*0.85*0.9 = 5.508M
+        p = plan_assembly(10_000_000, 1_000_000, self._profiles())
+        assert not p.feasible
+        assert p.run == [
+            "url_dedup", "exact_dedup", "near_dedup", "substr_dedup"
+        ]
+        assert p.predicted_tokens_out == 5_508_000
+        assert "mixture sampler" in p.decision
+
+    def test_required_tier_always_runs(self):
+        from lantern_spark.operators.assemble import plan_assembly
+
+        p = plan_assembly(
+            10_000_000, 7_500_000, self._profiles(),
+            required=["near_dedup"],
+        )
+        assert p.feasible and "near_dedup" in p.run
+        # with near forced (20% + 15% composes past the budget), the
+        # cheapest completion drops exact, not url (url is cheaper
+        # per-token AND higher-drop)
+        assert "url_dedup" in p.run and "exact_dedup" not in p.run
+
+    def test_unknown_required_raises(self):
+        import pytest as _pytest
+
+        from lantern_spark.operators.assemble import plan_assembly
+
+        with _pytest.raises(ValueError, match="nope"):
+            plan_assembly(1, 1, self._profiles(), required=["nope"])
