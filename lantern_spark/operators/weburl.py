@@ -233,10 +233,21 @@ def load_psl(path: str) -> dict:
         return parse_psl(fh.read())
 
 
+# Memoized built expressions: the PSL when-chain costs ~1.1 s of
+# DRIVER time per build (one py4j literal call per rule), so repeat
+# builds over the same column name must reuse the Column — it is an
+# immutable expression tree, safely shareable across DataFrames of
+# the same JVM. Keyed by (column name, extras, psl source, gateway
+# identity) — a fresh gateway (new JVM) invalidates naturally.
+_RD_EXPR_CACHE: dict = {}
+
+
 def registered_domain(
     col, extra_suffixes: Iterable[str] = (), psl=None
 ) -> Column:
-    """eTLD+1 as a pure column expression.
+    """eTLD+1 as a pure column expression (memoized per column name —
+    repeat builds with the same arguments return the same Column
+    object instead of re-paying the ~1.1 s rule-chain construction).
 
     Default (``psl=None``, r10): the BUNDLED curated PSL subset
     (:func:`default_psl` — exact + wildcard + exception rules, so
@@ -260,6 +271,35 @@ def registered_domain(
     labels and pass through the 2-label rule — screen infrastructure
     hosts first) return the host unchanged, as does a host that IS a
     public suffix (no registered domain exists)."""
+    # Resolve the ruleset FIRST so the cache key names the actual
+    # rules (id of the parsed dict — stable because default_psl() is
+    # itself cached; a reloaded/replaced ruleset is a new dict and
+    # misses naturally). String paths are re-read per call (their
+    # contents can change), so they are not memoized.
+    if psl is None:
+        psl = default_psl()
+    cache_key = None
+    if isinstance(col, str) and not isinstance(psl, str):
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None:
+            rules = ("dict", id(psl)) if isinstance(psl, dict) else psl
+            cache_key = (
+                col, tuple(sorted(extra_suffixes)), rules, id(gw),
+            )
+            hit = _RD_EXPR_CACHE.get(cache_key)
+            if hit is not None:
+                return hit[1]
+    out = _build_registered_domain(col, extra_suffixes, psl)
+    if cache_key is not None:
+        # Pin the ruleset dict in the value so its id() is never
+        # recycled onto a different dict while the entry lives.
+        _RD_EXPR_CACHE[cache_key] = (psl, out)
+    return out
+
+
+def _build_registered_domain(col, extra_suffixes, psl) -> Column:
     host = url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)

@@ -1,0 +1,404 @@
+"""WARC / WET (Common Crawl) ingestion sources.
+
+WARC (ISO 28500, the IIPC warc-specifications) is THE bulk input
+format for web-scale pretraining corpora: Common Crawl alone ships
+~100 TB/crawl as ``*.warc.gz`` (raw fetches) and ``*.warc.wet.gz``
+(extracted plain text, ``WARC-Type: conversion``). The reference
+ingests vectors and text through files and HTTP (its dotvecs/FTP
+fetchers, ``lantern_extras/src/dotvecs.rs``); a Spark training-data
+pipeline ingests the crawl itself, so this module is the missing front
+door to `operators/curate`, `operators/dedup`, and
+`operators/assemble`.
+
+Record grammar (WARC 1.0/1.1)::
+
+    WARC/1.0\\r\\n
+    <Name>: <value>\\r\\n ...          # headers
+    \\r\\n                             # end of header block
+    <Content-Length bytes of block>   # payload
+    \\r\\n\\r\\n                       # record terminator
+
+Two readers, two contracts:
+
+- :func:`read_wet` — the FAST path for WET text. One
+  ``spark.read.text`` with a multi-byte ``lineSep`` record splitter
+  (the JVM scanner splits records, Python never touches the bytes)
+  followed by pure Catalyst ``regexp_extract`` header parsing — the
+  whole plan is scan + project inside whole-stage codegen, no UDF.
+  ``.gz`` inputs decompress through the Hadoop codec (one task per
+  file — gzip is unsplittable, which is why Common Crawl ships ~1 GB
+  × 90k files per crawl; the FILE is the unit of parallelism).
+  Splitting on the record separator instead of Content-Length is
+  byte-exact unless a payload itself contains
+  ``\\r\\n\\r\\nWARC/1.0\\r\\n`` (never produced by text extraction;
+  the strict parser below is the fallback for hostile inputs).
+- :func:`read_warc` — the STRICT, binary-safe parser for raw WARC:
+  ``binaryFile`` listing + a ``mapInArrow`` generator that walks
+  records by Content-Length arithmetic (payloads may be arbitrary
+  binary — images, gzip members, HTTP bodies — so no text decode of
+  the block). Multi-member gzip (Common Crawl writes each record as
+  its own gzip member so HTTP range reads can seek) is handled by
+  Python's zlib multi-stream loop.
+
+:func:`wet_documents` adapts either reader's output to the
+``documents`` table shape (doc_id/url/text) that every downstream
+curation / dedup / assembly operator consumes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import uuid
+from typing import Iterable, Iterator, Mapping, Optional, Sequence, Tuple
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_wet",
+    "stream_wet",
+    "read_warc",
+    "wet_documents",
+    "write_warc",
+    "parse_warc_bytes",
+]
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+_VERSION_PREFIX = b"WARC/"
+# Record separator for the fast path: terminator + next version line.
+_WET_LINESEP = "\r\n\r\nWARC/1.0\r\n"
+
+# Headers surfaced as columns (canonical names; matching is
+# case-insensitive per the spec, section 4 "named fields are not
+# case-sensitive").
+_FIELDS = (
+    ("WARC-Type", "warc_type"),
+    ("WARC-Record-ID", "record_id"),
+    ("WARC-Target-URI", "url"),
+    ("WARC-Date", "warc_date"),
+    ("Content-Type", "content_type"),
+    ("Content-Length", "content_length"),
+)
+
+
+def _header_regex(name: str) -> str:
+    """(?im) anchored 'Name: value' extractor for one header line."""
+    escaped = name.replace("-", "\\-")
+    return f"(?im)^{escaped}:[ \\t]*([^\\r\\n]*)"
+
+
+# ---------------------------------------------------------------------------
+# Fast path: WET via JVM record splitting + Catalyst header parsing
+# ---------------------------------------------------------------------------
+
+
+def _wet_records(raw: DataFrame, record_types) -> DataFrame:
+    """Shared batch/streaming projection: lineSep-split rows →
+    typed WET record columns. Pure Catalyst expressions throughout."""
+    # First record of each file keeps its leading version line (no
+    # preceding terminator to split on); the file's final record keeps
+    # its trailing terminator (no following version line). Normalize
+    # both ends so every row is 'headers\r\n\r\npayload'.
+    rec = F.regexp_replace(
+        F.regexp_replace(F.col("value"), "^WARC/[0-9.]+\r\n", ""),
+        "\r\n\r\n$",
+        "",
+    )
+    df = raw.select(rec.alias("__rec")).where(F.col("__rec") != "")
+    hdr = F.substring_index(F.col("__rec"), "\r\n\r\n", 1)
+    out = df.select(
+        *[
+            F.regexp_extract(hdr, _header_regex(name), 1).alias(col)
+            for name, col in _FIELDS
+        ],
+        # Payload = everything after the first header/payload gap.
+        # expr() because instr/substr compose more readably in SQL.
+        F.expr(
+            "substring(__rec, instr(__rec, '\r\n\r\n') + 4)"
+        ).alias("text"),
+    )
+    out = out.withColumn(
+        "warc_date", F.to_timestamp(F.col("warc_date"))
+    ).withColumn("content_length", F.col("content_length").cast("long"))
+    if record_types is not None:
+        out = out.where(F.lower(F.col("warc_type")).isin(
+            [t.lower() for t in record_types]
+        ))
+    return out
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    record_types: Optional[Sequence[str]] = ("conversion",),
+) -> DataFrame:
+    """Read WET file(s) → one row per WARC record, text payload.
+
+    Columns: ``warc_type, record_id, url, warc_date (timestamp),
+    content_type, content_length (long), text``.
+
+    The plan is a text scan (records pre-split JVM-side by
+    ``lineSep``) plus codegen'd regexp projections — ``explain()``
+    shows no Python eval node; at 100 TB this is a map-only pass whose
+    cost is the decompress + regex scan itself. ``record_types``
+    defaults to conversion records (the extracted text); pass ``None``
+    to keep every record including ``warcinfo`` headers.
+    """
+    return _wet_records(
+        spark.read.text(path, lineSep=_WET_LINESEP), record_types
+    )
+
+
+def stream_wet(
+    spark: SparkSession,
+    path: str,
+    record_types: Optional[Sequence[str]] = ("conversion",),
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_wet`: a file-source readStream
+    over a landing directory of WET archives — new crawl shards are
+    picked up per micro-batch and flow straight into the streaming
+    gates (``streaming/neardup_stream``, ``streaming_bloom_dedup``,
+    ``embed_stream``), the continuous-ingestion shape of a live crawl.
+
+    Same all-JVM record split + header projection as the batch path
+    (one shared implementation). ``max_files_per_trigger`` bounds each
+    micro-batch (a 1 GB-archive landing dir without it makes the first
+    batch the whole backlog)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    raw = reader.option("lineSep", _WET_LINESEP).format("text").load(path)
+    return _wet_records(raw, record_types)
+
+
+# ---------------------------------------------------------------------------
+# Strict path: binary-safe Content-Length parser over binaryFile
+# ---------------------------------------------------------------------------
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Decompress possibly multi-member gzip (Common Crawl writes one
+    member per record). Python's gzip handles concatenated members."""
+    return gzip.decompress(buf)
+
+
+def parse_warc_bytes(buf: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Walk WARC records in ``buf`` by Content-Length arithmetic.
+
+    Yields ``(headers_lowercased, payload_bytes)`` per record. Raises
+    ``ValueError`` on structural corruption (bad version line, missing
+    Content-Length, truncated payload) — loud failure, never silent
+    truncation of a corpus.
+    """
+    if buf[:2] == b"\x1f\x8b":
+        buf = _gunzip_members(buf)
+    off, n = 0, len(buf)
+    while off < n:
+        # Tolerate inter-record padding (stray CRLFs).
+        while off < n and buf[off : off + 2] == _CRLF:
+            off += 2
+        if off >= n:
+            return
+        eol = buf.find(_CRLF, off)
+        if eol < 0 or not buf[off:eol].startswith(_VERSION_PREFIX):
+            raise ValueError(
+                f"expected WARC version line at offset {off}, got "
+                f"{buf[off:off + 16]!r}"
+            )
+        hdr_end = buf.find(_HDR_END, eol)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated header block at offset {off}")
+        headers: dict = {}
+        for line in buf[eol + 2 : hdr_end].split(_CRLF):
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().decode("utf-8").lower()] = (
+                    v.strip().decode("utf-8", errors="replace")
+                )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"missing/invalid Content-Length at offset {off}"
+            ) from None
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError(
+                f"truncated payload at offset {body_start}: need {clen}, "
+                f"have {n - body_start}"
+            )
+        yield headers, buf[body_start : body_start + clen]
+        off = body_start + clen
+
+
+_WARC_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("warc_type", pa.string()),
+        ("record_id", pa.string()),
+        ("url", pa.string()),
+        ("warc_date", pa.string()),
+        ("content_type", pa.string()),
+        ("content_length", pa.int64()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Optional[Sequence[str]] = None,
+    batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Read raw WARC file(s) → binary-safe records.
+
+    Columns: ``path, warc_type, record_id, url, warc_date (string —
+    cast downstream), content_type, content_length, payload (binary)``.
+
+    ``binaryFile`` lists files as (path, content) rows distributed
+    across executors (one task per file — the crawl's own sharding);
+    a ``mapInArrow`` generator parses each file and emits Arrow
+    batches capped at ``batch_bytes`` of payload so a 1 GB archive
+    never materializes as one batch. Payloads stay ``binary`` —
+    response records carry images/gzip/HTTP bodies; decoding is the
+    caller's multimodal/text stage, not the reader's.
+    """
+    wanted = (
+        None
+        if record_types is None
+        else {t.lower() for t in record_types}
+    )
+
+    def _flush(rows: list) -> pa.RecordBatch:
+        cols = list(zip(*rows))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, _WARC_SCHEMA)],
+            schema=_WARC_SCHEMA,
+        )
+
+    def _parse(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            for p, buf in zip(paths, contents):
+                rows: list = []
+                size = 0
+                for headers, payload in parse_warc_bytes(buf):
+                    wtype = headers.get("warc-type", "")
+                    if wanted is not None and wtype.lower() not in wanted:
+                        continue
+                    rows.append(
+                        (
+                            p,
+                            wtype,
+                            headers.get("warc-record-id", ""),
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            headers.get("content-type", ""),
+                            len(payload),
+                            payload,
+                        )
+                    )
+                    size += len(payload)
+                    if size >= batch_bytes:
+                        yield _flush(rows)
+                        rows, size = [], 0
+                if rows:
+                    yield _flush(rows)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInArrow(
+        _parse,
+        schema=(
+            "path string, warc_type string, record_id string, url string, "
+            "warc_date string, content_type string, content_length long, "
+            "payload binary"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adapter to the documents-table shape
+# ---------------------------------------------------------------------------
+
+
+def wet_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapt a :func:`read_wet`/:func:`read_warc` result to the
+    ``documents`` shape the curation/dedup/assembly operators consume:
+    ``doc_id (long), url, fetched_at (timestamp), text``.
+
+    ``doc_id`` is ``xxhash64(record_id)`` — stable across re-reads and
+    partitionings (``monotonically_increasing_id`` is neither), so
+    downstream dedup survivor sets and attribute sidecars stay joinable
+    across pipeline re-runs over the same crawl.
+    """
+    text = (
+        F.col(text_col)
+        if dict(df.dtypes).get(text_col) == "string"
+        else F.col(text_col).cast("string")
+    )
+    date = (
+        F.col("warc_date")
+        if dict(df.dtypes).get("warc_date") == "timestamp"
+        else F.to_timestamp(F.col("warc_date"))
+    )
+    return df.select(
+        F.xxhash64(F.col("record_id")).alias("doc_id"),
+        F.col("url"),
+        date.alias("fetched_at"),
+        text.alias("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture writer (tests / examples)
+# ---------------------------------------------------------------------------
+
+
+def write_warc(
+    path: str,
+    records: Iterable[Mapping],
+    gzip_file: bool = False,
+    gzip_per_record: bool = False,
+) -> None:
+    """Write spec-conformant WARC bytes (the tests' fixture writer).
+
+    Each record mapping: ``warc_type`` (required), ``payload``
+    (str|bytes), optional ``url``, ``warc_date``, ``content_type``,
+    ``record_id``. ``gzip_per_record=True`` writes each record as its
+    own gzip member — Common Crawl's actual layout.
+    """
+    chunks: list = []
+    for r in records:
+        payload = r.get("payload", b"")
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        rid = r.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
+        lines = [b"WARC/1.0"]
+        hdrs = [
+            ("WARC-Type", r["warc_type"]),
+            ("WARC-Record-ID", rid),
+            ("WARC-Date", r.get("warc_date", "2026-01-01T00:00:00Z")),
+        ]
+        if r.get("url"):
+            hdrs.append(("WARC-Target-URI", r["url"]))
+        hdrs.append(
+            ("Content-Type", r.get("content_type", "text/plain"))
+        )
+        hdrs.append(("Content-Length", str(len(payload))))
+        for k, v in hdrs:
+            lines.append(f"{k}: {v}".encode("utf-8"))
+        rec = _CRLF.join(lines) + _HDR_END + payload + _HDR_END
+        chunks.append(rec)
+    if gzip_per_record:
+        data = b"".join(gzip.compress(c) for c in chunks)
+    else:
+        data = b"".join(chunks)
+        if gzip_file:
+            data = gzip.compress(data)
+    with open(path, "wb") as f:
+        f.write(data)

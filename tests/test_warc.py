@@ -1,0 +1,315 @@
+"""WARC / WET ingestion source tests.
+
+The fast WET path (JVM lineSep record split + Catalyst header regex)
+must agree record-for-record with the strict binary Content-Length
+parser; the strict parser must be byte-exact on binary payloads and
+multi-member gzip (Common Crawl's real layout); the WET plan must stay
+entirely JVM-side (no Python eval node).
+"""
+
+import gzip
+
+import pytest
+
+from lantern_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    read_wet,
+    wet_documents,
+    write_warc,
+)
+
+WET_RECORDS = [
+    {
+        "warc_type": "warcinfo",
+        "payload": "software: lantern-spark-tests\r\nformat: WARC File Format 1.0\r\n",
+        "content_type": "application/warc-fields",
+        "record_id": "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+    },
+    {
+        "warc_type": "conversion",
+        "url": "https://example.com/a",
+        "payload": "Hello world.\nThis is the first converted document.\n",
+        "warc_date": "2026-02-03T04:05:06Z",
+        "record_id": "<urn:uuid:00000000-0000-0000-0000-00000000000a>",
+    },
+    {
+        "warc_type": "conversion",
+        "url": "https://example.org/b?q=1",
+        # Unicode + a literal WARC/1.0 mid-line (must NOT false-split:
+        # the record separator requires the CRLFCRLF terminator before
+        # the version line).
+        "payload": "Résumé naïve 中文 text mentioning WARC/1.0 inline.\nSecond line.\n",
+        "warc_date": "2026-02-03T04:05:07Z",
+        "record_id": "<urn:uuid:00000000-0000-0000-0000-00000000000b>",
+    },
+    {
+        "warc_type": "conversion",
+        "url": "https://example.net/c",
+        # Blank-line gaps (LF only — what text extraction emits).
+        "payload": "para one\n\npara two\n\n\npara three",
+        "warc_date": "2026-02-03T04:05:08Z",
+        "record_id": "<urn:uuid:00000000-0000-0000-0000-00000000000c>",
+    },
+    {
+        "warc_type": "conversion",
+        "url": "https://example.net/empty",
+        "payload": "",
+        "warc_date": "2026-02-03T04:05:09Z",
+        "record_id": "<urn:uuid:00000000-0000-0000-0000-00000000000d>",
+    },
+]
+
+CONVERSIONS = [r for r in WET_RECORDS if r["warc_type"] == "conversion"]
+
+
+@pytest.fixture(scope="module")
+def wet_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("wet") / "part-00000.warc.wet"
+    write_warc(str(p), WET_RECORDS)
+    return str(p)
+
+
+class TestParseWarcBytes:
+    def test_roundtrip_headers_and_payloads(self, wet_path):
+        with open(wet_path, "rb") as f:
+            buf = f.read()
+        recs = list(parse_warc_bytes(buf))
+        assert len(recs) == len(WET_RECORDS)
+        for (hdrs, payload), want in zip(recs, WET_RECORDS):
+            assert hdrs["warc-type"] == want["warc_type"]
+            assert payload == want["payload"].encode("utf-8")
+            assert int(hdrs["content-length"]) == len(payload)
+            if "url" in want:
+                assert hdrs["warc-target-uri"] == want["url"]
+
+    def test_binary_payload_exact(self, tmp_path):
+        blob = bytes(range(256)) * 7 + b"\r\n\r\nWARC/1.0\r\n" + bytes([255])
+        p = tmp_path / "bin.warc"
+        write_warc(
+            str(p),
+            [
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/img",
+                    "payload": blob,
+                    "content_type": "application/octet-stream",
+                },
+                {"warc_type": "conversion", "payload": "after binary"},
+            ],
+        )
+        recs = list(parse_warc_bytes(p.read_bytes()))
+        assert len(recs) == 2
+        assert recs[0][1] == blob  # byte-exact despite embedded separator
+        assert recs[1][1] == b"after binary"
+
+    def test_multi_member_gzip(self, tmp_path):
+        p = tmp_path / "multi.warc.wet.gz"
+        write_warc(str(p), WET_RECORDS, gzip_per_record=True)
+        recs = list(parse_warc_bytes(p.read_bytes()))
+        assert [h["warc-type"] for h, _ in recs] == [
+            r["warc_type"] for r in WET_RECORDS
+        ]
+
+    def test_truncated_payload_raises(self, tmp_path):
+        p = tmp_path / "trunc.warc"
+        write_warc(str(p), [{"warc_type": "conversion", "payload": "full text"}])
+        buf = p.read_bytes()[:-8]  # chop into the payload
+        with pytest.raises(ValueError, match="truncated"):
+            list(parse_warc_bytes(buf))
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError, match="version line"):
+            list(parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+
+class TestReadWet:
+    def test_conversion_records(self, spark, wet_path):
+        rows = read_wet(spark, wet_path).orderBy("record_id").collect()
+        assert len(rows) == len(CONVERSIONS)
+        for row, want in zip(rows, CONVERSIONS):
+            assert row.warc_type == "conversion"
+            assert row.url == want["url"]
+            assert row.text == want["payload"]
+            assert row.content_length == len(want["payload"].encode("utf-8"))
+            assert row.warc_date is not None
+
+    def test_all_record_types(self, spark, wet_path):
+        rows = read_wet(spark, wet_path, record_types=None).collect()
+        assert {r.warc_type for r in rows} == {"warcinfo", "conversion"}
+        assert len(rows) == len(WET_RECORDS)
+
+    def test_gzip_file(self, spark, tmp_path):
+        p = tmp_path / "one.warc.wet.gz"
+        write_warc(str(p), WET_RECORDS, gzip_file=True)
+        rows = read_wet(spark, str(p)).collect()
+        assert len(rows) == len(CONVERSIONS)
+        assert {r.url for r in rows} == {r["url"] for r in CONVERSIONS}
+
+    def test_plan_is_jvm_only(self, spark, wet_path):
+        plan = read_wet(spark, wet_path)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInArrow" not in plan
+
+    def test_fast_path_equals_strict_parser(self, spark, wet_path):
+        fast = {
+            r.record_id: r
+            for r in read_wet(spark, wet_path, record_types=None).collect()
+        }
+        strict = {
+            r.record_id: r
+            for r in read_warc(spark, wet_path).collect()
+        }
+        assert fast.keys() == strict.keys()
+        for rid, s in strict.items():
+            f = fast[rid]
+            assert f.warc_type == s.warc_type
+            assert f.url == s.url
+            assert f.content_length == s.content_length
+            assert f.text.encode("utf-8") == s.payload
+
+
+class TestReadWarc:
+    def test_filter_and_binary(self, spark, tmp_path):
+        blob = bytes(range(256))
+        p = tmp_path / "mixed.warc"
+        write_warc(
+            str(p),
+            [
+                {"warc_type": "response", "payload": blob, "url": "https://x/1"},
+                {"warc_type": "conversion", "payload": "text doc", "url": "https://x/2"},
+            ],
+        )
+        resp = read_warc(spark, str(p), record_types=["response"]).collect()
+        assert len(resp) == 1
+        assert bytes(resp[0].payload) == blob
+        conv = read_warc(spark, str(p), record_types=["conversion"]).collect()
+        assert len(conv) == 1 and bytes(conv[0].payload) == b"text doc"
+
+    def test_multi_member_gzip_via_spark(self, spark, tmp_path):
+        p = tmp_path / "cc-style.warc.wet.gz"
+        write_warc(str(p), WET_RECORDS, gzip_per_record=True)
+        rows = read_warc(spark, str(p), record_types=["conversion"]).collect()
+        assert len(rows) == len(CONVERSIONS)
+
+    def test_many_files_distribute(self, spark, tmp_path):
+        for i in range(4):
+            write_warc(
+                str(tmp_path / f"part-{i}.warc.wet"),
+                [
+                    {
+                        "warc_type": "conversion",
+                        "url": f"https://shard{i}.example.com/",
+                        "payload": f"doc from shard {i}",
+                        "record_id": f"<urn:uuid:shard-{i}>",
+                    }
+                ],
+            )
+        df = read_warc(spark, str(tmp_path), record_types=["conversion"])
+        rows = df.collect()
+        assert len(rows) == 4
+        assert len({r.path for r in rows}) == 4
+
+    def test_batch_flush_cap(self, spark, tmp_path):
+        p = tmp_path / "big.warc"
+        write_warc(
+            str(p),
+            [
+                {"warc_type": "conversion", "payload": "x" * 1000,
+                 "record_id": f"<urn:uuid:big-{i}>"}
+                for i in range(10)
+            ],
+        )
+        # Tiny cap forces multiple Arrow batches; results unchanged.
+        rows = read_warc(spark, str(p), batch_bytes=2500).collect()
+        assert len(rows) == 10
+
+
+class TestWetDocuments:
+    def test_shape_and_stable_ids(self, spark, wet_path):
+        docs = wet_documents(read_wet(spark, wet_path))
+        assert [f.name for f in docs.schema.fields] == [
+            "doc_id", "url", "fetched_at", "text",
+        ]
+        assert dict(docs.dtypes)["doc_id"] == "bigint"
+        a = {r.doc_id: r.url for r in docs.collect()}
+        b = {r.doc_id: r.url for r in docs.collect()}
+        assert a == b and len(a) == len(CONVERSIONS)
+
+    def test_feeds_curation(self, spark, wet_path):
+        # The adapter output drops straight into the dedup/curation
+        # operators' expected (doc_id, text) contract.
+        from lantern_spark.operators.dedup import exact_dedup
+
+        docs = wet_documents(read_wet(spark, wet_path))
+        survivors = exact_dedup(docs, text_col="text", id_col="doc_id")
+        assert survivors.count() == len(CONVERSIONS)
+
+
+class TestStreamWet:
+    def test_landing_dir_stream(self, spark, tmp_path):
+        from lantern_spark.sources.warc import stream_wet
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        write_warc(str(landing / "shard-0.warc.wet"), WET_RECORDS)
+
+        stream = stream_wet(spark, str(landing), max_files_per_trigger=1)
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("wet_stream_t")
+            .option(
+                "checkpointLocation", str(tmp_path / "chk")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT url, text FROM wet_stream_t").collect()
+            assert len(got) == len(CONVERSIONS)
+            # A newly-landed shard arrives in the next micro-batch.
+            write_warc(
+                str(landing / "shard-1.warc.wet"),
+                [
+                    {
+                        "warc_type": "conversion",
+                        "url": "https://late.example.com/",
+                        "payload": "late-arriving shard",
+                        "record_id": "<urn:uuid:late-1>",
+                    }
+                ],
+            )
+            q.processAllAvailable()
+            got = spark.sql("SELECT url, text FROM wet_stream_t").collect()
+            assert len(got) == len(CONVERSIONS) + 1
+            assert {r.url for r in got} >= {"https://late.example.com/"}
+        finally:
+            q.stop()
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from lantern_spark.sources.warc import stream_wet
+
+        landing = tmp_path / "landing2"
+        landing.mkdir()
+        write_warc(str(landing / "a.warc.wet"), WET_RECORDS)
+        stream = stream_wet(spark, str(landing))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("wet_stream_b")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.record_id: (r.url, r.text, r.content_length)
+                for r in spark.sql("SELECT * FROM wet_stream_b").collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            r.record_id: (r.url, r.text, r.content_length)
+            for r in read_wet(spark, str(landing / "a.warc.wet")).collect()
+        }
+        assert got == want

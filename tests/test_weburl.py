@@ -603,3 +603,42 @@ class TestPslDuckDbReplay:
         assert got == want, {
             k: (got[k], want.get(k)) for k in got if got[k] != want.get(k)
         }
+
+
+class TestExprMemoization:
+    def test_default_path_returns_same_column_object(self, spark):
+        import lantern_spark.operators.weburl as W
+
+        c1 = W.registered_domain("url")
+        c2 = W.registered_domain("url")
+        assert c1 is c2  # the ~1.1 s rule-chain build is paid once
+
+    def test_cache_respects_arguments(self, spark):
+        import lantern_spark.operators.weburl as W
+
+        base = W.registered_domain("url")
+        assert W.registered_domain("other_col") is not base
+        assert W.registered_domain("url", extra_suffixes=["x.zz"]) is not base
+        assert W.registered_domain("url", psl=False) is not base
+        # Column (non-str) inputs are never memoized.
+        from pyspark.sql import functions as F
+
+        a = W.registered_domain(F.col("url"))
+        b = W.registered_domain(F.col("url"))
+        assert a is not b
+
+    def test_cache_invalidates_with_ruleset_identity(self, spark):
+        import lantern_spark.operators.weburl as W
+
+        before = W.registered_domain("url")
+        old = list(W._DEFAULT_PSL_CACHE)
+        W._DEFAULT_PSL_CACHE.clear()
+        try:
+            # A reloaded default ruleset is a NEW dict → cache miss,
+            # fresh expression (the bundle-missing fallback test's
+            # scenario: no stale bundled chain can leak through).
+            rebuilt = W.registered_domain("url")
+            assert rebuilt is not before
+        finally:
+            W._DEFAULT_PSL_CACHE.clear()
+            W._DEFAULT_PSL_CACHE.extend(old)
