@@ -204,6 +204,7 @@ def assemble_pretraining_corpus(
     curation: Optional[CurationConfig] = None,
     heldout: Optional[DataFrame] = None,
     decontaminate_ngram: int = 13,
+    decontaminate_fuzzy_threshold: Optional[float] = None,
     source_col: Optional[str] = None,
     token_budgets: Optional[Dict[str, float]] = None,
     seq_tokens: int = 1024,
@@ -219,6 +220,11 @@ def assemble_pretraining_corpus(
       the first stage whose config changed;
     - ``heldout``: eval corpus for GPT-3-style 13-gram
       decontamination (skipped when None);
+      ``decontaminate_fuzzy_threshold`` (r10) additionally runs the
+      MinHash/LSH + Jaccard-verified fuzzy tier
+      (:func:`~lantern_spark.operators.curate.decontaminate_fuzzy`)
+      after the exact rule — paraphrased eval leakage has no verbatim
+      13-gram but is still substantially the eval item;
     - ``token_budgets``: per-``source_col`` token budgets for the
       mixture step (skipped when None) — expectation-exact map-only
       rates, the 100 TB mode of :func:`sample_to_token_budget`;
@@ -280,6 +286,16 @@ def assemble_pretraining_corpus(
                 out, heldout, text_col, id_col, ngram=decontaminate_ngram
             ),
         )
+        if decontaminate_fuzzy_threshold is not None:
+            from lantern_spark.operators.curate import decontaminate_fuzzy
+
+            out = note(
+                "decontaminated_fuzzy",
+                decontaminate_fuzzy(
+                    out, heldout, text_col, id_col,
+                    threshold=float(decontaminate_fuzzy_threshold),
+                ),
+            )
 
     if token_budgets:
         if not source_col:

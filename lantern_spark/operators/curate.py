@@ -620,3 +620,97 @@ def decontaminate(
             "left",
         ).fillna(False, subset=["contaminated"])
     return train.join(contaminated, id_col, "left_anti")
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str,
+    id_col: str,
+    heldout_text_col: Optional[str] = None,
+    threshold: Optional[float] = 0.5,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    mode: str = "drop",
+):
+    """Near-duplicate decontamination: drop (or flag) training docs
+    that are FUZZY matches of held-out eval documents.
+
+    The exact rule (:func:`decontaminate`) requires a verbatim
+    13-token run; light paraphrase — a word swapped every few tokens,
+    the common shape of eval data that leaked through a rewrite —
+    defeats it while leaving the document substantially the eval item
+    (the contamination analyses in Lee et al. 2022 and the GPT-3
+    appendix both note this gap). This is the fuzzy tier: MinHash
+    signatures on both sides, LSH banding (same parameters on both
+    tables, so bucket keys are comparable), and exact shingle-Jaccard
+    verification of colliding (train, heldout) pairs at ``threshold``
+    — banding false positives must not drop clean data, the same
+    verify-after-LSH contract as ``near_dedup_minhash``.
+
+    Defaults lean RECALL (bands=8, rows_per_band=2 over 16 hashes):
+    for decontamination a missed contaminated doc poisons an eval
+    number, while a false candidate only costs one verification
+    Jaccard. ``threshold=None`` skips verification (pure banding —
+    only with tuned params).
+
+    Plan shape (100 TB-safe): signatures are fixed-width (n_hashes ×
+    8 B), band keys are 32 B; the heldout side is eval-set-sized, so
+    both the band join and the verification join broadcast it — the
+    train corpus is never shuffled, only scanned.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be drop|flag, got {mode!r}")
+    from lantern_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_docs,
+        shingles,
+    )
+    from lantern_spark.functions.text import tokenize
+
+    h_text = heldout_text_col or text_col
+    t_sigs = minhash_docs(train, text_col, id_col, n_hashes, shingle_k)
+    # Stable heldout key: content hash (monotonically_increasing_id
+    # could number the two heldout pipelines below differently).
+    held = heldout.select(
+        F.col(h_text).alias("__h_text"),
+        F.xxhash64(F.col(h_text)).alias("__h_id"),
+    )
+    h_sigs = minhash_docs(held, "__h_text", "__h_id", n_hashes, shingle_k)
+    t_bands = lsh_band_keys(t_sigs, id_col, bands, rows_per_band)
+    h_bands = lsh_band_keys(h_sigs, "__h_id", bands, rows_per_band)
+    cand = (
+        t_bands.join(h_bands, ["band", "key"])
+        .select(id_col, "__h_id")
+        .distinct()
+    )
+    if threshold is None:
+        contaminated = cand.select(id_col).distinct()
+    else:
+        t_sh = train.select(
+            F.col(id_col),
+            shingles(tokenize(text_col), shingle_k).alias("__sh_t"),
+        )
+        h_sh = held.select(
+            "__h_id", shingles(tokenize("__h_text"), shingle_k).alias("__sh_h")
+        )
+        jac = F.size(F.array_intersect("__sh_t", "__sh_h")) / F.size(
+            F.array_union("__sh_t", "__sh_h")
+        )
+        contaminated = (
+            cand.join(t_sh, id_col)
+            .join(h_sh, "__h_id")
+            .withColumn("__j", jac)
+            .filter(F.col("__j") >= float(threshold))
+            .select(id_col)
+            .distinct()
+        )
+    if mode == "flag":
+        return train.join(
+            contaminated.withColumn("contaminated", F.lit(True)),
+            id_col,
+            "left",
+        ).fillna(False, subset=["contaminated"])
+    return train.join(contaminated, id_col, "left_anti")

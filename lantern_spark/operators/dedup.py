@@ -153,6 +153,32 @@ def minhash_docs(
     )
 
 
+def lsh_band_keys(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode (id, sig) signatures to (id, band, key) LSH bucket
+    rows — the shared banding kernel behind same-corpus candidate
+    pairs (:func:`lsh_candidate_pairs`) and cross-corpus probes
+    (``curate.decontaminate_fuzzy``): two tables banded with the SAME
+    (n_hashes, shingle_k, bands, rows_per_band) collide exactly when
+    their signatures agree on a full band."""
+    band_cols = []
+    for b in range(bands):
+        chunk = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(SEP, chunk.cast("array<string>"))).alias("key"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -179,18 +205,7 @@ def lsh_candidate_pairs(
     """
     if persist_sigs:
         sigs = sigs.persist()
-    band_cols = []
-    for b in range(bands):
-        chunk = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(SEP, chunk.cast("array<string>"))).alias("key"),
-            )
-        )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    exploded = lsh_band_keys(sigs, id_col, bands, rows_per_band)
 
     buckets = (
         exploded.groupBy("band", "key")

@@ -305,3 +305,40 @@ class TestPlanAssembly:
 
         with _pytest.raises(ValueError, match="nope"):
             plan_assembly(1, 1, self._profiles(), required=["nope"])
+
+
+class TestFuzzyDecontamTier:
+    def test_fuzzy_tier_drops_paraphrased_leak(self, spark, tmp_path):
+        import random
+
+        from lantern_spark.operators.assemble import (
+            assemble_pretraining_corpus,
+        )
+        from lantern_spark.operators.curate import CurationConfig
+
+        rng = random.Random(3)
+        words = [f"v{i:03d}" for i in range(300)]
+        eval_toks = [words[rng.randrange(300)] for _ in range(120)]
+        para = list(eval_toks)
+        for i in range(0, len(para), 10):
+            para[i] = f"sw{i}"   # kills every 13-gram, keeps ~70% shingles
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(para)),                                  # fuzzy leak
+                (1, " ".join(words[200 + i % 100] for i in range(90))),  # clean
+            ],
+            "doc_id long, text string",
+        )
+        heldout = spark.createDataFrame(
+            [(0, " ".join(eval_toks))], "doc_id long, text string"
+        )
+        res = assemble_pretraining_corpus(
+            spark, docs, "text", "doc_id", str(tmp_path / "ck"),
+            curation=CurationConfig(min_tokens=5),
+            heldout=heldout,
+            decontaminate_fuzzy_threshold=0.5,
+            seq_tokens=128,
+        )
+        # exact tier keeps both (no verbatim 13-gram); fuzzy drops doc 0
+        assert res.stage_rows["decontaminated"] == 2
+        assert res.stage_rows["decontaminated_fuzzy"] == 1

@@ -753,3 +753,91 @@ class TestGopherAndC4Stages:
         assert set(out) == {0}
         assert "no punctuation here" not in out[0]
         assert "first proper sentence" in out[0]
+
+
+class TestDecontaminateFuzzy:
+    """Fuzzy (MinHash/LSH + Jaccard-verified) decontamination: catches
+    paraphrased eval leakage the exact 13-gram rule misses."""
+
+    @pytest.fixture(scope="class")
+    def sets(self, spark):
+        import random
+
+        rng = random.Random(7)
+        words = [f"w{i:03d}" for i in range(400)]
+        eval_toks = [words[rng.randrange(400)] for _ in range(120)]
+        eval_text = " ".join(eval_toks)
+        # Paraphrase: swap every 10th token — the longest verbatim run
+        # is 9 tokens, so NO 13-gram survives, but ~70% of 3-shingles
+        # are shared (substantially the same document).
+        para = list(eval_toks)
+        for i in range(0, len(para), 10):
+            para[i] = "swapped" + str(i)
+        para_text = " ".join(para)
+        clean = " ".join(words[200 + i] for i in range(120))
+        train = spark.createDataFrame(
+            [
+                (0, eval_text),   # verbatim leak
+                (1, para_text),   # paraphrased leak — fuzzy-only
+                (2, clean),       # clean
+            ],
+            "doc_id long, text string",
+        )
+        heldout = spark.createDataFrame(
+            [(0, eval_text)], "hid long, text string"
+        )
+        return train, heldout
+
+    def test_exact_rule_misses_paraphrase(self, spark, sets):
+        from lantern_spark.operators.curate import decontaminate
+
+        train, heldout = sets
+        kept = decontaminate(train, heldout, "text", "doc_id")
+        assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+    def test_fuzzy_catches_paraphrase(self, spark, sets):
+        from lantern_spark.operators.curate import decontaminate_fuzzy
+
+        train, heldout = sets
+        kept = decontaminate_fuzzy(train, heldout, "text", "doc_id")
+        assert sorted(r.doc_id for r in kept.collect()) == [2]
+
+    def test_flag_mode(self, spark, sets):
+        from lantern_spark.operators.curate import decontaminate_fuzzy
+
+        train, heldout = sets
+        flagged = {
+            r.doc_id: r.contaminated
+            for r in decontaminate_fuzzy(
+                train, heldout, "text", "doc_id", mode="flag"
+            ).collect()
+        }
+        assert flagged == {0: True, 1: True, 2: False}
+
+    def test_verification_kills_banding_fps(self, spark, sets):
+        from lantern_spark.operators.curate import decontaminate_fuzzy
+
+        train, heldout = sets
+        # An impossible threshold: banding candidates all fail
+        # verification, nothing drops — proving the Jaccard check is
+        # live (threshold=None would drop every collision).
+        kept = decontaminate_fuzzy(
+            train, heldout, "text", "doc_id", threshold=1.01
+        )
+        assert kept.count() == 3
+        dropped_unverified = decontaminate_fuzzy(
+            train, heldout, "text", "doc_id", threshold=None
+        )
+        assert dropped_unverified.count() < 3
+
+    def test_no_python_eval(self, spark, sets):
+        from lantern_spark.operators.curate import decontaminate_fuzzy
+
+        train, heldout = sets
+        plan = (
+            decontaminate_fuzzy(train, heldout, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan

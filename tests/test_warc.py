@@ -313,3 +313,69 @@ class TestStreamWet:
             for r in read_wet(spark, str(landing / "a.warc.wet")).collect()
         }
         assert got == want
+
+
+class TestWetToAssembly:
+    """End-to-end integration: WET crawl shards → documents adapter →
+    full pretraining assembly (curation → dedup → decontamination →
+    packing). The crawl front door must feed the whole pipeline."""
+
+    def test_crawl_to_packed_sequences(self, spark, tmp_path):
+        import random
+
+        from lantern_spark.operators.assemble import (
+            assemble_pretraining_corpus,
+        )
+        from lantern_spark.operators.curate import CurationConfig
+        from lantern_spark.sources.warc import read_wet, wet_documents
+
+        rng = random.Random(11)
+        words = [f"tok{i:03d}" for i in range(300)]
+
+        def doc(n):
+            return " ".join(words[rng.randrange(300)] for _ in range(n))
+
+        body = doc(80)
+        recs = []
+        for i in range(20):
+            recs.append(
+                {
+                    "warc_type": "conversion",
+                    "url": f"https://site{i % 7}.example.com/p{i}",
+                    "payload": doc(60) if i != 3 else body,
+                    "record_id": f"<urn:uuid:e2e-{i:04d}>",
+                }
+            )
+        # planted exact duplicate (same text, different URL) — the
+        # exact-dedup tier must collapse it
+        recs.append(
+            {
+                "warc_type": "conversion",
+                "url": "https://mirror.example.org/copy",
+                "payload": body,
+                "record_id": "<urn:uuid:e2e-dup>",
+            }
+        )
+        landing = tmp_path / "crawl"
+        landing.mkdir()
+        write_warc(str(landing / "shard-0.warc.wet"), recs[:11])
+        write_warc(str(landing / "shard-1.warc.wet.gz"), recs[11:],
+                   gzip_file=True)
+
+        docs = wet_documents(read_wet(spark, str(landing)))
+        assert docs.count() == 21
+
+        res = assemble_pretraining_corpus(
+            spark,
+            docs,
+            "text",
+            "doc_id",
+            str(tmp_path / "chk"),
+            curation=CurationConfig(exact_dedup=True, min_tokens=5),
+            seq_tokens=256,
+        )
+        # the duplicate collapsed, everything else survived
+        assert res.stage_rows["exact_dedup"] == 20
+        packed = res.df
+        assert packed.count() > 0
+        assert res.tokens_in > res.tokens_out > 0
