@@ -189,11 +189,18 @@ def rates_for_token_budgets(
     source_col: str,
     budgets: Dict[str, float],
     token_count,
+    allow_upsample: bool = False,
+    max_rate: float = 8.0,
 ) -> Dict[str, float]:
     """Per-source keep rates that hit TOKEN budgets in expectation:
-    rate_s = min(1, budget_s / total_tokens_s). One aggregate scan
-    (n_sources rows to the driver)."""
+    rate_s = budget_s / total_tokens_s, capped at 1 (downsample-only,
+    the default) or at ``max_rate`` with ``allow_upsample=True`` —
+    rates above 1 mean REPEAT the source (multi-epoch upsampling of a
+    small high-quality source, the standard mixture trick; the cap
+    guards against a typo'd budget repeating a tiny source hundreds
+    of times). One aggregate scan (n_sources rows to the driver)."""
     tc = token_count if not isinstance(token_count, str) else F.col(token_count)
+    cap = float(max_rate) if allow_upsample else 1.0
     totals = {
         r[source_col]: r["t"]
         for r in df.groupBy(source_col)
@@ -201,7 +208,7 @@ def rates_for_token_budgets(
         .collect()
     }
     return {
-        s: min(1.0, float(b) / totals[s])
+        s: min(cap, float(b) / totals[s])
         for s, b in budgets.items()
         if s in totals and totals[s]
     }
@@ -216,6 +223,9 @@ def sample_to_token_budget(
     exact: bool = False,
     salt: str = "",
     keep_unbudgeted: bool = True,
+    allow_upsample: bool = False,
+    max_rate: float = 8.0,
+    epoch_col: str = "epoch",
 ) -> DataFrame:
     """Deterministically sample each source down to a TOKEN budget —
     the "mixture by token share" step of a pretraining recipe
@@ -241,7 +251,16 @@ def sample_to_token_budget(
       many-sourced mixtures, and documented as such.
 
     Sources without a budget are kept whole (``keep_unbudgeted=True``)
-    or dropped — both deterministic."""
+    or dropped — both deterministic.
+
+    ``allow_upsample=True`` (map-only mode only): a budget LARGER than
+    the source repeats it — rate r = k + f emits k full copies of
+    every row plus one more with probability f (deterministic per
+    (id, salt, copy)), each tagged in ``epoch_col`` so packing /
+    shuffling downstream can distinguish repeats. Expectation-exact
+    like downsampling, zero shuffles (an ``explode(sequence(...))``
+    per row); capped at ``max_rate`` epochs. Unbudgeted sources get
+    epoch 0."""
     tc = token_count if not isinstance(token_count, str) else F.col(token_count)
     spark = df.sparkSession
     budget_rows = [(k, float(v)) for k, v in budgets.items()]
@@ -258,18 +277,44 @@ def sample_to_token_budget(
         else F.lit(False) & F.col("__budget").isNull()
     )
     if not exact:
-        rates = rates_for_token_budgets(df, source_col, budgets, tc)
+        rates = rates_for_token_budgets(
+            df, source_col, budgets, tc,
+            allow_upsample=allow_upsample, max_rate=max_rate,
+        )
         rates_df = F.broadcast(
             spark.createDataFrame(
                 [(k, v) for k, v in rates.items()] or [(None, 0.0)],
                 f"{source_col} string, __rate double",
             )
         )
-        return (
-            joined.join(rates_df, source_col, "left")
-            .filter(unbudgeted_keep | (u < F.coalesce("__rate", F.lit(0.0))))
-            .drop("__budget", "__rate")
+        joined_r = joined.join(rates_df, source_col, "left")
+        if not allow_upsample:
+            return joined_r.filter(
+                unbudgeted_keep | (u < F.coalesce("__rate", F.lit(0.0)))
+            ).drop("__budget", "__rate")
+        # Upsampling: k = floor(rate) full copies, plus one more with
+        # probability frac(rate) — the fractional coin varies per
+        # (id, salt, copy index) so repeats of one row stay coupled to
+        # the row only through k, not through a shared coin.
+        rate = F.coalesce("__rate", F.lit(0.0))
+        frac_u = _unit_uniform(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt), F.lit(":frac"))
         )
+        n_copies = F.when(unbudgeted_keep, F.lit(1)).otherwise(
+            F.floor(rate).cast("int")
+            + F.when(frac_u < (rate - F.floor(rate)), 1).otherwise(0)
+        )
+        return (
+            joined_r.withColumn("__n", n_copies)
+            .filter(F.col("__n") > 0)
+            .withColumn(
+                epoch_col,
+                F.explode(F.sequence(F.lit(0), F.col("__n") - 1)),
+            )
+            .drop("__budget", "__rate", "__n")
+        )
+    if allow_upsample:
+        raise ValueError("allow_upsample requires exact=False (map-only mode)")
     w = (
         Window.partitionBy(source_col)
         .orderBy(u.asc(), F.col(id_col).asc())

@@ -213,3 +213,106 @@ class TestTokenBudgetSampling:
             df, "source", "doc_id", {"web": 1e9}, token_count="n_tok"
         )
         assert out.count() == df.count()
+
+
+class TestUpsampling:
+    """Multi-epoch upsampling: budgets larger than a source repeat it
+    (rate = k + f -> k copies + one at probability f), map-only."""
+
+    def _docs(self, spark):
+        rows = [(i, "small", " ".join(f"s{i}w{j}" for j in range(10)))
+                for i in range(40)]
+        rows += [(100 + i, "big", " ".join(f"b{i}w{j}" for j in range(10)))
+                 for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_rates_cap_vs_upsample(self, spark):
+        from lantern_spark.operators.pack import rates_for_token_budgets
+        from lantern_spark.operators.textstats import token_count_ws
+
+        docs = self._docs(spark)
+        tc = token_count_ws("text")
+        capped = rates_for_token_budgets(
+            docs, "source", {"small": 1000.0}, tc
+        )
+        assert capped["small"] == 1.0  # 400 tokens available, capped
+        up = rates_for_token_budgets(
+            docs, "source", {"small": 1000.0}, tc, allow_upsample=True
+        )
+        assert abs(up["small"] - 2.5) < 1e-9
+        assert rates_for_token_budgets(
+            docs, "source", {"small": 1e12}, tc,
+            allow_upsample=True, max_rate=8.0,
+        )["small"] == 8.0
+
+    def test_upsample_hits_budget_in_expectation(self, spark):
+        from lantern_spark.operators.pack import sample_to_token_budget
+        from lantern_spark.operators.textstats import token_count_ws
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark)
+        tc = token_count_ws("text")
+        out = sample_to_token_budget(
+            docs, "source", "doc_id",
+            {"small": 1000.0, "big": 500.0}, tc,
+            allow_upsample=True,
+        )
+        got = {
+            r["source"]: r["t"]
+            for r in out.groupBy("source").agg(F.sum(tc).alias("t")).collect()
+        }
+        # small upsampled toward 1000 (2-3 epochs/doc), big downsampled
+        # toward 500; expectation-exact with ~1/sqrt(n) noise
+        assert 700 <= got["small"] <= 1300
+        assert 300 <= got["big"] <= 700
+        # epochs tagged: every small doc appears with epoch 0..k
+        eps = out.where(F.col("source") == "small").groupBy("doc_id").count()
+        assert eps.agg(F.min("count")).first()[0] >= 2
+        unb = out.where(F.col("source") == "big").select("epoch").distinct().collect()
+        assert {r.epoch for r in unb} <= {0, 1}
+
+    def test_deterministic_and_unbudgeted_epoch0(self, spark):
+        from lantern_spark.operators.pack import sample_to_token_budget
+        from lantern_spark.operators.textstats import token_count_ws
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark)
+        tc = token_count_ws("text")
+        kwargs = dict(allow_upsample=True)
+        a = sample_to_token_budget(
+            docs, "source", "doc_id", {"small": 900.0}, tc, **kwargs
+        )
+        b = sample_to_token_budget(
+            docs, "source", "doc_id", {"small": 900.0}, tc, **kwargs
+        )
+        ka = sorted((r.doc_id, r.epoch) for r in a.collect())
+        kb = sorted((r.doc_id, r.epoch) for r in b.collect())
+        assert ka == kb
+        # unbudgeted source kept whole at epoch 0
+        big = [x for x in ka if x[0] >= 100]
+        assert len(big) == 200 and all(e == 0 for _, e in big)
+
+    def test_exact_mode_rejects_upsample(self, spark):
+        import pytest
+        from lantern_spark.operators.pack import sample_to_token_budget
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="allow_upsample"):
+            sample_to_token_budget(
+                docs, "source", "doc_id", {"small": 900.0},
+                "doc_id", exact=True, allow_upsample=True,
+            )
+
+    def test_no_shuffle_in_upsample_plan(self, spark):
+        from lantern_spark.operators.pack import sample_to_token_budget
+        from lantern_spark.operators.textstats import token_count_ws
+
+        docs = self._docs(spark)
+        out = sample_to_token_budget(
+            docs, "source", "doc_id", {"small": 900.0},
+            token_count_ws("text"), allow_upsample=True,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # broadcast joins only — no shuffle Exchange on the data side
+        import re
+        assert not re.search(r"Exchange hashpartitioning", plan)
