@@ -108,6 +108,16 @@ class AssemblyPlan:
                     f"{field_name}={off!r} — enable it (with its "
                     "knobs) before planning"
                 )
+            # url_dedup's stage gate is url_col AND url_dedup
+            # (curate._curation_stages) — a plan that 'runs' the tier
+            # with url_col unset would silently never execute it and
+            # the corpus would overshoot predicted_tokens_out.
+            if tier == "url_dedup" and getattr(cfg, "url_col", None) is None:
+                raise ValueError(
+                    "plan runs tier 'url_dedup' but the config has "
+                    "url_col=None — the stage would silently not run; "
+                    "set url_col before planning"
+                )
         return dataclasses.replace(cfg, **updates)
 
 

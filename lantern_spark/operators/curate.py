@@ -613,6 +613,14 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
+    return _apply_contamination(train, contaminated, id_col, mode)
+
+
+def _apply_contamination(
+    train: DataFrame, contaminated: DataFrame, id_col: str, mode: str
+) -> DataFrame:
+    """Shared drop/flag tail of the exact and fuzzy decontamination
+    tiers — one definition so the flag-column contract can't drift."""
     if mode == "flag":
         return train.join(
             contaminated.withColumn("contaminated", F.lit(True)),
@@ -707,10 +715,4 @@ def decontaminate_fuzzy(
             .select(id_col)
             .distinct()
         )
-    if mode == "flag":
-        return train.join(
-            contaminated.withColumn("contaminated", F.lit(True)),
-            id_col,
-            "left",
-        ).fillna(False, subset=["contaminated"])
-    return train.join(contaminated, id_col, "left_anti")
+    return _apply_contamination(train, contaminated, id_col, mode)

@@ -271,6 +271,10 @@ def registered_domain(
     labels and pass through the 2-label rule — screen infrastructure
     hosts first) return the host unchanged, as does a host that IS a
     public suffix (no registered domain exists)."""
+    # Materialize up front: a generator would be exhausted by the
+    # cache-key tuple() below and then build (and poison the cache
+    # with) a chain missing every extra rule.
+    extra_suffixes = tuple(extra_suffixes)
     # Resolve the ruleset FIRST so the cache key names the actual
     # rules (id of the parsed dict — stable because default_psl() is
     # itself cached; a reloaded/replaced ruleset is a new dict and
@@ -441,9 +445,21 @@ def url_dedup(
     eligible = F.col(url_col).isNotNull() & (
         F.trim(F.col(url_col)) != ""
     )
+    # concat (not concat_ws) so a NULL id does NOT collapse every
+    # null-id/no-URL row onto one shared '__nourl' key (concat_ws
+    # skips NULLs — review finding: two url=NULL,id=NULL rows would
+    # dedup each other); monotonically_increasing_id breaks the
+    # remaining ties — acceptable nondeterminism because these rows
+    # are all KEPT by contract, the key only provides uniqueness.
     url_key = F.when(eligible, F.md5(key)).otherwise(
-        F.concat_ws(
-            ":", F.lit("__nourl"), F.col(id_col).cast("string")
+        F.when(
+            F.col(id_col).isNotNull(),
+            F.concat(F.lit("__nourl:"), F.col(id_col).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("__nourl_anon:"),
+                F.monotonically_increasing_id().cast("string"),
+            )
         )
     )
     keyed = df.withColumn("__url_key", url_key)
@@ -461,6 +477,7 @@ def filter_domain_blocklist(
     url_col: str,
     blocked_domains: Sequence[str],
     keep_blocked: bool = False,
+    psl=None,
 ) -> DataFrame:
     """Drop (or keep, with ``keep_blocked=True``) rows whose URL's
     registered domain is in ``blocked_domains`` — the C4 blocklist
@@ -468,10 +485,22 @@ def filter_domain_blocklist(
     is blocked by ``example.com`` (subdomain-inclusive, the blocklist
     semantics every pipeline uses).
 
+    An entry is also matched against the LEGACY 2-label registered
+    domain and the exact host (r10, review finding): the bundled PSL's
+    private section makes ``blogspot.com``/``github.io`` public
+    suffixes, so the PSL registered domain of a spam blog is
+    ``spam.blogspot.com`` — a platform-wide blocklist entry
+    ``blogspot.com`` would otherwise silently stop matching the
+    moment the bundled PSL became the default. Three ``isin`` probes
+    of the same set keep both semantics.
+
     ``blocked_domains`` sized like real blocklists (10³-10⁵ entries)
     compiles into an ``isin`` literal set evaluated JVM-side; for
     larger lists pass a DataFrame join instead (broadcast) — this
     helper intentionally takes the common literal path."""
-    dom = registered_domain(url_col)
-    hit = dom.isin([d.lower() for d in blocked_domains])
+    entries = [d.lower() for d in blocked_domains]
+    dom = registered_domain(url_col, psl=psl)
+    legacy = registered_domain(url_col, psl=False)
+    host = url_host(url_col)
+    hit = dom.isin(entries) | legacy.isin(entries) | host.isin(entries)
     return df.filter(hit if keep_blocked else ~F.coalesce(hit, F.lit(False)))

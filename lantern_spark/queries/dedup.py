@@ -312,14 +312,28 @@ def _url_dedup_oracle_sql() -> str:
     when-chain, codegen'd rule-for-rule by ``psl_duckdb_case`` from
     the same parse the Spark expression compiles."""
     from lantern_spark.operators.weburl import (
+        MULTI_LABEL_SUFFIXES,
         TRACKING_PARAMS,
         default_psl,
         psl_duckdb_case,
     )
 
-    domain_case = psl_duckdb_case(
-        default_psl(), host="host", labels="labels", n="len(labels)"
-    )
+    psl = default_psl()
+    if psl is not None:
+        domain_case = psl_duckdb_case(
+            psl, host="host", labels="labels", n="len(labels)"
+        )
+    else:
+        # Bundle missing (e.g. a package-data-less install): the
+        # engine falls back to the embedded 2-label chain, so the
+        # oracle must replay THAT — not crash on psl['exception'].
+        sufs = ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+        domain_case = f"""CASE WHEN len(labels) <= 1 THEN host
+                  WHEN len(labels) >= 3 AND
+                       (labels[-2] || '.' || labels[-1]) IN ({sufs})
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  ELSE labels[-2] || '.' || labels[-1]
+             END"""
     return f"""
     WITH urls AS (SELECT doc_id, {_synth_url_sql()} AS u FROM documents),
     parts AS (

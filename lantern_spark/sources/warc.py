@@ -67,8 +67,12 @@ __all__ = [
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
 _VERSION_PREFIX = b"WARC/"
-# Record separator for the fast path: terminator + next version line.
-_WET_LINESEP = "\r\n\r\nWARC/1.0\r\n"
+# Record separator for the fast path: terminator + next version-line
+# prefix. Version-agnostic ("WARC/1.0" and "WARC/1.1" both split —
+# hardcoding 1.0 would make a 1.1 archive silently ingest as one giant
+# filtered-out row); the version digits stay at the head of each split
+# row and are stripped by the projection.
+_WET_LINESEP = "\r\n\r\nWARC/"
 
 # Headers surfaced as columns (canonical names; matching is
 # case-insensitive per the spec, section 4 "named fields are not
@@ -97,27 +101,39 @@ def _header_regex(name: str) -> str:
 def _wet_records(raw: DataFrame, record_types) -> DataFrame:
     """Shared batch/streaming projection: lineSep-split rows →
     typed WET record columns. Pure Catalyst expressions throughout."""
-    # First record of each file keeps its leading version line (no
-    # preceding terminator to split on); the file's final record keeps
-    # its trailing terminator (no following version line). Normalize
-    # both ends so every row is 'headers\r\n\r\npayload'.
-    rec = F.regexp_replace(
-        F.regexp_replace(F.col("value"), "^WARC/[0-9.]+\r\n", ""),
-        "\r\n\r\n$",
-        "",
-    )
+    # First record of each file keeps its full leading version line
+    # (no preceding terminator to split on); subsequent rows keep the
+    # version DIGITS (the lineSep ends at 'WARC/'). Strip either form
+    # so every row is 'headers\r\n\r\npayload[\r\n\r\n]'.
+    rec = F.regexp_replace(F.col("value"), "^(WARC/)?[0-9.]+\r\n", "")
     df = raw.select(rec.alias("__rec")).where(F.col("__rec") != "")
     hdr = F.substring_index(F.col("__rec"), "\r\n\r\n", 1)
+    cl = F.regexp_extract(
+        hdr, _header_regex("Content-Length"), 1
+    ).cast("long")
+    # Raw payload = everything after the first header/payload gap.
+    # Only the file's FINAL record retains its \r\n\r\n terminator
+    # (non-final terminators are consumed by the lineSep split), so a
+    # blind strip would corrupt a non-final record whose payload is
+    # empty or ends in \r\n\r\n. Content-Length disambiguates: strip
+    # exactly when the raw payload carries 4 extra bytes (terminator
+    # is ASCII, so a 4-char cut is byte-exact; the payload body is
+    # never cut, only compared via octet_length).
+    rawp = F.expr("substring(__rec, instr(__rec, '\r\n\r\n') + 4)")
+    has_term = F.octet_length(rawp) == cl + 4
+    payload = F.when(
+        cl.isNotNull() & has_term,
+        F.expr(
+            "substring(substring(__rec, instr(__rec, '\r\n\r\n') + 4),"
+            " 1, length(substring(__rec, instr(__rec, '\r\n\r\n') + 4)) - 4)"
+        ),
+    ).otherwise(rawp)
     out = df.select(
         *[
             F.regexp_extract(hdr, _header_regex(name), 1).alias(col)
             for name, col in _FIELDS
         ],
-        # Payload = everything after the first header/payload gap.
-        # expr() because instr/substr compose more readably in SQL.
-        F.expr(
-            "substring(__rec, instr(__rec, '\r\n\r\n') + 4)"
-        ).alias("text"),
+        payload.alias("text"),
     )
     out = out.withColumn(
         "warc_date", F.to_timestamp(F.col("warc_date"))
@@ -364,6 +380,7 @@ def write_warc(
     records: Iterable[Mapping],
     gzip_file: bool = False,
     gzip_per_record: bool = False,
+    version: str = "1.0",
 ) -> None:
     """Write spec-conformant WARC bytes (the tests' fixture writer).
 
@@ -378,7 +395,7 @@ def write_warc(
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
         rid = r.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
-        lines = [b"WARC/1.0"]
+        lines = [f"WARC/{version}".encode("ascii")]
         hdrs = [
             ("WARC-Type", r["warc_type"]),
             ("WARC-Record-ID", rid),

@@ -229,6 +229,7 @@ def incremental_neardup_job(
         ]
 
     bloom_dir = os.path.join(store_path, "bloom")
+    bloom_params_path = os.path.join(store_path, "bloom_params.json")
     _bkey = F.concat_ws(
         "\x1f", F.col("band").cast("string"), F.col("key")
     ).alias("__bk")
@@ -238,6 +239,41 @@ def incremental_neardup_job(
             n.endswith(".parquet") or n.startswith("part-")
             for n in os.listdir(bloom_dir)
         )
+
+    _bloom_params = {
+        "m_bits": int(bloom_m_bits),
+        "shards": int(bloom_shards),
+        "k": int(bloom_k),
+    }
+
+    def _check_bloom_params() -> None:
+        """A persisted filter built with different (m_bits, shards, k)
+        probes old bits with new arithmetic — silent FALSE NEGATIVES
+        (admitted duplicates) or shard index errors (review finding).
+        The manifest pins the build params; on mismatch — or a
+        pre-manifest filter — the stale filter is DROPPED and rebuilt
+        from the store via the existing bootstrap path, never probed."""
+        import json
+        import shutil
+
+        if not _have_bloom():
+            return
+        stored = None
+        if os.path.isfile(bloom_params_path):
+            try:
+                with open(bloom_params_path) as fh:
+                    stored = json.load(fh)
+            except (OSError, ValueError):
+                stored = None
+        if stored != _bloom_params:
+            shutil.rmtree(bloom_dir, ignore_errors=True)
+            try:
+                os.remove(bloom_params_path)
+            except OSError:
+                pass
+
+    if bloom_prefilter:
+        _check_bloom_params()
 
     def _history_probable(keys_df: DataFrame) -> bool:
         """One cogroup of the batch's composite band keys against the
@@ -308,6 +344,10 @@ def incremental_neardup_job(
             replace_dir(staged, bloom_dir)
         else:
             os.rename(staged, bloom_dir)
+        import json
+
+        with open(bloom_params_path, "w") as fh:
+            json.dump(_bloom_params, fh)
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():

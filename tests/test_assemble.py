@@ -342,3 +342,19 @@ class TestFuzzyDecontamTier:
         # exact tier keeps both (no verbatim 13-gram); fuzzy drops doc 0
         assert res.stage_rows["decontaminated"] == 2
         assert res.stage_rows["decontaminated_fuzzy"] == 1
+
+
+class TestPlanValidatesUrlCol:
+    def test_url_dedup_tier_requires_url_col(self):
+        import pytest
+
+        from lantern_spark.operators.assemble import AssemblyPlan
+        from lantern_spark.operators.curate import CurationConfig
+
+        plan = AssemblyPlan(
+            run=["url_dedup"], skip=[], predicted_tokens_out=1,
+            predicted_cost_s=0.0, feasible=True, decision="t",
+        )
+        cfg = CurationConfig(url_dedup=True)  # url_col left None
+        with pytest.raises(ValueError, match="url_col"):
+            plan.apply_to(cfg)

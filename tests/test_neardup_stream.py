@@ -288,3 +288,89 @@ class TestStreamingNearDup:
             if n.startswith("batch_")
         ]
         assert len(frags) <= 2  # compacted at least once
+
+
+class TestBloomParamsManifest:
+    """Review finding: a persisted filter probed with different
+    (m_bits, shards, k) than it was built with yields silent false
+    negatives. The params manifest must detect the change and rebuild
+    the filter from the store instead of probing stale bits."""
+
+    def _batch(self, spark, tmp_path, sub, ids):
+        docs = _docs()
+        d = tmp_path / "src" / sub
+        spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id long, text string"
+        ).repartition(1).write.mode("overwrite").parquet(str(d))
+
+    def _run_once(self, spark, tmp_path, **kw):
+        import shutil
+
+        from lantern_spark.streaming.neardup_stream import (
+            incremental_neardup_job,
+            load_neardup_survivors,
+        )
+
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(tmp_path / "src") + "/*")
+        # fresh checkpoint per run so every batch replays against the
+        # persisted store (simulating a restarted job)
+        shutil.rmtree(tmp_path / "chk", ignore_errors=True)
+        q = incremental_neardup_job(
+            stream, "text", "doc_id", str(tmp_path / "store"),
+            str(tmp_path / "chk"), verify_threshold=0.8, **kw,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(
+            r["doc_id"]
+            for r in load_neardup_survivors(
+                spark, str(tmp_path / "store")
+            ).collect()
+        )
+
+    def test_resized_filter_rebuilds_and_still_drops_dups(
+        self, spark, tmp_path
+    ):
+        import json
+        import os
+
+        (tmp_path / "src").mkdir(parents=True)
+        self._batch(spark, tmp_path, "b0", [1, 3])
+        got = self._run_once(
+            spark, tmp_path, bloom_m_bits=1 << 16, bloom_shards=4
+        )
+        assert got == [1, 3]
+        params = json.load(
+            open(tmp_path / "store" / "bloom_params.json")
+        )
+        assert params == {"m_bits": 1 << 16, "shards": 4, "k": 7}
+
+        # Restart with a RESIZED filter: the stale filter must be
+        # dropped + rebuilt (manifest updated), and the near-dup of
+        # doc 1 must still drop — with the old bits probed under new
+        # arithmetic it would false-negative straight past the store.
+        self._batch(spark, tmp_path, "b1", [4, 5])
+        got = self._run_once(
+            spark, tmp_path, bloom_m_bits=1 << 18, bloom_shards=8
+        )
+        assert got == [1, 3, 5]
+        params = json.load(
+            open(tmp_path / "store" / "bloom_params.json")
+        )
+        assert params == {"m_bits": 1 << 18, "shards": 8, "k": 7}
+
+    def test_pre_manifest_filter_treated_as_stale(self, spark, tmp_path):
+        import os
+
+        (tmp_path / "src").mkdir(parents=True)
+        self._batch(spark, tmp_path, "b0", [1, 3])
+        self._run_once(spark, tmp_path)
+        os.remove(tmp_path / "store" / "bloom_params.json")
+        self._batch(spark, tmp_path, "b1", [4])
+        got = self._run_once(spark, tmp_path)
+        assert got == [1, 3]  # dup still dropped after rebuild
+        assert (tmp_path / "store" / "bloom_params.json").exists()

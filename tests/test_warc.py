@@ -379,3 +379,51 @@ class TestWetToAssembly:
         packed = res.df
         assert packed.count() > 0
         assert res.tokens_in > res.tokens_out > 0
+
+
+class TestRecordBoundaryEdgeCases:
+    """Review findings: the trailing-terminator strip must be
+    Content-Length-guarded (a blind strip corrupts non-final records
+    with empty or CRLFCRLF-ending payloads), and the record separator
+    must be version-agnostic (a WARC/1.1 archive previously ingested
+    as zero rows with no error)."""
+
+    EDGE = [
+        {"warc_type": "conversion", "url": "https://e/1",
+         "payload": "", "record_id": "<urn:uuid:edge-empty-mid>"},
+        {"warc_type": "conversion", "url": "https://e/2",
+         "payload": "ends with terminator bytes\r\n\r\n",
+         "record_id": "<urn:uuid:edge-crlf-mid>"},
+        {"warc_type": "conversion", "url": "https://e/3",
+         "payload": "normal middle doc",
+         "record_id": "<urn:uuid:edge-normal>"},
+        {"warc_type": "conversion", "url": "https://e/4",
+         "payload": "", "record_id": "<urn:uuid:edge-empty-final>"},
+    ]
+
+    def _check(self, spark, path):
+        fast = {
+            r.record_id: r.text
+            for r in read_wet(spark, str(path)).collect()
+        }
+        strict = {
+            r.record_id: bytes(r.payload).decode("utf-8")
+            for r in read_warc(
+                spark, str(path), record_types=["conversion"]
+            ).collect()
+        }
+        assert fast == strict
+        want = {r["record_id"]: r["payload"] for r in self.EDGE}
+        assert fast == want
+
+    def test_empty_and_terminator_payloads_mid_file(self, spark, tmp_path):
+        p = tmp_path / "edge.warc.wet"
+        write_warc(str(p), self.EDGE)
+        self._check(spark, p)
+
+    def test_warc_1_1(self, spark, tmp_path):
+        p = tmp_path / "v11.warc.wet"
+        write_warc(str(p), self.EDGE, version="1.1")
+        self._check(spark, p)
+        rows = read_wet(spark, str(p)).collect()
+        assert len(rows) == len(self.EDGE)  # not one giant dropped row

@@ -642,3 +642,59 @@ class TestExprMemoization:
         finally:
             W._DEFAULT_PSL_CACHE.clear()
             W._DEFAULT_PSL_CACHE.extend(old)
+
+
+class TestReviewFixes:
+    def test_url_dedup_null_id_rows_all_kept(self, spark):
+        from lantern_spark.operators.weburl import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (None, None, "a"),
+                (None, None, "b"),
+                (None, "", "c"),
+                (7, "https://x.com/p", "d"),
+                (8, "https://x.com/p", "e"),
+            ],
+            "doc_id long, url string, text string",
+        )
+        kept = url_dedup(df, "url", "doc_id").collect()
+        # all three no-URL rows kept (even with NULL ids — concat_ws
+        # would have collapsed them onto one '__nourl' key), real URL
+        # duplicate deduped to min id
+        assert len(kept) == 4
+        assert sorted(r.text for r in kept) == ["a", "b", "c", "d"]
+
+    def test_blocklist_matches_platform_suffix_entries(self, spark):
+        from lantern_spark.operators.weburl import filter_domain_blocklist
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://spam.blogspot.com/post"),   # platform entry
+                (2, "https://evil.example.com/x"),       # classic eTLD+1
+                (3, "https://github.io/"),               # exact-host entry
+                (4, "https://clean.example.org/ok"),
+            ],
+            "doc_id long, url string",
+        )
+        kept = filter_domain_blocklist(
+            df, "url", ["blogspot.com", "example.com", "github.io"]
+        )
+        assert sorted(r.doc_id for r in kept.collect()) == [4]
+
+    def test_generator_extra_suffixes(self, spark):
+        from pyspark.sql import Row
+
+        from lantern_spark.operators.weburl import registered_domain
+
+        gen = (s for s in ["examplereg.zz"])
+        col = registered_domain("url", extra_suffixes=gen)
+        df = spark.createDataFrame(
+            [Row(url="https://a.b.examplereg.zz/x")]
+        )
+        got = df.select(col.alias("d")).first().d
+        assert got == "b.examplereg.zz"  # generator not lost to the cache key
+        # and the cache entry is keyed by the materialized extras
+        col2 = registered_domain("url", extra_suffixes=["examplereg.zz"])
+        got2 = df.select(col2.alias("d")).first().d
+        assert got2 == "b.examplereg.zz"
