@@ -1,0 +1,133 @@
+"""HTML → text extraction as pure Catalyst expressions.
+
+The missing link between raw WARC ``response`` records
+(:func:`lantern_spark.sources.warc.read_warc`) and the ``documents``
+pipeline: crawl HTML in, curation-ready text out. This is the
+C4-lineage baseline tier — C4 itself was built with exactly this class
+of tag-strip + line-filter extraction (Raffel et al. 2020 §2.2); the
+higher-fidelity DOM extractors (trafilatura, jusText — what RefinedWeb
+uses) are Python libraries this container doesn't ship, so
+:func:`extract_text_udf_hook` documents the seam where one plugs in
+without changing the pipeline shape.
+
+Everything here is ``regexp_replace`` chains — JVM-side, whole-stage
+codegen, zero Python: at 100 TB the extraction pass costs what the
+regex scan costs, exactly like the PII scrub (`operators/textstats`).
+
+Order matters and is pinned by tests:
+
+1. drop ``<script>``/``<style>``/``<noscript>``/``<template>`` WITH
+   their contents ((?is) — script bodies are not text);
+2. drop HTML comments ``<!-- ... -->`` (incl. conditional comments);
+3. block-level closing tags → newline (so ``</p></div>`` preserves
+   paragraph structure for the line-level C4 cleaner downstream);
+4. strip every remaining tag;
+5. decode the common entities (named set + numeric ``&#NNN;`` /
+   ``&#xHH;`` for the ASCII range — the long tail of named entities
+   is left intact rather than half-decoded);
+6. collapse horizontal whitespace, trim per line, squeeze blank runs.
+"""
+
+from __future__ import annotations
+
+# module-level so pandas_udf type-hint inference (which resolves the
+# stringified hints against module globals under
+# `from __future__ import annotations`) can see it
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["html_to_text", "html_title", "extract_text_udf_hook"]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# Containers whose CONTENT is dropped (scripts are not prose).
+_DROP_CONTENT = ("script", "style", "noscript", "template", "svg", "head")
+
+# Block-level elements whose boundaries become newlines.
+_BLOCK = (
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|blockquote|"
+    "section|article|header|footer|pre|figure|figcaption|form"
+)
+
+# Named entities worth decoding inline (the high-frequency set; the
+# rest stay literal — visible, greppable, never mis-decoded).
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&copy;", "©"),
+    # &amp; LAST: decoding it earlier would turn &amp;lt; into <
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col) -> Column:
+    """Visible text of an HTML document as one column expression.
+
+    Paragraph structure survives as newlines (block boundaries), so
+    the result drops straight into ``c4_clean_lines`` /
+    ``line_dedup`` / the Gopher rules. NULL-safe; non-HTML input
+    passes through mostly unchanged (no tags to strip)."""
+    t = _c(col)
+    for tag in _DROP_CONTENT:
+        t = F.regexp_replace(t, f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block boundaries -> newline BEFORE generic tag strip
+    t = F.regexp_replace(t, f"(?i)</?({_BLOCK})\\b[^>]*/?>", "\n")
+    # inline tags strip to NOTHING (rendering semantics: '</b>.' has
+    # no space before the period; source whitespace is preserved)
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", "")
+    for ent, rep in _ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    # numeric character references (ASCII printable range only — a
+    # when-chain over the full Unicode space would be absurd; chr()
+    # doesn't exist as a SQL function over matches)
+    t = F.regexp_replace(t, r"&#x?0*(?:20|32);", " ")
+    # horizontal whitespace: collapse runs, trim line edges
+    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n\n")
+    # trim() strips spaces only — boundary newlines need the regexp
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def html_title(col) -> Column:
+    """``<title>`` content (entity-decoded, whitespace-collapsed);
+    empty string when absent."""
+    t = F.regexp_extract(_c(col), r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    for ent, rep in _ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_text_udf_hook(df, html_col: str, out_col: str = "text",
+                          extractor=None):
+    """The seam for a real DOM extractor: ``extractor`` is a
+    ``Callable[[pd.Series], pd.Series]`` (e.g. wrapping trafilatura)
+    applied as an Arrow-batched pandas UDF; with ``extractor=None``
+    the expression tier (:func:`html_to_text`) is used — identical
+    output column either way, so swapping extractors never changes
+    the pipeline shape. The libraries themselves are not shipped in
+    this environment; the hook is the documented integration point,
+    tested with a stand-in callable."""
+    if extractor is None:
+        return df.withColumn(out_col, html_to_text(html_col))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _extract(s: pd.Series) -> pd.Series:
+        return extractor(s)
+
+    return df.withColumn(out_col, _extract(F.col(html_col)))

