@@ -81,20 +81,29 @@ def html_to_text(col) -> Column:
     ``line_dedup`` / the Gopher rules. NULL-safe; non-HTML input
     passes through mostly unchanged (no tags to strip)."""
     t = _c(col)
+    # Closing tags are optional in real crawl soup (HTML5 permits
+    # omitting </head>; browsers consume an unclosed <script> to EOF)
+    # — each container closes at its end tag, at <body> (for head),
+    # or at end-of-document, so unclosed heads can't leak their
+    # <title>/<meta> text into the corpus.
     for tag in _DROP_CONTENT:
-        t = F.regexp_replace(t, f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", " ")
+        stop = f"</{tag}\\s*>|$" if tag != "head" else "</head\\s*>|(?=<body\\b)|$"
+        t = F.regexp_replace(
+            t, f"(?is)<{tag}\\b[^>]*>.*?(?:{stop})", " "
+        )
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     # block boundaries -> newline BEFORE generic tag strip
     t = F.regexp_replace(t, f"(?i)</?({_BLOCK})\\b[^>]*/?>", "\n")
     # inline tags strip to NOTHING (rendering semantics: '</b>.' has
     # no space before the period; source whitespace is preserved)
     t = F.regexp_replace(t, r"(?s)<[^>]+>", "")
+    # numeric character references FIRST (so '&amp;#32;' decodes to
+    # the literal '&#32;' the author wrote, never double-decodes) and
+    # with the hex/decimal forms kept separate: decimal 32 and hex 20
+    # are the space — '&#x32;' is the digit '2' and must NOT match.
+    t = F.regexp_replace(t, r"&#0*32;|&#[xX]0*20;", " ")
     for ent, rep in _ENTITIES:
         t = F.regexp_replace(t, ent, rep)
-    # numeric character references (ASCII printable range only — a
-    # when-chain over the full Unicode space would be absurd; chr()
-    # doesn't exist as a SQL function over matches)
-    t = F.regexp_replace(t, r"&#x?0*(?:20|32);", " ")
     # horizontal whitespace: collapse runs, trim line edges
     t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")

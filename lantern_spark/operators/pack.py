@@ -293,16 +293,16 @@ def sample_to_token_budget(
                 unbudgeted_keep | (u < F.coalesce("__rate", F.lit(0.0)))
             ).drop("__budget", "__rate")
         # Upsampling: k = floor(rate) full copies, plus one more with
-        # probability frac(rate) — the fractional coin varies per
-        # (id, salt, copy index) so repeats of one row stay coupled to
-        # the row only through k, not through a shared coin.
+        # probability frac(rate). The fractional coin is the SAME `u`
+        # as the downsample filter, so for rate < 1 the two modes
+        # select the identical subset — allow_upsample=True is a
+        # strict superset-consistent extension of the default mode
+        # (review finding: a distinct coin silently reshuffled
+        # downsampled sources when the flag was toggled).
         rate = F.coalesce("__rate", F.lit(0.0))
-        frac_u = _unit_uniform(
-            F.concat(F.col(id_col).cast("string"), F.lit(salt), F.lit(":frac"))
-        )
         n_copies = F.when(unbudgeted_keep, F.lit(1)).otherwise(
             F.floor(rate).cast("int")
-            + F.when(frac_u < (rate - F.floor(rate)), 1).otherwise(0)
+            + F.when(u < (rate - F.floor(rate)), 1).otherwise(0)
         )
         return (
             joined_r.withColumn("__n", n_copies)

@@ -485,22 +485,60 @@ def filter_domain_blocklist(
     is blocked by ``example.com`` (subdomain-inclusive, the blocklist
     semantics every pipeline uses).
 
-    An entry is also matched against the LEGACY 2-label registered
-    domain and the exact host (r10, review finding): the bundled PSL's
-    private section makes ``blogspot.com``/``github.io`` public
-    suffixes, so the PSL registered domain of a spam blog is
-    ``spam.blogspot.com`` — a platform-wide blocklist entry
-    ``blogspot.com`` would otherwise silently stop matching the
-    moment the bundled PSL became the default. Three ``isin`` probes
-    of the same set keep both semantics.
+    Entries that are PUBLIC SUFFIXES under the active PSL (r10,
+    review finding): the bundled PSL's private section makes
+    ``blogspot.com``/``github.io`` public suffixes, so the PSL
+    registered domain of a spam blog is ``spam.blogspot.com`` — a
+    platform-wide blocklist entry ``blogspot.com`` would otherwise
+    silently stop matching the moment the bundled PSL became the
+    default. Such entries (detected once, driver-side, by replaying
+    the rule chain in Python) additionally match via the legacy
+    2-label domain and the exact host; ordinary-domain entries — the
+    bulk of every real blocklist — pay only the single PSL probe, so
+    the extra URL-parse trees exist in the plan only when a platform
+    entry exists in the list.
 
     ``blocked_domains`` sized like real blocklists (10³-10⁵ entries)
     compiles into an ``isin`` literal set evaluated JVM-side; for
     larger lists pass a DataFrame join instead (broadcast) — this
     helper intentionally takes the common literal path."""
     entries = [d.lower() for d in blocked_domains]
+    resolved = default_psl() if psl is None else psl
+    if isinstance(resolved, str):
+        resolved = load_psl(resolved)
+    platform = (
+        [e for e in entries if _is_public_suffix(e, resolved)]
+        if isinstance(resolved, dict)
+        else []
+    )
     dom = registered_domain(url_col, psl=psl)
-    legacy = registered_domain(url_col, psl=False)
-    host = url_host(url_col)
-    hit = dom.isin(entries) | legacy.isin(entries) | host.isin(entries)
+    hit = dom.isin(entries)
+    if platform:
+        legacy = registered_domain(url_col, psl=False)
+        host = url_host(url_col)
+        hit = hit | legacy.isin(platform) | host.isin(platform)
     return df.filter(hit if keep_blocked else ~F.coalesce(hit, F.lit(False)))
+
+
+def _is_public_suffix(host: str, psl: dict) -> bool:
+    """Driver-side replay of the PSL rule chain for ONE host: True iff
+    the host IS a public suffix (its registered domain would need one
+    more label). Exceptions override (``!city.nagoya.jp`` is
+    registrable); a wildcard base's direct children are suffixes; the
+    base itself and exact rules are suffixes."""
+    labels = host.split(".")
+    n = len(labels)
+    if n <= 1:
+        return True
+    for k, rules in psl.get("exception", {}).items():
+        if n == k and host in rules:
+            return False
+    for k, bases in psl.get("wildcard", {}).items():
+        if n == k + 1 and ".".join(labels[1:]) in bases:
+            return True
+        if n == k and host in bases:
+            return True  # inside the wildcard suffix itself
+    for k, rules in psl.get("exact", {}).items():
+        if n == k and host in rules:
+            return True
+    return False

@@ -67,12 +67,31 @@ __all__ = [
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
 _VERSION_PREFIX = b"WARC/"
-# Record separator for the fast path: terminator + next version-line
-# prefix. Version-agnostic ("WARC/1.0" and "WARC/1.1" both split —
-# hardcoding 1.0 would make a 1.1 archive silently ingest as one giant
-# filtered-out row); the version digits stay at the head of each split
-# row and are stripped by the projection.
-_WET_LINESEP = "\r\n\r\nWARC/"
+# Record separator for the fast path: terminator + the FULL next
+# version line. The full line keeps the false-split surface minimal
+# (a payload would need to contain the terminator + exact version
+# line; the bare 'WARC/' prefix alone fires on prose ABOUT warc
+# files — review finding). The version digits are auto-detected from
+# the archive's first line (hardcoding 1.0 made a 1.1 archive
+# silently ingest as one giant filtered-out row).
+def _wet_linesep(version: str) -> str:
+    return f"\r\n\r\nWARC/{version}\r\n"
+
+
+def _detect_warc_version(spark: SparkSession, path: str) -> str:
+    """Read ONE line of the input (a tiny bounded job — the text scan
+    stops at the first record) and take the version off the leading
+    'WARC/x.y' line. Mixed-version directories are not a thing Common
+    Crawl produces; pass ``version=`` explicitly if yours differ, or
+    use the strict per-record parser (:func:`read_warc`)."""
+    first = spark.read.text(path, lineSep="\r\n").limit(1).collect()
+    if not first or not first[0].value.startswith("WARC/"):
+        raise ValueError(
+            f"not a WARC/WET input: first line is "
+            f"{first[0].value[:32]!r}" if first else
+            f"not a WARC/WET input: {path} is empty"
+        )
+    return first[0].value[len("WARC/"):].strip()
 
 # Headers surfaced as columns (canonical names; matching is
 # case-insensitive per the spec, section 4 "named fields are not
@@ -158,6 +177,7 @@ def read_wet(
     spark: SparkSession,
     path: str,
     record_types: Optional[Sequence[str]] = ("conversion",),
+    version: Optional[str] = None,
 ) -> DataFrame:
     """Read WET file(s) → one row per WARC record, text payload.
 
@@ -169,10 +189,14 @@ def read_wet(
     shows no Python eval node; at 100 TB this is a map-only pass whose
     cost is the decompress + regex scan itself. ``record_types``
     defaults to conversion records (the extracted text); pass ``None``
-    to keep every record including ``warcinfo`` headers.
+    to keep every record including ``warcinfo`` headers. ``version``
+    pins the WARC version in the record separator; the default
+    auto-detects it from the archive's first line.
     """
+    if version is None:
+        version = _detect_warc_version(spark, path)
     return _wet_records(
-        spark.read.text(path, lineSep=_WET_LINESEP), record_types
+        spark.read.text(path, lineSep=_wet_linesep(version)), record_types
     )
 
 
@@ -181,6 +205,7 @@ def stream_wet(
     path: str,
     record_types: Optional[Sequence[str]] = ("conversion",),
     max_files_per_trigger: Optional[int] = None,
+    version: str = "1.0",
 ) -> DataFrame:
     """Streaming twin of :func:`read_wet`: a file-source readStream
     over a landing directory of WET archives — new crawl shards are
@@ -191,11 +216,13 @@ def stream_wet(
     Same all-JVM record split + header projection as the batch path
     (one shared implementation). ``max_files_per_trigger`` bounds each
     micro-batch (a 1 GB-archive landing dir without it makes the first
-    batch the whole backlog)."""
+    batch the whole backlog). ``version`` pins the record separator's
+    WARC version line (no auto-detect here: the landing dir may be
+    empty at stream start — pass the crawl's actual version)."""
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    raw = reader.option("lineSep", _WET_LINESEP).format("text").load(path)
+    raw = reader.option("lineSep", _wet_linesep(version)).format("text").load(path)
     return _wet_records(raw, record_types)
 
 

@@ -246,13 +246,35 @@ def incremental_neardup_job(
         "k": int(bloom_k),
     }
 
+    def _committed_fragments() -> list:
+        d = os.path.join(store_path, "buckets")
+        if not os.path.isdir(d):
+            return []
+        return sorted(n for n in os.listdir(d) if n.startswith("batch_"))
+
+    def _write_bloom_manifest() -> None:
+        import json
+
+        with open(bloom_params_path, "w") as fh:
+            json.dump(
+                {**_bloom_params, "covered": _committed_fragments()}, fh
+            )
+
     def _check_bloom_params() -> None:
         """A persisted filter built with different (m_bits, shards, k)
         probes old bits with new arithmetic — silent FALSE NEGATIVES
         (admitted duplicates) or shard index errors (review finding).
-        The manifest pins the build params; on mismatch — or a
-        pre-manifest filter — the stale filter is DROPPED and rebuilt
-        from the store via the existing bootstrap path, never probed."""
+        The manifest also pins STORE COVERAGE (the bucket fragments
+        folded into the filter): a run with ``bloom_prefilter=False``
+        stores fragments without folding them, and probing the stale
+        filter afterward would skip history scans for exactly those
+        docs (second review finding). On params mismatch, a
+        pre-manifest filter, or uncovered fragments, the stale filter
+        is DROPPED and rebuilt from the store via the existing
+        bootstrap path — never probed. (Consolidation renames
+        fragments; the manifest is refreshed after an in-run fold, and
+        a fold done by a prefilter-off run shows up here as an
+        uncovered name → rebuild, safe.)"""
         import json
         import shutil
 
@@ -265,7 +287,13 @@ def incremental_neardup_job(
                     stored = json.load(fh)
             except (OSError, ValueError):
                 stored = None
-        if stored != _bloom_params:
+        ok = (
+            stored is not None
+            and all(stored.get(k) == v for k, v in _bloom_params.items())
+            and set(_committed_fragments())
+            <= set(stored.get("covered", []))
+        )
+        if not ok:
             shutil.rmtree(bloom_dir, ignore_errors=True)
             try:
                 os.remove(bloom_params_path)
@@ -344,10 +372,9 @@ def incremental_neardup_job(
             replace_dir(staged, bloom_dir)
         else:
             os.rename(staged, bloom_dir)
-        import json
-
-        with open(bloom_params_path, "w") as fh:
-            json.dump(_bloom_params, fh)
+        # coverage = every committed fragment now on disk: the filter
+        # either bootstrapped them or covered them per the setup check
+        _write_bloom_manifest()
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
@@ -476,6 +503,11 @@ def incremental_neardup_job(
                 consolidate_neardup_store(
                     spark, store_path, exclude_epoch=epoch
                 )
+                if bloom_prefilter and _have_bloom():
+                    # fragments were renamed (folded), keys unchanged —
+                    # refresh the coverage names so the next startup
+                    # doesn't see batch_consolidated as uncovered
+                    _write_bloom_manifest()
         finally:
             batch_df.unpersist()
 

@@ -128,3 +128,37 @@ class TestWarcResponseComposition:
             df, "html", extractor=lambda s: pd.Series(["CUSTOM"] * len(s))
         )
         assert out.first().text == "CUSTOM"
+
+
+class TestReviewFixes:
+    def test_unclosed_head_does_not_leak_title(self, spark):
+        html = (
+            "<html><head><title>Buy Cheap Pills</title><meta x=1>"
+            "<body><p>real article text</p>"
+        )
+        r = spark.createDataFrame([Row(html=html)]).select(
+            html_to_text("html").alias("t")).first()
+        assert "Buy Cheap Pills" not in r.t
+        assert "real article text" in r.t
+
+    def test_unclosed_script_consumes_to_eof(self, spark):
+        html = "<p>before</p><script>var leaked = 'nope';"
+        r = spark.createDataFrame([Row(html=html)]).select(
+            html_to_text("html").alias("t")).first()
+        assert r.t == "before"
+
+    def test_numeric_refs_hex_vs_decimal(self, spark):
+        rows = spark.createDataFrame(
+            [
+                (1, "<p>Chapter &#x32;</p>"),   # hex 32 = '2', keep
+                (2, "<p>a&#32;b</p>"),          # decimal 32 = space
+                (3, "<p>a&#x20;b</p>"),         # hex 20 = space
+                (4, "<p>use &amp;#32; here</p>"),  # author wrote &#32;
+            ],
+            "id long, html string",
+        ).select("id", html_to_text("html").alias("t")).collect()
+        got = {r.id: r.t for r in rows}
+        assert got[1] == "Chapter &#x32;"  # not decoded to a space
+        assert got[2] == "a b"
+        assert got[3] == "a b"
+        assert got[4] == "use &#32; here"  # no double decode

@@ -347,7 +347,9 @@ class TestBloomParamsManifest:
         params = json.load(
             open(tmp_path / "store" / "bloom_params.json")
         )
-        assert params == {"m_bits": 1 << 16, "shards": 4, "k": 7}
+        assert {k: params[k] for k in ("m_bits", "shards", "k")} == {
+            "m_bits": 1 << 16, "shards": 4, "k": 7}
+        assert params["covered"]  # store coverage recorded
 
         # Restart with a RESIZED filter: the stale filter must be
         # dropped + rebuilt (manifest updated), and the near-dup of
@@ -361,7 +363,8 @@ class TestBloomParamsManifest:
         params = json.load(
             open(tmp_path / "store" / "bloom_params.json")
         )
-        assert params == {"m_bits": 1 << 18, "shards": 8, "k": 7}
+        assert {k: params[k] for k in ("m_bits", "shards", "k")} == {
+            "m_bits": 1 << 18, "shards": 8, "k": 7}
 
     def test_pre_manifest_filter_treated_as_stale(self, spark, tmp_path):
         import os
@@ -374,3 +377,35 @@ class TestBloomParamsManifest:
         got = self._run_once(spark, tmp_path)
         assert got == [1, 3]  # dup still dropped after rebuild
         assert (tmp_path / "store" / "bloom_params.json").exists()
+
+    def test_prefilter_off_run_staleness_detected(self, spark, tmp_path):
+        """Review finding: a bloom_prefilter=False run stores fragments
+        the filter never folded; a later prefilter=True run must treat
+        the filter as stale (coverage check) instead of probing it —
+        otherwise a near-dup of an unfolded doc skips the history scan
+        and is admitted."""
+        (tmp_path / "src").mkdir(parents=True)
+        # run 1: prefilter ON, stores doc 1 + 3, filter covers them
+        self._batch(spark, tmp_path, "b0", [1, 3])
+        assert self._run_once(spark, tmp_path) == [1, 3]
+        # run 2: prefilter OFF, stores doc 5 (unique) — NOT folded
+        self._batch(spark, tmp_path, "b1", [5])
+        assert self._run_once(
+            spark, tmp_path, bloom_prefilter=False
+        ) == [1, 3, 5]
+        # run 3: prefilter ON again; batch has a near-dup of doc 5's
+        # content? (no near-dup fixture for 5 — use doc 2/4/6 which
+        # near-dup doc 1's family: the coverage check must rebuild so
+        # ANY stored doc's dup still drops). Also verify the manifest
+        # now covers every fragment.
+        import json
+
+        self._batch(spark, tmp_path, "b2", [4])
+        got = self._run_once(spark, tmp_path)
+        assert got == [1, 3, 5]  # 4 (near-dup of 1) dropped post-rebuild
+        params = json.load(open(tmp_path / "store" / "bloom_params.json"))
+        frags = sorted(
+            n for n in __import__("os").listdir(tmp_path / "store" / "buckets")
+            if n.startswith("batch_")
+        )
+        assert set(frags) <= set(params["covered"])

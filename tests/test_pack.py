@@ -316,3 +316,23 @@ class TestUpsampling:
         # broadcast joins only — no shuffle Exchange on the data side
         import re
         assert not re.search(r"Exchange hashpartitioning", plan)
+
+    def test_upsample_subset_consistent_with_downsample(self, spark):
+        """For a rate < 1 source, allow_upsample=True must select the
+        IDENTICAL doc subset as the plain mode (same coin) — toggling
+        the flag cannot silently reshuffle a downsampled source."""
+        from lantern_spark.operators.pack import sample_to_token_budget
+        from lantern_spark.operators.textstats import token_count_ws
+
+        docs = self._docs(spark)
+        tc = token_count_ws("text")
+        plain = sample_to_token_budget(
+            docs, "source", "doc_id", {"big": 500.0}, tc
+        )
+        up = sample_to_token_budget(
+            docs, "source", "doc_id", {"big": 500.0}, tc,
+            allow_upsample=True,
+        )
+        a = sorted(r.doc_id for r in plain.where("source = 'big'").collect())
+        b = sorted(r.doc_id for r in up.where("source = 'big'").collect())
+        assert a == b

@@ -427,3 +427,45 @@ class TestRecordBoundaryEdgeCases:
         self._check(spark, p)
         rows = read_wet(spark, str(p)).collect()
         assert len(rows) == len(self.EDGE)  # not one giant dropped row
+
+
+class TestSeparatorFalseSplit:
+    def test_prose_about_warc_does_not_split(self, spark, tmp_path):
+        # A blank line followed by 'WARC/' prose (pages ABOUT web
+        # archiving) must not split the record: the separator requires
+        # the full version LINE, not the bare prefix.
+        body = (
+            "intro paragraph.\r\n\r\nWARC/ files have headers; "
+            "also\r\n\r\nWARC/1.1 adds fields but this line does not "
+            "end after the version."
+        )
+        p = tmp_path / "prose.warc.wet"
+        write_warc(
+            str(p),
+            [
+                {"warc_type": "conversion", "url": "https://a/1",
+                 "payload": body, "record_id": "<urn:uuid:prose-1>"},
+                {"warc_type": "conversion", "url": "https://a/2",
+                 "payload": "second record", "record_id": "<urn:uuid:prose-2>"},
+            ],
+        )
+        rows = {r.record_id: r.text for r in read_wet(spark, str(p)).collect()}
+        assert rows == {
+            "<urn:uuid:prose-1>": body,
+            "<urn:uuid:prose-2>": "second record",
+        }
+
+    def test_version_autodetect_and_pin(self, spark, tmp_path):
+        p = tmp_path / "v11b.warc.wet"
+        write_warc(
+            str(p),
+            [{"warc_type": "conversion", "url": "https://a/x",
+              "payload": "doc", "record_id": "<urn:uuid:v11-1>"}],
+            version="1.1",
+        )
+        assert read_wet(spark, str(p)).count() == 1          # auto
+        assert read_wet(spark, str(p), version="1.1").count() == 1
+        with pytest.raises(ValueError, match="not a WARC"):
+            q = tmp_path / "junk.txt"
+            q.write_text("hello world\r\nnot warc")
+            read_wet(spark, str(q))

@@ -698,3 +698,42 @@ class TestReviewFixes:
         col2 = registered_domain("url", extra_suffixes=["examplereg.zz"])
         got2 = df.select(col2.alias("d")).first().d
         assert got2 == "b.examplereg.zz"
+
+    def test_is_public_suffix_driver_replay(self):
+        from lantern_spark.operators.weburl import (
+            _is_public_suffix,
+            default_psl,
+        )
+
+        psl = default_psl()
+        assert _is_public_suffix("blogspot.com", psl)
+        assert _is_public_suffix("co.uk", psl)
+        assert _is_public_suffix("foo.nagoya.jp", psl)       # wildcard child
+        assert not _is_public_suffix("city.nagoya.jp", psl)  # exception
+        assert not _is_public_suffix("example.com", psl)
+        assert not _is_public_suffix("spam.blogspot.com", psl)
+
+    def test_plain_blocklist_single_probe_plan(self, spark):
+        # No platform entries -> the plan contains ONE url parse tree,
+        # not three (review finding: 3x URL parsing per row).
+        from lantern_spark.operators.weburl import filter_domain_blocklist
+
+        df = spark.createDataFrame(
+            [(1, "https://a.example.com/x")], "doc_id long, url string"
+        )
+        import re
+
+        def n_parses(entries):
+            plan = (
+                filter_domain_blocklist(df, "url", entries)
+                ._jdf.queryExecution().optimizedPlan().toString()
+            )
+            return len(re.findall(re.escape("(?:[^/@?#]*@)?"), plan))
+
+        plain = n_parses(["example.com", "evil.org"])
+        platform = n_parses(["example.com", "blogspot.com"])
+        # a platform entry pulls in the legacy + host probe trees; a
+        # plain list must NOT pay them (the when-chain itself repeats
+        # the host subtree textually — codegen CSEs that — so the
+        # meaningful assertion is relative)
+        assert plain < platform
