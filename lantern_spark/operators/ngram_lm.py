@@ -27,7 +27,7 @@ the real tokens plus ``</s>``.
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -258,3 +258,73 @@ def train_ngram_lm(
     with open(os.path.join(path, "lm_meta.json"), "w") as fh:
         json.dump(lm._meta(), fh)
     return lm
+
+
+def ppl_buckets(
+    df: DataFrame,
+    ppl_col: str = "ppl",
+    cuts: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    group_col: Optional[str] = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet's signature mechanism (Wenzek et al. 2020 §4.3): rank
+    documents by LM perplexity and cut the corpus into HEAD (lowest
+    ppl — most Wikipedia-like), MIDDLE, TAIL buckets at the given
+    quantile ``cuts``, per ``group_col`` (CCNet buckets per LANGUAGE —
+    a ppl of 500 is head-grade for one language and tail-grade for
+    another). Downstream, the bucket column drops straight into
+    :func:`~lantern_spark.operators.pack.mixture_sample` /
+    ``sample_to_token_budget`` as the source key — "train on head +
+    half of middle" is then one budget dict.
+
+    Plan shape: cutoffs come from ONE ``percentile_approx`` aggregate
+    (n_groups rows to the driver, same contract as
+    ``rates_for_token_budgets``), join back via broadcast, bucket
+    assignment is a when-chain — map-only over the corpus. Rows with
+    NULL perplexity get a NULL bucket (unscoreable ≠ any quality
+    grade; filter or coalesce downstream by policy).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels, got {len(labels)} labels for "
+            f"{len(cuts)} cuts"
+        )
+    spark = df.sparkSession
+    p = F.col(ppl_col)
+    pct = F.percentile_approx(
+        p, F.array(*[F.lit(float(c)) for c in cuts]), F.lit(int(accuracy))
+    )
+    if group_col is None:
+        row = df.agg(pct.alias("__cuts")).first()
+        cut_rows = [(None, row["__cuts"])]
+    else:
+        cut_rows = [
+            (r[group_col], r["__cuts"])
+            for r in df.groupBy(group_col).agg(pct.alias("__cuts")).collect()
+        ]
+    # broadcast the per-group cutoff vectors back
+    if group_col is None:
+        cvals = cut_rows[0][1] or []
+        out = df
+        for i, _ in enumerate(cuts):
+            out = out.withColumn(f"__c{i}", F.lit(float(cvals[i])) if cvals else F.lit(None).cast("double"))
+    else:
+        schema = f"{group_col} string, __cuts array<double>"
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(str(g), list(c) if c else None) for g, c in cut_rows],
+                schema,
+            )
+        )
+        out = df.join(cdf, group_col, "left")
+        for i, _ in enumerate(cuts):
+            out = out.withColumn(f"__c{i}", F.element_at("__cuts", i + 1))
+        out = out.drop("__cuts")
+    bucket = F.when(p.isNull(), F.lit(None).cast("string"))
+    for i, lab in enumerate(labels[:-1]):
+        bucket = bucket.when(p <= F.col(f"__c{i}"), F.lit(lab))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return out.withColumn("ppl_bucket", bucket).drop(
+        *[f"__c{i}" for i in range(len(cuts))]
+    )

@@ -227,3 +227,87 @@ class TestWindowKernel:
         lm = train_ngram_lm(corpus, "text", str(tmp_path), n=2)
         grams = [r["gram"] for r in lm.counts(spark).collect()]
         assert all(g is not None for g in grams)
+
+
+class TestPplBuckets:
+    """CCNet head/middle/tail bucketing: per-group quantile cutoffs,
+    NULL-safe, composable with the mixture machinery."""
+
+    def _scored(self, spark):
+        rows = []
+        # language A: ppl 1..90; language B: ppl 1001..1090 — what is
+        # 'head' must be RELATIVE to the language, not global
+        for i in range(90):
+            rows.append((i, "a", float(i + 1)))
+        for i in range(90):
+            rows.append((100 + i, "b", float(1001 + i)))
+        rows.append((999, "a", None))  # unscoreable
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, ppl double"
+        )
+
+    def test_per_group_thirds(self, spark):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.ngram_lm import ppl_buckets
+
+        out = ppl_buckets(self._scored(spark), group_col="lang")
+        counts = {
+            (r.lang, r.ppl_bucket): r["count"]
+            for r in out.groupBy("lang", "ppl_bucket").count().collect()
+        }
+        for lang in ("a", "b"):
+            for b in ("head", "middle", "tail"):
+                assert 25 <= counts[(lang, b)] <= 35, (lang, b, counts)
+        # head really is the LOW-ppl side, per language
+        agg = {
+            (r.lang, r.ppl_bucket): r.mx
+            for r in out.where(F.col("ppl").isNotNull())
+            .groupBy("lang", "ppl_bucket")
+            .agg(F.max("ppl").alias("mx"))
+            .collect()
+        }
+        assert agg[("a", "head")] < agg[("a", "middle")] < agg[("a", "tail")]
+        assert agg[("b", "head")] < agg[("b", "middle")] < agg[("b", "tail")]
+        assert agg[("b", "head")] > agg[("a", "tail")]  # grouping mattered
+
+    def test_null_ppl_gets_null_bucket(self, spark):
+        from lantern_spark.operators.ngram_lm import ppl_buckets
+
+        out = ppl_buckets(self._scored(spark), group_col="lang")
+        row = out.where("doc_id = 999").first()
+        assert row.ppl_bucket is None
+
+    def test_global_mode_and_label_validation(self, spark):
+        import pytest
+
+        from lantern_spark.operators.ngram_lm import ppl_buckets
+
+        out = ppl_buckets(self._scored(spark))
+        assert set(
+            r.ppl_bucket for r in out.where("ppl is not null").collect()
+        ) == {"head", "middle", "tail"}
+        with pytest.raises(ValueError, match="labels"):
+            ppl_buckets(self._scored(spark), labels=("only", "two"))
+
+    def test_composes_with_mixture(self, spark):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.ngram_lm import ppl_buckets
+        from lantern_spark.operators.pack import mixture_sample
+
+        out = ppl_buckets(self._scored(spark), group_col="lang").where(
+            F.col("ppl_bucket").isNotNull()
+        )
+        # CCNet recipe: all of head, half of middle, no tail
+        kept = mixture_sample(
+            out, "ppl_bucket", "doc_id",
+            {"head": 1.0, "middle": 0.5, "tail": 0.0},
+        )
+        got = {
+            r.ppl_bucket: r["count"]
+            for r in kept.groupBy("ppl_bucket").count().collect()
+        }
+        assert "tail" not in got
+        assert got["head"] >= 55  # all of both languages' heads
+        assert 10 <= got.get("middle", 0) <= 50
