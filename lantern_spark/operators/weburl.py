@@ -520,6 +520,52 @@ def filter_domain_blocklist(
     return df.filter(hit if keep_blocked else ~F.coalesce(hit, F.lit(False)))
 
 
+def filter_domain_blocklist_df(
+    df: DataFrame,
+    url_col: str,
+    blocked: DataFrame,
+    id_col: str,
+    domain_col: str = "domain",
+    keep_blocked: bool = False,
+    psl=None,
+) -> DataFrame:
+    """:func:`filter_domain_blocklist` for BIG lists (10⁶+ entries —
+    real URL-reputation feeds): the blocklist is a DataFrame, matching
+    is a broadcast LEFT SEMI join on the registered domain instead of
+    a literal ``isin`` chain (literal plans stop scaling around 10⁵
+    entries: the when-chain itself becomes megabytes of plan).
+
+    Matches on the PSL registered domain, the legacy 2-label domain,
+    and the exact host (the platform-suffix semantics of the literal
+    variant, unconditionally — with a DataFrame list the membership
+    test costs one broadcast hash probe either way, so there is
+    nothing to gate). Each row contributes its ≤3 distinct probe keys
+    via one explode; blocked ids come back through ``id_col`` (the
+    repo's row-identity convention — joining back on all columns
+    would silently never match rows containing NULLs).
+    NULL/unparseable URLs are never 'blocked'."""
+    d = F.lower(F.trim(F.col(domain_col)))
+    keys = blocked.select(d.alias("__probe")).where(
+        F.col("__probe").isNotNull() & (F.col("__probe") != "")
+    ).distinct()
+    probe = F.array_distinct(
+        F.array(
+            registered_domain(url_col, psl=psl),
+            registered_domain(url_col, psl=False),
+            url_host(url_col),
+        )
+    )
+    blocked_ids = (
+        df.select(F.col(id_col), F.explode(probe).alias("__probe"))
+        .join(F.broadcast(keys), "__probe", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(
+        blocked_ids, id_col, "left_semi" if keep_blocked else "left_anti"
+    )
+
+
 def _is_public_suffix(host: str, psl: dict) -> bool:
     """Driver-side replay of the PSL rule chain for ONE host: True iff
     the host IS a public suffix (its registered domain would need one

@@ -737,3 +737,28 @@ class TestReviewFixes:
         # the host subtree textually — codegen CSEs that — so the
         # meaningful assertion is relative)
         assert plain < platform
+
+    def test_blocklist_df_variant(self, spark):
+        from lantern_spark.operators.weburl import filter_domain_blocklist_df
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://spam.blogspot.com/post"),
+                (2, "https://evil.example.com/x"),
+                (3, "https://clean.example.org/ok"),
+                (4, None),
+            ],
+            "doc_id long, url string",
+        )
+        blocked = spark.createDataFrame(
+            [("blogspot.com",), ("EXAMPLE.com ",), (None,)],
+            "domain string",
+        )
+        kept = filter_domain_blocklist_df(df, "url", blocked, "doc_id")
+        assert sorted(r.doc_id for r in kept.collect()) == [3, 4]
+        hits = filter_domain_blocklist_df(
+            df, "url", blocked, "doc_id", keep_blocked=True
+        )
+        assert sorted(r.doc_id for r in hits.collect()) == [1, 2]
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
