@@ -25,7 +25,7 @@ retry-safe pipeline contract shared with operators/pack (no rand()).
 from __future__ import annotations
 
 from collections import Counter
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -183,6 +183,59 @@ class BPETokenizer:
 
     def token_count_expr(self, col) -> Column:
         return F.size(self.encode_expr(col))
+
+    def id_vocab(self, specials: Sequence[str] = ()) -> dict:
+        """Deterministic token→id map covering every token
+        :meth:`encode_expr` can emit: the 72 base symbols (a-z, 0-9,
+        each with and without the end-of-word mark) in sorted order,
+        then merge products in learned merge order, with ``specials``
+        (pad/bos/eos/unk strings) FIRST so their ids are stable small
+        integers regardless of vocabulary size."""
+        base = sorted(
+            [c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+            + [c + EOW for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+        )
+        toks = list(specials) + base + [a + b for a, b in self.merges]
+        out: dict = {}
+        for t in toks:
+            if t not in out:
+                out[t] = len(out)
+        return out
+
+    def token_ids_expr(self, col, specials: Sequence[str] = ()) -> Column:
+        """array<int> of token ids for a text column — the trainer-
+        facing twin of :meth:`encode_expr`, fused into ONE Arrow pass
+        (encode + id lookup share the per-batch word cache; ids
+        assigned by :meth:`id_vocab`, the map is KBs, shipped by
+        closure)."""
+        vocab = self.id_vocab(specials)
+        ranks = dict(self.ranks)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _ids(texts: pd.Series) -> pd.Series:
+            import re
+
+            cache: dict = {}
+
+            def enc(t):
+                if t is None:
+                    return None
+                out: List[int] = []
+                for w in re.split(r"[^a-z0-9]+", t.lower()):
+                    if not w:
+                        continue
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = [vocab[s] for s in apply_bpe_word(w, ranks)]
+                        if len(cache) < 100_000:
+                            cache[w] = hit
+                    out.extend(hit)
+                return out
+
+            return texts.map(enc)
+
+        c = col if isinstance(col, Column) else F.col(col)
+        return _ids(c)
 
     @staticmethod
     def decode_tokens(tokens: List[str]) -> str:

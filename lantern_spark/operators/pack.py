@@ -326,3 +326,101 @@ def sample_to_token_budget(
         .filter(unbudgeted_keep | (F.col("__before") < F.col("__budget")))
         .drop("__budget", "__before")
     )
+
+
+def export_packed_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    tokenizer,
+    seq_len: int,
+    eos_id: Optional[int] = None,
+    pad_id: Optional[int] = None,
+    chunks: int = 256,
+    specials: Sequence[str] = (),
+    token_ids=None,
+) -> DataFrame:
+    """The last mile: packed TRAINING SEQUENCES of token ids — what a
+    trainer's data loader actually consumes — from a curated text
+    table, in one call.
+
+    Columns out: ``pack_id``, ``input_ids array<int>`` (exactly
+    ``seq_len`` when padded, ≤ ``seq_len`` otherwise), ``n_tokens``
+    (real ids, excluding pad), ``n_docs``, ``doc_starts array<int>``
+    (offset of each document's first id — the boundary table attention
+    masking and loss-masking need).
+
+    Mechanics: documents bin via :func:`pack_sequences` with the
+    TOKENIZER's own count (+1 per doc when ``eos_id`` is set, so bin
+    budgets account for the separator), then one shuffle of id ARRAYS
+    per bin — never a row per token — flattens each bin in ``id_col``
+    order and truncates at ``seq_len`` (start-offset binning overflows
+    by < 1 document; the truncated tail is the same tail the
+    pack_sequences contract already documents). ``pad_id`` pads the
+    final short sequence; default leaves it short (trainers that pack
+    don't pad). ``tokenizer`` is a
+    :class:`~lantern_spark.operators.bpe.BPETokenizer`; pass
+    ``token_ids=`` (a Column of array<int>) to use any other
+    tokenizer's ids with the same packing mechanics.
+    """
+    if token_ids is None:
+        token_ids = tokenizer.token_ids_expr(text_col, specials=specials)
+    ids = (
+        F.concat(token_ids, F.array(F.lit(int(eos_id)).cast("int")))
+        if eos_id is not None
+        else token_ids
+    )
+    tagged = df.select(F.col(id_col), ids.alias("__ids")).where(
+        F.col("__ids").isNotNull() & (F.size("__ids") > 0)
+    )
+    packed = pack_sequences(
+        tagged, "__ids", id_col, max_tokens=int(seq_len),
+        chunks=chunks, token_count=F.size("__ids"),
+    )
+    agg = (
+        packed.groupBy("pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "__ids"))
+            ).alias("__docs")
+        )
+    )
+    flat = agg.select(
+        "pack_id",
+        F.slice(
+            F.flatten(F.col("__docs.__ids")), 1, int(seq_len)
+        ).alias("input_ids"),
+        F.size(F.col("__docs")).alias("n_docs"),
+        # running offsets of each doc's first id (0-based), clipped to
+        # the kept window
+        F.filter(
+            F.transform(
+                F.col("__docs"),
+                lambda _, i: F.coalesce(
+                    F.aggregate(
+                        F.slice(F.col("__docs.__ids"), 1, i),
+                        F.lit(0),
+                        lambda acc, a: acc + F.size(a),
+                    ),
+                    F.lit(0),
+                ),
+            ),
+            lambda s: s < int(seq_len),
+        ).alias("doc_starts"),
+    )
+    out = flat.withColumn("n_tokens", F.size("input_ids"))
+    if pad_id is not None:
+        short = F.col("n_tokens") < int(seq_len)
+        pad = F.array_repeat(
+            F.lit(int(pad_id)).cast("int"),
+            F.lit(int(seq_len)) - F.col("n_tokens"),
+        )
+        out = out.withColumn(
+            "input_ids",
+            F.when(short, F.concat("input_ids", pad)).otherwise(
+                F.col("input_ids")
+            ),
+        )
+    return out.select(
+        "pack_id", "input_ids", "n_tokens", "n_docs", "doc_starts"
+    )

@@ -336,3 +336,92 @@ class TestUpsampling:
         a = sorted(r.doc_id for r in plain.where("source = 'big'").collect())
         b = sorted(r.doc_id for r in up.where("source = 'big'").collect())
         assert a == b
+
+
+class TestExportPackedIds:
+    """Last-mile export: packed token-id training sequences."""
+
+    @pytest.fixture(scope="class")
+    def tok(self, spark):
+        from lantern_spark.operators.bpe import train_bpe
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta token{i % 7} epsilon") for i in range(40)],
+            "doc_id long, text string",
+        )
+        return docs, train_bpe(docs, "text", num_merges=50)
+
+    def test_token_ids_roundtrip_encode(self, spark, tok):
+        from pyspark.sql import functions as F
+
+        docs, bpe = tok
+        vocab = bpe.id_vocab()
+        inv = {v: k for k, v in vocab.items()}
+        both = docs.select(
+            "doc_id",
+            bpe.encode_expr("text").alias("toks"),
+            bpe.token_ids_expr("text").alias("ids"),
+        ).collect()
+        for r in both:
+            assert [inv[i] for i in r.ids] == r.toks
+
+    def test_specials_get_low_stable_ids(self, tok):
+        _, bpe = tok
+        v = bpe.id_vocab(specials=("<pad>", "<eos>"))
+        assert v["<pad>"] == 0 and v["<eos>"] == 1
+
+    def test_packed_sequences_shape_and_boundaries(self, spark, tok):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.pack import export_packed_ids
+
+        docs, bpe = tok
+        v = bpe.id_vocab(specials=("<pad>", "<eos>"))
+        out = export_packed_ids(
+            docs, "text", "doc_id", bpe, seq_len=64,
+            eos_id=v["<eos>"], pad_id=v["<pad>"],
+            specials=("<pad>", "<eos>"),
+        ).collect()
+        assert len(out) >= 2
+        for r in out:
+            assert len(r.input_ids) == 64          # padded to seq_len
+            assert r.n_tokens <= 64
+            assert r.n_docs >= 1
+            assert len(r.doc_starts) >= 1
+            assert r.doc_starts[0] == 0
+            assert all(a < b for a, b in zip(r.doc_starts, r.doc_starts[1:]))
+            assert all(s < 64 for s in r.doc_starts)
+            # eos separator present at each doc boundary - 1
+            for s in r.doc_starts[1:]:
+                assert r.input_ids[s - 1] == v["<eos>"]
+
+    def test_token_conservation_with_wide_bins(self, spark, tok):
+        """With bins wide enough that nothing truncates, every doc's
+        ids (+1 eos each) must appear across the packs exactly once."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.pack import export_packed_ids
+
+        docs, bpe = tok
+        n_total = docs.select(
+            F.sum(F.size(bpe.token_ids_expr("text"))).alias("t")
+        ).first().t
+        out = export_packed_ids(
+            docs, "text", "doc_id", bpe, seq_len=10_000, eos_id=99_999,
+        )
+        from pyspark.sql import functions as SF
+
+        got = out.agg(SF.sum("n_tokens").alias("t"),
+                      SF.sum("n_docs").alias("d")).first()
+        assert got.d == 40
+        assert got.t == n_total + 40  # every token once + one eos/doc
+
+    def test_deterministic(self, spark, tok):
+        from lantern_spark.operators.pack import export_packed_ids
+
+        docs, bpe = tok
+        a = export_packed_ids(docs, "text", "doc_id", bpe, seq_len=64).collect()
+        b = export_packed_ids(docs, "text", "doc_id", bpe, seq_len=64).collect()
+        ka = sorted((r.pack_id, tuple(r.input_ids)) for r in a)
+        kb = sorted((r.pack_id, tuple(r.input_ids)) for r in b)
+        assert ka == kb
