@@ -221,6 +221,10 @@ def assemble_pretraining_corpus(
     report: bool = True,
     token_count=None,
     plan: Optional[AssemblyPlan] = None,
+    export_tokenizer=None,
+    export_eos_id: Optional[int] = None,
+    export_pad_id: Optional[int] = None,
+    export_specials: Sequence[str] = (),
 ) -> AssemblyResult:
     """Run the full assembly; returns :class:`AssemblyResult`.
 
@@ -253,6 +257,15 @@ def assemble_pretraining_corpus(
     selection — its skipped dedup tiers are disabled on a COPY of the
     curation config and the decision is recorded on the result
     (``res.plan``), so the report shows WHY a tier didn't run.
+
+    ``export_tokenizer`` (r10): a
+    :class:`~lantern_spark.operators.bpe.BPETokenizer` switches the
+    final stage from text packing to
+    :func:`~lantern_spark.operators.pack.export_packed_ids` — the
+    result DataFrame is then trainer-ready ``(pack_id, input_ids,
+    n_tokens, n_docs, doc_starts)`` shards and ``tokens_out`` counts
+    real ids; ``export_eos_id``/``export_pad_id``/``export_specials``
+    pass through.
 
     ``report=True`` counts rows at each stage boundary (one cheap job
     per boundary at bench scale — turn off for production and read
@@ -316,6 +329,26 @@ def assemble_pretraining_corpus(
                 out, source_col, id_col, token_budgets, tok
             ),
         )
+
+    if export_tokenizer is not None:
+        # trainer-ready shards: the final stage swaps text packing for
+        # token-id packing (same binning contract; one extra Arrow
+        # pass for encoding, which a trainer pays anyway)
+        from lantern_spark.operators.pack import export_packed_ids
+
+        shards = export_packed_ids(
+            out, text_col, id_col, export_tokenizer,
+            seq_len=int(seq_tokens), eos_id=export_eos_id,
+            pad_id=export_pad_id, specials=export_specials,
+        )
+        res.df = shards
+        if report:
+            agg = shards.agg(
+                F.sum("n_tokens").alias("t"), F.count("*").alias("p")
+            ).first()
+            res.tokens_out = int(agg["t"] or 0)
+            res.n_packs = int(agg["p"] or 0)
+        return res
 
     out = pack_sequences(
         out, text_col, id_col, max_tokens=int(seq_tokens), token_count=tok

@@ -358,3 +358,33 @@ class TestPlanValidatesUrlCol:
         cfg = CurationConfig(url_dedup=True)  # url_col left None
         with pytest.raises(ValueError, match="url_col"):
             plan.apply_to(cfg)
+
+
+class TestExportShards:
+    def test_assembly_emits_trainer_shards(self, spark, tmp_path):
+        from lantern_spark.operators.assemble import (
+            assemble_pretraining_corpus,
+        )
+        from lantern_spark.operators.bpe import train_bpe
+        from lantern_spark.operators.curate import CurationConfig
+
+        docs = _corpus(spark)
+        bpe = train_bpe(docs, "text", num_merges=60)
+        v = bpe.id_vocab(specials=("<pad>", "<eos>"))
+        res = assemble_pretraining_corpus(
+            spark, docs, "text", "doc_id", str(tmp_path / "ck"),
+            curation=CurationConfig(min_tokens=5, exact_dedup=True),
+            seq_tokens=128,
+            export_tokenizer=bpe,
+            export_eos_id=v["<eos>"], export_pad_id=v["<pad>"],
+            export_specials=("<pad>", "<eos>"),
+        )
+        rows = res.df.collect()
+        assert rows and set(res.df.columns) == {
+            "pack_id", "input_ids", "n_tokens", "n_docs", "doc_starts"
+        }
+        assert all(len(r.input_ids) == 128 for r in rows)
+        assert res.n_packs == len(rows)
+        assert res.tokens_out == sum(r.n_tokens for r in rows)
+        # the per-stage accounting is still there
+        assert res.stage_rows["exact_dedup"] < res.stage_rows["input"]
