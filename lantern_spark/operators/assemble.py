@@ -274,7 +274,17 @@ def assemble_pretraining_corpus(
     if plan is not None:
         cfg = plan.apply_to(cfg)
     res = AssemblyResult(df=docs, plan=plan)
-    tok = token_count if token_count is not None else token_count_ws(text_col)
+    # one-counter contract: with an export tokenizer and no explicit
+    # counter, the accounting/budget counter defaults to THAT
+    # tokenizer's count — otherwise mixture budgets would be set in
+    # whitespace tokens while the shards are delivered in BPE ids
+    # (~1.3-2× apart; review finding)
+    if token_count is not None:
+        tok = token_count
+    elif export_tokenizer is not None:
+        tok = export_tokenizer.token_count_expr(text_col)
+    else:
+        tok = token_count_ws(text_col)
 
     def note(name: str, frame: DataFrame) -> DataFrame:
         if report:

@@ -88,6 +88,35 @@ def train_bpe_from_counts(
     return merges
 
 
+def _encode_series(texts: "pd.Series", ranks: dict, vocab: Optional[dict]):
+    """Shared encode kernel for the Arrow UDFs (one implementation, so
+    the tokenizer front end — split regex, word cache, NULL contract —
+    can never diverge between the string and id paths): subword tokens
+    per text, mapped through ``vocab`` to ids when given."""
+    import re
+
+    cache: dict = {}
+
+    def enc(t):
+        if t is None:
+            return None
+        out: list = []
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if not w:
+                continue
+            hit = cache.get(w)
+            if hit is None:
+                hit = apply_bpe_word(w, ranks)
+                if vocab is not None:
+                    hit = [vocab[s] for s in hit]
+                if len(cache) < 100_000:
+                    cache[w] = hit
+            out.extend(hit)
+        return out
+
+    return texts.map(enc)
+
+
 def apply_bpe_word(word: str, ranks: dict) -> List[str]:
     """Greedy BPE apply: repeatedly merge the best-ranked adjacent pair
     (the standard inference algorithm — identical output to replaying
@@ -157,26 +186,7 @@ class BPETokenizer:
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def _encode(texts: pd.Series) -> pd.Series:
-            import re
-
-            cache: dict = {}
-
-            def enc(t):
-                if t is None:
-                    return None
-                out: List[str] = []
-                for w in re.split(r"[^a-z0-9]+", t.lower()):
-                    if not w:
-                        continue
-                    hit = cache.get(w)
-                    if hit is None:
-                        hit = apply_bpe_word(w, ranks)
-                        if len(cache) < 100_000:
-                            cache[w] = hit
-                    out.extend(hit)
-                return out
-
-            return texts.map(enc)
+            return _encode_series(texts, ranks, None)
 
         c = col if isinstance(col, Column) else F.col(col)
         return _encode(c)
@@ -213,26 +223,7 @@ class BPETokenizer:
 
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
         def _ids(texts: pd.Series) -> pd.Series:
-            import re
-
-            cache: dict = {}
-
-            def enc(t):
-                if t is None:
-                    return None
-                out: List[int] = []
-                for w in re.split(r"[^a-z0-9]+", t.lower()):
-                    if not w:
-                        continue
-                    hit = cache.get(w)
-                    if hit is None:
-                        hit = [vocab[s] for s in apply_bpe_word(w, ranks)]
-                        if len(cache) < 100_000:
-                            cache[w] = hit
-                    out.extend(hit)
-                return out
-
-            return texts.map(enc)
+            return _encode_series(texts, ranks, vocab)
 
         c = col if isinstance(col, Column) else F.col(col)
         return _ids(c)

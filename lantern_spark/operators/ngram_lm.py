@@ -310,14 +310,28 @@ def ppl_buckets(
         for i, _ in enumerate(cuts):
             out = out.withColumn(f"__c{i}", F.lit(float(cvals[i])) if cvals else F.lit(None).cast("double"))
     else:
-        schema = f"{group_col} string, __cuts array<double>"
+        # preserve the group key's TYPE and NULL identity: stringifying
+        # a NULL key as 'None' (review finding) both orphans NULL-group
+        # rows (equi-join never matches NULL → their cutoffs are lost
+        # and scored rows fall to the last label) and collides with a
+        # real group literally named 'None'. NULL-safe join instead.
+        from pyspark.sql import types as _T
+
+        gtype = df.schema[group_col].dataType
+        schema = _T.StructType(
+            [
+                _T.StructField("__g", gtype),
+                _T.StructField("__cuts", _T.ArrayType(_T.DoubleType())),
+            ]
+        )
         cdf = F.broadcast(
             spark.createDataFrame(
-                [(str(g), list(c) if c else None) for g, c in cut_rows],
-                schema,
+                [(g, list(c) if c else None) for g, c in cut_rows], schema
             )
         )
-        out = df.join(cdf, group_col, "left")
+        out = df.join(
+            cdf, F.col(group_col).eqNullSafe(F.col("__g")), "left"
+        ).drop("__g")
         for i, _ in enumerate(cuts):
             out = out.withColumn(f"__c{i}", F.element_at("__cuts", i + 1))
         out = out.drop("__cuts")

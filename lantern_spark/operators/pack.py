@@ -30,7 +30,7 @@ top-k operator (operators/topk).
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -365,14 +365,19 @@ def export_packed_ids(
     """
     if token_ids is None:
         token_ids = tokenizer.token_ids_expr(text_col, specials=specials)
+    # empty-doc filter runs on the RAW ids, before the eos append —
+    # otherwise a zero-token document (non-Latin text through the
+    # ascii BPE front end, punctuation-only rows) would export as a
+    # phantom lone-eos 'document' (review finding)
+    raw = df.select(F.col(id_col), token_ids.alias("__raw")).where(
+        F.col("__raw").isNotNull() & (F.size("__raw") > 0)
+    )
     ids = (
-        F.concat(token_ids, F.array(F.lit(int(eos_id)).cast("int")))
+        F.concat(F.col("__raw"), F.array(F.lit(int(eos_id)).cast("int")))
         if eos_id is not None
-        else token_ids
+        else F.col("__raw")
     )
-    tagged = df.select(F.col(id_col), ids.alias("__ids")).where(
-        F.col("__ids").isNotNull() & (F.size("__ids") > 0)
-    )
+    tagged = raw.select(F.col(id_col), ids.alias("__ids"))
     packed = pack_sequences(
         tagged, "__ids", id_col, max_tokens=int(seq_len),
         chunks=chunks, token_count=F.size("__ids"),
@@ -392,18 +397,21 @@ def export_packed_ids(
         ).alias("input_ids"),
         F.size(F.col("__docs")).alias("n_docs"),
         # running offsets of each doc's first id (0-based), clipped to
-        # the kept window
+        # the kept window — ONE aggregate scan over the per-doc sizes
+        # (exclusive prefix sum; re-slicing the nested id arrays per
+        # index would be quadratic in ids per pack, review finding)
         F.filter(
-            F.transform(
-                F.col("__docs"),
-                lambda _, i: F.coalesce(
-                    F.aggregate(
-                        F.slice(F.col("__docs.__ids"), 1, i),
-                        F.lit(0),
-                        lambda acc, a: acc + F.size(a),
-                    ),
-                    F.lit(0),
+            F.aggregate(
+                F.transform(F.col("__docs"), lambda d: F.size(d["__ids"])),
+                F.struct(
+                    F.lit(0).alias("s"),
+                    F.expr("array()").cast("array<int>").alias("a"),
                 ),
+                lambda acc, n: F.struct(
+                    (acc["s"] + n).alias("s"),
+                    F.concat(acc["a"], F.array(acc["s"])).alias("a"),
+                ),
+                lambda acc: acc["a"],
             ),
             lambda s: s < int(seq_len),
         ).alias("doc_starts"),

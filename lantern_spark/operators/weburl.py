@@ -48,6 +48,7 @@ __all__ = [
     "psl_duckdb_case",
     "url_dedup",
     "filter_domain_blocklist",
+    "filter_domain_blocklist_df",
     "TRACKING_PARAMS",
     "MULTI_LABEL_SUFFIXES",
     "PSL_SNIPPET_PATH",

@@ -388,3 +388,34 @@ class TestExportShards:
         assert res.tokens_out == sum(r.n_tokens for r in rows)
         # the per-stage accounting is still there
         assert res.stage_rows["exact_dedup"] < res.stage_rows["input"]
+
+    def test_export_defaults_accounting_to_tokenizer_units(
+        self, spark, tmp_path
+    ):
+        """One-counter contract under export: tokens_in and tokens_out
+        are both in tokenizer ids (review finding: whitespace budgets
+        vs BPE shards silently overshot)."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.assemble import (
+            assemble_pretraining_corpus,
+        )
+        from lantern_spark.operators.bpe import train_bpe
+        from lantern_spark.operators.curate import CurationConfig
+
+        docs = _corpus(spark)
+        bpe = train_bpe(docs, "text", num_merges=60)
+        res = assemble_pretraining_corpus(
+            spark, docs, "text", "doc_id", str(tmp_path / "ck2"),
+            curation=CurationConfig(min_tokens=5),
+            seq_tokens=10_000,   # wide bins: nothing truncates
+            export_tokenizer=bpe,
+        )
+        n_bpe_in = docs.agg(
+            F.sum(bpe.token_count_expr("text")).alias("t")
+        ).first().t
+        assert res.tokens_in == n_bpe_in            # counted in ids
+        assert 0 < res.tokens_out <= res.tokens_in  # same unit, comparable
+        # and tokens_out is exactly the ids delivered in the shards
+        got = res.df.agg(F.sum("n_tokens").alias("t")).first().t
+        assert res.tokens_out == got

@@ -311,3 +311,20 @@ class TestPplBuckets:
         assert "tail" not in got
         assert got["head"] >= 55  # all of both languages' heads
         assert 10 <= got.get("middle", 0) <= 50
+
+    def test_null_group_keeps_its_own_cutoffs(self, spark):
+        from lantern_spark.operators.ngram_lm import ppl_buckets
+
+        rows = [(i, None, float(i + 1)) for i in range(90)]
+        rows += [(100 + i, "None", float(1001 + i)) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+        out = ppl_buckets(df, group_col="lang")
+        assert out.count() == 180  # no duplication from a 'None' clash
+        got = {
+            (r.lang, r.ppl_bucket): r["count"]
+            for r in out.groupBy("lang", "ppl_bucket").count().collect()
+        }
+        # the NULL-lang group got its OWN thirds, not blanket 'tail'
+        for lang in (None, "None"):
+            for b in ("head", "middle", "tail"):
+                assert 25 <= got[(lang, b)] <= 35, (lang, b, got)

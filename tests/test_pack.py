@@ -425,3 +425,29 @@ class TestExportPackedIds:
         ka = sorted((r.pack_id, tuple(r.input_ids)) for r in a)
         kb = sorted((r.pack_id, tuple(r.input_ids)) for r in b)
         assert ka == kb
+
+    def test_empty_docs_never_export_phantom_eos(self, spark, tok):
+        """A zero-token doc (non-Latin text through the ascii BPE
+        front end) must be dropped, not exported as a lone-eos
+        'document' (review finding)."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.pack import export_packed_ids
+
+        docs, bpe = tok
+        with_junk = docs.union(
+            spark.createDataFrame(
+                [(1000, "中文文本"), (1001, "!!! ???")],
+                "doc_id long, text string",
+            )
+        )
+        out = export_packed_ids(
+            with_junk, "text", "doc_id", bpe, seq_len=10_000, eos_id=77_777
+        )
+        agg = out.agg(F.sum("n_docs").alias("d")).first()
+        assert agg.d == 40  # the two junk docs contributed nothing
+        # and no lone-eos runs: every doc boundary is preceded by
+        # real ids (a phantom doc would put two eos ids adjacent)
+        for r in out.collect():
+            for a, b in zip(r.input_ids, r.input_ids[1:]):
+                assert not (a == 77_777 and b == 77_777)
