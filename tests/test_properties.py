@@ -619,3 +619,47 @@ class TestBytePolyTokenHashProperties:
         assert not np.array_equal(h1, h2)
         with np.errstate(over="ignore"):
             assert len(np.unique(h2 - h1)) > 190
+
+
+class TestWarcProperties:
+    """Property: the strict WARC parser inverts the writer for
+    ARBITRARY payload bytes (including separator-looking sequences,
+    gzip magic, empty payloads), in every container layout."""
+
+    @given(
+        payloads=st.lists(
+            st.binary(min_size=0, max_size=400), min_size=1, max_size=8
+        ),
+        layout=st.sampled_from(["plain", "gzip_file", "gzip_per_record"]),
+    )
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_write_parse_roundtrip(self, payloads, layout, tmp_path_factory):
+        import os
+
+        from lantern_spark.sources.warc import parse_warc_bytes, write_warc
+
+        d = tmp_path_factory.mktemp("warc_prop")
+        p = os.path.join(str(d), "t.warc")
+        recs = [
+            {
+                "warc_type": "response" if i % 2 else "conversion",
+                "payload": b,
+                "url": f"https://p/{i}",
+                "record_id": f"<urn:uuid:prop-{i}>",
+            }
+            for i, b in enumerate(payloads)
+        ]
+        write_warc(
+            p, recs,
+            gzip_file=(layout == "gzip_file"),
+            gzip_per_record=(layout == "gzip_per_record"),
+        )
+        with open(p, "rb") as fh:
+            parsed = list(parse_warc_bytes(fh.read()))
+        assert len(parsed) == len(recs)
+        for (hdrs, payload), want in zip(parsed, recs):
+            assert payload == want["payload"]
+            assert hdrs["warc-type"] == want["warc_type"]
+            assert hdrs["warc-target-uri"] == want["url"]
+            assert int(hdrs["content-length"]) == len(want["payload"])
