@@ -43,16 +43,32 @@ Two readers, two contracts:
 :func:`wet_documents` adapts either reader's output to the
 ``documents`` table shape (doc_id/url/text) that every downstream
 curation / dedup / assembly operator consumes.
+
+Raw ``response`` records are FULL HTTP MESSAGES (WARC spec,
+``Content-Type: application/http; msgtype=response``): status line +
+headers + ``\\r\\n\\r\\n`` + entity body, with the body possibly
+gzip-compressed (``Content-Encoding``) or chunked
+(``Transfer-Encoding``). :func:`split_http_response` peels that
+envelope and :func:`warc_response_documents` composes the whole
+raw-crawl → documents path (read_warc → HTTP split → html_to_text →
+documents) — without it, HTTP header lines leak into extracted text
+(r10 review finding).
 """
 
 from __future__ import annotations
 
 import gzip
+import io
+import re
 import uuid
+import zlib
 from typing import Iterable, Iterator, Mapping, Optional, Sequence, Tuple
 
+# module-level so pandas_udf type-hint inference (stringified under
+# `from __future__ import annotations`) resolves against globals
+import pandas as pd
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -60,8 +76,14 @@ __all__ = [
     "stream_wet",
     "read_warc",
     "wet_documents",
+    "warc_response_documents",
     "write_warc",
     "parse_warc_bytes",
+    "parse_warc_stream",
+    "split_http_response",
+    "http_body",
+    "http_message",
+    "build_http_response",
 ]
 
 _CRLF = b"\r\n"
@@ -231,59 +253,119 @@ def stream_wet(
 # ---------------------------------------------------------------------------
 
 
-def _gunzip_members(buf: bytes) -> bytes:
-    """Decompress possibly multi-member gzip (Common Crawl writes one
-    member per record). Python's gzip handles concatenated members."""
-    return gzip.decompress(buf)
-
-
-def parse_warc_bytes(buf: bytes) -> Iterator[Tuple[dict, bytes]]:
-    """Walk WARC records in ``buf`` by Content-Length arithmetic.
-
-    Yields ``(headers_lowercased, payload_bytes)`` per record. Raises
-    ``ValueError`` on structural corruption (bad version line, missing
-    Content-Length, truncated payload) — loud failure, never silent
-    truncation of a corpus.
-    """
-    if buf[:2] == b"\x1f\x8b":
-        buf = _gunzip_members(buf)
-    off, n = 0, len(buf)
-    while off < n:
-        # Tolerate inter-record padding (stray CRLFs).
-        while off < n and buf[off : off + 2] == _CRLF:
-            off += 2
-        if off >= n:
-            return
-        eol = buf.find(_CRLF, off)
-        if eol < 0 or not buf[off:eol].startswith(_VERSION_PREFIX):
-            raise ValueError(
-                f"expected WARC version line at offset {off}, got "
-                f"{buf[off:off + 16]!r}"
-            )
-        hdr_end = buf.find(_HDR_END, eol)
-        if hdr_end < 0:
-            raise ValueError(f"unterminated header block at offset {off}")
-        headers: dict = {}
-        for line in buf[eol + 2 : hdr_end].split(_CRLF):
-            k, _, v = line.partition(b":")
-            if _:
+def _parse_header_block(blk: bytes, where: str) -> dict:
+    """Version line + 'Name: value' lines → lowercased dict. Shared by
+    the WARC record parser; raises on a bad version line."""
+    eol = blk.find(_CRLF)
+    version_line = blk if eol < 0 else blk[:eol]
+    if not version_line.startswith(_VERSION_PREFIX):
+        raise ValueError(
+            f"expected WARC version line {where}, got {blk[:16]!r}"
+        )
+    headers: dict = {}
+    if eol >= 0:
+        for line in blk[eol + 2 :].split(_CRLF):
+            k, sep, v = line.partition(b":")
+            if sep:
                 headers[k.strip().decode("utf-8").lower()] = (
                     v.strip().decode("utf-8", errors="replace")
                 )
+    return headers
+
+
+def parse_warc_stream(
+    fp,
+    read_size: int = 1 << 20,
+    max_header_bytes: int = 1 << 20,
+) -> Iterator[Tuple[dict, bytes]]:
+    """Walk WARC records from a FILE-LIKE object by Content-Length
+    arithmetic, reading incrementally — peak memory is
+    O(``read_size`` + one record), never O(file) (r10 review nit: the
+    eager form decompressed a whole ~1 GB archive to ~3-5 GB of task
+    memory up front; 32 concurrent tasks of that OOM real executors).
+    Pass a ``gzip.GzipFile`` for compressed input — it streams
+    multi-member archives member-by-member, so the compressed →
+    decompressed blow-up never materializes either.
+
+    Yields ``(headers_lowercased, payload_bytes)`` per record. Raises
+    ``ValueError`` on structural corruption (bad version line, header
+    block over ``max_header_bytes``, missing Content-Length, truncated
+    payload) — loud failure, never silent truncation of a corpus.
+    """
+    buf = b""
+    eof = False
+    consumed = 0  # bytes yielded/skipped so far, for error offsets
+
+    def fill() -> None:
+        nonlocal buf, eof
+        chunk = fp.read(read_size)
+        if not chunk:
+            eof = True
+        else:
+            buf += chunk
+
+    def ensure(n: int) -> None:
+        while len(buf) < n and not eof:
+            fill()
+
+    while True:
+        # Tolerate inter-record padding (stray CRLFs).
+        ensure(2)
+        while buf[:2] == _CRLF:
+            buf = buf[2:]
+            consumed += 2
+            ensure(2)
+        if not buf and eof:
+            return
+        # Accumulate until the header terminator is in the buffer.
+        while True:
+            i = buf.find(_HDR_END)
+            if i >= 0:
+                break
+            if eof:
+                raise ValueError(
+                    f"unterminated header block at offset {consumed}"
+                )
+            if len(buf) > max_header_bytes:
+                raise ValueError(
+                    f"header block at offset {consumed} exceeds "
+                    f"{max_header_bytes} bytes"
+                )
+            fill()
+        headers = _parse_header_block(
+            buf[:i], f"at offset {consumed}"
+        )
+        buf = buf[i + 4 :]
+        consumed += i + 4
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
             raise ValueError(
-                f"missing/invalid Content-Length at offset {off}"
+                f"missing/invalid Content-Length at offset {consumed}"
             ) from None
-        body_start = hdr_end + 4
-        if body_start + clen > n:
+        ensure(clen)
+        if len(buf) < clen:
             raise ValueError(
-                f"truncated payload at offset {body_start}: need {clen}, "
-                f"have {n - body_start}"
+                f"truncated payload at offset {consumed}: need {clen}, "
+                f"have {len(buf)}"
             )
-        yield headers, buf[body_start : body_start + clen]
-        off = body_start + clen
+        payload = buf[:clen]
+        buf = buf[clen:]
+        consumed += clen
+        yield headers, payload
+
+
+def parse_warc_bytes(buf: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """:func:`parse_warc_stream` over an in-memory buffer (the
+    ``binaryFile`` row shape). Gzip input (single- or multi-member —
+    Common Crawl writes one member per record) streams through
+    ``gzip.GzipFile`` so the DECOMPRESSED bytes never materialize
+    whole; only the compressed buffer (what ``binaryFile`` already
+    read) is resident."""
+    fp: io.BufferedIOBase = io.BytesIO(buf)
+    if buf[:2] == b"\x1f\x8b":
+        fp = gzip.GzipFile(fileobj=fp)  # type: ignore[assignment]
+    return parse_warc_stream(fp)
 
 
 _WARC_SCHEMA = pa.schema(
@@ -374,6 +456,164 @@ def read_warc(
 
 
 # ---------------------------------------------------------------------------
+# HTTP message envelope (raw `response` records)
+# ---------------------------------------------------------------------------
+
+# Earliest header/body boundary wins; at a CRLFCRLF site the CRLF
+# alternative matches first (alternation is ordered), so bare-LF
+# header blocks (robustness-principle servers) split correctly too.
+_HTTP_SEP_RX = re.compile(rb"\r\n\r\n|\n\n")
+_CHARSET_RX = re.compile(r"charset=[\"']?([A-Za-z0-9_.:\-]+)", re.I)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode RFC 9112 chunked transfer coding: hex-size line, chunk,
+    CRLF, ... , 0-size terminator (trailers ignored). Raises on
+    truncation — chunked bodies that end mid-chunk are corrupt."""
+    out = []
+    off = 0
+    while True:
+        eol = body.find(b"\r\n", off)
+        if eol < 0:
+            raise ValueError("truncated chunked body: no size line")
+        size_field = body[off:eol].split(b";")[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            raise ValueError(
+                f"bad chunk size line {body[off:eol][:16]!r}"
+            ) from None
+        off = eol + 2
+        if size == 0:
+            return b"".join(out)
+        if off + size > len(body):
+            raise ValueError(
+                f"truncated chunk: need {size}, have {len(body) - off}"
+            )
+        out.append(body[off : off + size])
+        off += size + 2  # chunk's own trailing CRLF
+
+
+def split_http_response(payload: bytes) -> Tuple[dict, bytes]:
+    """Split a ``response`` record's payload — a FULL HTTP message
+    (status line + headers + blank line + entity body, per the WARC
+    spec's ``application/http; msgtype=response``) — into
+    ``(headers_lowercased, body_bytes)`` with the transfer/content
+    codings removed:
+
+    - ``Transfer-Encoding: chunked`` → de-chunked (removed first:
+      the sender applied it last);
+    - ``Content-Encoding: gzip/x-gzip/deflate`` → decompressed
+      (deflate tries zlib-wrapped then raw, both occur in the wild);
+    - identity/absent → passed through byte-exact.
+
+    The pseudo-header ``__status`` carries the numeric status code.
+    A payload that is NOT an HTTP message (no ``HTTP/`` status line —
+    e.g. a ``resource`` record) passes through as ``({}, payload)``.
+    Unknown content codings (``br`` without the library, …) and
+    corrupt coded bodies raise ``ValueError`` — the Spark wrapper
+    (:func:`http_message`) nulls those rows instead of killing a
+    100 TB job; this function is the strict kernel."""
+    if not payload.startswith(b"HTTP/"):
+        return {}, payload
+    m = _HTTP_SEP_RX.search(payload)
+    if m is None:
+        # headers-only message (e.g. 304) — legal, empty body
+        head, body = payload, b""
+    else:
+        head, body = payload[: m.start()], payload[m.end() :]
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    status = lines[0].split()
+    headers: dict = {
+        "__status": status[1].decode("ascii", "replace")
+        if len(status) > 1
+        else ""
+    }
+    for line in lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().decode("utf-8", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    coding = headers.get("content-encoding", "identity").strip().lower()
+    if coding in ("gzip", "x-gzip"):
+        body = gzip.decompress(body)
+    elif coding == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+    elif coding not in ("", "identity"):
+        raise ValueError(f"unsupported Content-Encoding: {coding!r}")
+    return headers, body
+
+
+def _http_charset(headers: dict) -> str:
+    m = _CHARSET_RX.search(headers.get("content-type", ""))
+    return m.group(1) if m else "utf-8"
+
+
+def http_message(col, column_prefix: str = "http_"):
+    """Arrow-batched decode of a binary HTTP-message payload column →
+    ``struct<{prefix}status int, {prefix}content_type string,
+    {prefix}body string>`` — the Spark-side wrapper over
+    :func:`split_http_response`. Body text decodes with the message's
+    own ``charset=`` (fallback utf-8, errors replaced — crawl bytes
+    are never trusted). Rows whose coded body is corrupt (truncated
+    chunk, bad gzip) come back NULL-bodied rather than failing the
+    job: at 100 TB a handful of corrupt fetches per archive is the
+    norm, and a null body is filterable while a dead job is not.
+    Non-HTTP payloads (``{}`` headers) pass through with a null
+    status and the raw bytes decoded as text."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = column_prefix
+
+    @pandas_udf(
+        f"{p}status int, {p}content_type string, {p}body string"
+    )
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        stat, ctype, body = [], [], []
+        for payload in s:
+            if payload is None:
+                stat.append(None), ctype.append(None), body.append(None)
+                continue
+            try:
+                headers, raw = split_http_response(bytes(payload))
+            except (ValueError, zlib.error, EOFError, gzip.BadGzipFile):
+                stat.append(None), ctype.append(None), body.append(None)
+                continue
+            code = headers.get("__status", "")
+            stat.append(int(code) if code.isdigit() else None)
+            ctype.append(headers.get("content-type"))
+            try:
+                body.append(raw.decode(_http_charset(headers), "replace"))
+            except LookupError:  # unknown charset label
+                body.append(raw.decode("utf-8", "replace"))
+        return pd.DataFrame(
+            {f"{p}status": pd.array(stat, dtype="Int32"),
+             f"{p}content_type": ctype,
+             f"{p}body": body}
+        )
+
+    return _decode(_col(col))
+
+
+def http_body(col):
+    """Decoded body TEXT of a binary HTTP-message payload column
+    (:func:`http_message`'s ``http_body`` field alone) — the drop-in
+    step between :func:`read_warc` and
+    :func:`~lantern_spark.functions.html.html_to_text`."""
+    return http_message(col).getField("http_body")
+
+
+def _col(x):
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# ---------------------------------------------------------------------------
 # Adapter to the documents-table shape
 # ---------------------------------------------------------------------------
 
@@ -406,9 +646,97 @@ def wet_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def warc_response_documents(
+    raw: DataFrame,
+    extractor=None,
+    statuses: Optional[Sequence[int]] = (200,),
+    html_only: bool = True,
+) -> DataFrame:
+    """The raw-crawl → documents composition done RIGHT: a
+    :func:`read_warc` result's ``response`` records through the HTTP
+    envelope (:func:`http_message` — status/headers split off, gzip /
+    chunked codings removed) and the HTML tier
+    (:func:`~lantern_spark.functions.html.html_to_text`, or a real
+    DOM ``extractor`` via the pandas-UDF hook) to the ``documents``
+    shape (``doc_id, url, fetched_at, text``).
+
+    Casting ``payload`` straight to string instead feeds
+    ``HTTP/1.1 200 OK`` + header lines into the corpus — html_to_text
+    strips tags, not header lines (r10 review finding; real Common
+    Crawl ``response`` payloads are always full HTTP messages).
+
+    ``statuses`` keeps only those HTTP status codes (default 200 —
+    error pages are not training text; ``None`` keeps all).
+    ``html_only`` additionally requires an HTML content type (or no
+    content-type header at all — mislabeled text/html is common, a
+    missing header is not evidence of non-HTML)."""
+    from lantern_spark.functions.html import extract_text_udf_hook
+
+    recs = raw.where(F.lower(F.col("warc_type")) == "response")
+    msg = recs.withColumn("__http", http_message("payload")).select(
+        "*",
+        F.col("__http.http_status").alias("http_status"),
+        F.col("__http.http_content_type").alias("http_content_type"),
+        F.col("__http.http_body").alias("http_body"),
+    ).drop("__http")
+    if statuses is not None:
+        msg = msg.where(F.col("http_status").isin([int(s) for s in statuses]))
+    if html_only:
+        ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
+        msg = msg.where(
+            (ct == "") | ct.contains("html") | ct.startswith("text/")
+        )
+    extracted = extract_text_udf_hook(
+        msg.where(F.col("http_body").isNotNull()),
+        "http_body",
+        out_col="text",
+        extractor=extractor,
+    )
+    return wet_documents(extracted, text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # Fixture writer (tests / examples)
 # ---------------------------------------------------------------------------
+
+
+def build_http_response(
+    body,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    gzip_body: bool = False,
+    chunked: bool = False,
+    extra_headers: Sequence[Tuple[str, str]] = (),
+) -> bytes:
+    """Assemble a spec-shaped HTTP response message (the payload of a
+    real ``response`` record) — the tests'/bench's counterpart to
+    :func:`split_http_response`. ``gzip_body`` adds
+    ``Content-Encoding: gzip``; ``chunked`` wraps the (possibly
+    gzipped) body in chunked transfer coding, splitting it into two
+    chunks so de-chunking is actually exercised."""
+    if isinstance(body, str):
+        body = body.encode("utf-8")
+    headers = [("Content-Type", content_type), *extra_headers]
+    if gzip_body:
+        body = gzip.compress(body)
+        headers.append(("Content-Encoding", "gzip"))
+    if chunked:
+        headers.append(("Transfer-Encoding", "chunked"))
+        mid = max(1, len(body) // 2)
+        chunks = [c for c in (body[:mid], body[mid:]) if c]
+        body = (
+            b"".join(
+                b"%x" % len(c) + _CRLF + c + _CRLF for c in chunks
+            )
+            + b"0" + _CRLF + _CRLF
+        )
+    else:
+        headers.append(("Content-Length", str(len(body))))
+    head = _CRLF.join(
+        [b"HTTP/1.1 %d OK" % status]
+        + [f"{k}: {v}".encode("utf-8") for k, v in headers]
+    )
+    return head + _HDR_END + body
 
 
 def write_warc(

@@ -1,0 +1,322 @@
+"""HTTP message envelope for raw WARC ``response`` records, and the
+bounded-memory streaming WARC parse.
+
+Real Common Crawl ``response`` payloads are FULL HTTP messages
+(status line + headers + CRLFCRLF + entity body, possibly gzipped or
+chunked) — the r10 review found header lines leaking into extracted
+text because the composition cast the payload straight to string.
+These tests pin the fixed path end-to-end with real HTTP-message
+fixtures in all three codings, and pin the parser's incremental-read
+contract (peak buffer O(read_size + one record), never O(file))."""
+
+import gzip
+import io
+import zlib
+
+import pytest
+
+from lantern_spark.sources.warc import (
+    build_http_response,
+    http_message,
+    parse_warc_bytes,
+    parse_warc_stream,
+    read_warc,
+    split_http_response,
+    warc_response_documents,
+    write_warc,
+)
+
+HTML = (
+    "<html><head><title>T</title><script>var x=1;</script></head>"
+    "<body><p>First paragraph of real article text.</p>"
+    "<p>Second paragraph, still article text.</p></body></html>"
+)
+WANT_TEXT = "First paragraph of real article text."
+
+
+class TestSplitHttpResponse:
+    def test_identity(self):
+        msg = build_http_response(HTML)
+        headers, body = split_http_response(msg)
+        assert headers["__status"] == "200"
+        assert headers["content-type"].startswith("text/html")
+        assert body == HTML.encode("utf-8")
+
+    def test_gzip_content_encoding(self):
+        msg = build_http_response(HTML, gzip_body=True)
+        assert b"\x1f\x8b" in msg  # body really is compressed on the wire
+        headers, body = split_http_response(msg)
+        assert headers["content-encoding"] == "gzip"
+        assert body == HTML.encode("utf-8")
+
+    def test_chunked(self):
+        msg = build_http_response(HTML, chunked=True)
+        headers, body = split_http_response(msg)
+        assert "chunked" in headers["transfer-encoding"]
+        assert body == HTML.encode("utf-8")
+
+    def test_chunked_gzip_combined(self):
+        # sender applies content- then transfer-coding; receiver
+        # removes transfer- then content-coding
+        msg = build_http_response(HTML, gzip_body=True, chunked=True)
+        _, body = split_http_response(msg)
+        assert body == HTML.encode("utf-8")
+
+    def test_deflate_zlib_and_raw(self):
+        raw = b"deflated body bytes"
+        # zlib-wrapped
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + zlib.compress(raw)
+        )
+        assert split_http_response(msg)[1] == raw
+        # raw deflate (the wild's broken-but-common variant)
+        co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + co.compress(raw) + co.flush()
+        )
+        assert split_http_response(msg)[1] == raw
+
+    def test_non_http_passthrough(self):
+        blob = bytes(range(256))
+        headers, body = split_http_response(blob)
+        assert headers == {} and body == blob
+
+    def test_headers_only_message(self):
+        headers, body = split_http_response(b"HTTP/1.1 304 Not Modified")
+        assert headers["__status"] == "304" and body == b""
+
+    def test_lf_only_headers(self):
+        msg = b"HTTP/1.0 200 OK\nContent-Type: text/plain\n\nbody here"
+        headers, body = split_http_response(msg)
+        assert headers["content-type"] == "text/plain"
+        assert body == b"body here"
+
+    def test_truncated_chunk_raises(self):
+        msg = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort"
+        with pytest.raises(ValueError, match="truncated chunk"):
+            split_http_response(msg)
+
+    def test_unknown_coding_raises(self):
+        msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+        with pytest.raises(ValueError, match="unsupported"):
+            split_http_response(msg)
+
+
+class TestHttpMessageColumn:
+    def test_struct_fields_and_corrupt_null(self, spark):
+        rows = [
+            (1, build_http_response(HTML)),
+            (2, build_http_response(HTML, gzip_body=True)),
+            # corrupt gzip body: must null out, not kill the job
+            (3, b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"),
+            (4, None),
+            (5, b"plain non-http payload"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r.id: r
+            for r in df.select(
+                "id", http_message("payload").alias("h")
+            ).select("id", "h.*").collect()
+        }
+        assert got[1].http_status == 200
+        assert WANT_TEXT in got[1].http_body
+        assert "HTTP/1.1" not in got[1].http_body
+        assert WANT_TEXT in got[2].http_body
+        assert got[3].http_body is None and got[3].http_status is None
+        assert got[4].http_body is None
+        assert got[5].http_status is None
+        assert got[5].http_body == "plain non-http payload"
+
+    def test_charset_from_content_type(self, spark):
+        body = "café résumé".encode("latin-1")
+        msg = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n" + body
+        )
+        df = spark.createDataFrame([(1, msg)], "id long, payload binary")
+        row = df.select(http_message("payload").alias("h")).first()
+        assert row.h.http_body == "café résumé"
+
+
+class TestWarcResponseComposition:
+    """The end-to-end raw-crawl → documents path on REAL HTTP-message
+    payloads (identity + gzip + chunked variants), plus rows the
+    filters must drop — no header text may survive into the corpus."""
+
+    @pytest.fixture(scope="class")
+    def crawl_path(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("crawl") / "crawl.warc"
+        ct = "application/http; msgtype=response"
+        write_warc(
+            str(p),
+            [
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/plain",
+                    "payload": build_http_response(HTML),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:http-1>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/gzipped",
+                    "payload": build_http_response(HTML, gzip_body=True),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:http-2>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/chunked",
+                    "payload": build_http_response(HTML, chunked=True),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:http-3>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/404",
+                    "payload": build_http_response(
+                        "<html>not found</html>", status=404
+                    ),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:http-4>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/img.jpg",
+                    "payload": build_http_response(
+                        b"\xff\xd8\xff\xe0JPEGBYTES", content_type="image/jpeg"
+                    ),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:http-5>",
+                },
+                {
+                    "warc_type": "request",
+                    "url": "https://example.com/plain",
+                    "payload": b"GET /plain HTTP/1.1\r\nHost: example.com\r\n\r\n",
+                    "content_type": "application/http; msgtype=request",
+                    "record_id": "<urn:uuid:http-6>",
+                },
+            ],
+        )
+        return str(p)
+
+    def test_documents_have_no_header_text(self, spark, crawl_path):
+        docs = warc_response_documents(
+            read_warc(spark, crawl_path)
+        ).collect()
+        by_url = {r.url: r.text for r in docs}
+        assert set(by_url) == {
+            "https://example.com/plain",
+            "https://example.com/gzipped",
+            "https://example.com/chunked",
+        }
+        for text in by_url.values():
+            assert WANT_TEXT in text
+            assert "var x" not in text  # script stripped by html tier
+            for leak in ("HTTP/1.1", "Content-Type", "Content-Encoding",
+                         "Transfer-Encoding", "200 OK"):
+                assert leak not in text
+
+    def test_statuses_none_keeps_error_pages(self, spark, crawl_path):
+        docs = warc_response_documents(
+            read_warc(spark, crawl_path), statuses=None
+        )
+        urls = {r.url for r in docs.collect()}
+        assert "https://example.com/404" in urls
+
+
+class _CountingReader(io.RawIOBase):
+    """File-like wrapper that records how many bytes have been read —
+    the injection point that proves the parser consumes its input
+    incrementally instead of slurping it whole."""
+
+    def __init__(self, raw: bytes):
+        self._fp = io.BytesIO(raw)
+        self.bytes_read = 0
+
+    def read(self, n=-1):
+        chunk = self._fp.read(n)
+        self.bytes_read += len(chunk)
+        return chunk
+
+    def readable(self):
+        return True
+
+
+class TestStreamingParseMemoryBound:
+    def _records(self, n=64, size=4096):
+        import random
+
+        rng = random.Random(42)  # incompressible: gzip can't collapse
+        return [
+            {
+                "warc_type": "conversion",
+                "url": f"https://m/{i}",
+                "payload": rng.randbytes(size),
+                "record_id": f"<urn:uuid:mem-{i}>",
+            }
+            for i in range(n)
+        ]
+
+    def test_plain_input_read_incrementally(self, tmp_path):
+        p = tmp_path / "mem.warc"
+        recs = self._records()
+        write_warc(str(p), recs)
+        raw = p.read_bytes()
+        read_size = 8192
+        fp = _CountingReader(raw)
+        seen = 0
+        for i, (hdrs, payload) in enumerate(
+            parse_warc_stream(fp, read_size=read_size)
+        ):
+            assert payload == recs[i]["payload"]
+            seen += len(payload)
+            # at each yield the parser may only be one read_size + one
+            # record ahead of what it has emitted — a slurped file
+            # would show bytes_read == len(raw) at the FIRST yield
+            assert fp.bytes_read <= seen + 3 * read_size + 512
+        assert seen == sum(len(r["payload"]) for r in recs)
+
+    def test_gzip_input_decompressed_incrementally(self, tmp_path):
+        p = tmp_path / "mem.warc.gz"
+        recs = self._records()
+        write_warc(str(p), recs, gzip_per_record=True)
+        compressed = p.read_bytes()
+        fp = _CountingReader(compressed)
+        gz = gzip.GzipFile(fileobj=fp)
+        first_yield_read = None
+        out = []
+        for hdrs, payload in parse_warc_stream(gz, read_size=8192):
+            if first_yield_read is None:
+                first_yield_read = fp.bytes_read
+            out.append(payload)
+        # eager decompression would have read the WHOLE compressed
+        # buffer before the first record came out
+        assert first_yield_read < len(compressed) / 2
+        assert out == [r["payload"] for r in recs]
+
+    def test_bytes_path_matches_stream_path(self, tmp_path):
+        p = tmp_path / "eq.warc.gz"
+        recs = self._records(n=9, size=777)
+        write_warc(str(p), recs, gzip_per_record=True)
+        buf = p.read_bytes()
+        via_bytes = [(h, b) for h, b in parse_warc_bytes(buf)]
+        via_stream = [
+            (h, b)
+            for h, b in parse_warc_stream(gzip.GzipFile(fileobj=io.BytesIO(buf)))
+        ]
+        assert via_bytes == via_stream
+
+    def test_header_bomb_bounded(self):
+        # a 'record' whose header block never terminates must error
+        # instead of buffering without limit
+        bomb = b"WARC/1.0\r\n" + b"X: y\r\n" * 100000
+        with pytest.raises(ValueError, match="header block"):
+            list(
+                parse_warc_stream(
+                    io.BytesIO(bomb), read_size=4096, max_header_bytes=65536
+                )
+            )

@@ -663,3 +663,30 @@ class TestWarcProperties:
             assert hdrs["warc-type"] == want["warc_type"]
             assert hdrs["warc-target-uri"] == want["url"]
             assert int(hdrs["content-length"]) == len(want["payload"])
+
+
+class TestHttpEnvelopeProperties:
+    """Property (r11): the HTTP splitter inverts the response builder
+    for ARBITRARY body bytes under every coding combination — gzip
+    magic in the raw body, CRLFCRLF sequences, empty bodies, bytes
+    that look like chunk-size lines."""
+
+    @given(
+        body=st.binary(min_size=0, max_size=600),
+        gzip_body=st.booleans(),
+        chunked=st.booleans(),
+        status=st.sampled_from([200, 301, 404, 503]),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_build_split_roundtrip(self, body, gzip_body, chunked, status):
+        from lantern_spark.sources.warc import (
+            build_http_response,
+            split_http_response,
+        )
+
+        msg = build_http_response(
+            body, status=status, gzip_body=gzip_body, chunked=chunked
+        )
+        headers, got = split_http_response(msg)
+        assert got == body
+        assert headers["__status"] == str(status)
