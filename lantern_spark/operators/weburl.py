@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -42,6 +42,8 @@ __all__ = [
     "url_scheme",
     "normalize_url",
     "registered_domain",
+    "registered_domain_df",
+    "psl_rules_df",
     "parse_psl",
     "load_psl",
     "default_psl",
@@ -363,6 +365,166 @@ def _build_registered_domain(col, extra_suffixes, psl) -> Column:
     for guard, result in arms:
         out = out.when(guard, result)
     return out.otherwise(lastk(2))
+
+
+def psl_rules_df(spark: SparkSession, psl=None) -> DataFrame:
+    """A parsed PSL as a (tiny) DataFrame of match rules —
+    ``suffix, match_labels, ps_len, is_exception``:
+
+    - exact rule with j labels → matches a host's last-j-labels;
+      public-suffix length j;
+    - wildcard ``*.base`` (base j labels) → matches on the base;
+      public-suffix length j+1 (the ``*`` consumes one host label);
+    - exception ``!rule`` (j labels) → matches the rule; the PUBLIC
+      suffix is the rule minus its leftmost label (ps_len j−1), so
+      the registered domain is the exception rule itself.
+
+    The full ~9.6k-rule PSL is a few hundred KB — trivially
+    broadcastable; this is the scale-correct carrier for
+    :func:`registered_domain_df` (the literal when-chain form stops
+    being practical around 10³ rules: ~1 s of driver py4j per 1.1k)."""
+    if psl is None:
+        psl = default_psl()
+    if isinstance(psl, str):
+        psl = load_psl(psl)
+    if not isinstance(psl, dict):
+        raise ValueError("psl_rules_df needs a parsed PSL dict or path")
+    rows = []
+    for k, rules in psl.get("exact", {}).items():
+        rows += [(r, k, k, False) for r in sorted(rules)]
+    for k, bases in psl.get("wildcard", {}).items():
+        rows += [(b, k, k + 1, False) for b in sorted(bases)]
+    for k, rules in psl.get("exception", {}).items():
+        rows += [(r, k, k - 1, True) for r in sorted(rules)]
+    return spark.createDataFrame(
+        rows or [("", 0, 0, False)],
+        "suffix string, match_labels int, ps_len int, is_exception boolean",
+    )
+
+
+def registered_domain_df(
+    df: DataFrame,
+    url_col: str,
+    psl=None,
+    out_col: str = "registered_domain",
+    extra_suffixes: Iterable[str] = (),
+) -> DataFrame:
+    """eTLD+1 via a broadcast RULES JOIN instead of a literal
+    when-chain — the FULL-PSL form (r11, review r10 item 3): the
+    expression form's literal ``isin`` sets cost ~1 s of driver py4j
+    per 1.1k rules, which forced a curated-subset default; a rules
+    DataFrame carries all ~9.6k PSL rules at zero plan-size cost, so
+    exotic registries (``*.ck``, ``govt.nz``-class) resolve correctly
+    instead of falling back to the 2-label default.
+
+    Mechanics (one broadcast join + one short-key shuffle):
+
+    1. DISTINCT hosts (crawl URLs repeat hosts heavily — the mapping
+       is computed once per host, not per row);
+    2. each host explodes into its ≤max_rule_labels candidate
+       suffixes (bounded by the deepest rule in the PSL, 5 labels);
+    3. broadcast-join candidates against :func:`psl_rules_df`; the
+       winner per host is (exceptions first, then longest public
+       suffix) — the PSL priority order;
+    4. registered domain = the public suffix plus one host label
+       (the host itself when it IS a public suffix, matching
+       :func:`registered_domain`'s contract), default 2-label rule
+       when nothing matches;
+    5. hosts map back onto rows by one equi-join on the host key.
+
+    Same output contract as the expression form (NULL URL and non-URL
+    values → ``''``, the concat-of-no-labels result); costs a shuffle
+    the map-only expression form doesn't — use this for full-PSL
+    coverage, the expression form for the curated default."""
+    spark = df.sparkSession
+    if psl is None:
+        psl = default_psl()
+    if isinstance(psl, str):
+        psl = load_psl(psl)
+    if not isinstance(psl, dict):
+        raise ValueError("registered_domain_df needs a parsed PSL dict or path")
+    if extra_suffixes:
+        psl = {
+            "exact": {k: set(v) for k, v in psl["exact"].items()},
+            "wildcard": psl["wildcard"],
+            "exception": psl["exception"],
+        }
+        for s in extra_suffixes:
+            s = s.strip().lower()
+            k = s.count(".") + 1
+            if k >= 2:
+                psl["exact"].setdefault(k, set()).add(s)
+    rules = psl_rules_df(spark, psl)
+    maxk = max(
+        [k for k in psl.get("exact", {})]
+        + [k for k in psl.get("wildcard", {})]
+        + [k for k in psl.get("exception", {})]
+        + [1]
+    )
+
+    hosts = (
+        df.select(url_host(url_col).alias("__rd_host"))
+        .where(F.col("__rd_host").isNotNull())
+        .distinct()
+    )
+    labels = F.split(F.col("__rd_host"), r"\.")
+    n = F.size(labels)
+    cand = hosts.select(
+        "__rd_host",
+        labels.alias("__labels"),
+        n.alias("__n"),
+        F.explode(
+            F.sequence(F.lit(1), F.least(n, F.lit(int(maxk))))
+        ).alias("__k"),
+    ).select(
+        "__rd_host",
+        "__labels",
+        "__n",
+        "__k",
+        F.concat_ws(
+            ".",
+            F.slice(
+                F.col("__labels"),
+                F.col("__n") - F.col("__k") + 1,
+                F.col("__k"),
+            ),
+        ).alias("__cand"),
+    )
+    matched = cand.join(
+        F.broadcast(rules),
+        (F.col("__cand") == F.col("suffix"))
+        & (F.col("__k") == F.col("match_labels")),
+        "inner",
+    )
+    best = matched.groupBy("__rd_host").agg(
+        F.max(
+            F.struct(
+                F.col("is_exception").cast("int").alias("exc"),
+                F.col("ps_len").alias("ps"),
+            )
+        ).alias("__win")
+    )
+    mapped = hosts.join(best, "__rd_host", "left")
+    mlabels = F.split(F.col("__rd_host"), r"\.")
+    mn = F.size(mlabels)
+    ps = F.coalesce(F.col("__win.ps"), F.lit(1))
+    reg_len = F.least(ps + 1, mn)
+    reg = F.when(mn <= 1, F.col("__rd_host")).otherwise(
+        F.concat_ws(".", F.slice(mlabels, mn - reg_len + 1, reg_len))
+    )
+    mapping = mapped.select(
+        "__rd_host", reg.alias("__rd_out")
+    )
+    out = (
+        df.withColumn("__rd_host", url_host(url_col))
+        .join(mapping, "__rd_host", "left")
+        # NULL host (NULL input) → '' — the expression form's result
+        # for the same row (concat_ws over no labels), so the two
+        # forms are drop-in interchangeable
+        .withColumn(out_col, F.coalesce(F.col("__rd_out"), F.lit("")))
+        .drop("__rd_host", "__rd_out")
+    )
+    return out
 
 
 def psl_duckdb_case(

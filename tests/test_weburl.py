@@ -762,3 +762,202 @@ class TestReviewFixes:
         assert sorted(r.doc_id for r in hits.collect()) == [1, 2]
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+class TestRegisteredDomainDf:
+    """Full-PSL eTLD+1 via the broadcast rules JOIN (r11, review r10
+    item 3): must agree with the expression form on every bundled-rule
+    case, resolve registries OUTSIDE the curated subset correctly, and
+    replay in DuckDB SQL with the same rules table."""
+
+    URLS = [
+        (0, "https://www.example.com/a"),
+        (1, "https://a.b.c.example.com/"),
+        (2, "https://www.bbc.co.uk/news"),
+        (3, "https://news.com.au/x"),
+        (4, "http://localhost/x"),
+        (5, "http://sub.example.com.au/"),
+        (6, "https://shop.foo.nagoya.jp/x"),      # jp wildcard
+        (7, "https://www.city.nagoya.jp/"),        # jp exception
+        (8, "https://foo.nagoya.jp/"),             # host inside wildcard suffix
+        (9, "https://user:p@www.Example.ORG:8443/q"),
+        (10, "not a url at all"),
+        (11, None),
+        (12, "https://co.uk/"),                    # host IS a public suffix
+        (13, "https://spam.blogspot.com/post"),    # private-section rule
+        (14, "https://www.beehive.govt.nz/"),      # 3-label exact rule
+        (15, "https://x.www.ck/"),                 # exception under *.ck
+        (16, "https://a.b.foo.ck/"),               # wildcard *.ck
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.URLS, "i long, u string")
+
+    def test_agrees_with_expression_form_on_bundled_rules(self, spark):
+        from lantern_spark.operators.weburl import (
+            registered_domain,
+            registered_domain_df,
+        )
+
+        df = self._df(spark)
+        expr = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i", registered_domain("u").alias("d")
+            ).collect()
+        }
+        join = {
+            r["i"]: r["registered_domain"]
+            for r in registered_domain_df(df, "u").collect()
+        }
+        assert join == expr, {
+            k: (join[k], expr[k]) for k in expr if join[k] != expr[k]
+        }
+
+    def test_not_in_subset_registry_resolves(self, spark):
+        # The JP city third-level rules (aisai.aichi.jp et al.) and
+        # the US K-12 hierarchy (pvt.k12.ma.us) are in the FULL PSL
+        # but not the bundled curated subset — the join form carries
+        # them at zero plan cost; the curated expression default
+        # resolves one level too shallow (the coverage gap this
+        # closes).
+        from lantern_spark.operators.weburl import (
+            BUNDLED_PSL_PATH,
+            default_psl,
+            parse_psl,
+            registered_domain,
+            registered_domain_df,
+        )
+
+        # self-check: the fixture rules really are outside the subset
+        bundled_rules = set()
+        for d in default_psl().values():
+            for s in d.values():
+                bundled_rules |= s
+        assert "aisai.aichi.jp" not in bundled_rules
+        assert "pvt.k12.ma.us" not in bundled_rules
+
+        with open(BUNDLED_PSL_PATH, encoding="utf-8") as fh:
+            full = parse_psl(
+                fh.read() + "\naisai.aichi.jp\npvt.k12.ma.us\n"
+            )
+        df = spark.createDataFrame(
+            [
+                (0, "https://www.townsite.aisai.aichi.jp/"),
+                (1, "https://portal.stmarys.pvt.k12.ma.us/x"),
+                (2, "https://www.bbc.co.uk/news"),  # bundled rules intact
+            ],
+            "i long, u string",
+        )
+        got = {
+            r["i"]: r["registered_domain"]
+            for r in registered_domain_df(df, "u", psl=full).collect()
+        }
+        assert got == {
+            0: "townsite.aisai.aichi.jp",
+            1: "stmarys.pvt.k12.ma.us",
+            2: "bbc.co.uk",
+        }
+        # and the curated expression default indeed lacks the rules:
+        # it resolves both one level too shallow
+        shallow = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i", registered_domain("u").alias("d")
+            ).collect()
+        }
+        assert shallow[0] == "aisai.aichi.jp"
+        assert shallow[1] == "pvt.k12.ma.us"
+
+    def test_extra_suffixes(self, spark):
+        from lantern_spark.operators.weburl import registered_domain_df
+
+        df = spark.createDataFrame(
+            [(0, "https://shop.example.fake.tld/x")], "i long, u string"
+        )
+        got = registered_domain_df(
+            df, "u", extra_suffixes=["fake.tld"]
+        ).first()["registered_domain"]
+        assert got == "example.fake.tld"
+
+    def test_rules_join_is_broadcast(self, spark):
+        from lantern_spark.operators.weburl import registered_domain_df
+
+        out = registered_domain_df(self._df(spark), "u")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan
+
+    def test_duckdb_replay_of_join_algorithm(self, spark, tmp_path):
+        """DuckDB replays the SAME algorithm relationally: explode
+        candidate suffixes, join the rules table, winner = (exception,
+        ps_len) max, registered = public suffix + one label."""
+        import duckdb
+
+        from lantern_spark.operators.weburl import (
+            default_psl,
+            psl_rules_df,
+            registered_domain_df,
+        )
+
+        df = self._df(spark)
+        got = {
+            r["i"]: r["registered_domain"]
+            for r in registered_domain_df(df, "u").collect()
+        }
+
+        rules = psl_rules_df(spark, default_psl()).collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE rules(suffix VARCHAR, match_labels INT, "
+            "ps_len INT, is_exception BOOLEAN)"
+        )
+        con.executemany(
+            "INSERT INTO rules VALUES (?, ?, ?, ?)",
+            [(r.suffix, r.match_labels, r.ps_len, r.is_exception)
+             for r in rules],
+        )
+        con.execute(
+            "CREATE TABLE u(i BIGINT, url VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO u VALUES (?, ?)", list(self.URLS)
+        )
+        maxk = max(r.match_labels for r in rules)
+        sql = f"""
+        WITH hosts AS (
+          SELECT i, url,
+                 regexp_replace(regexp_replace(lower(
+                   regexp_extract(trim(url),
+                     '^([A-Za-z][A-Za-z0-9+.\\-]*)://(?:[^/@?#]*@)?([^/?#]*)', 2)),
+                   ':[0-9]*$', ''), '\\.$', '') AS host
+          FROM u),
+        lab AS (
+          SELECT *, string_split(host, '.') AS labels,
+                 len(string_split(host, '.')) AS n
+          FROM hosts WHERE host IS NOT NULL),
+        cand AS (
+          SELECT i, host, labels, n, k.k,
+                 array_to_string(labels[n - k.k + 1 : n], '.') AS cand
+          FROM lab, (SELECT unnest(range(1, {maxk} + 1)) AS k) k
+          WHERE k.k <= n),
+        win AS (
+          -- scalar priority key: exceptions beat every rule length
+          -- (ps_len < 1000 always)
+          SELECT i, max_by(ps_len, is_exception::INT * 1000 + ps_len) AS ps
+          FROM cand JOIN rules
+            ON cand.cand = rules.suffix AND cand.k = rules.match_labels
+          GROUP BY i)
+        SELECT lab.i,
+               CASE WHEN n <= 1 THEN host
+                    ELSE array_to_string(
+                      labels[n - least(coalesce(win.ps, 1) + 1, n) + 1 : n], '.')
+               END AS d
+        FROM lab LEFT JOIN win ON lab.i = win.i
+        """
+        want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+        for i, u in self.URLS:
+            if u is None:
+                assert got[i] == ""  # expression-form contract
+            else:
+                assert got[i] == want[i], (i, u, got[i], want[i])
