@@ -567,6 +567,24 @@ SCRIPT_FAMILY_MARKERS = {
                 "ہے", "ہیں", "تھا", "اور", "یہ", "وہ", "ہم", "رہے",
                 "لیے", "گیا"]),
     ],
+    # r11 (review r10 item 5): Devanagari covers Hindi, Marathi and
+    # Nepali — mr/ne misfiled as 'hi' under the bare script proxy.
+    # Distinctive closed-class words: hi है/के/की (copula +
+    # genitive), mr आहे/आणि/मध्ये (copula/and/in — Marathi's copula
+    # is unmistakably not Hindi's), ne छ/गरेको/पनि (copula +
+    # perfective + 'also'). को/का/मा are shared hi/ne postpositions
+    # and appear in both lists; the copulas decide.
+    "devanagari": [
+        ("hi", ["है", "के", "की", "का", "में", "से", "और", "को",
+                "पर", "यह", "नहीं", "हो", "था", "कि", "ने", "भी",
+                "एक", "हैं"]),
+        ("mr", ["आहे", "आणि", "च्या", "मध्ये", "आहेत", "हे", "तो",
+                "ती", "या", "व", "होते", "केली", "असून", "येथे",
+                "करण्यात", "त्यांनी", "झाली", "नाही"]),
+        ("ne", ["छ", "छन्", "र", "को", "का", "मा", "पनि", "गरेको",
+                "भएको", "हुन्", "लागि", "गर्न", "भने", "यो", "हो",
+                "गरी", "हुने", "थियो"]),
+    ],
 }
 
 
@@ -599,13 +617,32 @@ def script_fraction(col, script: str) -> Column:
     )
 
 
+#: Family-tier token split: keeps COMBINING MARKS (\\p{M}) with their
+#: base letters — Devanagari matras, Arabic harakat, Hebrew niqqud are
+#: marks, and the plain \\p{L}\\p{N} split shatters words at each one
+#: ("आहे" → "आह" + debris, so no marker could ever match). The
+#: lexical-stat tokenizer (functions/text.py) keeps the reference's
+#: is_alphanumeric contract; this split exists only for marker
+#: matching, where word identity must survive the script's own
+#: orthography.
+TOKEN_SPLIT_RE_MARKS = r"[^\p{L}\p{M}\p{N}]+"
+
+
 def lang_marker_ratio(col, markers, unicode_tokens: bool = False) -> Column:
     """Fraction of tokens that are in ``markers`` (lowercased alnum
     tokens — the same tokenizer every lexical stat uses).
-    ``unicode_tokens=True`` switches to the Unicode tokenizer — the
-    ASCII default strips non-Latin scripts, so within-script family
-    markers (Cyrillic/Arabic) must match with it on."""
-    toks = tokenize(_c(col), unicode=unicode_tokens)
+    ``unicode_tokens=True`` switches to the marks-preserving Unicode
+    split (:data:`TOKEN_SPLIT_RE_MARKS`) — the ASCII default strips
+    non-Latin scripts outright, and a marks-blind Unicode split
+    breaks mark-bearing scripts (Devanagari) at every matra, so
+    within-script family markers must match with this one."""
+    if unicode_tokens:
+        toks = F.filter(
+            F.split(F.lower(_c(col)), TOKEN_SPLIT_RE_MARKS),
+            lambda x: x != "",
+        )
+    else:
+        toks = tokenize(_c(col))
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: t.isin(list(markers))))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
@@ -648,12 +685,13 @@ def lang_id(
        Japanese; ja text mixes Han + kana, so this check precedes
        Han); then Han/Hangul ≥ ``script_min`` → 'zh'/'ko',
        Devanagari → 'hi'.
-    2. FAMILY tier (r10, review r9 item 3): Cyrillic and Arabic-script
-       text disambiguates WITHIN the script by function-word argmax
-       over :data:`SCRIPT_FAMILY_MARKERS` (Unicode-tokenized) —
-       uk/bg no longer misfile as 'ru', fa/ur no longer as 'ar'. The
-       family head ('ru'/'ar') remains the default when no marker
-       clears ``family_min`` (marker-free Cyrillic is still best
+    2. FAMILY tier (r10, review r9 item 3; r11 added Devanagari):
+       Cyrillic-, Arabic- and Devanagari-script text disambiguates
+       WITHIN the script by function-word argmax over
+       :data:`SCRIPT_FAMILY_MARKERS` (Unicode-tokenized) — uk/bg no
+       longer misfile as 'ru', fa/ur as 'ar', mr/ne as 'hi'. The
+       family head ('ru'/'ar'/'hi') remains the default when no
+       marker clears ``family_min`` (marker-free text is still best
        labeled by its script). ``family_markers={}`` disables the
        tier (legacy script-proxy labels).
     3. MARKER tier: argmax function-word coverage over
@@ -663,9 +701,15 @@ def lang_id(
        order (deterministic).
 
     Honest scope: a script/closed-class-word heuristic, not a trained
-    classifier. Remaining proxies: 'hi' = Devanagari (also
-    Marathi/Nepali), 'zh' = Han without kana, and within-family
-    coverage is {ru,uk,bg}/{ar,fa,ur} — extend
+    classifier. Remaining proxy: 'zh' = Han without kana — this is
+    the kana GATE, not a guess: Japanese prose is structurally
+    impossible without kana particles (は/が/の/です), so
+    Han-with-no-kana is Chinese (or a kanji-only fragment too short
+    to classify either way; ``kana_min`` tunes the gate). Mixed
+    Hanja/Hangul Korean still labels 'ko': Hanja is <1% of modern ko
+    text, so the Han fraction never clears ``script_min`` before
+    Hangul does. Within-family coverage is
+    {ru,uk,bg}/{ar,fa,ur}/{hi,mr,ne} — extend
     :data:`SCRIPT_FAMILY_MARKERS` for more, or plug
     `operators/quality_clf` with language labels (same serving
     shape)."""
@@ -682,15 +726,18 @@ def lang_id(
         if fams.get("arabic")
         else F.lit("ar")
     )
+    dev = (
+        _family_pick(col, fams["devanagari"], family_min)
+        if fams.get("devanagari")
+        else F.lit("hi")
+    )
     script_pred = (
         F.when(script_fraction(col, "kana") >= kana_min, F.lit("ja"))
         .when(script_fraction(col, "han") >= script_min, F.lit("zh"))
         .when(script_fraction(col, "hangul") >= script_min, F.lit("ko"))
         .when(script_fraction(col, "cyrillic") >= script_min, cyr)
         .when(script_fraction(col, "arabic") >= script_min, arb)
-        .when(
-            script_fraction(col, "devanagari") >= script_min, F.lit("hi")
-        )
+        .when(script_fraction(col, "devanagari") >= script_min, dev)
     )
     sets = markers or LANG_MARKERS
     ratios = [(name, lang_marker_ratio(col, ws)) for name, ws in sorted(sets.items())]

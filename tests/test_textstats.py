@@ -704,6 +704,11 @@ class TestLangIdDuckDbReplay:
             "آج موسم بہت اچھا ہے اور ہم پارک جا رہے ہیں یہ شہر اچھا ہے",
             # marker-free Cyrillic → family head 'ru' (script proxy)
             "абвг дежз иклм",
+            # r11 Devanagari family: mr/ne must flip from 'hi'
+            "आज हवामान चांगले आहे आणि आम्ही उद्यानात जात आहोत हे शहर सुंदर आहे",
+            "आज मौसम राम्रो छ र हामी पार्क जान्छौं यो शहर राम्रो छ",
+            # marker-free Devanagari → family head 'hi' (script proxy)
+            "कखग घङच झञट",
         ]
         sdf = spark.createDataFrame(
             [(i, t) for i, t in enumerate(docs)], "i long, text string"
@@ -748,11 +753,13 @@ class TestLangIdDuckDbReplay:
                 f" / len({tok}) ELSE 0.0 END"
             )
 
-        # family tier tokenizes with the UNICODE tokenizer (the ASCII
-        # one strips Cyrillic/Arabic outright) — same RE2 class
+        # family tier tokenizes with the marks-PRESERVING Unicode
+        # split (the ASCII one strips Cyrillic/Arabic outright; a
+        # marks-blind \p{L}\p{N} split shatters Devanagari at every
+        # matra) — same RE2 class
         utok = (
             "list_filter(string_split_regex(lower(text),"
-            " '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+            " '[^\\p{L}\\p{M}\\p{N}]+'), x -> x <> '')"
         )
 
         def uratio(markers):
@@ -776,9 +783,11 @@ class TestLangIdDuckDbReplay:
 
         cyr_fam = SCRIPT_FAMILY_MARKERS["cyrillic"]
         arb_fam = SCRIPT_FAMILY_MARKERS["arabic"]
+        dev_fam = SCRIPT_FAMILY_MARKERS["devanagari"]
         fam_ratios = ", ".join(
             [f"{uratio(ws)} AS c_{n}" for n, ws in cyr_fam]
             + [f"{uratio(ws)} AS a_{n}" for n, ws in arb_fam]
+            + [f"{uratio(ws)} AS d_{n}" for n, ws in dev_fam]
         )
 
         names = sorted(LANG_MARKERS)
@@ -810,7 +819,7 @@ class TestLangIdDuckDbReplay:
                       WHEN f_hangul >= 0.3 THEN 'ko'
                       WHEN f_cyr >= 0.3 THEN {family_case(cyr_fam, 'c')}
                       WHEN f_ar >= 0.3 THEN {family_case(arb_fam, 'a')}
-                      WHEN f_dev >= 0.3 THEN 'hi' END,
+                      WHEN f_dev >= 0.3 THEN {family_case(dev_fam, 'd')} END,
                  {marker_chain}) AS l
         FROM t
         """
@@ -827,3 +836,6 @@ class TestLangIdDuckDbReplay:
         assert [want[i] for i in range(14, 19)] == [
             "uk", "bg", "fa", "ur", "ru",
         ]
+        # r11 Devanagari family goldens: mr/ne flip from 'hi';
+        # marker-free Devanagari keeps the family-head proxy
+        assert [want[i] for i in range(19, 22)] == ["mr", "ne", "hi"]
