@@ -58,6 +58,8 @@ HEADLINE = [
     "token_counts",
     "asof_purchase_attribution",
     "events_rollup_type_hour",
+    "wet_documents_docs",
+    "packed_ids_export",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
@@ -148,11 +150,19 @@ def main() -> None:
     # the bench series remains comparable across rounds (the r8 swaps:
     # knn_cos_top10 / tpch_q10 out, url_dedup_docs /
     # substr_dup_windows_docs in).
-    from lantern_spark.queries.relational import tpch_q10_returned_items
+    from lantern_spark.queries.quantize import pq_adc_topk
+    from lantern_spark.queries.relational import (
+        events_rollup_type_hour,
+        tpch_q10_returned_items,
+    )
     from lantern_spark.queries.vector import knn_cos_top10
 
     qs.setdefault("knn_cos_top10", knn_cos_top10)
     qs.setdefault("tpch_q10_returned_items", tpch_q10_returned_items)
+    # r11 swaps: events_rollup_type_hour / pq_adc_topk out,
+    # wet_documents_docs / packed_ids_export in
+    qs.setdefault("events_rollup_type_hour", events_rollup_type_hour)
+    qs.setdefault("pq_adc_topk", pq_adc_topk)
 
     # Untimed warmup: initialize codegen/Arrow and touch every table's
     # footer so per-query timings reflect steady state, not first-JVM
@@ -1051,6 +1061,111 @@ def main() -> None:
     except Exception as e:
         print(f"# bench wet FAILED: {e}", file=sys.stderr)
 
+    # Raw-WARC strict-path throughput (r11, review r10 item 6): the
+    # full response pipeline — per-record-gzip archive (Common Crawl's
+    # layout) → streaming Content-Length parse → HTTP envelope split
+    # (half the bodies gzip content-coded) → html_to_text → documents.
+    # Confirms the r11 streaming-decompress rewrite and HTTP layer
+    # didn't cost the strict path its throughput. Telemetry only.
+    try:
+        import shutil as _sh
+        import tempfile as _wtf
+
+        from pyspark.sql import functions as _WF
+
+        from lantern_spark.sources.warc import (
+            build_http_response,
+            read_warc,
+            warc_response_documents,
+            write_warc,
+        )
+
+        docs_pd = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("text")
+            .toPandas()
+        )
+        warc_dir = _wtf.mkdtemp(prefix="bench_warc_")
+        try:
+            # ~15 KB HTML pages from the corpus text (same shaping
+            # rationale as the WET witness), ×8 replicas
+            bodies, _buf, _sz = [], [], 0
+            for t in list(docs_pd.text) * 8:
+                _buf.append(f"<p>{t}</p>")
+                _sz += len(t)
+                if _sz >= 15000:
+                    bodies.append(
+                        "<html><head><title>b</title></head><body>"
+                        + "\n".join(_buf)
+                        + "</body></html>"
+                    )
+                    _buf, _sz = [], 0
+            recs = [
+                {
+                    "warc_type": "response",
+                    "url": f"https://bench.example.com/{i}",
+                    "payload": build_http_response(
+                        t, gzip_body=(i % 2 == 0)
+                    ),
+                    "content_type": "application/http; msgtype=response",
+                    "record_id": f"<urn:uuid:warcbench-{i}>",
+                }
+                for i, t in enumerate(bodies)
+            ]
+            shard = max(1, len(recs) // 8)
+            for i in range(0, len(recs), shard):
+                write_warc(
+                    os.path.join(warc_dir, f"part-{i:06d}.warc.gz"),
+                    recs[i : i + shard],
+                    gzip_per_record=True,
+                )
+            html_mb = sum(len(b.encode("utf-8")) for b in bodies) / 1e6
+            spark.sparkContext.setJobDescription("bench:warc_ingest")
+            dt = None
+            for _ in range(2):
+                t0 = time.time()
+                warc_response_documents(read_warc(spark, warc_dir)).select(
+                    _WF.xxhash64("url", "text").alias("h")
+                ).agg(_WF.expr("bit_xor(h)")).collect()
+                d = time.time() - t0
+                dt = d if dt is None else min(dt, d)
+            quality["warc_ingest_s"] = round(dt, 3)
+            quality["warc_ingest_pages"] = len(recs)
+            quality["warc_ingest_html_mb"] = round(html_mb, 2)
+            quality["warc_ingest_mb_per_s"] = round(html_mb / dt, 2)
+        finally:
+            _sh.rmtree(warc_dir, ignore_errors=True)
+    except Exception as e:
+        print(f"# bench warc FAILED: {e}", file=sys.stderr)
+
+    # Full-PSL registered-domain JOIN form vs the curated expression
+    # form on the url_dedup corpus (r11, review r10 item 3): the join
+    # form's shuffle cost is the price of full-PSL coverage — publish
+    # both so the tradeoff is measured. Telemetry only.
+    try:
+        from lantern_spark.operators.weburl import (
+            registered_domain,
+            registered_domain_df,
+        )
+        from lantern_spark.queries.dedup import synth_url_expr
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", synth_url_expr().alias("url")
+        )
+        spark.sparkContext.setJobDescription("bench:registered_domain")
+        t0 = time.time()
+        docs.select(
+            registered_domain("url").alias("d")
+        ).groupBy().agg(SF.countDistinct("d")).collect()
+        quality["rd_expr_form_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        registered_domain_df(docs, "url").groupBy().agg(
+            SF.countDistinct("registered_domain")
+        ).collect()
+        quality["rd_join_form_s"] = round(time.time() - t0, 3)
+    except Exception as e:
+        print(f"# bench registered_domain FAILED: {e}", file=sys.stderr)
+
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -1142,7 +1257,8 @@ def main() -> None:
             "bloom_member_fraction bloom_fp_fraction "
             "apq_topk_score_rmse pq_topk_score_rmse "
             "apq_shortlist100_recall_at10 pq_shortlist100_recall_at10 "
-            "wet_ingest_mb_per_s"
+            "wet_ingest_mb_per_s warc_ingest_mb_per_s "
+            "rd_expr_form_s rd_join_form_s"
         ).split()
         line["quality"] = {
             k: v for k, v in line["quality"].items() if k in keep

@@ -288,6 +288,26 @@ _URL_HOSTS = [
 _URL_AUTH = r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/@?#]*@)?([^/?#]*)"
 
 
+def synth_url_expr() -> "F.Column":
+    """The Spark twin of :func:`_synth_url_sql` — one deterministic
+    messy URL per ``doc_id`` (shared with bench.py's
+    registered-domain witness so both measure the same corpus)."""
+    d = F.col("doc_id")
+    hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.element_at(hosts, (d % 6).cast("int") + 1),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), (d % 10).cast("string"),
+        F.when(d % 3 == 0, F.lit("?utm_source=x&utm_medium=y"))
+        .when(d % 3 == 1, F.lit("?fbclid=abc123"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
 def _synth_url_sql() -> str:
     hosts = ", ".join(f"'{h}'" for h in _URL_HOSTS)
     return (
@@ -391,21 +411,9 @@ def url_dedup_docs(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = F.col("doc_id")
-    hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
-    url = F.concat(
-        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
-        F.lit("://"),
-        F.when(d % 5 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
-        F.element_at(hosts, (d % 6).cast("int") + 1),
-        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/page/"), (d % 10).cast("string"),
-        F.when(d % 3 == 0, F.lit("?utm_source=x&utm_medium=y"))
-        .when(d % 3 == 1, F.lit("?fbclid=abc123"))
-        .otherwise(F.lit("")),
-        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    survivors = url_dedup(
+        docs.withColumn("url", synth_url_expr()), "url", "doc_id"
     )
-    survivors = url_dedup(docs.withColumn("url", url), "url", "doc_id")
     return survivors.select(
         "doc_id",
         normalize_url("url").alias("norm_url"),

@@ -150,28 +150,18 @@ def pq_roundtrip(spark, sf_dir):
     )
 
 
-@register(
-    "pq_adc_topk",
-    f"""
-    WITH {_encode_ctes(_CB_SQL_PATH)},
-    q AS (SELECT {_QL} AS qv),
-    lut AS (
-      SELECT subvector_id AS sid, centroid_id,
-             list_sum(list_transform(
-               list_zip(qv[subvector_id*8+1 : subvector_id*8+8], c),
-               x -> (x[1]-x[2])*(x[1]-x[2]))) AS ld
-      FROM cb, q),
-    adc AS (
-      SELECT b.vec_id, round(sum(l.ld), 6) AS pq_dist
-      FROM best b JOIN lut l ON l.sid = b.sid AND l.centroid_id = b.centroid_id
-      WHERE b.rn = 1 GROUP BY b.vec_id)
-    SELECT vec_id, pq_dist FROM adc ORDER BY pq_dist, vec_id LIMIT 20
-    """,
-)
 def pq_adc_topk(spark, sf_dir):
     """Top-20 by ADC distance over PQ codes (PQ-aware search analog,
-    scan.c:75-81), hash-checked: the oracle re-encodes from the shared
-    codebook parquet and replays the lookup-table sum."""
+    scan.c:75-81).
+
+    Retired from the oracle roster in r11 (50-query driver cap): the
+    plain-ADC scan is a strict sub-plan of ``ivf_pq_adc_top10``
+    (IVF-routed ADC over the same codebook), whose oracle replays the
+    identical encode + lookup-table arithmetic and stays hash-green;
+    encode/decode fidelity stays hash-checked via ``pq_roundtrip``.
+    The slot funds ``packed_ids_export`` (the training-shard export,
+    the pipeline's last mile). Still timed in bench (direct import)
+    so the series stays comparable."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _codebook_for(spark, sf_dir)
     enc = encode_pq(emb, "embedding", cb, _SPEC)

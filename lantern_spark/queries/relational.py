@@ -252,21 +252,19 @@ def asof_purchase_attribution(spark, sf_dir):
     ).select("event_id", "user_id", "view_id", "view_value", "view_ts_r")
 
 
-@register(
-    "events_rollup_type_hour",
-    """
-    SELECT event_type,
-           CASE WHEN GROUPING(hour) = 1 THEN NULL ELSE hour END AS hour,
-           count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value,
-           GROUPING(event_type)::INT + 2*GROUPING(hour)::INT AS lvl
-    FROM (SELECT event_type, date_part('hour', ts)::INT AS hour, value FROM events)
-    GROUP BY ROLLUP(event_type, hour)
-    """,
-)
 def events_rollup_type_hour(spark, sf_dir):
     """ROLLUP grouping-sets aggregate (the Catalyst-freebie §2.J
     surface exercised explicitly): per (type, hour), per type, grand
-    total, with grouping level markers."""
+    total, with grouping level markers.
+
+    Retired from the oracle roster in r11 (50-query driver cap):
+    ROLLUP is one Catalyst built-in (``df.rollup``) whose events-agg
+    coverage stays hash-checked via ``events_hourly_rollup`` and
+    ``events_sessionization``; the slot funds ``wet_documents_docs``
+    (the crawl front door, r10's newest first-class layer). Still
+    timed in bench (direct import) so the series stays comparable,
+    and DuckDB-replayed in tests/test_crawl_queries.py so the
+    grouping-sets parity pin survives retirement."""
     from lantern_spark.types import load_events
 
     ev = load_events(spark, sf_dir).select(

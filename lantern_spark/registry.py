@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "textstats",
     "ann",
     "lifecycle",
+    "crawl",
 )
 
 
