@@ -52,7 +52,9 @@ def default_taggers(text_col: str = "text") -> "dict[str, Column]":
     from lantern_spark.operators.textstats import (
         alpha_word_fraction,
         dup_line_fraction,
+        gopher_rules_ok,
         lang_id,
+        lang_id_en,
         mean_word_len,
         pii_count,
         punct_ratio,
@@ -60,6 +62,7 @@ def default_taggers(text_col: str = "text") -> "dict[str, Column]":
         stopword_ratio,
         symbol_word_ratio,
         token_count_ws,
+        top_ngram_fraction,
     )
 
     c = F.col(text_col)
@@ -70,6 +73,16 @@ def default_taggers(text_col: str = "text") -> "dict[str, Column]":
         "mean_word_len": mean_word_len(c),
         "quality": quality_score(c),
         "lang": lang_id(c),
+        # r11: the exact columns CurationConfig's sidecar-backed
+        # heuristics consume (curate.py) — lang_en is the en/unk
+        # binary the inline `require_english` rule uses (lang_id's
+        # multi-language argmax can disagree on edge docs, and the
+        # sidecar path must reproduce the inline path's decisions
+        # exactly), gopher_ok / top2gram_fraction back the Gopher
+        # knobs. All pure exprs: the tag pass stays one codegen scan.
+        "lang_en": lang_id_en(c),
+        "gopher_ok": gopher_rules_ok(c),
+        "top2gram_fraction": top_ngram_fraction(c, 2),
         "pii_count": pii_count(c),
         "dup_line_fraction": dup_line_fraction(c),
         "symbol_word_ratio": symbol_word_ratio(c),

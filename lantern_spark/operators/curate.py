@@ -127,6 +127,23 @@ class CurationConfig:
     # the one curation stage that shuffles ~one row per corpus token;
     # enable deliberately.
     substr_dedup_min_tokens: Optional[int] = None
+    # optional attribute SIDECAR for the heuristics stage (r11,
+    # operators/attributes — the Dolma tag-once/filter-many shape):
+    # a parquet path of (id, n_tokens, quality, lang_en, …) written by
+    # `write_attributes`. When set, every THRESHOLD rule of the
+    # heuristics stage evaluates on the narrow sidecar scan (predicates
+    # push to its footer stats) and surviving ids recover their text
+    # rows via ONE LEFT SEMI join — mixture/threshold experiments then
+    # re-read ~1% of corpus bytes instead of re-deriving stats from
+    # text. Required sidecar columns per enabled knob are checked
+    # loudly; `extra_predicates` and the `redact_pii` rewrite still
+    # evaluate on text (they are text-valued by contract). CONTRACT:
+    # the sidecar must have been tagged over the text AS IT ENTERS the
+    # heuristics stage — with rewrite stages enabled between tagging
+    # and filtering (c4_clean, line_dedup, substr_dedup), tag the
+    # rewritten checkpoint, not the raw corpus, or the decisions
+    # diverge from the inline path.
+    attributes_path: Optional[str] = None
 
 
 def _curation_stages(text_col: str, id_col: str, cfg: CurationConfig):
@@ -192,7 +209,69 @@ def _curation_stages(text_col: str, id_col: str, cfg: CurationConfig):
             ).drop("removed_tokens", "removed_spans"),
         ))
 
+    def heuristics_sidecar(out: DataFrame) -> DataFrame:
+        # r11 (review r10 item 7): threshold rules evaluate on the
+        # NARROW sidecar scan; survivors recover text via LEFT SEMI —
+        # the text table is never read by the filter itself
+        attrs = out.sparkSession.read.parquet(cfg.attributes_path)
+        need = {"n_tokens", "quality"}
+        pred = (
+            (F.col("n_tokens") >= cfg.min_tokens)
+            & (F.col("n_tokens") <= cfg.max_tokens)
+            & (F.col("quality") >= cfg.min_quality)
+        )
+        if cfg.require_english:
+            need.add("lang_en")
+            pred = pred & (F.col("lang_en") == "en")
+        if cfg.max_dup_line_frac is not None:
+            need.add("dup_line_fraction")
+            pred = pred & (
+                F.col("dup_line_fraction") <= cfg.max_dup_line_frac
+            )
+        if cfg.max_top2gram_frac is not None:
+            need.add("top2gram_fraction")
+            pred = pred & (
+                F.col("top2gram_fraction") <= cfg.max_top2gram_frac
+            )
+        if cfg.gopher_rules:
+            need.add("gopher_ok")
+            pred = pred & F.col("gopher_ok")
+        if (
+            cfg.min_compression_ratio is not None
+            or cfg.max_compression_ratio is not None
+        ):
+            need.add("compression_ratio")
+            if cfg.min_compression_ratio is not None:
+                pred = pred & (
+                    F.col("compression_ratio") >= cfg.min_compression_ratio
+                )
+            if cfg.max_compression_ratio is not None:
+                pred = pred & (
+                    F.col("compression_ratio") <= cfg.max_compression_ratio
+                )
+        missing = need - set(attrs.columns)
+        if missing:
+            raise ValueError(
+                f"attributes sidecar {cfg.attributes_path} lacks columns "
+                f"required by the enabled heuristics: {sorted(missing)} "
+                "(tag with default_taggers(), or add the missing tagger)"
+            )
+        keep = attrs.where(pred).select(id_col)
+        out = out.filter(F.col(text_col).isNotNull()).join(
+            keep, id_col, "left_semi"
+        )
+        # text-valued pieces stay inline by contract
+        for p in cfg.extra_predicates:
+            out = out.filter(p)
+        if cfg.redact_pii:
+            from lantern_spark.operators.textstats import redact_pii
+
+            out = out.withColumn(text_col, redact_pii(text_col))
+        return out
+
     def heuristics(out: DataFrame) -> DataFrame:
+        if cfg.attributes_path is not None:
+            return heuristics_sidecar(out)
         # one fused map-only pass (pure column expressions)
         toks = token_count_ws(text_col)
         out = out.filter(
@@ -324,7 +403,7 @@ _STAGE_FIELDS = {
         "min_tokens", "max_tokens", "min_quality", "require_english",
         "max_dup_line_frac", "max_top2gram_frac", "gopher_rules",
         "min_compression_ratio", "max_compression_ratio",
-        "extra_predicates", "redact_pii",
+        "extra_predicates", "redact_pii", "attributes_path",
     ),
     "model_quality": ("quality_model", "min_model_prob"),
     "perplexity": ("lm", "max_ppl"),

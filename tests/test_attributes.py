@@ -40,16 +40,36 @@ class TestTagging:
         ).count() == 0
 
     def test_single_fused_scan(self, docs):
-        # Expression-only taggers: no Python eval, no shuffle — the
-        # tagging pass is one map stage.
+        # The tag pass is ONE map stage: no shuffle ever; the default
+        # set carries exactly one ArrowEval stage (r11: the
+        # top2gram_fraction Gopher kernel — the Dolma contract is that
+        # kernel/model taggers ride the single tag pass instead of
+        # every downstream experiment), and everything else stays
+        # codegen expressions.
         plan = (
             tag_documents(docs)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        assert "EvalPython" not in plan
         assert "Exchange" not in plan
+        assert plan.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+        # an expression-only tagger set stays pure codegen
+        exprs = {
+            k: v
+            for k, v in default_taggers().items()
+            if k != "top2gram_fraction"
+        }
+        plan2 = (
+            tag_documents(docs, exprs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan2
+        assert "Exchange" not in plan2
 
     def test_name_collision_raises(self, docs):
         with pytest.raises(ValueError, match="collides"):
@@ -150,3 +170,121 @@ class TestPlans:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS attr_docs_b")
             spark.sql("DROP TABLE IF EXISTS attr_side_b")
+
+
+class TestSidecarBackedCuration:
+    """r11 (review r10 item 7): CurationConfig.attributes_path routes
+    the heuristics stage's threshold rules through the sidecar scan —
+    identical survivors to the inline path, LEFT SEMI text recovery in
+    the plan, loud error on missing columns."""
+
+    def _cfg(self, **kw):
+        from lantern_spark.operators.curate import CurationConfig
+
+        # knobs chosen so the synthetic corpus PARTIALLY survives —
+        # the equivalence assertion must see both kept and dropped rows
+        # (gopher_rules would drop all ~50-token docs via the 50-word
+        # floor; it is equivalence-checked separately below)
+        return CurationConfig(
+            min_tokens=10,
+            min_quality=0.3,
+            require_english=True,
+            max_dup_line_frac=0.5,
+            exact_dedup=False,
+            near_dedup=False,
+            **kw,
+        )
+
+    def test_same_survivors_as_inline(self, spark, docs, tmp_path):
+        from lantern_spark.operators.curate import curate_corpus
+
+        side = str(tmp_path / "cur_attrs")
+        write_attributes(docs, side)
+        inline = curate_corpus(docs, "text", "doc_id", self._cfg())
+        sidecar = curate_corpus(
+            docs, "text", "doc_id", self._cfg(attributes_path=side)
+        )
+        a = sorted(r.doc_id for r in inline.select("doc_id").collect())
+        b = sorted(r.doc_id for r in sidecar.select("doc_id").collect())
+        assert a == b
+        assert 0 < len(a) < docs.count()  # the knobs actually filtered
+
+        # gopher + top2gram knobs: decisions must also agree (all-drop
+        # on this corpus is fine — agreement is the contract)
+        cfg2 = self._cfg()
+        cfg2.gopher_rules = True
+        cfg2.max_top2gram_frac = 0.5
+        import dataclasses
+
+        g_inline = curate_corpus(docs, "text", "doc_id", cfg2)
+        g_side = curate_corpus(
+            docs, "text", "doc_id",
+            dataclasses.replace(cfg2, attributes_path=side),
+        )
+        assert sorted(r.doc_id for r in g_inline.collect()) == sorted(
+            r.doc_id for r in g_side.collect()
+        )
+
+    def test_plan_filters_on_sidecar_then_semijoins(
+        self, spark, docs, tmp_path
+    ):
+        from lantern_spark.operators.curate import _curation_stages
+
+        side = str(tmp_path / "cur_attrs_plan")
+        write_attributes(docs, side)
+        stages = dict(
+            _curation_stages("text", "doc_id", self._cfg(attributes_path=side))
+        )
+        out = stages["heuristics"](docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        # ...the filter side reads the NARROW sidecar (only the columns
+        # the enabled knobs need — the display truncates long
+        # PushedFilters lists, so pin the scan schema)...
+        assert (
+            "ReadSchema: struct<doc_id:bigint,n_tokens:int,"
+            "quality:double,lang_en:string,dup_line_fraction:double"
+        ) in plan
+        # ...and the text side carries no quality-score regex machinery
+        # (the whole point: text is read only to recover survivors)
+        assert plan.count("regexp_replace") == 0
+
+    def test_missing_sidecar_column_raises(self, spark, docs, tmp_path):
+        from lantern_spark.operators.curate import _curation_stages
+
+        side = str(tmp_path / "cur_attrs_missing")
+        write_attributes(
+            docs, side, {"n_tokens": default_taggers()["n_tokens"]}
+        )
+        stages = dict(
+            _curation_stages("text", "doc_id", self._cfg(attributes_path=side))
+        )
+        with pytest.raises(ValueError, match="lacks columns"):
+            stages["heuristics"](docs)
+
+    def test_assembly_end_to_end_equivalence(self, spark, docs, tmp_path):
+        from lantern_spark.operators.assemble import (
+            assemble_pretraining_corpus,
+        )
+
+        side = str(tmp_path / "asm_attrs")
+        write_attributes(docs, side)
+        res_inline = assemble_pretraining_corpus(
+            spark, docs, "text", "doc_id",
+            str(tmp_path / "chk_inline"),
+            curation=self._cfg(),
+            seq_tokens=256,
+        )
+        res_side = assemble_pretraining_corpus(
+            spark, docs, "text", "doc_id",
+            str(tmp_path / "chk_side"),
+            curation=self._cfg(attributes_path=side),
+            seq_tokens=256,
+        )
+        assert res_inline.stage_rows == res_side.stage_rows
+        assert res_inline.tokens_out == res_side.tokens_out
+        a = sorted(
+            (r.doc_id, r.pack_id) for r in res_inline.df.collect()
+        )
+        b = sorted((r.doc_id, r.pack_id) for r in res_side.df.collect())
+        assert a == b
