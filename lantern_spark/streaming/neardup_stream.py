@@ -54,6 +54,7 @@ scans that DO happen read compacted files.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
@@ -61,6 +62,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lantern_spark.operators.dedup import minhash_docs
+
+_log = logging.getLogger(__name__)
 
 __all__ = [
     "incremental_neardup_job",
@@ -175,6 +178,7 @@ def incremental_neardup_job(
     bloom_shards: int = 64,
     bloom_k: int = 7,
     bloom_max_fill_ratio: Optional[float] = 0.95,
+    bloom_resize_fill_ratio: Optional[float] = 0.5,
 ):
     """Start the gate; returns the StreamingQuery.
 
@@ -197,7 +201,23 @@ def incremental_neardup_job(
     ``bloom_m_bits`` for bigger survivor stores. Probes run the
     ``bloom_max_fill_ratio`` saturation guard (operators/bloomset,
     the r9 loud-failure contract): a saturated filter raises instead
-    of silently degrading every batch back to the full scan."""
+    of silently degrading every batch back to the full scan.
+
+    ``bloom_resize_fill_ratio`` (r11, review r10 item 8): after each
+    fold the filter's max shard fill is measured (one popcount pass
+    over the ≤ m_bits/8 bytes already being rewritten); past this
+    ratio the filter REBUILDS at doubled ``m_bits`` from the
+    authoritative bucket store (staged swap, same crash contract as
+    the stores) instead of ever reaching the loud guard — long-lived
+    gates then autotune their filter to observed survivor cardinality.
+    The adopted size persists in the manifest and survives restarts
+    (a restart with the original ``bloom_m_bits`` config keeps the
+    grown filter — shrinking would re-saturate it). ``None``
+    disables; ``bloom_m_bits`` is then a fixed size as before.
+    Gate semantics are unchanged either way: the Bloom set has no
+    false negatives at ANY size, so a resize can never admit a
+    duplicate — sizing only tunes how often a collision-free batch
+    pays a pointless history scan."""
     from lantern_spark._fsutil import recover_dir
 
     spark = stream_df.sparkSession
@@ -287,13 +307,31 @@ def incremental_neardup_job(
                     stored = json.load(fh)
             except (OSError, ValueError):
                 stored = None
+        # r11: a GROWN filter (resize-on-saturation) is valid — adopt
+        # its m_bits when it is a power-of-two multiple of the
+        # configured size (the only sizes the resizer produces);
+        # shards/k must still match exactly, and coverage still gates.
+        stored_m = stored.get("m_bits") if stored else None
+        m_ok = stored_m == _bloom_params["m_bits"] or (
+            isinstance(stored_m, int)
+            and stored_m > _bloom_params["m_bits"]
+            and stored_m % _bloom_params["m_bits"] == 0
+            and (stored_m // _bloom_params["m_bits"]).bit_count() == 1
+        )
         ok = (
             stored is not None
-            and all(stored.get(k) == v for k, v in _bloom_params.items())
+            and m_ok
+            and all(
+                stored.get(k) == v
+                for k, v in _bloom_params.items()
+                if k != "m_bits"
+            )
             and set(_committed_fragments())
             <= set(stored.get("covered", []))
         )
-        if not ok:
+        if ok:
+            _bloom_params["m_bits"] = int(stored_m)
+        else:
             shutil.rmtree(bloom_dir, ignore_errors=True)
             try:
                 os.remove(bloom_params_path)
@@ -315,7 +353,7 @@ def incremental_neardup_job(
             spark.read.parquet(bloom_dir),
             "__bk",
             n_shards=bloom_shards,
-            m_bits=bloom_m_bits,
+            m_bits=_bloom_params["m_bits"],
             k=bloom_k,
             max_fill_ratio=bloom_max_fill_ratio,
         )
@@ -344,8 +382,8 @@ def incremental_neardup_job(
                 spark.read.parquet(*bootstrap_paths).select(_bkey)
             )
         delta = build_bloom_set(
-            src, "__bk", n_shards=bloom_shards, m_bits=bloom_m_bits,
-            k=bloom_k,
+            src, "__bk", n_shards=bloom_shards,
+            m_bits=_bloom_params["m_bits"], k=bloom_k,
         )
         if _have_bloom():
             delta = spark.read.parquet(bloom_dir).unionByName(delta)
@@ -375,6 +413,67 @@ def incremental_neardup_job(
         # coverage = every committed fragment now on disk: the filter
         # either bootstrapped them or covered them per the setup check
         _write_bloom_manifest()
+
+    def _maybe_resize_bloom() -> None:
+        """Resize-on-saturation (r11): when the fold left any shard's
+        fill past ``bloom_resize_fill_ratio``, rebuild the filter at a
+        doubled ``m_bits`` from the AUTHORITATIVE bucket store — the
+        keys are all there, so growth is a pure rebuild, not a lossy
+        migration. The new size is chosen so the PREDICTED fill
+        (1 − (1−f)^(m_old/m_new), exact for the independent-bit model)
+        drops back under the trigger with headroom; it persists in the
+        manifest and is adopted on restart."""
+        import math
+        import shutil
+
+        from lantern_spark._fsutil import replace_dir
+        from lantern_spark.operators.bloomset import (
+            bloom_fill_stats,
+            build_bloom_set,
+        )
+
+        if bloom_resize_fill_ratio is None or not _have_bloom():
+            return
+        m = _bloom_params["m_bits"]
+        max_fill = (
+            bloom_fill_stats(
+                spark.read.parquet(bloom_dir),
+                m_bits=m,
+                n_shards=bloom_shards,
+                k=bloom_k,
+            )
+            .agg(F.max("fill_ratio").alias("f"))
+            .first()["f"]
+            or 0.0
+        )
+        if max_fill <= bloom_resize_fill_ratio:
+            return
+        # predicted fill at m_new: bits-set probability scales as
+        # 1-(1-f)^(m/m_new); double until it clears HALF the trigger
+        # (headroom: resizing every few epochs would thrash)
+        new_m = m
+        f = min(max_fill, 0.999999)
+        while 1.0 - (1.0 - f) ** (m / new_m) > bloom_resize_fill_ratio / 2:
+            new_m *= 2
+        frags = _committed_fragments()
+        if not frags:
+            return
+        src = spark.read.parquet(
+            *[os.path.join(store_path, "buckets", n) for n in frags]
+        ).select(_bkey)
+        rebuilt = build_bloom_set(
+            src, "__bk", n_shards=bloom_shards, m_bits=new_m, k=bloom_k
+        )
+        staged = bloom_dir.rstrip("/") + "__staged"
+        shutil.rmtree(staged, ignore_errors=True)
+        rebuilt.write.mode("overwrite").parquet(staged)
+        replace_dir(staged, bloom_dir)
+        _bloom_params["m_bits"] = new_m
+        _write_bloom_manifest()
+        _log.info(
+            "neardup bloom resized: max fill %.3f > %.2f, m_bits %d -> %d",
+            max_fill, bloom_resize_fill_ratio, m, new_m,
+        )
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
@@ -488,6 +587,7 @@ def incremental_neardup_job(
                     kept_keys,
                     bootstrap_paths=bucket_paths if need_bootstrap else [],
                 )
+                _maybe_resize_bloom()
             survivors.unpersist()
             keys.unpersist()
             if (

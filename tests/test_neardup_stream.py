@@ -409,3 +409,114 @@ class TestBloomParamsManifest:
             if n.startswith("batch_")
         )
         assert set(frags) <= set(params["covered"])
+
+
+class TestBloomResize:
+    """r11 (review r10 item 8): resize-on-saturation — a filter driven
+    past bloom_resize_fill_ratio rebuilds at doubled m_bits from the
+    bucket store (staged swap), the grown size persists in the
+    manifest and is ADOPTED on restart (not wiped as stale), and gate
+    semantics are unchanged throughout."""
+
+    @staticmethod
+    def _unique(i):
+        # long enough that a one-token edit keeps exact Jaccard above
+        # the 0.8 verify floor (one edit flips ~3 of ~38 shingles)
+        return (
+            f"document number {i} discusses topic {i * 7} and subject "
+            f"{i * 13} with distinct content tokens alpha{i} beta{i} "
+            f"gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i} "
+            "followed by a long shared tail of ordinary filler words "
+            "that every document in this fixture repeats verbatim so "
+            "single token edits stay well above the verification "
+            "threshold for near duplicate detection in these tests"
+        )
+
+    def _job(self, spark, src, store, chk, **kw):
+        from lantern_spark.streaming.neardup_stream import (
+            incremental_neardup_job,
+        )
+
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        return incremental_neardup_job(
+            stream, "text", "doc_id", str(store), str(chk),
+            # 40 docs × 4 bands over a 1024-bit filter measures ~0.40
+            # max shard fill — the 0.35 trigger is hit on batch 1
+            bloom_m_bits=1 << 10, bloom_shards=2, bloom_k=7,
+            bloom_resize_fill_ratio=0.35,
+            **kw,
+        )
+
+    def test_grow_persist_adopt(self, spark, tmp_path):
+        import json
+
+        from lantern_spark.streaming.neardup_stream import (
+            load_neardup_survivors,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir(parents=True)
+        schema = "doc_id long, text string"
+        # two batches of unique docs: ~40 docs × 4 band keys ≈ 160
+        # keys over a 1024-bit filter (k=7) — past the 0.35 trigger
+        b0 = [(i, self._unique(i)) for i in range(100, 120)]
+        b1 = [(i, self._unique(i)) for i in range(200, 220)]
+        # plus a near-dup of doc 100 arriving in batch 1
+        b1.append((900, self._unique(100).replace("alpha100", "alphaX")))
+        spark.createDataFrame(b0, schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b0"))
+        q = self._job(spark, src, tmp_path / "store", tmp_path / "chk")
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(b1, schema).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / "b1"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        manifest = json.load(
+            open(tmp_path / "store" / "bloom_params.json")
+        )
+        assert manifest["m_bits"] > (1 << 10)  # grew
+        assert manifest["m_bits"] % (1 << 10) == 0  # by doubling
+        grown = manifest["m_bits"]
+
+        got = sorted(
+            r["doc_id"]
+            for r in load_neardup_survivors(
+                spark, str(tmp_path / "store")
+            ).collect()
+        )
+        assert 900 not in got  # near-dup still dropped post-resize
+        assert got == sorted(range(100, 120)) + sorted(range(200, 220))
+
+        # restart with the ORIGINAL configured size: the grown filter
+        # must be adopted (power-of-two multiple), not wiped as stale
+        b2 = [
+            (300, self._unique(300)),
+            (901, self._unique(205).replace("beta205", "betaX")),
+        ]
+        spark.createDataFrame(b2, schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b2"))
+        q2 = self._job(spark, src, tmp_path / "store", tmp_path / "chk")
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        manifest2 = json.load(
+            open(tmp_path / "store" / "bloom_params.json")
+        )
+        assert manifest2["m_bits"] >= grown  # adopted (may grow more)
+        got2 = sorted(
+            r["doc_id"]
+            for r in load_neardup_survivors(
+                spark, str(tmp_path / "store")
+            ).collect()
+        )
+        assert 901 not in got2  # history near-dup dropped after restart
+        assert 300 in got2
