@@ -56,8 +56,12 @@ def _build_wet_fixture(spark, sf_dir: str) -> str:
         .orderBy("doc_id")
         .collect()
     )
+    # stage + atomic replace: the artifact is shared per-SF and both
+    # bench and a driver run may rebuild it concurrently — interleaved
+    # writes to the live path would hand one of them a torn archive
+    staged = f"{path}.tmp.{os.getpid()}"
     write_warc(
-        path,
+        staged,
         [
             {
                 "warc_type": "conversion",
@@ -70,6 +74,7 @@ def _build_wet_fixture(spark, sf_dir: str) -> str:
         ],
         gzip_file=True,
     )
+    os.replace(staged, path)
     return path
 
 

@@ -75,6 +75,7 @@ __all__ = [
     "read_wet",
     "stream_wet",
     "read_warc",
+    "stream_warc",
     "wet_documents",
     "warc_response_documents",
     "write_warc",
@@ -382,25 +383,14 @@ _WARC_SCHEMA = pa.schema(
 )
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    record_types: Optional[Sequence[str]] = None,
-    batch_bytes: int = 64 << 20,
+def _warc_records(
+    files: DataFrame,
+    record_types: Optional[Sequence[str]],
+    batch_bytes: int,
 ) -> DataFrame:
-    """Read raw WARC file(s) → binary-safe records.
-
-    Columns: ``path, warc_type, record_id, url, warc_date (string —
-    cast downstream), content_type, content_length, payload (binary)``.
-
-    ``binaryFile`` lists files as (path, content) rows distributed
-    across executors (one task per file — the crawl's own sharding);
-    a ``mapInArrow`` generator parses each file and emits Arrow
-    batches capped at ``batch_bytes`` of payload so a 1 GB archive
-    never materializes as one batch. Payloads stay ``binary`` —
-    response records carry images/gzip/HTTP bodies; decoding is the
-    caller's multimodal/text stage, not the reader's.
-    """
+    """Shared batch/streaming projection: (path, content) binary rows
+    → parsed WARC record rows via one ``mapInArrow`` generator whose
+    output batches are capped at ``batch_bytes`` of payload."""
     wanted = (
         None
         if record_types is None
@@ -444,7 +434,6 @@ def read_warc(
                 if rows:
                     yield _flush(rows)
 
-    files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInArrow(
         _parse,
         schema=(
@@ -453,6 +442,64 @@ def read_warc(
             "payload binary"
         ),
     )
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Optional[Sequence[str]] = None,
+    batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Read raw WARC file(s) → binary-safe records.
+
+    Columns: ``path, warc_type, record_id, url, warc_date (string —
+    cast downstream), content_type, content_length, payload (binary)``.
+
+    ``binaryFile`` lists files as (path, content) rows distributed
+    across executors (one task per file — the crawl's own sharding);
+    a ``mapInArrow`` generator parses each file and emits Arrow
+    batches capped at ``batch_bytes`` of payload so a 1 GB archive
+    never materializes as one batch (and the parse itself streams —
+    :func:`parse_warc_stream` — so neither does the decompressed
+    input). Payloads stay ``binary`` — response records carry
+    images/gzip/HTTP bodies; decoding is the caller's multimodal/text
+    stage (:func:`http_message`, :func:`warc_response_documents`),
+    not the reader's.
+    """
+    files = spark.read.format("binaryFile").load(path)
+    return _warc_records(files, record_types, batch_bytes)
+
+
+#: binaryFile's fixed schema — streaming sources cannot infer it.
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Optional[Sequence[str]] = None,
+    batch_bytes: int = 64 << 20,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc` (r11): a binaryFile
+    readStream over a landing directory of raw ``.warc.gz`` archives —
+    newly landed shards parse per micro-batch and flow into
+    :func:`warc_response_documents` and the streaming curation gates,
+    completing the raw-crawl continuous-ingestion path the WET twin
+    (:func:`stream_wet`) already has. Same parser, same record
+    columns (one shared implementation). ``max_files_per_trigger``
+    bounds each micro-batch — archives are ~1 GB each, so without it
+    the first batch is the whole backlog."""
+    reader = spark.readStream.format("binaryFile").schema(
+        _BINARYFILE_SCHEMA
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    return _warc_records(reader.load(path), record_types, batch_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +511,12 @@ def read_warc(
 # header blocks (robustness-principle servers) split correctly too.
 _HTTP_SEP_RX = re.compile(rb"\r\n\r\n|\n\n")
 _CHARSET_RX = re.compile(r"charset=[\"']?([A-Za-z0-9_.:\-]+)", re.I)
+# <meta charset="..."> / <meta http-equiv content="...charset=...">
+# in the document head — the fallback when the HTTP header names no
+# charset (common on real crawls; HTML5 defines this exact sniff)
+_META_CHARSET_RX = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)", re.I
+)
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -545,14 +598,35 @@ def split_http_response(payload: bytes) -> Tuple[dict, bytes]:
             body = zlib.decompress(body)
         except zlib.error:
             body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+    elif coding == "br":
+        # brotli is real on the modern web but the library is an
+        # optional dependency — decode when present, fail loudly (not
+        # silently as mojibake) when absent
+        try:
+            import brotli  # type: ignore
+        except ImportError:
+            raise ValueError(
+                "unsupported Content-Encoding: 'br' (install the "
+                "'brotli' package to decode brotli responses)"
+            ) from None
+        body = brotli.decompress(body)
     elif coding not in ("", "identity"):
         raise ValueError(f"unsupported Content-Encoding: {coding!r}")
     return headers, body
 
 
-def _http_charset(headers: dict) -> str:
+def _http_charset(headers: dict, body: bytes = b"") -> str:
+    """Charset resolution order: HTTP Content-Type parameter, then an
+    HTML ``<meta charset=…>`` sniff over the first 2 KB (the HTML5
+    prescan — headers frequently omit it on real crawls), then
+    utf-8."""
     m = _CHARSET_RX.search(headers.get("content-type", ""))
-    return m.group(1) if m else "utf-8"
+    if m:
+        return m.group(1)
+    m = _META_CHARSET_RX.search(body[:2048])
+    if m:
+        return m.group(1).decode("ascii", "replace")
+    return "utf-8"
 
 
 def http_message(col, column_prefix: str = "http_"):
@@ -589,7 +663,9 @@ def http_message(col, column_prefix: str = "http_"):
             stat.append(int(code) if code.isdigit() else None)
             ctype.append(headers.get("content-type"))
             try:
-                body.append(raw.decode(_http_charset(headers), "replace"))
+                body.append(
+                    raw.decode(_http_charset(headers, raw), "replace")
+                )
             except LookupError:  # unknown charset label
                 body.append(raw.decode("utf-8", "replace"))
         return pd.DataFrame(

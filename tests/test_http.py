@@ -99,7 +99,9 @@ class TestSplitHttpResponse:
             split_http_response(msg)
 
     def test_unknown_coding_raises(self):
-        msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+        # 'compress' (LZW) — genuinely unsupported regardless of
+        # optional libraries ('br' has its own gated test below)
+        msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: compress\r\n\r\nxxxx"
         with pytest.raises(ValueError, match="unsupported"):
             split_http_response(msg)
 
@@ -320,3 +322,110 @@ class TestStreamingParseMemoryBound:
                     io.BytesIO(bomb), read_size=4096, max_header_bytes=65536
                 )
             )
+
+
+class TestStreamWarc:
+    """r11: the raw-archive streaming twin — landing-dir archives
+    parse per micro-batch through the same strict parser, and the
+    full response → documents composition runs on the stream."""
+
+    def _write_shard(self, path, i):
+        write_warc(
+            str(path),
+            [
+                {
+                    "warc_type": "response",
+                    "url": f"https://stream.example.com/{i}/{j}",
+                    "payload": build_http_response(
+                        HTML, gzip_body=(j % 2 == 0)
+                    ),
+                    "content_type": "application/http; msgtype=response",
+                    "record_id": f"<urn:uuid:sw-{i}-{j}>",
+                }
+                for j in range(3)
+            ],
+            gzip_per_record=True,
+        )
+
+    def test_stream_matches_batch_and_picks_up_late_shards(
+        self, spark, tmp_path
+    ):
+        from lantern_spark.sources.warc import read_warc, stream_warc
+
+        land = tmp_path / "land"
+        land.mkdir()
+        self._write_shard(land / "a.warc.gz", 0)
+
+        out = tmp_path / "out"
+        q = (
+            warc_response_documents(
+                stream_warc(spark, str(land), max_files_per_trigger=1)
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # a late shard lands mid-stream
+            self._write_shard(land / "b.warc.gz", 1)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = spark.read.parquet(str(out))
+        batch = warc_response_documents(read_warc(spark, str(land)))
+        g = sorted((r.url, r.text) for r in got.collect())
+        b = sorted((r.url, r.text) for r in batch.collect())
+        assert g == b and len(g) == 6
+        for _, text in g:
+            assert WANT_TEXT in text
+            assert "HTTP/1.1" not in text
+
+
+class TestCharsetAndCodingFallbacks:
+    def test_meta_charset_sniff_when_header_silent(self, spark):
+        page = (
+            '<html><head><meta charset="ISO-8859-1"></head>'
+            "<body><p>café résumé</p></body></html>"
+        ).encode("latin-1")
+        msg = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+        row = (
+            spark.createDataFrame([(1, msg)], "id long, payload binary")
+            .select(http_message("payload").alias("h"))
+            .first()
+        )
+        assert "café résumé" in row.h.http_body
+
+    def test_header_charset_beats_meta(self, spark):
+        # header says latin-1; a (stale) meta claims utf-8 — header wins
+        page = (
+            '<html><head><meta charset="utf-8"></head>'
+            "<body>café</body></html>"
+        ).encode("latin-1")
+        msg = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n" + page
+        )
+        row = (
+            spark.createDataFrame([(1, msg)], "id long, payload binary")
+            .select(http_message("payload").alias("h"))
+            .first()
+        )
+        assert "café" in row.h.http_body
+
+    def test_brotli_gated_loudly(self):
+        msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+        try:
+            import brotli  # noqa: F401
+
+            have = True
+        except ImportError:
+            have = False
+        if have:
+            with pytest.raises(Exception):  # xxxx is not valid brotli
+                split_http_response(msg)
+        else:
+            with pytest.raises(ValueError, match="brotli"):
+                split_http_response(msg)
