@@ -38,7 +38,13 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["html_to_text", "html_title", "extract_text_udf_hook"]
+__all__ = [
+    "html_to_text",
+    "html_title",
+    "html_links",
+    "resolve_link",
+    "extract_text_udf_hook",
+]
 
 
 def _c(x) -> Column:
@@ -119,6 +125,82 @@ def html_title(col) -> Column:
     for ent, rep in _ENTITIES:
         t = F.regexp_replace(t, ent, rep)
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_links(col) -> Column:
+    """``array<string>`` of ``<a href>`` targets — the crawl-graph
+    edge extractor (link structure feeds URL frontiers and
+    centrality-style quality priors, e.g. Common Crawl's harmonic
+    -centrality ranking). Pure expressions: one ``regexp_extract_all``
+    + per-element entity decode of ``&amp;`` (the one entity that
+    legally appears inside URLs in HTML source).
+
+    Fragments-only links (``#section``), ``javascript:``/``mailto:``
+    /``tel:`` pseudo-schemes, and empty hrefs are excluded — none is
+    a crawlable edge. Targets come back AS WRITTEN (possibly
+    relative); compose with :func:`resolve_link` +
+    ``lantern_spark.operators.weburl.normalize_url`` for graph keys.
+    NULL-safe (NULL html → empty array)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    raw = F.regexp_extract_all(
+        c,
+        F.lit(r"(?i)<a\b[^>]*?\bhref\s*=\s*[\"']([^\"'>]+)[\"']"),
+        1,
+    )
+    decoded = F.transform(
+        raw, lambda u: F.regexp_replace(F.trim(u), "&amp;", "&")
+    )
+    return F.filter(
+        decoded,
+        lambda u: (u != "")
+        & ~u.startswith("#")
+        & ~F.lower(u).rlike(r"^(javascript|mailto|tel|data):"),
+    )
+
+
+def resolve_link(base, link) -> Column:
+    """Resolve one (possibly relative) ``link`` against the page's
+    ``base`` URL — the RFC 3986 §5 cases a crawl graph needs, as pure
+    expressions:
+
+    - absolute (``scheme://…``) → unchanged;
+    - protocol-relative ``//host/p`` → base's scheme;
+    - root-relative ``/p`` → base's scheme://host;
+    - relative ``p`` / ``../p`` → merged with the base path's
+      directory, then ``./`` and up to 8 levels of ``../``
+      dot-segments squashed (HTML in the wild nests shallowly; deeper
+      chains keep their residue rather than resolving wrongly).
+
+    Query/fragment handling follows the graph-edge use: fragments are
+    dropped (never sent to the server), queries kept. Non-URL bases
+    return the link unchanged (no base to resolve against)."""
+    b = _c(base)
+    l = F.regexp_replace(_c(link), r"#.*$", "")  # fragment: client-only
+    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    # base path's directory (strip query, then the last path segment)
+    bpath = F.regexp_replace(b, r"[?#].*$", "")
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    # a pathless base ('https://h') strips to 'scheme://' — its
+    # directory is the root
+    bdir = F.when(
+        F.length(bdir) <= F.length(origin), F.concat(origin, F.lit("/"))
+    ).otherwise(bdir)
+    merged = F.concat(bdir, l)
+    # squash /./ then bounded ../ levels (innermost-out)
+    merged = F.regexp_replace(merged, r"/\.(?=/)", "")
+    for _ in range(8):
+        merged = F.regexp_replace(merged, r"/[^/.][^/]*/\.\.(?=/|$)", "")
+    out = (
+        F.when(l == "", F.regexp_replace(b, r"#.*$", ""))
+        .when(l.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), l)
+        .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
+        .when(l.startswith("/"), F.concat(origin, l))
+        # query-only: replaces the base's query, keeps its full path
+        .when(l.startswith("?"), F.concat(bpath, l))
+        .otherwise(merged)
+    )
+    return F.when(origin == "", l).otherwise(out)
 
 
 def extract_text_udf_hook(df, html_col: str, out_col: str = "text",

@@ -609,7 +609,11 @@ def split_http_response(payload: bytes) -> Tuple[dict, bytes]:
                 "unsupported Content-Encoding: 'br' (install the "
                 "'brotli' package to decode brotli responses)"
             ) from None
-        body = brotli.decompress(body)
+        try:
+            body = brotli.decompress(body)
+        except Exception as e:  # brotli.error — normalize so the
+            # Spark wrapper's corrupt-body nulling catches it
+            raise ValueError(f"corrupt brotli body: {e}") from None
     elif coding not in ("", "identity"):
         raise ValueError(f"unsupported Content-Encoding: {coding!r}")
     return headers, body

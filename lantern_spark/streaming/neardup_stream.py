@@ -423,7 +423,6 @@ def incremental_neardup_job(
         (1 − (1−f)^(m_old/m_new), exact for the independent-bit model)
         drops back under the trigger with headroom; it persists in the
         manifest and is adopted on restart."""
-        import math
         import shutil
 
         from lantern_spark._fsutil import replace_dir

@@ -162,3 +162,144 @@ class TestReviewFixes:
         assert got[2] == "a b"
         assert got[3] == "a b"
         assert got[4] == "use &#32; here"  # no double decode
+
+
+class TestHtmlLinks:
+    """r11: crawl-graph edge extraction — <a href> targets as pure
+    expressions, with RFC 3986-style relative resolution."""
+
+    PAGE = (
+        '<html><body>'
+        '<a href="https://other.example.com/abs">abs</a>'
+        "<a href='/root-rel?q=1'>rr</a>"
+        '<a href="sub/page.html">rel</a>'
+        '<a href="../up.html">up</a>'
+        '<a href="//cdn.example.net/x.js">proto</a>'
+        '<a href="#frag">frag-only</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a href="/amp?a=1&amp;b=2">amp</a>'
+        '<A HREF="UPPER.HTML">case</A>'
+        "</body></html>"
+    )
+
+    def test_extraction_filters_pseudo_links(self, spark):
+        from lantern_spark.functions.html import html_links
+        from pyspark.sql import Row
+
+        links = (
+            spark.createDataFrame([Row(html=self.PAGE)])
+            .select(html_links("html").alias("l"))
+            .first()
+            .l
+        )
+        assert links == [
+            "https://other.example.com/abs",
+            "/root-rel?q=1",
+            "sub/page.html",
+            "../up.html",
+            "//cdn.example.net/x.js",
+            "/amp?a=1&b=2",  # &amp; decoded
+            "UPPER.HTML",
+        ]
+
+    def test_null_html_empty_array(self, spark):
+        from lantern_spark.functions.html import html_links
+
+        df = spark.createDataFrame([(1, None)], "i long, html string")
+        assert df.select(html_links("html").alias("l")).first().l == []
+
+    def test_resolution_cases(self, spark):
+        from lantern_spark.functions.html import resolve_link
+
+        base = "https://example.com/a/b/page.html?old=1#sec"
+        cases = [
+            ("https://other.example.com/abs", "https://other.example.com/abs"),
+            ("/root-rel?q=1", "https://example.com/root-rel?q=1"),
+            ("sub/page.html", "https://example.com/a/b/sub/page.html"),
+            ("../up.html", "https://example.com/a/up.html"),
+            ("../../twice.html", "https://example.com/twice.html"),
+            ("//cdn.example.net/x.js", "https://cdn.example.net/x.js"),
+            ("?q=2", "https://example.com/a/b/page.html?q=2"),
+            ("next.html#frag", "https://example.com/a/b/next.html"),
+            ("", "https://example.com/a/b/page.html?old=1"),
+        ]
+        df = spark.createDataFrame(
+            [(i, base, l) for i, (l, _) in enumerate(cases)],
+            "i long, base string, link string",
+        )
+        got = {
+            r.i: r.out
+            for r in df.select(
+                "i", resolve_link("base", "link").alias("out")
+            ).collect()
+        }
+        for i, (l, want) in enumerate(cases):
+            assert got[i] == want, (l, got[i], want)
+
+    def test_pathless_base_and_non_url_base(self, spark):
+        from lantern_spark.functions.html import resolve_link
+
+        df = spark.createDataFrame(
+            [
+                (0, "https://example.com", "x.html"),
+                (1, "not a url", "x.html"),
+            ],
+            "i long, base string, link string",
+        )
+        got = {
+            r.i: r.out
+            for r in df.select(
+                "i", resolve_link("base", "link").alias("out")
+            ).collect()
+        }
+        assert got[0] == "https://example.com/x.html"
+        assert got[1] == "x.html"  # no base to resolve against
+
+    def test_duckdb_replay(self, spark):
+        """Extraction replays in DuckDB (Java∩RE2 dialect claim of the
+        module) — same regex, same &amp; decode, same filters."""
+        import duckdb
+
+        from lantern_spark.functions.html import html_links
+        from pyspark.sql import Row
+
+        got = (
+            spark.createDataFrame([Row(html=self.PAGE)])
+            .select(html_links("html").alias("l"))
+            .first()
+            .l
+        )
+        con = duckdb.connect()
+        want = con.execute(
+            """
+            SELECT list_filter(
+              list_transform(
+                regexp_extract_all(?,
+                  '(?i)<a\\b[^>]*?\\bhref\\s*=\\s*["'']([^"''>]+)["'']', 1),
+                u -> replace(trim(u), '&amp;', '&')),
+              u -> u <> '' AND u NOT LIKE '#%'
+                AND NOT regexp_matches(lower(u),
+                  '^(javascript|mailto|tel|data):'))
+            """,
+            [self.PAGE],
+        ).fetchone()[0]
+        assert got == want
+
+    def test_plan_is_pure_expressions(self, spark):
+        from lantern_spark.functions.html import html_links, resolve_link
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(html=self.PAGE, base="https://e.com/a/")]
+        )
+        plan = (
+            df.select(
+                F.explode(html_links("html")).alias("l"), "base"
+            )
+            .select(resolve_link("base", "l"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan

@@ -961,3 +961,69 @@ class TestRegisteredDomainDf:
                 assert got[i] == ""  # expression-form contract
             else:
                 assert got[i] == want[i], (i, u, got[i], want[i])
+
+
+class TestDomainLinkGraph:
+    """r11: pages → registered-domain edge counts (the harmonic-
+    centrality input graph) — extraction/resolution/eTLD+1 fused into
+    the scan, one shuffle on the edge key."""
+
+    def test_edges_and_counts(self, spark):
+        from lantern_spark.operators.weburl import domain_link_graph
+
+        pages = [
+            (
+                "https://blog.example.com/post/1",
+                '<a href="https://news.bbc.co.uk/x">a</a>'
+                '<a href="/local">self</a>'
+                '<a href="//cdn.example.net/lib.js">cdn</a>'
+                '<a href="https://www.bbc.co.uk/y">b</a>',
+            ),
+            (
+                "https://example.com/about",
+                '<a href="https://news.bbc.co.uk/z">c</a>'
+                '<a href="mailto:x@y.z">m</a>',
+            ),
+        ]
+        df = spark.createDataFrame(pages, "url string, html string")
+        got = {
+            (r.src_domain, r.dst_domain): r.n_links
+            for r in domain_link_graph(df, "url", "html").collect()
+        }
+        # two pages on example.com both link bbc.co.uk (3 edges
+        # total: 2 hrefs from page 1 collapse onto one key + 1 from
+        # page 2); the cdn edge survives; self-edges dropped
+        assert got == {
+            ("example.com", "bbc.co.uk"): 3,
+            ("example.com", "example.net"): 1,
+        }
+
+    def test_self_edges_kept_on_request(self, spark):
+        from lantern_spark.operators.weburl import domain_link_graph
+
+        df = spark.createDataFrame(
+            [("https://example.com/", '<a href="/x">x</a>')],
+            "url string, html string",
+        )
+        got = domain_link_graph(
+            df, "url", "html", drop_self_edges=False
+        ).collect()
+        assert [(r.src_domain, r.dst_domain, r.n_links) for r in got] == [
+            ("example.com", "example.com", 1)
+        ]
+
+    def test_single_shuffle_plan(self, spark):
+        from lantern_spark.operators.weburl import domain_link_graph
+
+        df = spark.createDataFrame(
+            [("https://example.com/", '<a href="https://a.org/x">x</a>')],
+            "url string, html string",
+        )
+        plan = (
+            domain_link_graph(df, "url", "html")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1  # only the edge-count agg
+        assert "EvalPython" not in plan
