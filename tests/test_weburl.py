@@ -1027,3 +1027,91 @@ class TestDomainLinkGraph:
         )
         assert plan.count("Exchange") == 1  # only the edge-count agg
         assert "EvalPython" not in plan
+
+
+class TestDomainPagerank:
+    """r11: weighted PageRank with dangling-mass redistribution over
+    the domain edge list — pinned against an independent pure-python
+    oracle on a graph with a dangling node and weighted edges."""
+
+    EDGES = [
+        ("a.com", "b.com", 2),
+        ("a.com", "c.com", 1),
+        ("b.com", "c.com", 1),
+        ("c.com", "a.com", 1),
+        ("b.com", "d.com", 1),
+        # d.com has NO outlinks — dangling
+    ]
+
+    @staticmethod
+    def _oracle(edges, d=0.85, iters=10):
+        nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+        n = len(nodes)
+        out = {}
+        for s, t, w in edges:
+            out.setdefault(s, 0.0)
+            out[s] += w
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            contrib = {v: 0.0 for v in nodes}
+            for s, t, w in edges:
+                contrib[t] += rank[s] * w / out[s]
+            dangling = sum(rank[v] for v in nodes if v not in out)
+            rank = {
+                v: (1 - d) / n + d * (contrib[v] + dangling / n)
+                for v in nodes
+            }
+        return rank
+
+    def test_matches_python_oracle(self, spark):
+        from lantern_spark.operators.weburl import domain_pagerank
+
+        df = spark.createDataFrame(
+            self.EDGES, "src_domain string, dst_domain string, n_links long"
+        )
+        got = {
+            r.domain: r.rank
+            for r in domain_pagerank(df, iterations=10).collect()
+        }
+        want = self._oracle(self.EDGES)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+        # ranks stay a distribution (dangling mass preserved)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_unweighted_mode(self, spark):
+        from lantern_spark.operators.weburl import domain_pagerank
+
+        df = spark.createDataFrame(
+            self.EDGES, "src_domain string, dst_domain string, n_links long"
+        )
+        got = {
+            r.domain: r.rank
+            for r in domain_pagerank(
+                df, iterations=5, weight_col=None
+            ).collect()
+        }
+        want = self._oracle(
+            [(s, t, 1) for s, t, _ in self.EDGES], iters=5
+        )
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9
+
+    def test_composes_with_link_graph(self, spark):
+        from lantern_spark.operators.weburl import (
+            domain_link_graph,
+            domain_pagerank,
+        )
+
+        pages = [
+            ("https://a.com/1", '<a href="https://b.com/x">l</a>'),
+            ("https://b.com/1", '<a href="https://a.com/y">l</a>'
+                                '<a href="https://c.com/z">l</a>'),
+        ]
+        df = spark.createDataFrame(pages, "url string, html string")
+        ranks = domain_pagerank(
+            domain_link_graph(df, "url", "html"), iterations=3
+        ).collect()
+        assert {r.domain for r in ranks} == {"a.com", "b.com", "c.com"}
+        assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
