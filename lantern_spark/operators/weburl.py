@@ -53,6 +53,7 @@ __all__ = [
     "filter_domain_blocklist_df",
     "domain_link_graph",
     "domain_pagerank",
+    "expand_seed_domains",
     "TRACKING_PARAMS",
     "MULTI_LABEL_SUFFIXES",
     "PSL_SNIPPET_PATH",
@@ -863,6 +864,70 @@ def domain_pagerank(
     nodes.unpersist()
     trans.unpersist()
     return out
+
+
+def expand_seed_domains(
+    edges: DataFrame,
+    seeds: Sequence[str],
+    hops: int = 1,
+    min_links: int = 1,
+    direction: str = "out",
+) -> DataFrame:
+    """Seed-expansion curation (the WebText recipe inverted for
+    crawls: start from trusted domains, admit what the trust
+    neighborhood links to): BFS over the
+    :func:`domain_link_graph` edge list from ``seeds``, ``hops``
+    levels deep → ``(domain, hop)`` with the MINIMUM hop distance at
+    which each domain was reached (seeds are hop 0).
+
+    ``direction``: ``"out"`` follows links FROM the frontier (what
+    trusted sites link to — the usual quality expansion), ``"in"``
+    follows links TO it (what links to trusted sites — useful for
+    spam-ring discovery around a bad seed set), ``"both"`` unions.
+    ``min_links`` ignores edges thinner than the floor (single stray
+    links are weak endorsements).
+
+    Scale: one broadcast of the frontier per hop joined against the
+    edge list — ``hops`` is 1-3 in practice, so this is a bounded
+    sequence of semi-joins, not an iterate-to-fixpoint."""
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    spark = edges.sparkSession
+    e = edges.where(F.col("n_links") >= int(min_links))
+    fwd = e.select(
+        F.col("src_domain").alias("__from"), F.col("dst_domain").alias("__to")
+    )
+    rev = e.select(
+        F.col("dst_domain").alias("__from"), F.col("src_domain").alias("__to")
+    )
+    if direction == "out":
+        step = fwd
+    elif direction == "in":
+        step = rev
+    else:
+        step = fwd.unionByName(rev)
+    step = step.distinct()
+    reached = spark.createDataFrame(
+        [(s.lower(), 0) for s in seeds], "domain string, hop int"
+    )
+    frontier = reached.select("domain")
+    for h in range(1, int(hops) + 1):
+        nxt = (
+            step.join(
+                F.broadcast(frontier.withColumnRenamed("domain", "__from")),
+                "__from",
+            )
+            .select(F.col("__to").alias("domain"))
+            .distinct()
+            .join(reached.select("domain"), "domain", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        # materialize the hop: the next iteration's frontier must not
+        # re-derive (and re-shuffle) the whole prefix chain
+        nxt = nxt.localCheckpoint(eager=True)
+        reached = reached.unionByName(nxt)
+        frontier = nxt.select("domain")
+    return reached
 
 
 def _is_public_suffix(host: str, psl: dict) -> bool:

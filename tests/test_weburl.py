@@ -1115,3 +1115,62 @@ class TestDomainPagerank:
         ).collect()
         assert {r.domain for r in ranks} == {"a.com", "b.com", "c.com"}
         assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
+
+
+class TestExpandSeedDomains:
+    EDGES = [
+        ("seed.org", "a.com", 3),
+        ("seed.org", "thin.com", 1),   # below min_links=2
+        ("a.com", "b.com", 2),
+        ("b.com", "c.com", 2),
+        ("x.net", "seed.org", 5),      # inbound to the seed
+        ("b.com", "seed.org", 2),      # back-edge: seed keeps hop 0
+    ]
+
+    def _edges(self, spark):
+        return spark.createDataFrame(
+            self.EDGES, "src_domain string, dst_domain string, n_links long"
+        )
+
+    def test_out_expansion_min_hops(self, spark):
+        from lantern_spark.operators.weburl import expand_seed_domains
+
+        got = {
+            r.domain: r.hop
+            for r in expand_seed_domains(
+                self._edges(spark), ["seed.org"], hops=2, min_links=2
+            ).collect()
+        }
+        assert got == {"seed.org": 0, "a.com": 1, "b.com": 2}
+        # hop 3 would reach c.com; thin.com stays excluded by the floor
+        got3 = {
+            r.domain: r.hop
+            for r in expand_seed_domains(
+                self._edges(spark), ["seed.org"], hops=3, min_links=2
+            ).collect()
+        }
+        assert got3["c.com"] == 3 and "thin.com" not in got3
+
+    def test_in_and_both(self, spark):
+        from lantern_spark.operators.weburl import expand_seed_domains
+
+        inbound = {
+            r.domain: r.hop
+            for r in expand_seed_domains(
+                self._edges(spark), ["seed.org"], hops=1, direction="in"
+            ).collect()
+        }
+        assert inbound == {"seed.org": 0, "x.net": 1, "b.com": 1}
+        both = {
+            r.domain
+            for r in expand_seed_domains(
+                self._edges(spark), ["seed.org"], hops=1, direction="both"
+            ).collect()
+        }
+        assert both == {"seed.org", "a.com", "thin.com", "x.net", "b.com"}
+
+    def test_bad_direction_raises(self, spark):
+        from lantern_spark.operators.weburl import expand_seed_domains
+
+        with pytest.raises(ValueError, match="direction"):
+            expand_seed_domains(self._edges(spark), ["s"], direction="up")
