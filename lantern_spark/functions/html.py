@@ -180,17 +180,30 @@ def resolve_link(base, link) -> Column:
     origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
     # base path's directory (strip query, then the last path segment)
     bpath = F.regexp_replace(b, r"[?#].*$", "")
-    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
-    # a pathless base ('https://h') strips to 'scheme://' — its
-    # directory is the root
-    bdir = F.when(
-        F.length(bdir) <= F.length(origin), F.concat(origin, F.lit("/"))
-    ).otherwise(bdir)
-    merged = F.concat(bdir, l)
-    # squash /./ then bounded ../ levels (innermost-out)
+    # dot-segment squashing operates on the PATH ONLY — running it on
+    # the full URL let an over-ascending ../../ chain consume the
+    # host ('https://h/a/../../x' → 'https:/x'; caught by the urljoin
+    # property test)
+    bdir_path = F.regexp_replace(
+        F.regexp_replace(
+            bpath, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", ""
+        ),
+        r"[^/]*$",
+        "",
+    )
+    # a pathless base ('https://h') has the root as its directory
+    bdir_path = F.when(bdir_path == "", F.lit("/")).otherwise(bdir_path)
+    merged = F.concat(bdir_path, l)
+    # squash /./ then bounded ../ levels (innermost-out), then clamp
+    # over-ascent at the root (RFC 3986 remove_dot_segments)
     merged = F.regexp_replace(merged, r"/\.(?=/)", "")
     for _ in range(8):
         merged = F.regexp_replace(merged, r"/[^/.][^/]*/\.\.(?=/|$)", "")
+    merged = F.regexp_replace(merged, r"^(/\.\.)+(?=/|$)", "")
+    merged = F.when(merged.startswith("/"), merged).otherwise(
+        F.concat(F.lit("/"), merged)
+    )
+    merged = F.concat(origin, merged)
     out = (
         F.when(l == "", F.regexp_replace(b, r"#.*$", ""))
         .when(l.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), l)

@@ -690,3 +690,66 @@ class TestHttpEnvelopeProperties:
         headers, got = split_http_response(msg)
         assert got == body
         assert headers["__status"] == str(status)
+
+
+class TestResolveLinkProperties:
+    """Property (r11): resolve_link agrees with urllib.parse.urljoin
+    (the stdlib RFC 3986 reference) over the resolver's documented
+    grammar — absolute / protocol-relative / root-relative /
+    query-only / directory-relative links with ./ and bounded ../
+    chains, including over-ascent past the root. Fragments are
+    stripped from both sides (the resolver's graph-edge contract)."""
+
+    seg = st.from_regex(r"[a-z][a-z0-9]{0,4}", fullmatch=True)
+
+    @st.composite
+    def base_and_link(draw):
+        seg = st.from_regex(r"[a-z][a-z0-9]{0,4}", fullmatch=True)
+        depth = draw(st.integers(0, 3))
+        parts = [draw(seg) for _ in range(depth)]
+        page = draw(st.sampled_from(["", "page.html", "p"]))
+        q = draw(st.sampled_from(["", "?a=1"]))
+        frag = draw(st.sampled_from(["", "#sec"]))
+        base = "https://host.example" + "".join(
+            "/" + p for p in parts
+        ) + ("/" + page if page else ("/" if depth == 0 and not page else "")) + q + frag
+        kind = draw(st.sampled_from(
+            ["abs", "proto", "root", "query", "rel", "up", "dot", "empty"]
+        ))
+        if kind == "abs":
+            link = "http://other.example/" + draw(seg)
+        elif kind == "proto":
+            link = "//cdn.example/" + draw(seg)
+        elif kind == "root":
+            link = "/" + draw(seg) + draw(st.sampled_from(["", "?z=2"]))
+        elif kind == "query":
+            link = "?q=" + draw(seg)
+        elif kind == "rel":
+            link = draw(seg) + "/" + draw(seg) + ".html"
+        elif kind == "up":
+            ups = draw(st.integers(1, 5))  # may over-ascend
+            link = "../" * ups + draw(seg)
+        elif kind == "dot":
+            link = "./" + draw(seg)
+        else:
+            link = ""
+        link += draw(st.sampled_from(["", "#frag"]))
+        return base, link
+
+    @given(data=base_and_link())
+    @settings(max_examples=120, deadline=None)
+    def test_matches_urljoin(self, spark, data):
+        import re
+        from urllib.parse import urljoin
+
+        from lantern_spark.functions.html import resolve_link
+
+        base, link = data
+        want = re.sub(r"#.*$", "", urljoin(base, link))
+        got = (
+            spark.createDataFrame([(base, link)], "b string, l string")
+            .select(resolve_link("b", "l").alias("o"))
+            .first()
+            .o
+        )
+        assert got == want, (base, link, got, want)
