@@ -78,6 +78,7 @@ __all__ = [
     "stream_warc",
     "wet_documents",
     "warc_response_documents",
+    "warc_media_records",
     "write_warc",
     "parse_warc_bytes",
     "parse_warc_stream",
@@ -773,6 +774,101 @@ def warc_response_documents(
         extractor=extractor,
     )
     return wet_documents(extracted, text_col="text")
+
+
+#: HTTP content-type prefix → multimodal media_type label.
+_MEDIA_PREFIXES = (("image/", "image"), ("audio/", "audio"),
+                   ("video/", "video"))
+
+
+def warc_media_records(raw: DataFrame) -> DataFrame:
+    """The multimodal branch of the raw-crawl split (r11): ``response``
+    records whose HTTP content type is image/audio/video, adapted to
+    the canonical media-table shape
+    (:func:`lantern_spark.operators.multimodal.media_schema`):
+    ``media_id (long), content (binary), meta (media_type, format,
+    width, height, duration_ms), url``. The decoded HTTP body stays
+    BYTES end to end (decode/feature-extraction is
+    ``operators/multimodal``'s job, per that module's contract);
+    ``format`` carries the content-type subtype (``jpeg``, ``mpeg``);
+    pixel/duration meta is NULL until a decode stage fills it.
+
+    Together with :func:`warc_response_documents` (the text branch)
+    this completes the crawl demux: one ``read_warc`` scan feeds both
+    the documents table and the media table."""
+    recs = raw.where(F.lower(F.col("warc_type")) == "response")
+    p = "http_"
+    msg = recs.withColumn("__http", _http_message_binary("payload")).select(
+        "url",
+        "record_id",
+        F.col(f"__http.{p}status").alias("http_status"),
+        F.lower(
+            F.coalesce(F.col(f"__http.{p}content_type"), F.lit(""))
+        ).alias("__ct"),
+        F.col(f"__http.{p}body_bytes").alias("__body"),
+    )
+    media_type = F.lit(None).cast("string")
+    for prefix, label in reversed(_MEDIA_PREFIXES):
+        media_type = F.when(
+            F.col("__ct").startswith(prefix), F.lit(label)
+        ).otherwise(media_type)
+    fmt = F.regexp_extract(F.col("__ct"), r"^[a-z]+/([a-z0-9.+\-]+)", 1)
+    out = (
+        msg.withColumn("__mt", media_type)
+        .where(
+            F.col("__mt").isNotNull()
+            & (F.col("http_status") == 200)
+            & F.col("__body").isNotNull()
+        )
+        .select(
+            F.xxhash64(F.col("record_id")).alias("media_id"),
+            F.col("__body").alias("content"),
+            F.struct(
+                F.col("__mt").alias("media_type"),
+                fmt.alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+            F.col("url"),
+        )
+    )
+    return out
+
+
+def _http_message_binary(col, column_prefix: str = "http_"):
+    """:func:`http_message` twin that keeps the body as BYTES
+    (``{prefix}body_bytes binary``) — media payloads must never round
+    -trip through a text decode."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = column_prefix
+
+    @pandas_udf(
+        f"{p}status int, {p}content_type string, {p}body_bytes binary"
+    )
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        stat, ctype, body = [], [], []
+        for payload in s:
+            if payload is None:
+                stat.append(None), ctype.append(None), body.append(None)
+                continue
+            try:
+                headers, raw = split_http_response(bytes(payload))
+            except (ValueError, zlib.error, EOFError, gzip.BadGzipFile):
+                stat.append(None), ctype.append(None), body.append(None)
+                continue
+            code = headers.get("__status", "")
+            stat.append(int(code) if code.isdigit() else None)
+            ctype.append(headers.get("content-type"))
+            body.append(raw)
+        return pd.DataFrame(
+            {f"{p}status": pd.array(stat, dtype="Int32"),
+             f"{p}content_type": ctype,
+             f"{p}body_bytes": body}
+        )
+
+    return _decode(_col(col))
 
 
 # ---------------------------------------------------------------------------

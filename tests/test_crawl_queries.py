@@ -6,8 +6,6 @@ sf0.001 (the driver re-checks at sf0.01), and the retired ROLLUP
 query's DuckDB replay (promised in its retirement note — grouping-sets
 parity must survive leaving the roster)."""
 
-import math
-
 import duckdb
 import pytest
 

@@ -429,3 +429,111 @@ class TestCharsetAndCodingFallbacks:
         else:
             with pytest.raises(ValueError, match="brotli"):
                 split_http_response(msg)
+
+
+class TestWarcMediaRecords:
+    """r11: the multimodal branch of the crawl demux — image/audio
+    responses land in the canonical media-table shape with byte-exact
+    content; text/html and error rows are excluded."""
+
+    def test_demux_to_media_table(self, spark, tmp_path):
+        from lantern_spark.operators.multimodal import media_schema
+        from lantern_spark.sources.warc import warc_media_records
+
+        jpeg = b"\xff\xd8\xff\xe0" + bytes(range(64))
+        wav = b"RIFF" + bytes(range(32))
+        p = tmp_path / "media.warc"
+        ct = "application/http; msgtype=response"
+        write_warc(
+            str(p),
+            [
+                {
+                    "warc_type": "response",
+                    "url": "https://m.example.com/a.jpg",
+                    "payload": build_http_response(
+                        jpeg, content_type="image/jpeg", gzip_body=True
+                    ),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:m-1>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://m.example.com/b.wav",
+                    "payload": build_http_response(
+                        wav, content_type="audio/x-wav"
+                    ),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:m-2>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://m.example.com/page",
+                    "payload": build_http_response(HTML),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:m-3>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://m.example.com/404.png",
+                    "payload": build_http_response(
+                        b"x", content_type="image/png", status=404
+                    ),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:m-4>",
+                },
+            ],
+        )
+        media = warc_media_records(read_warc(spark, str(p)))
+        rows = {r.url: r for r in media.collect()}
+        assert set(rows) == {
+            "https://m.example.com/a.jpg",
+            "https://m.example.com/b.wav",
+        }
+        a = rows["https://m.example.com/a.jpg"]
+        assert bytes(a.content) == jpeg  # gzip coding removed, bytes exact
+        assert a.meta.media_type == "image" and a.meta.format == "jpeg"
+        b = rows["https://m.example.com/b.wav"]
+        assert bytes(b.content) == wav
+        assert b.meta.media_type == "audio" and b.meta.format == "x-wav"
+        # schema-compatible with the multimodal operators
+        core = media.select("media_id", "content", "meta")
+        assert [f.name for f in core.schema.fields] == [
+            f.name for f in media_schema().fields
+        ]
+        # per-field name + type (nullability differs harmlessly:
+        # regexp_extract is non-nullable, a stricter subtype)
+        got_meta = core.schema["meta"].dataType
+        want_meta = media_schema()["meta"].dataType
+        assert [(f.name, f.dataType) for f in got_meta.fields] == [
+            (f.name, f.dataType) for f in want_meta.fields
+        ]
+
+    def test_feeds_multimodal_features(self, spark, tmp_path):
+        """The demuxed table drives operators/multimodal directly —
+        the plumbing contract (decode itself is that module's stub)."""
+        from lantern_spark.operators.codecs import encode_bmp
+        from lantern_spark.operators.multimodal import image_features
+        import numpy as np
+
+        px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+        p = tmp_path / "bmp.warc"
+        write_warc(
+            str(p),
+            [
+                {
+                    "warc_type": "response",
+                    "url": "https://m.example.com/t.bmp",
+                    "payload": build_http_response(
+                        encode_bmp(px), content_type="image/bmp"
+                    ),
+                    "content_type": "application/http; msgtype=response",
+                    "record_id": "<urn:uuid:m-bmp>",
+                }
+            ],
+        )
+        from lantern_spark.sources.warc import warc_media_records
+
+        media = warc_media_records(read_warc(spark, str(p)))
+        feats = image_features(media.select("media_id", "content", "meta"))
+        row = feats.first()
+        assert row is not None
