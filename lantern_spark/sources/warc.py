@@ -33,16 +33,24 @@ Two readers, two contracts:
   ``\\r\\n\\r\\nWARC/1.0\\r\\n`` (never produced by text extraction;
   the strict parser below is the fallback for hostile inputs).
 - :func:`read_warc` — the STRICT, binary-safe parser for raw WARC:
-  ``binaryFile`` listing + a ``mapInArrow`` generator that walks
-  records by Content-Length arithmetic (payloads may be arbitrary
-  binary — images, gzip members, HTTP bodies — so no text decode of
-  the block). Multi-member gzip (Common Crawl writes each record as
-  its own gzip member so HTTP range reads can seek) is handled by
-  Python's zlib multi-stream loop.
+  ``binaryFile`` listing + a ``mapInArrow`` generator over
+  :func:`parse_warc_stream`, an INCREMENTAL Content-Length state
+  machine (payloads may be arbitrary binary — images, gzip members,
+  HTTP bodies — so no text decode of the block). Multi-member gzip
+  (Common Crawl writes each record as its own gzip member so HTTP
+  range reads can seek) streams member-by-member through
+  ``gzip.GzipFile`` — peak task memory is O(read_size + one record),
+  never O(decompressed archive) (r11).
+
+Both readers have landing-dir STREAMING twins (:func:`stream_wet`,
+:func:`stream_warc`) sharing the batch implementations.
 
 :func:`wet_documents` adapts either reader's output to the
 ``documents`` table shape (doc_id/url/text) that every downstream
-curation / dedup / assembly operator consumes.
+curation / dedup / assembly operator consumes;
+:func:`warc_response_documents` (text) and :func:`warc_media_records`
+(image/audio/video) demux raw ``response`` records from ONE
+``read_warc`` scan.
 
 Raw ``response`` records are FULL HTTP MESSAGES (WARC spec,
 ``Content-Type: application/http; msgtype=response``): status line +

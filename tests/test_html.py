@@ -303,3 +303,65 @@ class TestHtmlLinks:
             .toString()
         )
         assert "EvalPython" not in plan
+
+
+class TestMergedDropContentPass:
+    """r11: the single leftmost-first drop-content pass (1.4× on the
+    bench corpus) must agree with a per-tag reference on well-formed
+    soup, and its one intentional divergence — cross-nested UNCLOSED
+    containers — follows browser CDATA semantics."""
+
+    def _legacy(self, col):
+        # the pre-r11 per-tag sequential chain, kept here as the
+        # comparison reference
+        from lantern_spark.functions.html import (
+            _BLOCK,
+            _DROP_CONTENT,
+            _ENTITIES,
+        )
+
+        t = F.col(col)
+        for tag in _DROP_CONTENT:
+            stop = (
+                f"</{tag}\\s*>|$"
+                if tag != "head"
+                else "</head\\s*>|(?=<body\\b)|$"
+            )
+            t = F.regexp_replace(t, f"(?is)<{tag}\\b[^>]*>.*?(?:{stop})", " ")
+        t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+        t = F.regexp_replace(t, f"(?i)</?({_BLOCK})\\b[^>]*/?>", "\n")
+        t = F.regexp_replace(t, r"(?s)<[^>]+>", "")
+        t = F.regexp_replace(t, r"&#0*32;|&#[xX]0*20;", " ")
+        for ent, rep in _ENTITIES:
+            t = F.regexp_replace(t, ent, rep)
+        t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+        t = F.regexp_replace(t, r" ?\n ?", "\n")
+        t = F.regexp_replace(t, r"\n{2,}", "\n\n")
+        return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+    def test_agrees_with_per_tag_reference(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(
+            F.concat(
+                F.lit("<html><head><title>t</title><style>.x{}</style>"
+                      "</head><body><script>var a=1;</script><p>"),
+                F.col("text"),
+                F.lit("</p><svg><rect/></svg></body></html>"),
+            ).alias("html")
+        )
+        diff = docs.select(
+            (html_to_text("html") != self._legacy("html")).cast("int").alias("d")
+        ).agg(F.sum("d").alias("n")).first()["n"]
+        assert diff == 0
+
+    def test_cross_nested_unclosed_follows_browser_semantics(self, spark):
+        # '<style><script></style>after' — a browser treats the script
+        # tag as style CDATA and resumes after </style>; the merged
+        # leftmost-first pass does too (the old per-tag order let the
+        # script arm eat to EOF)
+        html = "<p>before</p><style>.x{<script>}</style><p>after</p>"
+        r = spark.createDataFrame([(html,)], "html string").select(
+            html_to_text("html").alias("t")).first()
+        assert "before" in r.t and "after" in r.t
+        assert "script" not in r.t and ".x{" not in r.t
