@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "url_host",
     "url_scheme",
+    "surt_key",
     "normalize_url",
     "registered_domain",
     "registered_domain_df",
@@ -146,6 +147,27 @@ def url_host(col) -> Column:
     hostport = F.lower(F.regexp_extract(F.trim(_c(col)), _AUTH_RX, 2))
     host = F.regexp_replace(hostport, r":[0-9]*$", "")
     return F.regexp_replace(host, r"\.$", "")
+
+
+def surt_key(col) -> Column:
+    """SURT-form URL key (Sort-friendly URI Reordering Transform —
+    the key scheme of Common Crawl's CDX index and every web-archive
+    CDX tool): host labels REVERSED and comma-joined, ``www.``
+    dropped, then ``)/`` + the lowercased path+query —
+    ``https://www.Example.co.uk/A/b?x=1`` → ``uk,co,example)/a/b?x=1``.
+    Pure expressions; join/prefix-filter this against
+    :func:`~lantern_spark.sources.warc.read_cdx`'s ``urlkey`` to plan
+    range reads from plain URL tables. Non-URLs → ``''``."""
+    host = F.regexp_replace(url_host(col), r"^www\.", "")
+    rev = F.concat_ws(
+        ",", F.reverse(F.split(host, r"\."))
+    )
+    u = F.trim(_c(col))
+    rest = F.lower(F.regexp_extract(u, _AUTH_RX + r"([^#]*)", 3))
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(rev, F.lit(")"), rest)
+    )
 
 
 def normalize_url(col, strip_params: Optional[str] = None) -> Column:

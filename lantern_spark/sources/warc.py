@@ -87,6 +87,8 @@ __all__ = [
     "wet_documents",
     "warc_response_documents",
     "warc_media_records",
+    "read_cdx",
+    "write_cdx",
     "write_warc",
     "parse_warc_bytes",
     "parse_warc_stream",
@@ -877,6 +879,79 @@ def _http_message_binary(col, column_prefix: str = "http_"):
         )
 
     return _decode(_col(col))
+
+
+# ---------------------------------------------------------------------------
+# CDXJ capture index (Common Crawl's cc-index files)
+# ---------------------------------------------------------------------------
+
+#: Fields of the CDXJ JSON blob surfaced as typed columns. `length`
+#: and `offset` are STRINGS in the wild format — cast here.
+_CDX_JSON_SCHEMA = (
+    "url string, mime string, `mime-detected` string, status string, "
+    "digest string, length string, offset string, filename string, "
+    "languages string, encoding string, redirect string"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDXJ capture-index lines (Common Crawl's ``cc-index``
+    shards: ``<SURT urlkey> <14-digit timestamp> <JSON>``) → typed
+    rows: ``urlkey, ts (timestamp), url, mime, mime_detected, status
+    (int), digest, length (long), offset (long), filename, languages,
+    encoding, redirect``.
+
+    This is how a real crawl job PLANS its reads: filter the index
+    (host/prefix via ``urlkey``, ``status = 200``, ``mime``), then
+    fetch only the matching (filename, offset, length) ranges —
+    selecting 1% of a 100 TB crawl costs a scan of the ~200 GB index,
+    not the archives. The whole parse is JVM-side (one text scan,
+    two splits, ``from_json``); ``.gz`` shards stream through the
+    Hadoop codec.
+
+    Pairs with :func:`~lantern_spark.operators.weburl.surt_key` to
+    build prefix predicates from plain URLs."""
+    raw = spark.read.text(path)
+    parts = raw.select(
+        F.substring_index(F.col("value"), " ", 1).alias("urlkey"),
+        F.element_at(F.split(F.col("value"), " ", 3), 2).alias("__ts"),
+        F.element_at(F.split(F.col("value"), " ", 3), 3).alias("__json"),
+    ).where(F.col("__json").isNotNull() & F.col("__json").startswith("{"))
+    j = parts.withColumn(
+        "__j", F.from_json(F.col("__json"), _CDX_JSON_SCHEMA)
+    )
+    return j.select(
+        "urlkey",
+        F.to_timestamp(F.col("__ts"), "yyyyMMddHHmmss").alias("ts"),
+        F.col("__j.url").alias("url"),
+        F.col("__j.mime").alias("mime"),
+        F.col("__j.`mime-detected`").alias("mime_detected"),
+        F.col("__j.status").cast("int").alias("status"),
+        F.col("__j.digest").alias("digest"),
+        F.col("__j.length").cast("long").alias("length"),
+        F.col("__j.offset").cast("long").alias("offset"),
+        F.col("__j.filename").alias("filename"),
+        F.col("__j.languages").alias("languages"),
+        F.col("__j.encoding").alias("encoding"),
+        F.col("__j.redirect").alias("redirect"),
+    )
+
+
+def write_cdx(path: str, rows: Iterable[Mapping]) -> None:
+    """CDXJ fixture writer (tests/examples): each mapping needs
+    ``urlkey``, ``timestamp`` (14-digit string), and the JSON fields
+    (``url``/``mime``/``status``/…)."""
+    import json as _json
+
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in rows:
+            blob = {k: v for k, v in r.items()
+                    if k not in ("urlkey", "timestamp")}
+            fh.write(
+                f"{r['urlkey']} {r['timestamp']} "
+                + _json.dumps(blob, separators=(", ", ": "))
+                + "\n"
+            )
 
 
 # ---------------------------------------------------------------------------

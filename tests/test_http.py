@@ -537,3 +537,119 @@ class TestWarcMediaRecords:
         feats = image_features(media.select("media_id", "content", "meta"))
         row = feats.first()
         assert row is not None
+
+
+class TestCdxIndex:
+    """r11: the CDXJ capture index (Common Crawl cc-index shards) —
+    the planning layer that turns '1% of a 100 TB crawl' into a
+    filtered index scan plus range reads."""
+
+    ROWS = [
+        {
+            "urlkey": "com,example)/page", "timestamp": "20260101120000",
+            "url": "https://example.com/page", "mime": "text/html",
+            "mime-detected": "text/html", "status": "200",
+            "digest": "AAAABBBB", "length": "1234", "offset": "0",
+            "filename": "crawl/part-0001.warc.gz", "languages": "eng",
+        },
+        {
+            "urlkey": "com,example)/img.jpg", "timestamp": "20260101120001",
+            "url": "https://example.com/img.jpg", "mime": "image/jpeg",
+            "status": "200", "digest": "CCCCDDDD", "length": "999",
+            "offset": "1234", "filename": "crawl/part-0001.warc.gz",
+        },
+        {
+            "urlkey": "org,other)/x", "timestamp": "20260101120002",
+            "url": "https://other.org/x", "mime": "text/html",
+            "status": "404", "digest": "EEEEFFFF", "length": "50",
+            "offset": "2233", "filename": "crawl/part-0002.warc.gz",
+        },
+    ]
+
+    def test_read_typed_rows(self, spark, tmp_path):
+        from lantern_spark.sources.warc import read_cdx, write_cdx
+
+        p = tmp_path / "cdx-00000"
+        write_cdx(str(p), self.ROWS)
+        got = {r.urlkey: r for r in read_cdx(spark, str(p)).collect()}
+        assert len(got) == 3
+        pg = got["com,example)/page"]
+        assert pg.status == 200 and pg.length == 1234 and pg.offset == 0
+        assert pg.mime == "text/html" and pg.languages == "eng"
+        assert pg.ts.strftime("%Y%m%d%H%M%S") == "20260101120000"
+        assert got["org,other)/x"].status == 404
+
+    def test_plan_selects_ranges(self, spark, tmp_path):
+        # the crawl-planning query: html 200s only → (filename,
+        # offset, length) fetch list
+        from pyspark.sql import functions as F
+
+        from lantern_spark.sources.warc import read_cdx, write_cdx
+
+        p = tmp_path / "cdx-00001"
+        write_cdx(str(p), self.ROWS)
+        fetch = (
+            read_cdx(spark, str(p))
+            .where((F.col("status") == 200) & (F.col("mime") == "text/html"))
+            .select("filename", "offset", "length")
+            .collect()
+        )
+        assert [(r.filename, r.offset, r.length) for r in fetch] == [
+            ("crawl/part-0001.warc.gz", 0, 1234)
+        ]
+
+    def test_jvm_only_plan(self, spark, tmp_path):
+        from lantern_spark.sources.warc import read_cdx, write_cdx
+
+        p = tmp_path / "cdx-00002"
+        write_cdx(str(p), self.ROWS)
+        plan = (
+            read_cdx(spark, str(p))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
+
+    def test_surt_key_joins_against_urlkey(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.weburl import surt_key
+        from lantern_spark.sources.warc import read_cdx, write_cdx
+
+        p = tmp_path / "cdx-00003"
+        write_cdx(str(p), self.ROWS)
+        urls = spark.createDataFrame(
+            [
+                (1, "https://www.example.com/page"),
+                (2, "https://missing.example.net/zzz"),
+            ],
+            "i long, u string",
+        )
+        hits = (
+            urls.withColumn("urlkey", surt_key("u"))
+            .join(read_cdx(spark, str(p)), "urlkey", "inner")
+            .collect()
+        )
+        assert [r.i for r in hits] == [1]
+
+    def test_surt_goldens(self, spark):
+        from lantern_spark.operators.weburl import surt_key
+
+        cases = [
+            ("https://www.Example.co.uk/A/b?x=1", "uk,co,example)/a/b?x=1"),
+            ("http://sub.test.com", "com,test,sub)/"),
+            ("https://example.com/p#frag", "com,example)/p"),
+            ("not a url", ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+        )
+        got = {
+            r.i: r.k
+            for r in df.select(
+                "i", surt_key("u").alias("k")
+            ).collect()
+        }
+        for i, (u, want) in enumerate(cases):
+            assert got[i] == want, (u, got[i], want)
