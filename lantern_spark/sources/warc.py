@@ -88,6 +88,7 @@ __all__ = [
     "warc_response_documents",
     "warc_media_records",
     "read_cdx",
+    "read_warc_ranges",
     "write_cdx",
     "write_warc",
     "parse_warc_bytes",
@@ -934,6 +935,115 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
         F.col("__j.languages").alias("languages"),
         F.col("__j.encoding").alias("encoding"),
         F.col("__j.redirect").alias("redirect"),
+    )
+
+
+def read_warc_ranges(
+    spark: SparkSession,
+    ranges: DataFrame,
+    base_path: str = "",
+    record_types: Optional[Sequence[str]] = None,
+    batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Fetch ONLY the selected records of a crawl: ``ranges`` is a
+    (``filename, offset, length``) DataFrame — exactly what a
+    filtered :func:`read_cdx` query produces — and each row reads one
+    per-record gzip member by seek+read (Common Crawl writes each
+    record as its own member precisely so ranges decompress
+    standalone). Output schema matches :func:`read_warc`.
+
+    This is the CDX planning story completed: filter the index,
+    then touch only the selected bytes of the archives — a 1%
+    selection of a 100 TB crawl reads ~1 TB, not 100.
+
+    Scale shape: ranges repartition by ``filename`` so each task
+    opens its files once (handles sorted ranges sequentially —
+    forward seeks, no re-opens); ``base_path`` prefixes relative
+    index filenames. Local/NFS paths supported (``open``/``seek``);
+    object stores need a ranged-GET shim at the marked seam.
+    Corrupt members raise loudly with the (file, offset) coordinates."""
+    need = {"filename", "offset", "length"}
+    missing = need - set(ranges.columns)
+    if missing:
+        raise ValueError(f"ranges is missing columns: {sorted(missing)}")
+    wanted = (
+        None if record_types is None else {t.lower() for t in record_types}
+    )
+    base = base_path
+
+    def _flush(rows: list) -> pa.RecordBatch:
+        cols = list(zip(*rows))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, _WARC_SCHEMA)],
+            schema=_WARC_SCHEMA,
+        )
+
+    def _fetch(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os as _osw
+
+        open_path, fh = None, None
+        rows: list = []
+        size = 0
+        try:
+            for batch in it:
+                fns = batch.column("filename").to_pylist()
+                offs = batch.column("offset").to_pylist()
+                lens = batch.column("length").to_pylist()
+                for fn, off, ln in zip(fns, offs, lens):
+                    p = _osw.path.join(base, fn) if base else fn
+                    if p != open_path:
+                        if fh is not None:
+                            fh.close()
+                        # the seam for object stores: swap open() for
+                        # a ranged-GET file-like here
+                        fh = open(p, "rb")
+                        open_path = p
+                    fh.seek(int(off))
+                    member = fh.read(int(ln))
+                    try:
+                        recs = list(parse_warc_bytes(member))
+                    except (ValueError, OSError, EOFError) as e:
+                        raise ValueError(
+                            f"corrupt range {fn}@{off}+{ln}: {e}"
+                        ) from None
+                    for headers, payload in recs:
+                        wtype = headers.get("warc-type", "")
+                        if wanted is not None and wtype.lower() not in wanted:
+                            continue
+                        rows.append(
+                            (
+                                p,
+                                wtype,
+                                headers.get("warc-record-id", ""),
+                                headers.get("warc-target-uri", ""),
+                                headers.get("warc-date", ""),
+                                headers.get("content-type", ""),
+                                len(payload),
+                                payload,
+                            )
+                        )
+                        size += len(payload)
+                        if size >= batch_bytes:
+                            yield _flush(rows)
+                            rows, size = [], 0
+            if rows:
+                yield _flush(rows)
+        finally:
+            if fh is not None:
+                fh.close()
+
+    src = (
+        ranges.select("filename", "offset", "length")
+        .repartition("filename")
+        .sortWithinPartitions("filename", "offset")
+    )
+    return src.mapInArrow(
+        _fetch,
+        schema=(
+            "path string, warc_type string, record_id string, url string, "
+            "warc_date string, content_type string, content_length long, "
+            "payload binary"
+        ),
     )
 
 
