@@ -853,15 +853,13 @@ def domain_pagerank(
     ).persist()
     d = float(damping)
     base = (1.0 - d) / n_nodes
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    # each iteration CACHES the rank vector before the dangling-mass
+    # action touches it — the action then materializes the cache and
+    # the contribution join reads it back, so per-iteration work is
+    # one pass, not lineage-squared recompute; localCheckpoint every
+    # few iterations additionally truncates the plan itself
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).persist()
     for i in range(int(iterations)):
-        contrib = (
-            trans.join(
-                ranks.withColumnRenamed("domain", "__src"), "__src"
-            )
-            .groupBy("__dst")
-            .agg(F.sum(F.col("__p") * F.col("rank")).alias("__in"))
-        )
         # dangling mass: total rank held by domains with no outlinks
         dangling = (
             ranks.join(out_w, ranks.domain == out_w.__src, "left_anti")
@@ -869,7 +867,14 @@ def domain_pagerank(
             .first()[0]
             or 0.0
         )
-        ranks = nodes.join(
+        contrib = (
+            trans.join(
+                ranks.withColumnRenamed("domain", "__src"), "__src"
+            )
+            .groupBy("__dst")
+            .agg(F.sum(F.col("__p") * F.col("rank")).alias("__in"))
+        )
+        new_ranks = nodes.join(
             contrib.withColumnRenamed("__dst", "domain"), "domain", "left"
         ).select(
             "domain",
@@ -881,11 +886,14 @@ def domain_pagerank(
             ).alias("rank"),
         )
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    out = ranks
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
+        ranks.unpersist()
+        ranks = new_ranks
     nodes.unpersist()
     trans.unpersist()
-    return out
+    return ranks
 
 
 def expand_seed_domains(
