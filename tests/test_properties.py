@@ -753,3 +753,104 @@ class TestResolveLinkProperties:
             .o
         )
         assert got == want, (base, link, got, want)
+
+
+class TestHttpSplitterFuzz:
+    """Fuzz contract (r11): on ARBITRARY bytes the splitter either
+    returns (headers, body) or raises one of the exception types the
+    Spark wrapper catches — any other exception type would kill a
+    100 TB job instead of nulling the row."""
+
+    CAUGHT = (ValueError, OSError, EOFError)  # + zlib.error below
+
+    @given(blob=st.binary(min_size=0, max_size=400))
+    @settings(max_examples=150, deadline=None)
+    def test_arbitrary_bytes(self, blob):
+        import zlib
+
+        from lantern_spark.sources.warc import split_http_response
+
+        try:
+            headers, body = split_http_response(blob)
+            assert isinstance(body, bytes)
+        except (*self.CAUGHT, zlib.error):
+            pass  # the wrapper's null-row path
+
+    @given(
+        tail=st.binary(min_size=0, max_size=300),
+        coding=st.sampled_from(
+            [b"", b"Content-Encoding: gzip\r\n",
+             b"Content-Encoding: deflate\r\n",
+             b"Transfer-Encoding: chunked\r\n"]
+        ),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_http_prefixed_garbage(self, tail, coding):
+        import zlib
+
+        from lantern_spark.sources.warc import split_http_response
+
+        blob = b"HTTP/1.1 200 OK\r\n" + coding + b"\r\n" + tail
+        try:
+            split_http_response(blob)
+        except (*self.CAUGHT, zlib.error):
+            pass
+
+
+class TestRegisteredDomainFormsAgree:
+    """Property (r11): the full-PSL JOIN form and the literal
+    expression form compute the same eTLD+1 for generated hosts built
+    from real bundled-rule labels mixed with random ones — one
+    batched DataFrame comparison per example set."""
+
+    @given(
+        seeds=st.lists(
+            st.tuples(
+                st.integers(0, 10_000),  # picks a bundled rule
+                st.integers(0, 3),       # extra leading labels
+                st.booleans(),           # also emit the bare rule host
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_join_equals_expression(self, spark, seeds):
+        from lantern_spark.operators.weburl import (
+            default_psl,
+            registered_domain,
+            registered_domain_df,
+        )
+
+        psl = default_psl()
+        rules = sorted(
+            {r for k in psl["exact"] for r in psl["exact"][k]}
+            | {("x." + b) for k in psl["wildcard"] for b in psl["wildcard"][k]}
+            | {r for k in psl["exception"] for r in psl["exception"][k]}
+        )
+        urls = []
+        for idx, extra, bare in seeds:
+            rule = rules[idx % len(rules)]
+            host = ".".join(f"l{j}" for j in range(extra)) + (
+                "." if extra else ""
+            ) + rule
+            urls.append(f"https://{host}/p")
+            if bare:
+                urls.append(f"https://{rule}/p")
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, u string"
+        )
+        expr = {
+            r.i: r.d
+            for r in df.select(
+                "i", registered_domain("u").alias("d")
+            ).collect()
+        }
+        join = {
+            r.i: r.registered_domain
+            for r in registered_domain_df(df, "u").collect()
+        }
+        assert join == expr, {
+            k: (join[k], expr[k]) for k in expr if join[k] != expr[k]
+        }
