@@ -91,6 +91,7 @@ __all__ = [
     "read_warc_ranges",
     "write_cdx",
     "write_warc",
+    "write_wet",
     "parse_warc_bytes",
     "parse_warc_stream",
     "split_http_response",
@@ -1067,6 +1068,99 @@ def write_cdx(path: str, rows: Iterable[Mapping]) -> None:
 # ---------------------------------------------------------------------------
 # Fixture writer (tests / examples)
 # ---------------------------------------------------------------------------
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: Optional[str] = None,
+    gzip_shards: bool = True,
+) -> DataFrame:
+    """DISTRIBUTED WET export — the write side of the crawl
+    interchange format: each partition of a documents-shaped DataFrame
+    becomes one spec-conformant ``part-NNNNN.warc.wet[.gz]`` shard
+    under ``out_dir`` (records in partition order, record ids derived
+    from ``id_col`` so re-reads key stably), written WORKER-SIDE — no
+    driver collect, the same one-shard-per-partition contract as any
+    parquet write. Returns the shard manifest as a DataFrame
+    ``(shard_path, n_records, n_bytes)`` (one row per non-empty
+    partition; the write happens when the manifest is consumed —
+    ``.collect()`` it, like any Spark action).
+
+    Round-trips through :func:`read_wet` record-for-record (pinned in
+    tests); text must be CR-free (CRLF could collide with the record
+    separator — the writer raises on offenders rather than silently
+    corrupting a shard)."""
+    import os as _osw
+
+    gz = bool(gzip_shards)
+    out = out_dir
+
+    def _write(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = _osw.path.join(
+            out, f"part-{pid:05d}.warc.wet" + (".gz" if gz else "")
+        )
+        recs = []
+        for batch in it:
+            ids = batch.column("__id").to_pylist()
+            urls = batch.column("__url").to_pylist()
+            dates = batch.column("__date").to_pylist()
+            texts = batch.column("__text").to_pylist()
+            for i, u, dt, t in zip(ids, urls, dates, texts):
+                if t is None:
+                    continue
+                if "\r" in t:
+                    raise ValueError(
+                        f"doc {i!r}: text contains CR — WET payloads "
+                        "must be CR-free (the record separator is "
+                        "CRLF-framed); normalize line endings first"
+                    )
+                recs.append(
+                    {
+                        "warc_type": "conversion",
+                        "record_id": f"<urn:doc:{i}>",
+                        "url": u or "",
+                        "warc_date": dt or "2026-01-01T00:00:00Z",
+                        "payload": t,
+                    }
+                )
+        if not recs:
+            return
+        _osw.makedirs(out, exist_ok=True)
+        staged = f"{path}.inprogress.{_osw.getpid()}"
+        write_warc(staged, recs, gzip_file=gz)
+        _osw.replace(staged, path)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([path]),
+                pa.array([len(recs)], type=pa.int64()),
+                pa.array(
+                    [_osw.path.getsize(path)], type=pa.int64()
+                ),
+            ],
+            names=["shard_path", "n_records", "n_bytes"],
+        )
+
+    date = (
+        F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if date_col is not None
+        else F.lit(None).cast("string")
+    )
+    src = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(url_col).cast("string").alias("__url"),
+        date.alias("__date"),
+        F.col(text_col).alias("__text"),
+    )
+    return src.mapInArrow(
+        _write, schema="shard_path string, n_records long, n_bytes long"
+    )
 
 
 def build_http_response(

@@ -469,3 +469,74 @@ class TestSeparatorFalseSplit:
             q = tmp_path / "junk.txt"
             q.write_text("hello world\r\nnot warc")
             read_wet(spark, str(q))
+
+
+class TestWriteWet:
+    """r11: distributed WET export — one shard per partition written
+    worker-side, spec-conformant, round-tripping through read_wet."""
+
+    def test_roundtrip_and_manifest(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.sources.warc import read_wet, write_wet
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(
+            "doc_id",
+            F.concat(F.lit("https://e/"), F.col("doc_id")).alias("url"),
+            "text",
+        ).repartition(3)
+        out = str(tmp_path / "wet_out")
+        manifest = write_wet(docs, out).collect()
+        assert 1 <= len(manifest) <= 3
+        assert sum(m.n_records for m in manifest) == docs.count()
+        for m in manifest:
+            assert m.shard_path.endswith(".warc.wet.gz")
+            assert m.n_bytes > 0
+
+        back = read_wet(spark, out)
+        want = {
+            (f"<urn:doc:{r.doc_id}>", r.url, r.text)
+            for r in docs.collect()
+        }
+        got = {
+            (r.record_id, r.url, r.text) for r in back.collect()
+        }
+        assert got == want
+
+    def test_cr_text_raises(self, spark, tmp_path):
+        from lantern_spark.sources.warc import write_wet
+
+        docs = spark.createDataFrame(
+            [(1, "https://x/1", "bad\r\nline endings")],
+            "doc_id long, url string, text string",
+        )
+        with pytest.raises(Exception, match="CR"):
+            write_wet(docs, str(tmp_path / "cr_out")).collect()
+
+    def test_export_then_reingest_feeds_curation(self, spark, tmp_path):
+        """The interchange contract: an exported corpus re-enters the
+        pipeline through the standard front door."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.dedup import exact_dedup
+        from lantern_spark.sources.warc import (
+            read_wet,
+            wet_documents,
+            write_wet,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(
+            "doc_id",
+            F.concat(F.lit("https://e/"), F.col("doc_id")).alias("url"),
+            "text",
+        )
+        out = str(tmp_path / "wet_cycle")
+        write_wet(docs, out).collect()
+        reingested = wet_documents(read_wet(spark, out))
+        survivors = exact_dedup(reingested, "text", "doc_id")
+        assert survivors.count() <= docs.count()
+        assert survivors.count() > 0
