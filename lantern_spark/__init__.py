@@ -49,7 +49,16 @@ A from-scratch re-expression of the capabilities of lanterndata/lantern
   operators/anisotropic), overlapping-token-window document chunking
   with provenance (operators/chunk), one-scan curation drop audits and
   resumable per-stage checkpointed curation (operators/curate), and
-  skew-bounded salted first-occurrence dedup (operators/dedup salt=N).
+  skew-bounded salted first-occurrence dedup (operators/dedup salt=N)
+- the crawl front door, complete both directions (sources/warc, r10-r11):
+  WET fast path + strict raw-WARC parser (streaming decompression,
+  batch + landing-dir streaming twins), HTTP envelope for response
+  records (chunked/gzip/deflate/brotli codings, charset sniffing),
+  one-scan demux into documents (functions/html C4-tier extraction)
+  and the multimodal media table, CDX capture-index planning
+  (read_cdx + SURT keys + range fetch), distributed WET export
+  (write_wet), and link-graph curation priors (operators/weburl:
+  html_links → domain_link_graph → domain_pagerank / seed expansion)
 
 Everything is DataFrame-in / DataFrame-out and designed for 100 TB scale:
 no driver-side collection except tiny codebooks/centroids/manifests.
