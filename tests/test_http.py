@@ -739,3 +739,18 @@ class TestReadWarcRanges:
             read_warc_ranges(
                 spark, ranges, base_path=str(tmp_path)
             ).collect()
+
+
+class TestCdxGzipShards:
+    def test_read_gzipped_index(self, spark, tmp_path):
+        import gzip as _gz
+
+        from lantern_spark.sources.warc import read_cdx, write_cdx
+
+        plain = tmp_path / "cdx-plain"
+        write_cdx(str(plain), TestCdxIndex.ROWS)
+        gz = tmp_path / "cdx-00000.gz"
+        gz.write_bytes(_gz.compress(plain.read_bytes()))
+        got = read_cdx(spark, str(gz)).collect()
+        assert len(got) == 3  # Hadoop codec handles the shard
+        assert {r.status for r in got} == {200, 404}

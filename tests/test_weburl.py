@@ -1174,3 +1174,15 @@ class TestExpandSeedDomains:
 
         with pytest.raises(ValueError, match="direction"):
             expand_seed_domains(self._edges(spark), ["s"], direction="up")
+
+
+class TestSeedExpansionEdges:
+    def test_zero_hops_returns_seeds_only(self, spark):
+        from lantern_spark.operators.weburl import expand_seed_domains
+
+        edges = spark.createDataFrame(
+            [("a.com", "b.com", 5)],
+            "src_domain string, dst_domain string, n_links long",
+        )
+        got = expand_seed_domains(edges, ["A.com"], hops=0).collect()
+        assert [(r.domain, r.hop) for r in got] == [("a.com", 0)]
