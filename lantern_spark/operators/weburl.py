@@ -917,9 +917,12 @@ def expand_seed_domains(
     ``min_links`` ignores edges thinner than the floor (single stray
     links are weak endorsements).
 
-    Scale: one broadcast of the frontier per hop joined against the
-    edge list — ``hops`` is 1-3 in practice, so this is a bounded
-    sequence of semi-joins, not an iterate-to-fixpoint."""
+    Scale: one frontier join against the edge list per hop — ``hops``
+    is 1-3 in practice, so this is a bounded sequence of semi-joins,
+    not an iterate-to-fixpoint. The frontier join is left to AQE: a
+    seed-sized frontier broadcasts itself; a dense hop-2 frontier
+    (which can reach millions of domains) shuffles instead of forcing
+    an OOM-sized driver broadcast."""
     if direction not in ("out", "in", "both"):
         raise ValueError(f"direction must be out/in/both, got {direction!r}")
     spark = edges.sparkSession
@@ -944,7 +947,7 @@ def expand_seed_domains(
     for h in range(1, int(hops) + 1):
         nxt = (
             step.join(
-                F.broadcast(frontier.withColumnRenamed("domain", "__from")),
+                frontier.withColumnRenamed("domain", "__from"),
                 "__from",
             )
             .select(F.col("__to").alias("domain"))
