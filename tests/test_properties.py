@@ -854,3 +854,65 @@ class TestRegisteredDomainFormsAgree:
         assert join == expr, {
             k: (join[k], expr[k]) for k in expr if join[k] != expr[k]
         }
+
+
+class TestSurtKeyProperty:
+    """Property (r11): surt_key agrees with an independent Python
+    replay over generated hosts/paths — batched into one DataFrame
+    evaluation per example set."""
+
+    @staticmethod
+    def _py_surt(url):
+        import re
+
+        m = re.match(
+            r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/@?#]*@)?([^/?#]*)",
+            url.strip(),
+        )
+        if not m:
+            return ""
+        host = m.group(2).lower()
+        host = re.sub(r":[0-9]*$", "", host)
+        host = re.sub(r"\.$", "", host)
+        host = re.sub(r"^www\.", "", host)
+        if not host:
+            return ""
+        rest = re.match(
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?[^/?#]*([^#]*)",
+            url.strip(),
+        ).group(1).lower()
+        return ",".join(reversed(host.split("."))) + ")" + (rest or "/")
+
+    @given(
+        parts=st.lists(
+            st.tuples(
+                st.from_regex(r"[a-z][a-z0-9-]{0,6}", fullmatch=True),
+                st.integers(1, 4),   # host label count
+                st.sampled_from(["", "/p/Q?x=1", "/", "#frag", ":8080/x"]),
+                st.booleans(),       # www. prefix
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_python_replay(self, spark, parts):
+        from lantern_spark.operators.weburl import surt_key
+
+        urls = []
+        for label, n, tail, www in parts:
+            host = ".".join([label] * n)
+            if www:
+                host = "www." + host
+            urls.append(f"https://{host}{tail}")
+        urls.append("not a url")
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, u string"
+        )
+        got = {
+            r.i: r.k
+            for r in df.select("i", surt_key("u").alias("k")).collect()
+        }
+        for i, u in enumerate(urls):
+            assert got[i] == self._py_surt(u), (u, got[i], self._py_surt(u))
