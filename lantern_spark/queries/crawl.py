@@ -167,12 +167,14 @@ def _hash_token_ids(col) -> F.Column:
              count(*)::INT AS n_docs
       FROM offs GROUP BY bin)
     SELECT '0:' || bin AS pack_id,
-           allids[1:{_SEQ_LEN}] AS input_ids,
+           md5(coalesce(array_to_string(allids[1:{_SEQ_LEN}], ','), ''))
+             AS ids_md5,
            len(allids[1:{_SEQ_LEN}])::INT AS n_tokens,
            n_docs,
-           list_transform(
-             list_filter(offsets, o -> o < {_SEQ_LEN}),
-             o -> o::INT) AS doc_starts
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(offsets, o -> o < {_SEQ_LEN}),
+               o -> o::INT), ','), '') AS doc_starts_csv
     FROM packs
     """,
 )
@@ -183,7 +185,33 @@ def packed_ids_export(spark, sf_dir):
     (operators/pack.py:export_packed_ids). The oracle replays the
     arithmetic relationally — cumsum window, bin = floor(start/len),
     per-bin flatten in doc order, truncation at seq_len, doc-start
-    offsets relative to the bin's first document."""
+    offsets relative to the bin's first document.
+
+    The roster row projects the two array columns to scalars
+    (``ids_md5`` — md5 of the comma-joined id stream — and
+    ``doc_starts_csv``): the driver's canonicalizer sorts a pandas
+    frame over all output columns and cannot factorize list values
+    (r11 red row: ``TypeError: unhashable type: 'list'``). The
+    full-array contract (token conservation, boundary offsets,
+    determinism) stays pinned in tests/test_pack.py and
+    tests/test_crawl_queries.py via :func:`packed_ids_full`."""
+    as_csv = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(F.col(c), lambda x: x.cast("string"))
+    )
+    return packed_ids_full(spark, sf_dir).select(
+        "pack_id",
+        F.md5(as_csv("input_ids")).alias("ids_md5"),
+        "n_tokens",
+        "n_docs",
+        as_csv("doc_starts").alias("doc_starts_csv"),
+    )
+
+
+def packed_ids_full(spark, sf_dir):
+    """The array-valued export the roster row is a scalar projection
+    of — ``input_ids: array<int>`` + ``doc_starts: array<int>``. Not
+    registered (the driver canonicalizer rejects array columns); the
+    full-array invariants are pytest-pinned against this form."""
     from lantern_spark.operators.pack import export_packed_ids
 
     docs = (

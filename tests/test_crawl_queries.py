@@ -65,8 +65,12 @@ class TestNewQueriesOracleParity:
     def test_packed_export_token_conservation(self, spark):
         """Every non-empty document's ids (+eos) appear exactly once
         across packs (truncated tails excepted — bounded by one doc
-        per pack), and doc_starts line up with n_docs."""
-        df = registry.queries()["packed_ids_export"](spark, SF)
+        per pack), and doc_starts line up with n_docs. Runs against
+        the ARRAY form (packed_ids_full) — the roster row projects it
+        to driver-canonicalizable scalars."""
+        from lantern_spark.queries.crawl import packed_ids_full
+
+        df = packed_ids_full(spark, SF)
         rows = df.collect()
         for r in rows:
             assert r.n_tokens == len(r.input_ids) <= 512

@@ -17,6 +17,22 @@ ALL = sorted(registry.queries().keys())
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     q = registry.queries()[name]
     sdf = q(spark, sf_dir)
+    # Scalar output columns ONLY: the driver canonicalizes results with
+    # a pandas sort over all columns, which cannot factorize list/dict
+    # cells (r11: packed_ids_export red with "unhashable type: 'list'").
+    # Array-valued contracts belong in operator tests, projected to
+    # md5/concat_ws scalars in the roster.
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: non-scalar output columns {complex_cols} — the driver "
+        "canonicalizer rejects array/map/struct; project to scalars"
+    )
     sql = registry.oracle_sql().get(name)
     if sql is None:
         # rows-only: must run and return a stable schema
