@@ -153,20 +153,49 @@ def surt_key(col) -> Column:
     """SURT-form URL key (Sort-friendly URI Reordering Transform —
     the key scheme of Common Crawl's CDX index and every web-archive
     CDX tool): host labels REVERSED and comma-joined, ``www.``
-    dropped, then ``)/`` + the lowercased path+query —
+    dropped, a NON-DEFAULT port kept on the host part
+    (``com,example:8080)/``), then ``)`` + the lowercased path+query
+    with query parameters SORTED (the IA canonicalizer's alphabetized
+    query, so ``?b=2&a=1`` and ``?a=1&b=2`` key identically) —
     ``https://www.Example.co.uk/A/b?x=1`` → ``uk,co,example)/a/b?x=1``.
     Pure expressions; join/prefix-filter this against
     :func:`~lantern_spark.sources.warc.read_cdx`'s ``urlkey`` to plan
-    range reads from plain URL tables. Non-URLs → ``''``."""
+    range reads from plain URL tables. Non-URLs → ``''``.
+
+    Coverage note: real cc-index urlkeys apply a few further
+    lossy steps (session-id param stripping, %-escape case folding);
+    an equality join against them is exact for the vast majority of
+    captures — use a host/path PREFIX filter when those edge forms
+    matter."""
+    u = F.trim(_c(col))
+    scheme = url_scheme(col)
     host = F.regexp_replace(url_host(col), r"^www\.", "")
+    hostport = F.lower(F.regexp_extract(u, _AUTH_RX, 2))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
     rev = F.concat_ws(
         ",", F.reverse(F.split(host, r"\."))
     )
-    u = F.trim(_c(col))
     rest = F.lower(F.regexp_extract(u, _AUTH_RX + r"([^#]*)", 3))
+    path = F.substring_index(rest, "?", 1)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    sorted_q = F.concat_ws("&", F.array_sort(F.split(query, "&")))
+    rest = F.when(query == "", path).otherwise(
+        F.concat(path, F.lit("?"), sorted_q)
+    )
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)
     return F.when(host == "", F.lit("")).otherwise(
-        F.concat(rev, F.lit(")"), rest)
+        F.concat(
+            rev,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            F.lit(")"),
+            rest,
+        )
     )
 
 

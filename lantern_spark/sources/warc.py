@@ -70,7 +70,16 @@ import io
 import re
 import uuid
 import zlib
-from typing import Iterable, Iterator, Mapping, Optional, Sequence, Tuple
+from typing import (
+    BinaryIO,
+    Callable,
+    Iterable,
+    Iterator,
+    Mapping,
+    Optional,
+    Sequence,
+    Tuple,
+)
 
 # module-level so pandas_udf type-hint inference (stringified under
 # `from __future__ import annotations`) resolves against globals
@@ -319,8 +328,23 @@ def parse_warc_stream(
             buf += chunk
 
     def ensure(n: int) -> None:
-        while len(buf) < n and not eof:
-            fill()
+        # Gather chunks in a list and join ONCE: `buf += chunk` in a
+        # loop re-copies the whole ever-growing buffer per chunk —
+        # quadratic for a record much larger than read_size (a 100 MB
+        # media payload read in 1 MB chunks would be ~100 re-copies).
+        nonlocal buf, eof
+        if len(buf) >= n:
+            return
+        parts = [buf]
+        have = len(buf)
+        while have < n and not eof:
+            chunk = fp.read(read_size)
+            if not chunk:
+                eof = True
+            else:
+                parts.append(chunk)
+                have += len(chunk)
+        buf = b"".join(parts)
 
     while True:
         # Tolerate inter-record padding (stray CRLFs).
@@ -557,6 +581,16 @@ def _dechunk(body: bytes) -> bytes:
                 f"truncated chunk: need {size}, have {len(body) - off}"
             )
         out.append(body[off : off + size])
+        # Verify the chunk's trailing CRLF before skipping it: a wrong
+        # size line would otherwise silently swallow adjacent bytes
+        # until a LATER size-line parse happens to fail (r11 advice) —
+        # fail loudly at the exact corruption site instead.
+        tail = body[off + size : off + size + 2]
+        if tail != b"\r\n":
+            raise ValueError(
+                f"chunk at offset {off} (size {size}) not followed by "
+                f"CRLF (got {tail!r}): corrupt size line or truncation"
+            )
         off += size + 2  # chunk's own trailing CRLF
 
 
@@ -760,9 +794,12 @@ def warc_response_documents(
 
     ``statuses`` keeps only those HTTP status codes (default 200 —
     error pages are not training text; ``None`` keeps all).
-    ``html_only`` additionally requires an HTML content type (or no
-    content-type header at all — mislabeled text/html is common, a
-    missing header is not evidence of non-HTML)."""
+    ``html_only`` additionally requires an HTML content type,
+    ``text/plain``, or no content-type header at all (mislabeled
+    text/html is common — a missing header is not evidence of
+    non-HTML). Other ``text/*`` subtypes (css, javascript, csv) are
+    REJECTED: stylesheet/script bodies are not documents (r11
+    advice)."""
     from lantern_spark.functions.html import extract_text_udf_hook
 
     recs = raw.where(F.lower(F.col("warc_type")) == "response")
@@ -777,7 +814,7 @@ def warc_response_documents(
     if html_only:
         ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
         msg = msg.where(
-            (ct == "") | ct.contains("html") | ct.startswith("text/")
+            (ct == "") | ct.contains("html") | ct.startswith("text/plain")
         )
     extracted = extract_text_udf_hook(
         msg.where(F.col("http_body").isNotNull()),
@@ -914,10 +951,18 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     Pairs with :func:`~lantern_spark.operators.weburl.surt_key` to
     build prefix predicates from plain URLs."""
     raw = spark.read.text(path)
+    # try_element_at, not element_at: under Spark 4's ANSI mode a
+    # blank/truncated index line (< 3 space-separated fields) would
+    # make element_at THROW and abort the whole ~200 GB index scan;
+    # the module contract is null-the-row, never kill-the-job.
     parts = raw.select(
         F.substring_index(F.col("value"), " ", 1).alias("urlkey"),
-        F.element_at(F.split(F.col("value"), " ", 3), 2).alias("__ts"),
-        F.element_at(F.split(F.col("value"), " ", 3), 3).alias("__json"),
+        F.try_element_at(F.split(F.col("value"), " ", 3), F.lit(2)).alias(
+            "__ts"
+        ),
+        F.try_element_at(F.split(F.col("value"), " ", 3), F.lit(3)).alias(
+            "__json"
+        ),
     ).where(F.col("__json").isNotNull() & F.col("__json").startswith("{"))
     j = parts.withColumn(
         "__j", F.from_json(F.col("__json"), _CDX_JSON_SCHEMA)
@@ -939,12 +984,18 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _local_open(path: str) -> BinaryIO:
+    """Default :func:`read_warc_ranges` backend: local/NFS files."""
+    return open(path, "rb")
+
+
 def read_warc_ranges(
     spark: SparkSession,
     ranges: DataFrame,
     base_path: str = "",
     record_types: Optional[Sequence[str]] = None,
     batch_bytes: int = 64 << 20,
+    open_fn: Optional[Callable[[str], BinaryIO]] = None,
 ) -> DataFrame:
     """Fetch ONLY the selected records of a crawl: ``ranges`` is a
     (``filename, offset, length``) DataFrame — exactly what a
@@ -960,9 +1011,25 @@ def read_warc_ranges(
     Scale shape: ranges repartition by ``filename`` so each task
     opens its files once (handles sorted ranges sequentially —
     forward seeks, no re-opens); ``base_path`` prefixes relative
-    index filenames. Local/NFS paths supported (``open``/``seek``);
-    object stores need a ranged-GET shim at the marked seam.
-    Corrupt members raise loudly with the (file, offset) coordinates."""
+    index filenames. Corrupt members raise loudly with the
+    (file, offset) coordinates.
+
+    ``open_fn(path) -> seekable binary file-like`` is the storage
+    backend (default: local/NFS ``open(path, "rb")``). For object
+    stores — where a real crawl lives — pass a lazily-ranging opener;
+    each ``seek(offset); read(length)`` pair then becomes one ranged
+    GET, never a whole-archive download::
+
+        import fsspec  # s3://, gs://, abfs://, http:// ...
+        docs = read_warc_ranges(
+            spark, selected,
+            open_fn=lambda p: fsspec.open(p, "rb").open(),
+        )
+
+    The callable is shipped to executors (cloudpickle), so keep it
+    self-contained — import the client library inside the lambda or
+    at module level of an importable module, and pass credentials via
+    the cluster's standard mechanism, not closure state."""
     need = {"filename", "offset", "length"}
     missing = need - set(ranges.columns)
     if missing:
@@ -971,6 +1038,7 @@ def read_warc_ranges(
         None if record_types is None else {t.lower() for t in record_types}
     )
     base = base_path
+    opener = open_fn if open_fn is not None else _local_open
 
     def _flush(rows: list) -> pa.RecordBatch:
         cols = list(zip(*rows))
@@ -995,9 +1063,7 @@ def read_warc_ranges(
                     if p != open_path:
                         if fh is not None:
                             fh.close()
-                        # the seam for object stores: swap open() for
-                        # a ranged-GET file-like here
-                        fh = open(p, "rb")
+                        fh = opener(p)
                         open_path = p
                     fh.seek(int(off))
                     member = fh.read(int(ln))

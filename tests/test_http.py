@@ -98,6 +98,17 @@ class TestSplitHttpResponse:
         with pytest.raises(ValueError, match="truncated chunk"):
             split_http_response(msg)
 
+    def test_chunk_missing_crlf_raises(self):
+        # r11 advice: a wrong size line must fail AT the corrupt chunk,
+        # not silently swallow adjacent bytes until a later size-line
+        # parse happens to break
+        msg = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"3\r\nabcXX5\r\nhello\r\n0\r\n\r\n"
+        )
+        with pytest.raises(ValueError, match="not followed by"):
+            split_http_response(msg)
+
     def test_unknown_coding_raises(self):
         # 'compress' (LZW) — genuinely unsupported regardless of
         # optional libraries ('br' has its own gated test below)
@@ -201,6 +212,38 @@ class TestWarcResponseComposition:
                     "content_type": "application/http; msgtype=request",
                     "record_id": "<urn:uuid:http-6>",
                 },
+                # r11 advice: text/* subtypes that are NOT documents
+                # must not slip through the html_only gate ...
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/style.css",
+                    "payload": build_http_response(
+                        "body { color: red; }", content_type="text/css"
+                    ),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:http-7>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/app.js",
+                    "payload": build_http_response(
+                        "function f() { return 1; }",
+                        content_type="text/javascript",
+                    ),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:http-8>",
+                },
+                # ... while text/plain IS a document
+                {
+                    "warc_type": "response",
+                    "url": "https://example.com/readme.txt",
+                    "payload": build_http_response(
+                        "plain text document body",
+                        content_type="text/plain; charset=utf-8",
+                    ),
+                    "content_type": ct,
+                    "record_id": "<urn:uuid:http-9>",
+                },
             ],
         )
         return str(p)
@@ -214,13 +257,30 @@ class TestWarcResponseComposition:
             "https://example.com/plain",
             "https://example.com/gzipped",
             "https://example.com/chunked",
+            "https://example.com/readme.txt",  # text/plain is a document
         }
+        assert "plain text document" in by_url.pop(
+            "https://example.com/readme.txt"
+        )
         for text in by_url.values():
             assert WANT_TEXT in text
             assert "var x" not in text  # script stripped by html tier
             for leak in ("HTTP/1.1", "Content-Type", "Content-Encoding",
                          "Transfer-Encoding", "200 OK"):
                 assert leak not in text
+
+    def test_css_js_content_types_rejected(self, spark, crawl_path):
+        """html_only admits html / text/plain / missing-header ONLY —
+        stylesheet and script bodies are not training documents
+        (r11 advice: a blanket text/* gate let them through)."""
+        urls = {
+            r.url
+            for r in warc_response_documents(
+                read_warc(spark, crawl_path)
+            ).collect()
+        }
+        assert "https://example.com/style.css" not in urls
+        assert "https://example.com/app.js" not in urls
 
     def test_statuses_none_keeps_error_pages(self, spark, crawl_path):
         docs = warc_response_documents(
@@ -311,6 +371,29 @@ class TestStreamingParseMemoryBound:
             for h, b in parse_warc_stream(gzip.GzipFile(fileobj=io.BytesIO(buf)))
         ]
         assert via_bytes == via_stream
+
+    def test_record_much_larger_than_read_size(self, tmp_path):
+        """A payload ≫ read_size must parse byte-exact through the
+        list-accumulate ensure() (r11 advice: `buf += chunk` in a loop
+        re-copied the growing buffer per chunk — quadratic for a
+        100 MB media payload read in 1 MB chunks)."""
+        import random
+
+        payload = random.Random(7).randbytes(3 * 1024 * 1024)
+        p = tmp_path / "big.warc"
+        write_warc(
+            str(p),
+            [{
+                "warc_type": "resource",
+                "url": "https://m/big",
+                "payload": payload,
+                "record_id": "<urn:uuid:big-1>",
+            }],
+        )
+        with open(str(p), "rb") as fh:
+            recs = list(parse_warc_stream(fh, read_size=4096))
+        assert len(recs) == 1
+        assert recs[0][1] == payload
 
     def test_header_bomb_bounded(self):
         # a 'record' whose header block never terminates must error
@@ -579,6 +662,23 @@ class TestCdxIndex:
         assert pg.ts.strftime("%Y%m%d%H%M%S") == "20260101120000"
         assert got["org,other)/x"].status == 404
 
+    def test_malformed_lines_null_rows_not_job(self, spark, tmp_path):
+        """r11 advice (medium): under ANSI mode element_at threw on any
+        line with < 3 space-separated fields — one blank or truncated
+        line aborted the whole ~200 GB index scan. Malformed lines must
+        drop; valid lines must survive."""
+        from lantern_spark.sources.warc import read_cdx, write_cdx
+
+        p = tmp_path / "cdx-00009"
+        write_cdx(str(p), self.ROWS[:1])
+        with open(str(p), "a", encoding="utf-8") as fh:
+            fh.write("\n")                      # blank line
+            fh.write("com,trunc)/only-urlkey\n")  # 1 field
+            fh.write("com,trunc)/x 20260101120000\n")  # 2 fields, no JSON
+            fh.write("com,trunc)/y 20260101120000 notjson\n")  # non-{ json
+        got = read_cdx(spark, str(p)).collect()
+        assert [r.urlkey for r in got] == ["com,example)/page"]
+
     def test_plan_selects_ranges(self, spark, tmp_path):
         # the crawl-planning query: html 200s only → (filename,
         # offset, length) fetch list
@@ -640,6 +740,11 @@ class TestCdxIndex:
             ("https://www.Example.co.uk/A/b?x=1", "uk,co,example)/a/b?x=1"),
             ("http://sub.test.com", "com,test,sub)/"),
             ("https://example.com/p#frag", "com,example)/p"),
+            # r12 (advice): query params sort, non-default ports kept
+            ("https://example.com/p?b=2&a=1", "com,example)/p?a=1&b=2"),
+            ("http://example.com:8080/x", "com,example:8080)/x"),
+            ("https://example.com:443/x", "com,example)/x"),
+            ("http://example.com:80/x", "com,example)/x"),
             ("not a url", ""),
         ]
         df = spark.createDataFrame(
@@ -722,6 +827,84 @@ class TestReadWarcRanges:
             r.url: bytes(r.payload) for r in fetched
         }
         assert docs_text["https://a.example/pg1"] == build_http_response(HTML)
+
+    def test_injected_ranged_opener_reads_only_ranges(self, spark, tmp_path):
+        """r11 review item 3: the storage backend is pluggable
+        (``open_fn``) so object-store ranged GETs slot in where a real
+        crawl lives. A logging fake proves the fetch path does
+        per-range seek+read — never a whole-archive read — and returns
+        byte-identical records."""
+        import gzip as _gz
+
+        from lantern_spark.sources.warc import read_warc_ranges, write_warc
+
+        members, rows = [], []
+        off = 0
+        for i in range(3):
+            single = tmp_path / f"m{i}.warc"
+            write_warc(
+                str(single),
+                [{
+                    "warc_type": "resource",
+                    "url": f"https://r.example/{i}",
+                    "payload": (f"payload-{i}" * 50).encode(),
+                    "record_id": f"<urn:uuid:opener-{i}>",
+                }],
+            )
+            member = _gz.compress(single.read_bytes())
+            members.append(member)
+            rows.append((f"part-9.warc.gz", off, len(member)))
+            off += len(member)
+        (tmp_path / "part-9.warc.gz").write_bytes(b"".join(members))
+
+        log = tmp_path / "reads.log"
+        archive = str(tmp_path / "part-9.warc.gz")
+        log_path = str(log)
+
+        class _LoggingRangedFile:
+            """Fake object-store file: every seek+read pair is logged
+            like one ranged GET would be issued."""
+
+            def __init__(self, path):
+                self._fh = open(path, "rb")
+                self._pos = 0
+
+            def seek(self, o):
+                self._pos = o
+                return self._fh.seek(o)
+
+            def read(self, n=-1):
+                data = self._fh.read(n)
+                with open(log_path, "a") as lf:
+                    lf.write(f"{self._pos},{len(data)}\n")
+                self._pos += len(data)
+                return data
+
+            def close(self):
+                self._fh.close()
+
+        # select only the MIDDLE member
+        sel = spark.createDataFrame(
+            [("part-9.warc.gz", rows[1][1], rows[1][2])],
+            "filename string, offset long, length long",
+        )
+        got = read_warc_ranges(
+            spark,
+            sel,
+            base_path=str(tmp_path),
+            open_fn=_LoggingRangedFile,
+        ).collect()
+        assert [r.url for r in got] == ["https://r.example/1"]
+        assert bytes(got[0].payload) == ("payload-1" * 50).encode()
+
+        reads = [
+            tuple(map(int, line.split(",")))
+            for line in log.read_text().splitlines()
+        ]
+        total_archive = sum(len(m) for m in members)
+        # only the selected member's bytes were read — one ranged GET
+        assert reads == [(rows[1][1], rows[1][2])]
+        assert sum(n for _, n in reads) < total_archive
 
     def test_missing_columns_and_corrupt_range(self, spark, tmp_path):
         from lantern_spark.sources.warc import read_warc_ranges

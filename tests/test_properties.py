@@ -871,24 +871,39 @@ class TestSurtKeyProperty:
         )
         if not m:
             return ""
-        host = m.group(2).lower()
-        host = re.sub(r":[0-9]*$", "", host)
+        scheme = m.group(1).lower()
+        hostport = m.group(2).lower()
+        host = re.sub(r":[0-9]*$", "", hostport)
         host = re.sub(r"\.$", "", host)
         host = re.sub(r"^www\.", "", host)
         if not host:
             return ""
+        pm = re.search(r":([0-9]+)$", hostport)
+        port = pm.group(1) if pm else ""
+        if (scheme, port) in (("http", "80"), ("https", "443")):
+            port = ""
         rest = re.match(
             r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?[^/?#]*([^#]*)",
             url.strip(),
         ).group(1).lower()
-        return ",".join(reversed(host.split("."))) + ")" + (rest or "/")
+        path, sep, q = rest.partition("?")
+        rest = path + "?" + "&".join(sorted(q.split("&"))) if q else path
+        return (
+            ",".join(reversed(host.split(".")))
+            + (":" + port if port else "")
+            + ")"
+            + (rest or "/")
+        )
 
     @given(
         parts=st.lists(
             st.tuples(
                 st.from_regex(r"[a-z][a-z0-9-]{0,6}", fullmatch=True),
                 st.integers(1, 4),   # host label count
-                st.sampled_from(["", "/p/Q?x=1", "/", "#frag", ":8080/x"]),
+                st.sampled_from(
+                    ["", "/p/Q?x=1", "/", "#frag", ":8080/x",
+                     "/p?b=2&a=1", ":443/x", ":80/x", "/p?c=3&a=1&b=2#f"]
+                ),
                 st.booleans(),       # www. prefix
             ),
             min_size=1,
