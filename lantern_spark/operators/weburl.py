@@ -745,6 +745,7 @@ def filter_domain_blocklist_df(
     domain_col: str = "domain",
     keep_blocked: bool = False,
     psl=None,
+    use_full_psl: bool = False,
 ) -> DataFrame:
     """:func:`filter_domain_blocklist` for BIG lists (10⁶+ entries —
     real URL-reputation feeds): the blocklist is a DataFrame, matching
@@ -760,20 +761,43 @@ def filter_domain_blocklist_df(
     via one explode; blocked ids come back through ``id_col`` (the
     repo's row-identity convention — joining back on all columns
     would silently never match rows containing NULLs).
-    NULL/unparseable URLs are never 'blocked'."""
+    NULL/unparseable URLs are never 'blocked'.
+
+    ``use_full_psl=True`` derives the PSL probe key through the
+    full-rule join form (:func:`registered_domain_df`) — a blocklist
+    entry under an exotic registry then matches exactly instead of
+    through the 2-label fallback (same coverage tradeoff as
+    :func:`domain_link_graph`)."""
     d = F.lower(F.trim(F.col(domain_col)))
     keys = blocked.select(d.alias("__probe")).where(
         F.col("__probe").isNotNull() & (F.col("__probe") != "")
     ).distinct()
-    probe = F.array_distinct(
-        F.array(
-            registered_domain(url_col, psl=psl),
-            registered_domain(url_col, psl=False),
-            url_host(url_col),
+    if use_full_psl:
+        ids = registered_domain_df(
+            df.select(F.col(id_col), F.col(url_col)),
+            url_col,
+            psl=psl,
+            out_col="__rd_full",
         )
-    )
+        probe = F.array_distinct(
+            F.array(
+                F.col("__rd_full"),
+                registered_domain(url_col, psl=False),
+                url_host(url_col),
+            )
+        )
+        probe_src = ids
+    else:
+        probe = F.array_distinct(
+            F.array(
+                registered_domain(url_col, psl=psl),
+                registered_domain(url_col, psl=False),
+                url_host(url_col),
+            )
+        )
+        probe_src = df
     blocked_ids = (
-        df.select(F.col(id_col), F.explode(probe).alias("__probe"))
+        probe_src.select(F.col(id_col), F.explode(probe).alias("__probe"))
         .join(F.broadcast(keys), "__probe", "left_semi")
         .select(id_col)
         .distinct()
@@ -789,6 +813,7 @@ def domain_link_graph(
     html_col: str,
     psl=None,
     drop_self_edges: bool = True,
+    use_full_psl: bool = False,
 ) -> DataFrame:
     """The crawl's registered-domain LINK GRAPH in one pass:
     ``(src_domain, dst_domain, n_links)`` edges from raw pages —
@@ -804,7 +829,17 @@ def domain_link_graph(
     expressions fused into the page scan; the only shuffle is the
     final (src, dst) count — edge cardinality, not page cardinality.
     ``drop_self_edges`` removes intra-domain navigation (the bulk of
-    raw edges, rarely wanted in a quality prior)."""
+    raw edges, rarely wanted in a quality prior).
+
+    ``use_full_psl=True`` keys BOTH graph ends through the full
+    ~9.6k-rule PSL join form (:func:`registered_domain_df`) instead
+    of the curated-subset expression: on a real crawl, hosts under
+    non-curated registries otherwise collapse onto wrong graph nodes
+    (everything under a ``*.ck``-class registry becomes ONE node),
+    skewing PageRank and seed expansion (r11 review nit 2). Costs two
+    host-key joins the expression form doesn't — the graph's node
+    identity is the partition key of everything downstream, so buy
+    coverage here when the corpus has registry diversity."""
     from lantern_spark.functions.html import html_links, resolve_link
 
     pages = df.select(
@@ -815,10 +850,20 @@ def domain_link_graph(
         "__src_url",
         resolve_link(F.col("__src_url"), F.col("__link")).alias("__dst_url"),
     )
-    edges = resolved.select(
-        registered_domain("__src_url", psl=psl).alias("src_domain"),
-        registered_domain("__dst_url", psl=psl).alias("dst_domain"),
-    ).where(
+    if use_full_psl:
+        keyed = registered_domain_df(
+            resolved, "__src_url", psl=psl, out_col="src_domain"
+        )
+        keyed = registered_domain_df(
+            keyed, "__dst_url", psl=psl, out_col="dst_domain"
+        )
+        edges = keyed.select("src_domain", "dst_domain")
+    else:
+        edges = resolved.select(
+            registered_domain("__src_url", psl=psl).alias("src_domain"),
+            registered_domain("__dst_url", psl=psl).alias("dst_domain"),
+        )
+    edges = edges.where(
         (F.col("src_domain") != "") & (F.col("dst_domain") != "")
     )
     if drop_self_edges:

@@ -869,6 +869,47 @@ class TestRegisteredDomainDf:
         assert shallow[0] == "aisai.aichi.jp"
         assert shallow[1] == "pvt.k12.ma.us"
 
+    def test_blocklist_df_full_psl_probe(self, spark):
+        """use_full_psl on the broadcast blocklist: an entry that IS a
+        registered domain only under a full-PSL rule (townsite.aisai.
+        aichi.jp) blocks its subdomain pages exactly; the curated probe
+        misses it (its PSL probe resolves to aisai.aichi.jp)."""
+        from lantern_spark.operators.weburl import (
+            BUNDLED_PSL_PATH,
+            filter_domain_blocklist_df,
+            parse_psl,
+        )
+
+        with open(BUNDLED_PSL_PATH, encoding="utf-8") as fh:
+            full = parse_psl(fh.read() + "\naisai.aichi.jp\n")
+        df = spark.createDataFrame(
+            [
+                (0, "https://www.townsite.aisai.aichi.jp/page"),
+                (1, "https://other.aisai.aichi.jp/page"),
+                (2, "https://example.com/ok"),
+            ],
+            "i long, u string",
+        )
+        blocked = spark.createDataFrame(
+            [("townsite.aisai.aichi.jp",)], "domain string"
+        )
+        kept_full = {
+            r.i
+            for r in filter_domain_blocklist_df(
+                df, "u", blocked, "i", psl=full, use_full_psl=True
+            ).collect()
+        }
+        assert kept_full == {1, 2}
+        # curated probe: neither PSL key nor 2-label key nor host
+        # equals the entry → nothing blocked
+        kept_curated = {
+            r.i
+            for r in filter_domain_blocklist_df(
+                df, "u", blocked, "i"
+            ).collect()
+        }
+        assert kept_curated == {0, 1, 2}
+
     def test_extra_suffixes(self, spark):
         from lantern_spark.operators.weburl import registered_domain_df
 
@@ -1011,6 +1052,51 @@ class TestDomainLinkGraph:
         assert [(r.src_domain, r.dst_domain, r.n_links) for r in got] == [
             ("example.com", "example.com", 1)
         ]
+
+    def test_use_full_psl_keeps_exotic_registries_distinct(self, spark):
+        """r11 review nit 2: the curated-subset expression collapses
+        every host under a non-curated registry onto ONE graph node
+        (here: a.aisai.aichi.jp and b.aisai.aichi.jp both become
+        'aisai.aichi.jp', so their cross-links degenerate into
+        self-edges). use_full_psl routes both graph ends through the
+        full-PSL join form and keeps the nodes distinct."""
+        from lantern_spark.operators.weburl import (
+            BUNDLED_PSL_PATH,
+            domain_link_graph,
+            parse_psl,
+        )
+
+        with open(BUNDLED_PSL_PATH, encoding="utf-8") as fh:
+            full = parse_psl(fh.read() + "\naisai.aichi.jp\n")
+        pages = spark.createDataFrame(
+            [
+                ("https://a.aisai.aichi.jp/",
+                 '<a href="https://b.aisai.aichi.jp/x">t</a>'),
+                ("https://b.aisai.aichi.jp/",
+                 '<a href="https://a.aisai.aichi.jp/y">t</a>'),
+            ],
+            "url string, html string",
+        )
+        # curated default: both hosts collapse → self-edges → dropped
+        collapsed = domain_link_graph(pages, "url", "html").collect()
+        assert collapsed == []
+        kept = domain_link_graph(
+            pages, "url", "html", drop_self_edges=False
+        ).collect()
+        assert {(r.src_domain, r.dst_domain) for r in kept} == {
+            ("aisai.aichi.jp", "aisai.aichi.jp")
+        }
+        # full-PSL join form: distinct nodes, real cross edges
+        got = {
+            (r.src_domain, r.dst_domain): r.n_links
+            for r in domain_link_graph(
+                pages, "url", "html", psl=full, use_full_psl=True
+            ).collect()
+        }
+        assert got == {
+            ("a.aisai.aichi.jp", "b.aisai.aichi.jp"): 1,
+            ("b.aisai.aichi.jp", "a.aisai.aichi.jp"): 1,
+        }
 
     def test_single_shuffle_plan(self, spark):
         from lantern_spark.operators.weburl import domain_link_graph
