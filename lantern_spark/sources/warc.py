@@ -1136,6 +1136,96 @@ def write_cdx(path: str, rows: Iterable[Mapping]) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _write_wet_partition(
+    batches: Iterator[pa.RecordBatch],
+    out: str,
+    pid: int,
+    gz: bool,
+    roll_bytes: Optional[int],
+    open_fn: Callable[[str], BinaryIO] = None,
+) -> Iterator[Tuple[str, int, int]]:
+    """One task's streaming WET write: records are serialized and
+    written to the open shard AS the Arrow batches drain — peak task
+    memory is O(one record + gzip buffers), never O(partition text)
+    (r11 review nit 3: the old sink accumulated the whole partition
+    in a Python list first). ``roll_bytes`` starts a new
+    ``part-{pid}-{seq}`` shard once the current one's UNCOMPRESSED
+    record bytes pass the target, so one giant partition can't make
+    one giant shard. Yields one (shard_path, n_records, n_bytes)
+    manifest tuple per closed shard. ``open_fn`` is the unit-test
+    injection seam (a counting file proves per-record writes)."""
+    import os as _osw
+
+    opener = (
+        open_fn if open_fn is not None else (lambda p: open(p, "wb"))
+    )
+    st = {"fh": None, "raw": None, "staged": None, "final": None,
+          "n": 0, "ubytes": 0, "seq": 0}
+
+    def _open_shard() -> None:
+        suffix = ".warc.wet" + (".gz" if gz else "")
+        name = (
+            f"part-{pid:05d}-{st['seq']:03d}{suffix}"
+            if roll_bytes
+            else f"part-{pid:05d}{suffix}"
+        )
+        final = _osw.path.join(out, name)
+        staged = f"{final}.inprogress.{_osw.getpid()}"
+        raw = opener(staged)
+        fh = (
+            gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) if gz else raw
+        )
+        st.update(fh=fh, raw=raw, staged=staged, final=final,
+                  n=0, ubytes=0)
+
+    def _close_shard() -> Tuple[str, int, int]:
+        st["fh"].close()
+        if st["raw"] is not st["fh"]:
+            st["raw"].close()
+        _osw.replace(st["staged"], st["final"])
+        row = (st["final"], st["n"], _osw.path.getsize(st["final"]))
+        st["fh"] = None
+        st["seq"] += 1
+        return row
+
+    made_dir = False
+    for batch in batches:
+        ids = batch.column("__id").to_pylist()
+        urls = batch.column("__url").to_pylist()
+        dates = batch.column("__date").to_pylist()
+        texts = batch.column("__text").to_pylist()
+        for i, u, dt, t in zip(ids, urls, dates, texts):
+            if t is None:
+                continue
+            if "\r" in t:
+                raise ValueError(
+                    f"doc {i!r}: text contains CR — WET payloads "
+                    "must be CR-free (the record separator is "
+                    "CRLF-framed); normalize line endings first"
+                )
+            rec = _warc_record_bytes(
+                {
+                    "warc_type": "conversion",
+                    "record_id": f"<urn:doc:{i}>",
+                    "url": u or "",
+                    "warc_date": dt or "2026-01-01T00:00:00Z",
+                    "payload": t,
+                }
+            )
+            if st["fh"] is None:
+                if not made_dir:
+                    _osw.makedirs(out, exist_ok=True)
+                    made_dir = True
+                _open_shard()
+            st["fh"].write(rec)
+            st["n"] += 1
+            st["ubytes"] += len(rec)
+            if roll_bytes and st["ubytes"] >= roll_bytes:
+                yield _close_shard()
+    if st["fh"] is not None:
+        yield _close_shard()
+
+
 def write_wet(
     df: DataFrame,
     out_dir: str,
@@ -1144,6 +1234,7 @@ def write_wet(
     text_col: str = "text",
     date_col: Optional[str] = None,
     gzip_shards: bool = True,
+    target_shard_mb: Optional[float] = None,
 ) -> DataFrame:
     """DISTRIBUTED WET export — the write side of the crawl
     interchange format: each partition of a documents-shaped DataFrame
@@ -1152,66 +1243,43 @@ def write_wet(
     from ``id_col`` so re-reads key stably), written WORKER-SIDE — no
     driver collect, the same one-shard-per-partition contract as any
     parquet write. Returns the shard manifest as a DataFrame
-    ``(shard_path, n_records, n_bytes)`` (one row per non-empty
-    partition; the write happens when the manifest is consumed —
-    ``.collect()`` it, like any Spark action).
+    ``(shard_path, n_records, n_bytes)`` (one row per shard; the
+    write happens when the manifest is consumed — ``.collect()`` it,
+    like any Spark action).
+
+    Records STREAM to the shard as the Arrow batches drain — peak
+    task memory is O(one record + gzip buffers), never O(partition
+    text bytes). ``target_shard_mb`` rolls to a new
+    ``part-NNNNN-SSS`` shard once the current one passes the target
+    (measured on uncompressed record bytes — deterministic and
+    compression-independent), so shard size is controllable
+    independently of input partition size.
 
     Round-trips through :func:`read_wet` record-for-record (pinned in
     tests); text must be CR-free (CRLF could collide with the record
     separator — the writer raises on offenders rather than silently
     corrupting a shard)."""
-    import os as _osw
-
     gz = bool(gzip_shards)
     out = out_dir
+    roll_bytes = (
+        int(target_shard_mb * (1 << 20)) if target_shard_mb else None
+    )
 
     def _write(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = _osw.path.join(
-            out, f"part-{pid:05d}.warc.wet" + (".gz" if gz else "")
-        )
-        recs = []
-        for batch in it:
-            ids = batch.column("__id").to_pylist()
-            urls = batch.column("__url").to_pylist()
-            dates = batch.column("__date").to_pylist()
-            texts = batch.column("__text").to_pylist()
-            for i, u, dt, t in zip(ids, urls, dates, texts):
-                if t is None:
-                    continue
-                if "\r" in t:
-                    raise ValueError(
-                        f"doc {i!r}: text contains CR — WET payloads "
-                        "must be CR-free (the record separator is "
-                        "CRLF-framed); normalize line endings first"
-                    )
-                recs.append(
-                    {
-                        "warc_type": "conversion",
-                        "record_id": f"<urn:doc:{i}>",
-                        "url": u or "",
-                        "warc_date": dt or "2026-01-01T00:00:00Z",
-                        "payload": t,
-                    }
-                )
-        if not recs:
-            return
-        _osw.makedirs(out, exist_ok=True)
-        staged = f"{path}.inprogress.{_osw.getpid()}"
-        write_warc(staged, recs, gzip_file=gz)
-        _osw.replace(staged, path)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([path]),
-                pa.array([len(recs)], type=pa.int64()),
-                pa.array(
-                    [_osw.path.getsize(path)], type=pa.int64()
-                ),
-            ],
-            names=["shard_path", "n_records", "n_bytes"],
-        )
+        for path, n, nbytes in _write_wet_partition(
+            it, out, pid, gz, roll_bytes
+        ):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([path]),
+                    pa.array([n], type=pa.int64()),
+                    pa.array([nbytes], type=pa.int64()),
+                ],
+                names=["shard_path", "n_records", "n_bytes"],
+            )
 
     date = (
         F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
@@ -1268,6 +1336,29 @@ def build_http_response(
     return head + _HDR_END + body
 
 
+def _warc_record_bytes(r: Mapping, version: str = "1.0") -> bytes:
+    """Serialize ONE record mapping to spec-conformant WARC bytes —
+    shared by :func:`write_warc` (fixture writer) and the streaming
+    :func:`write_wet` sink, so the two can never drift."""
+    payload = r.get("payload", b"")
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8")
+    rid = r.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
+    lines = [f"WARC/{version}".encode("ascii")]
+    hdrs = [
+        ("WARC-Type", r["warc_type"]),
+        ("WARC-Record-ID", rid),
+        ("WARC-Date", r.get("warc_date", "2026-01-01T00:00:00Z")),
+    ]
+    if r.get("url"):
+        hdrs.append(("WARC-Target-URI", r["url"]))
+    hdrs.append(("Content-Type", r.get("content_type", "text/plain")))
+    hdrs.append(("Content-Length", str(len(payload))))
+    for k, v in hdrs:
+        lines.append(f"{k}: {v}".encode("utf-8"))
+    return _CRLF.join(lines) + _HDR_END + payload + _HDR_END
+
+
 def write_warc(
     path: str,
     records: Iterable[Mapping],
@@ -1282,28 +1373,7 @@ def write_warc(
     ``record_id``. ``gzip_per_record=True`` writes each record as its
     own gzip member — Common Crawl's actual layout.
     """
-    chunks: list = []
-    for r in records:
-        payload = r.get("payload", b"")
-        if isinstance(payload, str):
-            payload = payload.encode("utf-8")
-        rid = r.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
-        lines = [f"WARC/{version}".encode("ascii")]
-        hdrs = [
-            ("WARC-Type", r["warc_type"]),
-            ("WARC-Record-ID", rid),
-            ("WARC-Date", r.get("warc_date", "2026-01-01T00:00:00Z")),
-        ]
-        if r.get("url"):
-            hdrs.append(("WARC-Target-URI", r["url"]))
-        hdrs.append(
-            ("Content-Type", r.get("content_type", "text/plain"))
-        )
-        hdrs.append(("Content-Length", str(len(payload))))
-        for k, v in hdrs:
-            lines.append(f"{k}: {v}".encode("utf-8"))
-        rec = _CRLF.join(lines) + _HDR_END + payload + _HDR_END
-        chunks.append(rec)
+    chunks = [_warc_record_bytes(r, version) for r in records]
     if gzip_per_record:
         data = b"".join(gzip.compress(c) for c in chunks)
     else:

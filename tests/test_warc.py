@@ -515,6 +515,86 @@ class TestWriteWet:
         with pytest.raises(Exception, match="CR"):
             write_wet(docs, str(tmp_path / "cr_out")).collect()
 
+    def test_streaming_write_per_record(self, tmp_path):
+        """r11 review nit 3: the sink must write records AS batches
+        drain, not accumulate the partition in a list. A counting file
+        proves it: with gzip off, every record lands as its own
+        write() call — an accumulate-then-write sink shows one giant
+        write. Exercises _write_wet_partition directly (the mapInArrow
+        closure's core, minus TaskContext)."""
+        import pyarrow as pa
+
+        from lantern_spark.sources.warc import _write_wet_partition
+
+        writes = []
+
+        class _CountingFile:
+            def __init__(self, path):
+                self._fh = open(path, "wb")
+
+            def write(self, b):
+                writes.append(len(b))
+                return self._fh.write(b)
+
+            def close(self):
+                self._fh.close()
+
+        def batches():
+            for lo in (0, 3):
+                ids = [str(i) for i in range(lo, lo + 3)]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids),
+                        pa.array([f"https://e/{i}" for i in ids]),
+                        pa.array([None] * 3, type=pa.string()),
+                        pa.array([f"text-{i} " * 20 for i in ids]),
+                    ],
+                    names=["__id", "__url", "__date", "__text"],
+                )
+
+        manifest = list(
+            _write_wet_partition(
+                batches(), str(tmp_path), 0, gz=False,
+                roll_bytes=None, open_fn=_CountingFile,
+            )
+        )
+        assert len(manifest) == 1
+        path, n, nbytes = manifest[0]
+        assert n == 6
+        # one write per record — never one accumulated blob
+        assert len(writes) == 6
+        assert max(w for w in writes) < nbytes
+
+    def test_target_shard_mb_rolls(self, spark, tmp_path):
+        """One giant partition must not make one giant shard: with a
+        tiny target every few records roll into a new part-00000-SSS
+        shard, and the union still round-trips record-for-record."""
+        from pyspark.sql import functions as F
+
+        from lantern_spark.sources.warc import read_wet, write_wet
+
+        docs = spark.createDataFrame(
+            [(i, "x" * 2000) for i in range(50)],
+            "doc_id long, text string",
+        ).select(
+            "doc_id",
+            F.concat(F.lit("https://e/"), F.col("doc_id")).alias("url"),
+            "text",
+        ).coalesce(1)
+        out = str(tmp_path / "wet_rolled")
+        manifest = write_wet(
+            docs, out, target_shard_mb=0.01  # ~10 KB → ~5 records/shard
+        ).collect()
+        assert len(manifest) > 3
+        assert sum(m.n_records for m in manifest) == 50
+        names = sorted(m.shard_path for m in manifest)
+        assert all("part-00000-" in p for p in names)
+        back = read_wet(spark, out)
+        assert back.count() == 50
+        assert {r.record_id for r in back.collect()} == {
+            f"<urn:doc:{i}>" for i in range(50)
+        }
+
     def test_export_then_reingest_feeds_curation(self, spark, tmp_path):
         """The interchange contract: an exported corpus re-enters the
         pipeline through the standard front door."""
