@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_components",
     "embedding_near_pairs",
     "simhash_near_pairs",
+    "domain_link_graph_edges",
     "text_stats_all",
     "token_counts",
     "asof_purchase_attribution",
@@ -163,6 +164,12 @@ def main() -> None:
     # wet_documents_docs / packed_ids_export in
     qs.setdefault("events_rollup_type_hour", events_rollup_type_hour)
     qs.setdefault("pq_adc_topk", pq_adc_topk)
+    # r12 swap: ivf_fullprobe_top10 out (exactness subsumed by
+    # knn_l2sq_top10, round-trip by ivf_pruned/lifecycle),
+    # domain_link_graph_edges in
+    from lantern_spark.queries.ann import ivf_fullprobe_top10
+
+    qs.setdefault("ivf_fullprobe_top10", ivf_fullprobe_top10)
 
     # Untimed warmup: initialize codegen/Arrow and touch every table's
     # footer so per-query timings reflect steady state, not first-JVM
@@ -1133,6 +1140,26 @@ def main() -> None:
             quality["warc_ingest_pages"] = len(recs)
             quality["warc_ingest_html_mb"] = round(html_mb, 2)
             quality["warc_ingest_mb_per_s"] = round(html_mb / dt, 2)
+            # r12: the Python-re Arrow fast path for the extraction
+            # tier (byte-identical by test; ~3×/core on this corpus
+            # shape) — measured side by side so the default-vs-fast
+            # tradeoff is a number, not a claim
+            from lantern_spark.functions.html import regex_text_extractor
+
+            spark.sparkContext.setJobDescription("bench:warc_ingest_fast")
+            dtf = None
+            for _ in range(2):
+                t0 = time.time()
+                warc_response_documents(
+                    read_warc(spark, warc_dir),
+                    extractor=regex_text_extractor(),
+                ).select(
+                    _WF.xxhash64("url", "text").alias("h")
+                ).agg(_WF.expr("bit_xor(h)")).collect()
+                d = time.time() - t0
+                dtf = d if dtf is None else min(dtf, d)
+            quality["warc_ingest_fast_s"] = round(dtf, 3)
+            quality["warc_ingest_fast_mb_per_s"] = round(html_mb / dtf, 2)
         finally:
             _sh.rmtree(warc_dir, ignore_errors=True)
     except Exception as e:
@@ -1165,6 +1192,65 @@ def main() -> None:
         quality["rd_join_form_s"] = round(time.time() - t0, 3)
     except Exception as e:
         print(f"# bench registered_domain FAILED: {e}", file=sys.stderr)
+
+    # Graph-layer witnesses (r12, review r11 item 7): PageRank and
+    # seed expansion were unbenched, so the localCheckpoint cadence
+    # had no measured anchor. Edge list synthesized at corpus scale
+    # from doc_id arithmetic (sf0.1: ~100k weighted edges over 2k
+    # domains — enough iterations×joins to expose a lineage blowup if
+    # the checkpoint cadence ever regresses). Telemetry only.
+    try:
+        from lantern_spark.operators.weburl import (
+            domain_pagerank,
+            expand_seed_domains,
+        )
+
+        ndom = 2000
+        ge = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")
+            .select(
+                SF.explode(
+                    SF.sequence(SF.lit(0), SF.lit(19))
+                ).alias("j"),
+                "doc_id",
+            )
+            .select(
+                SF.concat(
+                    SF.lit("d"),
+                    ((SF.col("doc_id") * 20 + SF.col("j")) % ndom)
+                    .cast("string"),
+                ).alias("src_domain"),
+                SF.concat(
+                    SF.lit("d"),
+                    ((SF.col("doc_id") * 7 + SF.col("j") * 13 + 3) % ndom)
+                    .cast("string"),
+                ).alias("dst_domain"),
+                ((SF.col("doc_id") % 5) + 1)
+                .cast("double")
+                .alias("n_links"),
+            )
+            .where(SF.col("src_domain") != SF.col("dst_domain"))
+            .cache()
+        )
+        quality["graph_edges"] = ge.count()
+        spark.sparkContext.setJobDescription("bench:pagerank")
+        t0 = time.time()
+        ranks = domain_pagerank(ge, iterations=10)
+        total_rank = ranks.agg(SF.sum("rank").alias("s")).first()["s"]
+        quality["pagerank_s"] = round(time.time() - t0, 3)
+        # the distribution invariant: total rank ≈ 1 (dangling mass
+        # redistributed, not dropped) — a free correctness witness
+        quality["pagerank_mass"] = round(float(total_rank), 4)
+        spark.sparkContext.setJobDescription("bench:seed_expand")
+        t0 = time.time()
+        expand_seed_domains(
+            ge, ["d0", "d7", "d42"], hops=2
+        ).agg(SF.count("*").alias("c")).collect()
+        quality["seed_expand_s"] = round(time.time() - t0, 3)
+        ge.unpersist()
+    except Exception as e:
+        print(f"# bench graph layer FAILED: {e}", file=sys.stderr)
 
     payload = {
         "metric": "headline_queries_total_wall",
@@ -1258,7 +1344,9 @@ def main() -> None:
             "apq_topk_score_rmse pq_topk_score_rmse "
             "apq_shortlist100_recall_at10 pq_shortlist100_recall_at10 "
             "wet_ingest_mb_per_s warc_ingest_mb_per_s "
-            "rd_expr_form_s rd_join_form_s"
+            "rd_expr_form_s rd_join_form_s "
+            "pagerank_s pagerank_mass seed_expand_s "
+            "warc_ingest_fast_mb_per_s"
         ).split()
         line["quality"] = {
             k: v for k, v in line["quality"].items() if k in keep

@@ -43,7 +43,9 @@ __all__ = [
     "html_title",
     "html_links",
     "resolve_link",
+    "link_host",
     "extract_text_udf_hook",
+    "regex_text_extractor",
 ]
 
 
@@ -79,55 +81,92 @@ _ENTITIES = [
 ]
 
 
+# The extraction chain as DATA, shared by the Catalyst form
+# (html_to_text) and the Python-re Arrow fast path
+# (regex_text_extractor) so the two can never drift. Each step is one
+# (pattern, replacement) regexp substitution, applied in order; every
+# pattern stays inside the Java∩Python-ASCII regex dialect (no \s/\b
+# semantics divergence: Python compiles these with re.ASCII, matching
+# Java's default ASCII character classes).
+#
+# Step rationale (order is pinned by tests):
+# - ONE leftmost-first pass over all content-dropping tags (r11: a
+#   measured 1.4× vs one pass per tag). The \1 backreference pairs
+#   each open tag with ITS OWN close tag; leftmost-first also matches
+#   browser CDATA semantics on cross-nested unclosed soup. `head`
+#   keeps its own pass for the <body>-lookahead stop (closing tags
+#   are optional in crawl soup — unclosed heads must not leak their
+#   <title>/<meta> text).
+# - block boundaries -> newline BEFORE the generic tag strip; inline
+#   tags strip to NOTHING ('</b>.' has no space before the period).
+# - numeric character references before named entities (so
+#   '&amp;#32;' decodes to the literal '&#32;' the author wrote);
+#   decimal 32 / hex 20 are the space — '&#x32;' is the digit '2'.
+# - whitespace: collapse horizontal runs, trim line edges, squeeze
+#   blank-line runs, then edge-trim (F.trim strips spaces only).
+_NONHEAD_TAGS = "|".join(tg for tg in _DROP_CONTENT if tg != "head")
+EXTRACT_STEPS = (
+    (f"(?is)<({_NONHEAD_TAGS})\\b[^>]*>.*?(?:</\\1\\s*>|$)", " "),
+    (r"(?is)<head\b[^>]*>.*?(?:</head\s*>|(?=<body\b)|$)", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (f"(?i)</?({_BLOCK})\\b[^>]*/?>", "\n"),
+    (r"(?s)<[^>]+>", ""),
+    (r"&#0*32;|&#[xX]0*20;", " "),
+    *_ENTITIES,  # literal-safe patterns (no regex metacharacters)
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n\n"),
+    (r"^\s+|\s+$", ""),
+)
+
+
 def html_to_text(col) -> Column:
     """Visible text of an HTML document as one column expression.
 
     Paragraph structure survives as newlines (block boundaries), so
     the result drops straight into ``c4_clean_lines`` /
     ``line_dedup`` / the Gopher rules. NULL-safe; non-HTML input
-    passes through mostly unchanged (no tags to strip)."""
+    passes through mostly unchanged (no tags to strip). The chain is
+    :data:`EXTRACT_STEPS` applied in order — see its comment for the
+    step-by-step rationale."""
     t = _c(col)
-    # Closing tags are optional in real crawl soup (HTML5 permits
-    # omitting </head>; browsers consume an unclosed <script> to EOF)
-    # — each container closes at its end tag, at <body> (for head),
-    # or at end-of-document, so unclosed heads can't leak their
-    # <title>/<meta> text into the corpus.
-    #
-    # ONE leftmost-first pass over all content-dropping tags (r11: a
-    # measured 1.4× on the bench corpus vs one pass per tag — this
-    # chain is ~half the raw-crawl pipeline's cost). The \1
-    # backreference pairs each open tag with ITS OWN close tag;
-    # leftmost-first also matches browser CDATA semantics on
-    # cross-nested unclosed soup ('<style><script></style>' drops the
-    # style element and keeps what follows — the per-tag sequential
-    # form let the script arm eat to EOF first). `head` keeps its own
-    # pass for the <body>-lookahead stop.
-    tags = "|".join(tg for tg in _DROP_CONTENT if tg != "head")
-    t = F.regexp_replace(
-        t, f"(?is)<({tags})\\b[^>]*>.*?(?:</\\1\\s*>|$)", " "
-    )
-    t = F.regexp_replace(
-        t, r"(?is)<head\b[^>]*>.*?(?:</head\s*>|(?=<body\b)|$)", " "
-    )
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
-    # block boundaries -> newline BEFORE generic tag strip
-    t = F.regexp_replace(t, f"(?i)</?({_BLOCK})\\b[^>]*/?>", "\n")
-    # inline tags strip to NOTHING (rendering semantics: '</b>.' has
-    # no space before the period; source whitespace is preserved)
-    t = F.regexp_replace(t, r"(?s)<[^>]+>", "")
-    # numeric character references FIRST (so '&amp;#32;' decodes to
-    # the literal '&#32;' the author wrote, never double-decodes) and
-    # with the hex/decimal forms kept separate: decimal 32 and hex 20
-    # are the space — '&#x32;' is the digit '2' and must NOT match.
-    t = F.regexp_replace(t, r"&#0*32;|&#[xX]0*20;", " ")
-    for ent, rep in _ENTITIES:
-        t = F.regexp_replace(t, ent, rep)
-    # horizontal whitespace: collapse runs, trim line edges
-    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
-    t = F.regexp_replace(t, r" ?\n ?", "\n")
-    t = F.regexp_replace(t, r"\n{2,}", "\n\n")
-    # trim() strips spaces only — boundary newlines need the regexp
-    return F.regexp_replace(t, r"^\s+|\s+$", "")
+    for pat, rep in EXTRACT_STEPS:
+        t = F.regexp_replace(t, pat, rep)
+    return t
+
+
+def regex_text_extractor():
+    """The Arrow FAST PATH for the extraction tier: a
+    ``Callable[[pd.Series], pd.Series]`` for
+    :func:`extract_text_udf_hook` replaying :data:`EXTRACT_STEPS`
+    with Python ``re`` — measured ~3× the JVM regex chain per core on
+    the bench corpus shape (java.util.regex's lazy-quantifier
+    scanning is the bottleneck; CPython's sre is simply faster here),
+    moving the raw-WARC end-to-end rate accordingly. Byte-identical
+    output is pinned by a corpus-equality test; the Catalyst form
+    stays the default (zero Python workers, one fewer moving part).
+
+    ``re.ASCII`` pins Python's ``\\s``/``\\b``/``\\w`` to the ASCII
+    semantics Java uses by default — without it, ``\\s`` would also
+    eat U+00A0 and the two chains would diverge on real crawl text."""
+    import re as _re
+
+    compiled = [
+        (_re.compile(pat, _re.ASCII), rep) for pat, rep in EXTRACT_STEPS
+    ]
+
+    def _extract(s: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None:
+                return None
+            t = h
+            for rx, rep in compiled:
+                t = rx.sub(rep, t)
+            return t
+
+        return s.map(one)
+
+    return _extract
 
 
 def html_title(col) -> Column:
@@ -137,6 +176,16 @@ def html_title(col) -> Column:
     for ent, rep in _ENTITIES:
         t = F.regexp_replace(t, ent, rep)
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# <a href> extractor pattern — in the Java∩RE2 dialect so the oracle
+# replay (DuckDB regexp_extract_all) runs the IDENTICAL regex: shared
+# as a constant so the two sides can't drift.
+LINK_HREF_RX = r"(?i)<a\b[^>]*?\bhref\s*=\s*[\"']([^\"'>]+)[\"']"
+
+# the pseudo-scheme exclusion html_links applies post-extraction —
+# exported for the same single-source-of-truth reason
+LINK_PSEUDO_SCHEME_RX = r"^(javascript|mailto|tel|data):"
 
 
 def html_links(col) -> Column:
@@ -154,11 +203,7 @@ def html_links(col) -> Column:
     ``lantern_spark.operators.weburl.normalize_url`` for graph keys.
     NULL-safe (NULL html → empty array)."""
     c = F.coalesce(_c(col), F.lit(""))
-    raw = F.regexp_extract_all(
-        c,
-        F.lit(r"(?i)<a\b[^>]*?\bhref\s*=\s*[\"']([^\"'>]+)[\"']"),
-        1,
-    )
+    raw = F.regexp_extract_all(c, F.lit(LINK_HREF_RX), 1)
     decoded = F.transform(
         raw, lambda u: F.regexp_replace(F.trim(u), "&amp;", "&")
     )
@@ -166,7 +211,7 @@ def html_links(col) -> Column:
         decoded,
         lambda u: (u != "")
         & ~u.startswith("#")
-        & ~F.lower(u).rlike(r"^(javascript|mailto|tel|data):"),
+        & ~F.lower(u).rlike(LINK_PSEUDO_SCHEME_RX),
     )
 
 
@@ -226,6 +271,50 @@ def resolve_link(base, link) -> Column:
         .otherwise(merged)
     )
     return F.when(origin == "", l).otherwise(out)
+
+
+def link_host(base, link, base_host=None) -> Column:
+    """The HOST of ``resolve_link(base, link)`` without building the
+    resolved URL — branch-for-branch host projection of
+    :func:`resolve_link` (equality pinned by a hypothesis property
+    against ``url_host(resolve_link(…))``):
+
+    - absolute link → the link's own host;
+    - protocol-relative ``//host/p`` → the link's host;
+    - everything else (root-relative, relative, query-only, empty)
+      → the BASE's host — path merging and dot-segment squashing
+      can never change the authority;
+    - non-URL base → the link's host ('' unless the link is
+      absolute), mirroring resolve_link's pass-through.
+
+    Exists for the crawl-graph hot path: ``domain_link_graph`` keys
+    edges by host, and inlining the full resolve chain (path merge +
+    8-level ``../`` squash, ~25 regex ops) into the fused
+    explode+aggregate stage pushed the generated method past janino's
+    64 KB limit — every run then paid ~13 s of doomed compilation
+    (r12 finding). This projection is ~⅓ the regex work.
+
+    ``base_host`` optionally supplies an already-computed
+    ``url_host(base)`` column (callers that key the source end
+    anyway), shaving three more regex ops out of the fused stage."""
+    from lantern_spark.operators.weburl import url_host
+
+    b = _c(base)
+    l = F.regexp_replace(_c(link), r"#.*$", "")
+    borigin = F.regexp_extract(
+        b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1
+    )
+    lhost = url_host(l)  # '' unless the link itself is scheme://
+    # '//host/p' → host via a synthetic scheme (url_host semantics:
+    # lowercase, strip port/userinfo/trailing dot)
+    pl_host = url_host(F.concat(F.lit("x:"), l))
+    bh = url_host(b) if base_host is None else _c(base_host)
+    out = (
+        F.when(l.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), lhost)
+        .when(l.startswith("//"), pl_host)
+        .otherwise(bh)
+    )
+    return F.when(borigin == "", lhost).otherwise(out)
 
 
 def extract_text_udf_hook(df, html_col: str, out_col: str = "text",

@@ -300,7 +300,8 @@ _RD_EXPR_CACHE: dict = {}
 
 
 def registered_domain(
-    col, extra_suffixes: Iterable[str] = (), psl=None
+    col, extra_suffixes: Iterable[str] = (), psl=None,
+    col_is_host: bool = False,
 ) -> Column:
     """eTLD+1 as a pure column expression (memoized per column name —
     repeat builds with the same arguments return the same Column
@@ -327,7 +328,17 @@ def registered_domain(
     Hosts with <2 labels (``localhost``; IPv4 literals are 4 numeric
     labels and pass through the 2-label rule — screen infrastructure
     hosts first) return the host unchanged, as does a host that IS a
-    public suffix (no registered domain exists)."""
+    public suffix (no registered domain exists).
+
+    ``col_is_host=True`` treats ``col`` as an already-extracted HOST
+    (lowercased internally) instead of a URL — the rule chain then
+    compiles over a plain attribute rather than embedding the URL
+    regex extraction in every branch. This matters downstream of
+    non-trivial expressions: Catalyst's project collapsing can inline
+    a big upstream chain (e.g. :func:`~lantern_spark.functions.html.
+    resolve_link`) into every branch of the rule CASE, inflating the
+    generated code past janino's limits (r12: domain_link_graph's
+    per-run ~13 s failed-compile penalty)."""
     # Materialize up front: a generator would be exhausted by the
     # cache-key tuple() below and then build (and poison the cache
     # with) a chain missing every extra rule.
@@ -348,11 +359,14 @@ def registered_domain(
             rules = ("dict", id(psl)) if isinstance(psl, dict) else psl
             cache_key = (
                 col, tuple(sorted(extra_suffixes)), rules, id(gw),
+                bool(col_is_host),
             )
             hit = _RD_EXPR_CACHE.get(cache_key)
             if hit is not None:
                 return hit[1]
-    out = _build_registered_domain(col, extra_suffixes, psl)
+    out = _build_registered_domain(
+        col, extra_suffixes, psl, col_is_host=col_is_host
+    )
     if cache_key is not None:
         # Pin the ruleset dict in the value so its id() is never
         # recycled onto a different dict while the entry lives.
@@ -360,8 +374,10 @@ def registered_domain(
     return out
 
 
-def _build_registered_domain(col, extra_suffixes, psl) -> Column:
-    host = url_host(col)
+def _build_registered_domain(
+    col, extra_suffixes, psl, col_is_host: bool = False
+) -> Column:
+    host = F.lower(_c(col)) if col_is_host else url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
 
@@ -807,6 +823,20 @@ def filter_domain_blocklist_df(
     )
 
 
+def _codegen_exile(col) -> Column:
+    """Deterministic no-op (``element_at(transform(array(x), id), 1)``)
+    that forces the containing operator OUT of whole-stage codegen:
+    higher-order functions are CodegenFallback, and a project holding
+    one is planned as a standalone ProjectExec whose row-based
+    projection codegen CAN split oversized expressions into helper
+    methods. Used where a regex/rule chain fused into a pipelined
+    stage would exceed janino's 64 KB per-method limit — the pipeline
+    consume path cannot split methods (locals span operators), so the
+    compile fails and EVERY job pays seconds of doomed compilation
+    before interpreted fallback (r12 finding, domain_link_graph)."""
+    return F.element_at(F.transform(F.array(_c(col)), lambda x: x), 1)
+
+
 def domain_link_graph(
     df: DataFrame,
     url_col: str,
@@ -825,9 +855,18 @@ def domain_link_graph(
     harmonic centrality on exactly this graph) and to seed-expansion
     curation.
 
-    Scale shape: extraction/resolution/eTLD+1 are all pure
-    expressions fused into the page scan; the only shuffle is the
-    final (src, dst) count — edge cardinality, not page cardinality.
+    Scale shape (r12): extraction, resolution, and HOST extraction are
+    pure expressions fused into the page scan; the first shuffle
+    counts (src_host, dst_host) pairs — edge-key cardinality, not
+    page or link cardinality — and the PSL rule chain then runs ONCE
+    per distinct host pair (links repeat pairs by orders of
+    magnitude) before a second, tiny re-aggregation onto the domain
+    key. Running the chain per LINK instead (the r11 shape) also let
+    Catalyst inline the resolve_link regex chain into every branch of
+    the rule CASE — the generated aggregate method blew past janino's
+    compile limits and every run paid ~13 s of doomed compilation
+    before falling back to interpreted execution (measured at sf0.01:
+    14.2 s → 0.6 s with the pair-aggregated shape).
     ``drop_self_edges`` removes intra-domain navigation (the bulk of
     raw edges, rarely wanted in a quality prior).
 
@@ -840,28 +879,140 @@ def domain_link_graph(
     host-key joins the expression form doesn't — the graph's node
     identity is the partition key of everything downstream, so buy
     coverage here when the corpus has registry diversity."""
-    from lantern_spark.functions.html import html_links, resolve_link
+    from lantern_spark.functions.html import html_links, link_host
 
+    # The explode's input is fenced (non-deterministic no-op) so
+    # InferFiltersFromGenerate can't add a `size(links) > 0` filter
+    # that DUPLICATES the whole html_links extraction below the
+    # Generate — the second copy is what pushed this stage's fused
+    # method past janino's 64 KB limit (r12; see the pairs fence
+    # below for the same story on the predicate side).
+    gen_fence = F.rand(11) >= -1.0
     pages = df.select(
         F.col(url_col).alias("__src_url"),
-        F.explode(html_links(html_col)).alias("__link"),
+        F.explode(
+            F.when(gen_fence, html_links(html_col))
+        ).alias("__link"),
     )
-    resolved = pages.select(
-        "__src_url",
-        resolve_link(F.col("__src_url"), F.col("__link")).alias("__dst_url"),
+    # ONE shuffle on the raw edge key. link_host is the host
+    # PROJECTION of resolve_link (path merging never changes the
+    # authority) — the full resolve chain inlined here blew janino's
+    # 64 KB method limit in the fused explode+agg stage (r12).
+    # __sh staged in its own select and REUSED as link_host's
+    # base_host: referenced twice and non-cheap, Catalyst keeps it
+    # staged, so the fused stage evaluates (and generates) the source
+    # host chain once instead of twice.
+    hosted = pages.select(
+        "__src_url", "__link", url_host("__src_url").alias("__sh")
+    )
+    # _codegen_exile keeps the host chains out of the fused agg stage
+    # (standalone ProjectExec, method-splittable codegen) — fused,
+    # the single agg method exceeds janino's 64 KB limit.
+    pairs = (
+        hosted.select(
+            _codegen_exile("__sh").alias("__sh"),
+            _codegen_exile(
+                link_host(
+                    F.col("__src_url"), F.col("__link"), base_host="__sh"
+                )
+            ).alias("__dh"),
+        )
+        .groupBy("__sh", "__dh")
+        .agg(F.count("*").alias("__n"))
+    )
+    # Optimizer fence (non-deterministic no-op): every predicate
+    # added downstream — the ''-domain filter, the self-edge filter,
+    # and the isnotnull constraints the joins infer — would otherwise
+    # push below this aggregation and REWRITE in terms of the
+    # extraction chains (isnotnull(url_host(link_host(…)))), each
+    # copy re-inflating the fused scan stage past janino's 64 KB
+    # method limit. Pushing them down buys nothing anyway: the pair
+    # aggregation needs every link row regardless.
+    fence = F.rand(7) >= -1.0  # always true, marked non-deterministic
+    pairs = pairs.select(
+        F.when(fence, F.col("__sh")).alias("__sh"),
+        F.when(fence, F.col("__dh")).alias("__dh"),
+        "__n",
     )
     if use_full_psl:
+        # registered_domain_df keys on a URL column — rebuild a
+        # minimal one from the host ('h://' + host extracts back to
+        # the host); the join form dedupes hosts internally.
         keyed = registered_domain_df(
-            resolved, "__src_url", psl=psl, out_col="src_domain"
+            pairs.withColumn(
+                "__surl", F.concat(F.lit("h://"), F.col("__sh"))
+            ),
+            "__surl",
+            psl=psl,
+            out_col="src_domain",
         )
         keyed = registered_domain_df(
-            keyed, "__dst_url", psl=psl, out_col="dst_domain"
+            keyed.withColumn(
+                "__durl", F.concat(F.lit("h://"), F.col("__dh"))
+            ),
+            "__durl",
+            psl=psl,
+            out_col="dst_domain",
         )
-        edges = keyed.select("src_domain", "dst_domain")
+        edges = keyed.select("src_domain", "dst_domain", "__n")
     else:
-        edges = resolved.select(
-            registered_domain("__src_url", psl=psl).alias("src_domain"),
-            registered_domain("__dst_url", psl=psl).alias("dst_domain"),
+        # DISTINCT-HOST → domain map, joined back onto the pairs: the
+        # rule CASE evaluates once per distinct host, in its own
+        # small stage. Inlining it into the pairs projection instead
+        # lets predicate pushdown COPY the whole chain into the fused
+        # filter+aggregate method (the ''-filter and self-edge filter
+        # reference both domains), which blows janino's 64 KB
+        # per-method limit — every run then pays ~13 s of doomed
+        # compilation before interpreted fallback (r12 finding).
+        # the domain column is fenced too: the ''-domain / self-edge
+        # predicates downstream would otherwise rewrite through this
+        # project into Filter(CASE-chain ≠ '') — FilterExec predicates
+        # get no subexpression elimination, so every labels-split
+        # reference in the rule chain becomes its own regex matcher
+        # and the fused distinct+project stage re-breaks 64 KB.
+        dom_fence = F.rand(13) >= -1.0
+        hmap = (
+            pairs.select(
+                F.explode(F.array("__sh", "__dh")).alias("__h")
+            )
+            .distinct()
+            .select(
+                "__h",
+                F.when(
+                    dom_fence,
+                    _codegen_exile(
+                        registered_domain(
+                            "__h", psl=psl, col_is_host=True
+                        )
+                    ),
+                ).alias("__d"),
+            )
+        )
+        # LEFT joins, deliberately: an inner join would push
+        # isnotnull(__sh/__dh) below the pair aggregation, where the
+        # predicate rewrites to isnotnull(url_host(resolve_link(…)))
+        # — two more full copies of the extraction chain in the fused
+        # filter+agg method, re-breaking the 64 KB limit. The hmap
+        # covers every host by construction, and null-key rows fall
+        # to the ''-domain filter below exactly as before.
+        edges = (
+            pairs.join(
+                hmap.select(
+                    F.col("__h").alias("__sh"),
+                    F.col("__d").alias("src_domain"),
+                ),
+                "__sh",
+                "left",
+            )
+            .join(
+                hmap.select(
+                    F.col("__h").alias("__dh"),
+                    F.col("__d").alias("dst_domain"),
+                ),
+                "__dh",
+                "left",
+            )
+            .select("src_domain", "dst_domain", "__n")
         )
     edges = edges.where(
         (F.col("src_domain") != "") & (F.col("dst_domain") != "")
@@ -869,7 +1020,7 @@ def domain_link_graph(
     if drop_self_edges:
         edges = edges.where(F.col("src_domain") != F.col("dst_domain"))
     return edges.groupBy("src_domain", "dst_domain").agg(
-        F.count("*").alias("n_links")
+        F.sum("__n").cast("long").alias("n_links")
     )
 
 

@@ -100,20 +100,21 @@ def _tuned_nprobe(spark, sf_dir: str) -> int:
 _QL = duck_lit(Q64)
 
 
-@register(
-    "ivf_fullprobe_top10",
-    f"""
-    SELECT vec_id, round({duck_l2sq('embedding::DOUBLE[]', _QL)}, 6) AS dist
-    FROM embeddings
-    ORDER BY round({duck_l2sq('embedding::DOUBLE[]', _QL)}, 6), vec_id
-    LIMIT 10
-    """,
-)
 def ivf_fullprobe_top10(spark, sf_dir):
     """IVF search with nprobe = nlist scans every list exactly once —
     provably equal to the exact top-k, so it is hash-checkable. This
     verifies the index round-trip (build → partitioned write → pruned
-    read → merge) end-to-end against the oracle."""
+    read → merge) end-to-end against the oracle.
+
+    Retired from the oracle roster in r12 (50-query driver cap): its
+    two claims stay independently hash-checked — full-probe exactness
+    by ``knn_l2sq_top10`` (the same exact top-k oracle) and the index
+    build → write → pruned read → merge round-trip by
+    ``ivf_pruned_top10`` (same index artifact, plus the probe
+    selection) and the ``ivf_delta_tombstone_top10`` lifecycle. The
+    slot funds ``domain_link_graph_edges`` (the crawl-graph layer's
+    first oracle row). Still timed in bench (direct import) so the
+    series stays comparable."""
     idx = _index_for(spark, sf_dir)
     # round_digits=6: top-k boundary ties break on the ROUNDED distance,
     # matching the oracle's ORDER BY round(dist,6), vec_id (ADVICE r1)

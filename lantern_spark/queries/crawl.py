@@ -229,3 +229,182 @@ def packed_ids_full(spark, sf_dir):
         eos_id=_EOS,
         chunks=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl link graph (r12, review r11 item 6): the first hash-checked
+# oracle row for the graph layer — html_links → resolve_link →
+# registered_domain → edge counts, replayed end-to-end in DuckDB from
+# the SAME regex/PSL constants the engine compiles (functions/html.py
+# LINK_HREF_RX, weburl.psl_duckdb_case), so neither side can drift.
+# ---------------------------------------------------------------------------
+
+# six hosts exercising the PSL tiers: multi-label rules (co.uk,
+# co.jp), plain 2-label domains, a deep subdomain and a www host that
+# COLLIDE at the registered-domain level (portal/example both →
+# example.com), which makes some synthesized links domain-level
+# self-edges — pinning the drop_self_edges contract in the oracle.
+_LG_HOSTS = [
+    "news.bbc.co.uk",
+    "example.com",
+    "blog.example.net",
+    "shop.example.co.jp",
+    "sub.mysite.org",
+    "www.portal.example.com",
+]
+
+_LG_AUTH = r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/@?#]*@)?([^/?#]*)"
+
+
+def _lg_pages(spark, sf_dir):
+    """Deterministic per-doc page: a URL on host[doc_id%6] and an HTML
+    body with 1-3 <a href> links derived from doc_id arithmetic —
+    absolute links (mixed quoting/case), one root-relative link
+    (exercising resolve_link), a same-target duplicate (exercising
+    n_links counting), and non-edge noise (#fragment, mailto)."""
+    d = F.col("doc_id").cast("long")
+    hosts = F.array(*[F.lit(h) for h in _LG_HOSTS])
+    host = F.element_at(hosts, (d % 6).cast("int") + 1)
+    t1 = F.element_at(hosts, ((d + 1) % 6).cast("int") + 1)
+    t2 = F.element_at(hosts, ((d + 2) % 6).cast("int") + 1)
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), (d % 10).cast("string")
+    )
+    html = F.concat(
+        F.lit("<html><body><p>corpus page</p>"),
+        F.lit('<a href="https://'), t1, F.lit('/x?a=1&amp;b=2">l1</a>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("<A HREF='https://"), t2, F.lit("/y'>l2</A>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0, F.lit('<a href="/local">self</a>')
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit('<a href="https://'), t1, F.lit('/z">again</a>')),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="#top">top</a><a href="mailto:a@b.c">m</a>'
+              "</body></html>"),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(url.alias("url"), html.alias("html"))
+    )
+
+
+def _lg_domain_case(host: str, labels: str) -> str:
+    """The oracle's eTLD+1 CASE for one host expression — the bundled
+    PSL replayed rule-for-rule (psl_duckdb_case), with the same
+    2-label fallback the engine uses when the bundle is absent
+    (mirrors queries/dedup._url_dedup_oracle_sql)."""
+    from lantern_spark.operators.weburl import (
+        MULTI_LABEL_SUFFIXES,
+        default_psl,
+        psl_duckdb_case,
+    )
+
+    psl = default_psl()
+    if psl is not None:
+        return psl_duckdb_case(
+            psl, host=host, labels=labels, n=f"len({labels})"
+        )
+    sufs = ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return f"""CASE WHEN len({labels}) <= 1 THEN {host}
+              WHEN len({labels}) >= 3 AND
+                   ({labels}[-2] || '.' || {labels}[-1]) IN ({sufs})
+              THEN {labels}[-3] || '.' || {labels}[-2] || '.' || {labels}[-1]
+              ELSE {labels}[-2] || '.' || {labels}[-1]
+         END"""
+
+
+def _lg_oracle_sql() -> str:
+    from lantern_spark.functions.html import (
+        LINK_HREF_RX,
+        LINK_PSEUDO_SCHEME_RX,
+    )
+
+    hosts = ", ".join(f"'{h}'" for h in _LG_HOSTS)
+    rx = LINK_HREF_RX.replace("'", "''")
+    pseudo = LINK_PSEUDO_SCHEME_RX.replace("'", "''")
+    t1 = f"([{hosts}])[((doc_id + 1) % 6)::INT + 1]"
+    t2 = f"([{hosts}])[((doc_id + 2) % 6)::INT + 1]"
+    url_sql = (
+        f"'https://' || ([{hosts}])[(doc_id % 6)::INT + 1]"
+        " || '/p/' || (doc_id % 10)::VARCHAR"
+    )
+    html_sql = (
+        "'<html><body><p>corpus page</p>'"
+        f" || '<a href=\"https://' || {t1} || '/x?a=1&amp;b=2\">l1</a>'"
+        " || (CASE WHEN doc_id % 3 = 0 THEN"
+        f" '<A HREF=''https://' || {t2} || '/y''>l2</A>' ELSE '' END)"
+        " || (CASE WHEN doc_id % 4 = 0 THEN"
+        " '<a href=\"/local\">self</a>' ELSE '' END)"
+        " || (CASE WHEN doc_id % 5 = 0 THEN"
+        f" '<a href=\"https://' || {t1} || '/z\">again</a>' ELSE '' END)"
+        " || '<a href=\"#top\">top</a><a href=\"mailto:a@b.c\">m</a>"
+        "</body></html>'"
+    )
+    host_of = (
+        lambda u: "regexp_replace(regexp_replace(lower(regexp_extract("
+        f"{u}, '{_LG_AUTH}', 2)), ':[0-9]*$', ''), '\\.$', '')"
+    )
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {url_sql} AS url, {html_sql} AS html FROM documents),
+    links AS (
+      SELECT url,
+             trim(unnest(regexp_extract_all(html, '{rx}', 1))) AS raw
+      FROM pages),
+    kept AS (
+      SELECT url, replace(raw, '&amp;', '&') AS link
+      FROM links
+      WHERE replace(raw, '&amp;', '&') <> ''
+        AND NOT starts_with(replace(raw, '&amp;', '&'), '#')
+        AND NOT regexp_matches(lower(replace(raw, '&amp;', '&')),
+                               '{pseudo}')),
+    resolved AS (
+      SELECT url AS src_url,
+             CASE WHEN regexp_matches(nofrag,
+                        '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN nofrag
+                  WHEN starts_with(nofrag, '/') THEN
+                    regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)
+                    || nofrag
+             END AS dst_url
+      FROM (SELECT url, regexp_replace(link, '#.*$', '') AS nofrag
+            FROM kept)),
+    hostsx AS (
+      SELECT {host_of('src_url')} AS src_host,
+             {host_of('dst_url')} AS dst_host
+      FROM resolved WHERE dst_url IS NOT NULL),
+    labeled AS (
+      SELECT src_host, string_split(src_host, '.') AS src_labels,
+             dst_host, string_split(dst_host, '.') AS dst_labels
+      FROM hostsx),
+    dom AS (
+      SELECT {_lg_domain_case('src_host', 'src_labels')} AS src_domain,
+             {_lg_domain_case('dst_host', 'dst_labels')} AS dst_domain
+      FROM labeled)
+    SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
+    FROM dom
+    WHERE src_domain <> '' AND dst_domain <> ''
+      AND src_domain <> dst_domain
+    GROUP BY src_domain, dst_domain
+    """
+
+
+@register("domain_link_graph_edges", _lg_oracle_sql())
+def domain_link_graph_edges(spark, sf_dir):
+    """Registered-domain link-graph edges over deterministic synthetic
+    pages (operators/weburl.domain_link_graph — the harmonic-
+    centrality/PageRank input): href extraction, RFC 3986 resolution,
+    eTLD+1 collapse, and self-edge dropping all fused into the page
+    scan, one shuffle on the edge key. The oracle replays the full
+    chain — same LINK_HREF_RX regex, same resolve cases, same bundled
+    PSL rules via psl_duckdb_case — so a drift in ANY stage breaks
+    the hash."""
+    from lantern_spark.operators.weburl import domain_link_graph
+
+    return domain_link_graph(_lg_pages(spark, sf_dir), "url", "html")

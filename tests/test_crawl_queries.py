@@ -46,12 +46,18 @@ class TestRosterShape:
         assert "packed_ids_export" in qs and "packed_ids_export" in oracles
         assert "events_rollup_type_hour" not in qs
         assert "pq_adc_topk" not in qs
+        # r12 swap: ivf_fullprobe_top10 out, domain_link_graph_edges in
+        assert "domain_link_graph_edges" in qs
+        assert "domain_link_graph_edges" in oracles
+        assert "ivf_fullprobe_top10" not in qs
         assert len(qs) == 50  # the driver cap, exactly filled
 
 
 class TestNewQueriesOracleParity:
     @pytest.mark.parametrize(
-        "name", ["wet_documents_docs", "packed_ids_export"]
+        "name",
+        ["wet_documents_docs", "packed_ids_export",
+         "domain_link_graph_edges"],
     )
     def test_hash_parity_sf0001(self, spark, duck, name):
         df = registry.queries()[name](spark, SF)

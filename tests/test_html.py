@@ -355,6 +355,59 @@ class TestMergedDropContentPass:
         ).agg(F.sum("d").alias("n")).first()["n"]
         assert diff == 0
 
+    def test_regex_extractor_byte_identical_on_corpus(self, spark):
+        """r12 (VERDICT r11 stretch item 8): the Python-re Arrow fast
+        path must be BYTE-IDENTICAL to the Catalyst chain — same
+        EXTRACT_STEPS data, re.ASCII pinning \\s/\\b to Java's ASCII
+        classes. Corpus-shaped pages plus the edge forms that would
+        expose a dialect divergence."""
+        from lantern_spark.functions.html import (
+            extract_text_udf_hook,
+            regex_text_extractor,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(
+            F.concat(
+                F.lit("<html><head><title>t</title><style>.x{}</style>"
+                      "</head><body><script>var a=1;</script><p>"),
+                F.col("text"),
+                F.lit("</p><svg><rect/></svg></body></html>"),
+            ).alias("html")
+        )
+        edge = spark.createDataFrame(
+            [
+                # raw NBSP: unicode-\s would eat it, ASCII-\s must not
+                ("<p>a b</p>",),
+                ("<p>trailing newline</p>\n",),
+                # trailing NBSP: unicode \s+$ would strip it, Java's
+                # ASCII \s (and re.ASCII) must keep it
+                ("<p>edge</p> ",),
+                ("<script>unclosed to eof",),
+                ("<p>before</p><style>.x{<script>}</style><p>after</p>",),
+                ("&amp;#32; &#x32; &#0032; &#x20;",),
+                ("<P CLASS='x'>UPPER</P><B>b</B>.",),
+                ("no tags at all",),
+                (None,),
+            ],
+            "html string",
+        )
+        for df in (docs, edge):
+            both = extract_text_udf_hook(
+                df, "html", out_col="fast",
+                extractor=regex_text_extractor(),
+            ).withColumn("expr", F.expr("NULL"))
+            from lantern_spark.functions.html import html_to_text
+
+            both = both.withColumn("expr", html_to_text("html"))
+            diff = both.where(
+                ~(
+                    F.col("fast").eqNullSafe(F.col("expr"))
+                )
+            ).count()
+            assert diff == 0
+
     def test_cross_nested_unclosed_follows_browser_semantics(self, spark):
         # '<style><script></style>after' — a browser treats the script
         # tag as style CDATA and resumes after </style>; the merged

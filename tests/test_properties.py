@@ -755,6 +755,39 @@ class TestResolveLinkProperties:
         assert got == want, (base, link, got, want)
 
 
+class TestLinkHostProperty:
+    """Property (r12): link_host is the HOST projection of
+    resolve_link — url_host(resolve_link(b, l)) == link_host(b, l)
+    for the full resolver grammar (the crawl-graph hot path relies on
+    this to avoid inlining the whole resolve chain; see
+    weburl.domain_link_graph)."""
+
+    @given(data=st.lists(TestResolveLinkProperties.base_and_link(),
+                         min_size=1, max_size=40))
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_host_projection_equivalence(self, spark, data):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.functions.html import link_host, resolve_link
+        from lantern_spark.operators.weburl import url_host
+
+        rows = data + [
+            ("not a url", "rel/path"),
+            ("not a url", "https://abs.example/x"),
+            ("https://h.example/a/", ""),
+            ("https://h.example:8080/a", "//proto.example/p"),
+        ]
+        df = spark.createDataFrame(rows, "b string, l string")
+        mism = df.select(
+            url_host(resolve_link("b", "l")).alias("want"),
+            link_host("b", "l").alias("got"),
+            "b", "l",
+        ).where(~F.col("want").eqNullSafe(F.col("got")))
+        bad = mism.collect()
+        assert not bad, bad[:5]
+
+
 class TestHttpSplitterFuzz:
     """Fuzz contract (r11): on ARBITRARY bytes the splitter either
     returns (headers, body) or raises one of the exception types the

@@ -1098,7 +1098,14 @@ class TestDomainLinkGraph:
             ("b.aisai.aichi.jp", "a.aisai.aichi.jp"): 1,
         }
 
-    def test_single_shuffle_plan(self, spark):
+    def test_plan_shape_r12(self, spark):
+        """r12 shape: hosts aggregate to distinct (src_host, dst_host)
+        pairs first, the PSL chain runs once per distinct HOST via the
+        fenced+exiled host map, and NO aggregation evaluates a regex
+        chain in its grouping keys — inlined chains in the fused agg
+        method exceeded janino's 64 KB limit, so every r11-shaped run
+        paid ~13 s of doomed compilation (11.5 s → 1.4 s measured at
+        sf0.01). Still zero Python in the plan."""
         from lantern_spark.operators.weburl import domain_link_graph
 
         df = spark.createDataFrame(
@@ -1111,8 +1118,13 @@ class TestDomainLinkGraph:
             .executedPlan()
             .toString()
         )
-        assert plan.count("Exchange") == 1  # only the edge-count agg
         assert "EvalPython" not in plan
+        # the structural pin of the janino fix: aggregation keys are
+        # plain attributes — no regex chain inlined into any
+        # HashAggregate (grouping) or Exchange (partitioning) node
+        for line in plan.splitlines():
+            if "HashAggregate" in line or "Exchange" in line:
+                assert "regexp_extract" not in line, line[:200]
 
 
 class TestDomainPagerank:
