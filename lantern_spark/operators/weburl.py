@@ -848,25 +848,25 @@ def domain_link_graph(
     """The crawl's registered-domain LINK GRAPH in one pass:
     ``(src_domain, dst_domain, n_links)`` edges from raw pages —
     extract ``<a href>`` targets (:func:`~lantern_spark.functions.
-    html.html_links`), resolve them against the page URL
-    (:func:`~lantern_spark.functions.html.resolve_link`), collapse
-    both ends to eTLD+1, and count. This is the input to
+    html.html_links`), resolve each to its target HOST
+    (:func:`~lantern_spark.functions.html.link_host`, the host
+    projection of resolve_link), collapse both ends to eTLD+1, and
+    count. This is the input to
     centrality-style quality priors (Common Crawl ranks hosts by
     harmonic centrality on exactly this graph) and to seed-expansion
     curation.
 
-    Scale shape (r12): extraction, resolution, and HOST extraction are
-    pure expressions fused into the page scan; the first shuffle
-    counts (src_host, dst_host) pairs — edge-key cardinality, not
-    page or link cardinality — and the PSL rule chain then runs ONCE
-    per distinct host pair (links repeat pairs by orders of
-    magnitude) before a second, tiny re-aggregation onto the domain
-    key. Running the chain per LINK instead (the r11 shape) also let
-    Catalyst inline the resolve_link regex chain into every branch of
-    the rule CASE — the generated aggregate method blew past janino's
-    compile limits and every run paid ~13 s of doomed compilation
-    before falling back to interpreted execution (measured at sf0.01:
-    14.2 s → 0.6 s with the pair-aggregated shape).
+    Scale shape (r12): extraction and host projection are pure
+    expressions fused into the page scan; the first shuffle counts
+    (src_host, dst_host) pairs — edge-key cardinality, not page or
+    link cardinality — and the PSL rule chain then runs ONCE per
+    distinct HOST (a fenced, exiled map joined back), before a tiny
+    re-aggregation onto the domain key. The r11 shape — full resolve
+    chain + rule CASE inlined per link into the fused aggregate —
+    blew janino's 64 KB method limit, so every run paid ~13 s of
+    doomed compilation before interpreted fallback (11.5 s → 1.4 s
+    steady at sf0.01 with this shape; see _codegen_exile and the
+    in-function fence comments for the three mechanisms).
     ``drop_self_edges`` removes intra-domain navigation (the bulk of
     raw edges, rarely wanted in a quality prior).
 
