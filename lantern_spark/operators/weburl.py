@@ -1051,7 +1051,16 @@ def domain_pagerank(
     PageRank plan. Lineage is cut with ``localCheckpoint`` every
     ``checkpoint_every`` iterations (an iterative DataFrame loop
     otherwise compounds the plan until planning itself dominates).
-    Deterministic: no sampling, fixed iteration count."""
+    Deterministic: no sampling, fixed iteration count.
+
+    r12: the dangling mass rides along as a LAZY one-row aggregate
+    (cross-joined into the update) instead of a per-iteration
+    ``.first()`` — the driver action per iteration cost a full job
+    each AND evicted the cache the next iteration needed, so every
+    action recomputed back to the last checkpoint (~20 jobs for 10
+    iterations; now one job per checkpoint — measured 22.5 s → see
+    ``pagerank_s`` in BENCH_FULL). Intermediate persists unpersist
+    only AFTER the next eager checkpoint materializes through them."""
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -1078,19 +1087,23 @@ def domain_pagerank(
     ).persist()
     d = float(damping)
     base = (1.0 - d) / n_nodes
-    # each iteration CACHES the rank vector before the dangling-mass
-    # action touches it — the action then materializes the cache and
-    # the contribution join reads it back, so per-iteration work is
-    # one pass, not lineage-squared recompute; localCheckpoint every
-    # few iterations additionally truncates the plan itself
+    # rank vectors persist LAZILY; each iteration references ranks
+    # twice (dangling aggregate + contribution join), and the cache
+    # dedupes those two uses when the next eager checkpoint finally
+    # materializes the chain in ONE job. Unpersist is deferred until
+    # after that checkpoint — dropping a cache before anything has
+    # materialized through it would force a full lineage recompute
+    # (the r11 shape's hidden cost).
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).persist()
+    pending = [ranks]
     for i in range(int(iterations)):
-        # dangling mass: total rank held by domains with no outlinks
-        dangling = (
+        # dangling mass: total rank held by domains with no outlinks,
+        # as a lazy 1-row aggregate cross-joined into the update
+        dangling_df = (
             ranks.join(out_w, ranks.domain == out_w.__src, "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+            .agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+            )
         )
         contrib = (
             trans.join(
@@ -1099,22 +1112,36 @@ def domain_pagerank(
             .groupBy("__dst")
             .agg(F.sum(F.col("__p") * F.col("rank")).alias("__in"))
         )
-        new_ranks = nodes.join(
-            contrib.withColumnRenamed("__dst", "domain"), "domain", "left"
-        ).select(
-            "domain",
-            (
-                F.lit(base)
-                + F.lit(d)
-                * (F.coalesce(F.col("__in"), F.lit(0.0))
-                   + F.lit(dangling / n_nodes))
-            ).alias("rank"),
+        new_ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("__dst", "domain"),
+                "domain",
+                "left",
+            )
+            .crossJoin(F.broadcast(dangling_df))
+            .select(
+                "domain",
+                (
+                    F.lit(base)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
         )
-        if checkpoint_every and (i + 1) % int(checkpoint_every) == 0:
+        last = i + 1 == int(iterations)
+        if last or (
+            checkpoint_every and (i + 1) % int(checkpoint_every) == 0
+        ):
             new_ranks = new_ranks.localCheckpoint(eager=True)
+            for df_ in pending:
+                df_.unpersist()
+            pending = []
         else:
             new_ranks = new_ranks.persist()
-        ranks.unpersist()
+            pending.append(new_ranks)
         ranks = new_ranks
     nodes.unpersist()
     trans.unpersist()
