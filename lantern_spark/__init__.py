@@ -54,11 +54,14 @@ A from-scratch re-expression of the capabilities of lanterndata/lantern
   WET fast path + strict raw-WARC parser (streaming decompression,
   batch + landing-dir streaming twins), HTTP envelope for response
   records (chunked/gzip/deflate/brotli codings, charset sniffing),
-  one-scan demux into documents (functions/html C4-tier extraction)
+  one-scan demux into documents (functions/html C4-tier extraction;
+  byte-identical Python-re Arrow fast path, regex_text_extractor)
   and the multimodal media table, CDX capture-index planning
-  (read_cdx + SURT keys + range fetch), distributed WET export
-  (write_wet), and link-graph curation priors (operators/weburl:
-  html_links → domain_link_graph → domain_pagerank / seed expansion)
+  (read_cdx + IA-canonical SURT keys + range fetch with a pluggable
+  object-store opener), streaming distributed WET export with shard
+  rolling (write_wet), and link-graph curation priors
+  (operators/weburl: html_links → domain_link_graph (host-pair
+  aggregated, full-PSL option) → domain_pagerank / seed expansion)
 
 Everything is DataFrame-in / DataFrame-out and designed for 100 TB scale:
 no driver-side collection except tiny codebooks/centroids/manifests.
