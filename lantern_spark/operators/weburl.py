@@ -1191,7 +1191,11 @@ def expand_seed_domains(
         step = rev
     else:
         step = fwd.unionByName(rev)
-    step = step.distinct()
+    # persist the deduped step relation: every hop joins against it,
+    # and without the cache each hop re-runs the full edge-list
+    # distinct shuffle (r12 — the per-hop frontier checkpoints cut
+    # lineage, so the cache is safely droppable once the loop ends)
+    step = step.distinct().persist()
     reached = spark.createDataFrame(
         [(s.lower(), 0) for s in seeds], "domain string, hop int"
     )
@@ -1212,6 +1216,7 @@ def expand_seed_domains(
         nxt = nxt.localCheckpoint(eager=True)
         reached = reached.unionByName(nxt)
         frontier = nxt.select("domain")
+    step.unpersist()
     return reached
 
 
