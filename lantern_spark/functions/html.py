@@ -139,12 +139,15 @@ def regex_text_extractor():
     """The Arrow FAST PATH for the extraction tier: a
     ``Callable[[pd.Series], pd.Series]`` for
     :func:`extract_text_udf_hook` replaying :data:`EXTRACT_STEPS`
-    with Python ``re`` — measured ~3× the JVM regex chain per core on
-    the bench corpus shape (java.util.regex's lazy-quantifier
-    scanning is the bottleneck; CPython's sre is simply faster here),
-    moving the raw-WARC end-to-end rate accordingly. Byte-identical
-    output is pinned by a corpus-equality test; the Catalyst form
-    stays the default (zero Python workers, one fewer moving part).
+    with Python ``re``. On the regex work alone CPython's sre runs
+    the chain ~3×/core vs java.util.regex (micro-measured on the
+    bench corpus shape); END-TO-END through the WARC ingest harness
+    the gain is ~1.25× (12.7 → 15.8 MB/s at sf0.1 — parse + envelope
+    + Arrow transfer dilute it; both numbers in BENCH_FULL as
+    ``warc_ingest_mb_per_s`` / ``warc_ingest_fast_mb_per_s``).
+    Byte-identical output is pinned by a corpus-equality test; the
+    Catalyst form stays the default (zero Python workers, one fewer
+    moving part).
 
     ``re.ASCII`` pins Python's ``\\s``/``\\b``/``\\w`` to the ASCII
     semantics Java uses by default — without it, ``\\s`` would also
