@@ -920,20 +920,20 @@ def domain_link_graph(
         .groupBy("__sh", "__dh")
         .agg(F.count("*").alias("__n"))
     )
-    # Optimizer fence (non-deterministic no-op): every predicate
-    # added downstream — the ''-domain filter, the self-edge filter,
-    # and the isnotnull constraints the joins infer — would otherwise
-    # push below this aggregation and REWRITE in terms of the
-    # extraction chains (isnotnull(url_host(link_host(…)))), each
-    # copy re-inflating the fused scan stage past janino's 64 KB
-    # method limit. Pushing them down buys nothing anyway: the pair
-    # aggregation needs every link row regardless.
-    fence = F.rand(7) >= -1.0  # always true, marked non-deterministic
-    pairs = pairs.select(
-        F.when(fence, F.col("__sh")).alias("__sh"),
-        F.when(fence, F.col("__dh")).alias("__dh"),
-        "__n",
-    )
+    # Lazy localCheckpoint, two jobs at once:
+    # 1. `pairs` is referenced THREE times downstream (the edge spine
+    #    plus both sides of the host map) — as DataFrame subtrees
+    #    those would re-run the edge-key shuffle per copy; an
+    #    RDD-backed checkpoint is shared by identity, so the pair
+    #    aggregation executes exactly once per job.
+    # 2. It is also an optimizer boundary: downstream predicates (the
+    #    ''-domain filter, self-edge filter, join isnotnull
+    #    constraints) cannot push below it and REWRITE in terms of
+    #    the extraction chains (isnotnull(url_host(link_host(…)))) —
+    #    each such copy re-inflated the fused scan stage past
+    #    janino's 64 KB method limit. Pushing them down would buy
+    #    nothing anyway: the pair aggregation needs every link row.
+    pairs = pairs.localCheckpoint(eager=False)
     if use_full_psl:
         # registered_domain_df keys on a URL column — rebuild a
         # minimal one from the host ('h://' + host extracts back to
