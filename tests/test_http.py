@@ -718,11 +718,22 @@ class TestCdxIndex:
         from lantern_spark.sources.warc import read_cdx, write_cdx
 
         p = tmp_path / "cdx-00003"
-        write_cdx(str(p), self.ROWS)
+        rows = list(self.ROWS) + [{
+            # cc-index canonical form: port kept on the host part,
+            # query params alphabetized (r12 surt_key parity)
+            "urlkey": "com,example:8080)/q?a=1&b=2",
+            "timestamp": "20260101120003",
+            "url": "http://example.com:8080/q?b=2&a=1",
+            "mime": "text/html", "status": "200", "digest": "GGGGHHHH",
+            "length": "77", "offset": "3000",
+            "filename": "crawl/part-0002.warc.gz",
+        }]
+        write_cdx(str(p), rows)
         urls = spark.createDataFrame(
             [
                 (1, "https://www.example.com/page"),
                 (2, "https://missing.example.net/zzz"),
+                (3, "http://example.com:8080/q?b=2&a=1"),
             ],
             "i long, u string",
         )
@@ -731,7 +742,7 @@ class TestCdxIndex:
             .join(read_cdx(spark, str(p)), "urlkey", "inner")
             .collect()
         )
-        assert [r.i for r in hits] == [1]
+        assert sorted(r.i for r in hits) == [1, 3]
 
     def test_surt_goldens(self, spark):
         from lantern_spark.operators.weburl import surt_key

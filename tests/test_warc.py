@@ -595,6 +595,79 @@ class TestWriteWet:
             f"<urn:doc:{i}>" for i in range(50)
         }
 
+    def test_roll_boundary_conserves_records(self, tmp_path):
+        """Property-flavored boundary check on the partition writer:
+        for a sweep of roll thresholds (including one smaller than a
+        single record and one larger than everything), every record
+        lands in exactly one shard, shard sequence numbers are dense,
+        and each non-final shard crossed the threshold."""
+        import gzip as _gz
+
+        import pyarrow as pa
+
+        from lantern_spark.sources.warc import (
+            _warc_record_bytes,
+            _write_wet_partition,
+            read_warc,
+        )
+
+        texts = [f"doc {i} " + "x" * (37 * (i % 7)) for i in range(23)]
+        rec_sizes = [
+            len(_warc_record_bytes({
+                "warc_type": "conversion",
+                "record_id": f"<urn:doc:{i}>",
+                "url": f"https://e/{i}",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "payload": t,
+            }))
+            for i, t in enumerate(texts)
+        ]
+
+        def batches():
+            for lo in range(0, len(texts), 5):
+                chunk = texts[lo:lo + 5]
+                ids = [str(lo + j) for j in range(len(chunk))]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids),
+                        pa.array([f"https://e/{i}" for i in ids]),
+                        pa.array([None] * len(chunk), type=pa.string()),
+                        pa.array(chunk),
+                    ],
+                    names=["__id", "__url", "__date", "__text"],
+                )
+
+        for case, roll in enumerate(
+            [1, 64, 200, 1000, sum(rec_sizes) + 1]
+        ):
+            out = str(tmp_path / f"case{case}")
+            manifest = list(
+                _write_wet_partition(batches(), out, 0, gz=False,
+                                     roll_bytes=roll)
+            )
+            assert sum(n for _, n, _ in manifest) == len(texts)
+            # dense shard sequence, one file per manifest row
+            import os as _os
+
+            names = sorted(p for p, _, _ in manifest)
+            assert names == [
+                _os.path.join(out, f"part-00000-{s:03d}.warc.wet")
+                for s in range(len(manifest))
+            ]
+            # every non-final shard crossed the threshold (gz=False →
+            # file bytes == uncompressed record bytes, the roll meter)
+            for p, n, nbytes in manifest[:-1]:
+                assert nbytes >= roll
+            # all records present, in order, byte-exact framing
+            all_ids = []
+            for p, _, _ in manifest:
+                with open(p, "rb") as fh:
+                    data = fh.read()
+                for line in data.split(b"\r\n"):
+                    if line.startswith(b"WARC-Record-ID"):
+                        all_ids.append(line.split(b":")[-1])
+            assert len(all_ids) == len(texts)
+
     def test_export_then_reingest_feeds_curation(self, spark, tmp_path):
         """The interchange contract: an exported corpus re-enters the
         pipeline through the standard front door."""
