@@ -156,7 +156,11 @@ def surt_key(col) -> Column:
     dropped, a NON-DEFAULT port kept on the host part
     (``com,example:8080)/``), then ``)`` + the lowercased path+query
     with query parameters SORTED (the IA canonicalizer's alphabetized
-    query, so ``?b=2&a=1`` and ``?a=1&b=2`` key identically) —
+    query, so ``?b=2&a=1`` and ``?a=1&b=2`` key identically), the
+    EMPTY path normalized to ``/`` before the query attaches
+    (``https://example.com?a=1`` → ``com,example)/?a=1``) and empty
+    params from ``&&`` runs or a trailing ``&`` dropped — both IA
+    canonicalizer rules real cc-index urlkeys apply —
     ``https://www.Example.co.uk/A/b?x=1`` → ``uk,co,example)/a/b?x=1``.
     Pure expressions; join/prefix-filter this against
     :func:`~lantern_spark.sources.warc.read_cdx`'s ``urlkey`` to plan
@@ -182,11 +186,18 @@ def surt_key(col) -> Column:
     rest = F.lower(F.regexp_extract(u, _AUTH_RX + r"([^#]*)", 3))
     path = F.substring_index(rest, "?", 1)
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
-    sorted_q = F.concat_ws("&", F.array_sort(F.split(query, "&")))
-    rest = F.when(query == "", path).otherwise(
+    # IA canonicalizer parity (r13 advice): the EMPTY path normalizes
+    # to '/' BEFORE the query is appended (a pathless-query URL keys
+    # as 'com,example)/?a=1', not 'com,example)?a=1'), and empty query
+    # params from '&&' runs / a trailing '&' are DROPPED before the
+    # sort — real cc-index urlkeys do both, so an equality join missed
+    # exactly these captures.
+    qarr = F.filter(F.split(query, "&"), lambda x: x != "")
+    sorted_q = F.concat_ws("&", F.array_sort(qarr))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rest = F.when(F.size(qarr) == 0, path).otherwise(
         F.concat(path, F.lit("?"), sorted_q)
     )
-    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
     return F.when(host == "", F.lit("")).otherwise(
         F.concat(
             rev,

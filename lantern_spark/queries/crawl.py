@@ -258,10 +258,13 @@ _LG_AUTH = r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/@?#]*@)?([^/?#]*)"
 
 def _lg_pages(spark, sf_dir):
     """Deterministic per-doc page: a URL on host[doc_id%6] and an HTML
-    body with 1-3 <a href> links derived from doc_id arithmetic —
+    body with 1-4 <a href> links derived from doc_id arithmetic —
     absolute links (mixed quoting/case), one root-relative link
-    (exercising resolve_link), a same-target duplicate (exercising
-    n_links counting), and non-edge noise (#fragment, mailto)."""
+    (exercising resolve_link), a PROTOCOL-RELATIVE ``//host/pr`` link
+    (r13 advice: the link's own host wins — pinned in the oracle's
+    resolve CASE too, so the branch is hash-covered, not latent), a
+    same-target duplicate (exercising n_links counting), and non-edge
+    noise (#fragment, mailto)."""
     d = F.col("doc_id").cast("long")
     hosts = F.array(*[F.lit(h) for h in _LG_HOSTS])
     host = F.element_at(hosts, (d % 6).cast("int") + 1)
@@ -283,6 +286,10 @@ def _lg_pages(spark, sf_dir):
         F.when(
             d % 5 == 0,
             F.concat(F.lit('<a href="https://'), t1, F.lit('/z">again</a>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit('<a href="//'), t2, F.lit('/pr">pr</a>')),
         ).otherwise(F.lit("")),
         F.lit('<a href="#top">top</a><a href="mailto:a@b.c">m</a>'
               "</body></html>"),
@@ -343,6 +350,8 @@ def _lg_oracle_sql() -> str:
         " '<a href=\"/local\">self</a>' ELSE '' END)"
         " || (CASE WHEN doc_id % 5 = 0 THEN"
         f" '<a href=\"https://' || {t1} || '/z\">again</a>' ELSE '' END)"
+        " || (CASE WHEN doc_id % 7 = 0 THEN"
+        f" '<a href=\"//' || {t2} || '/pr\">pr</a>' ELSE '' END)"
         " || '<a href=\"#top\">top</a><a href=\"mailto:a@b.c\">m</a>"
         "</body></html>'"
     )
@@ -365,9 +374,15 @@ def _lg_oracle_sql() -> str:
         AND NOT regexp_matches(lower(replace(raw, '&amp;', '&')),
                                '{pseudo}')),
     resolved AS (
+      -- protocol-relative '//host/p' resolves under the BASE scheme
+      -- with the LINK's own authority (RFC 3986 §5.3) — the branch
+      -- must precede the '/'-prefix test it would otherwise match
       SELECT url AS src_url,
              CASE WHEN regexp_matches(nofrag,
                         '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN nofrag
+                  WHEN starts_with(nofrag, '//') THEN
+                    regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1) || ':' || nofrag
                   WHEN starts_with(nofrag, '/') THEN
                     regexp_extract(url,
                       '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)

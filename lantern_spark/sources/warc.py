@@ -1142,7 +1142,7 @@ def _write_wet_partition(
     pid: int,
     gz: bool,
     roll_bytes: Optional[int],
-    open_fn: Callable[[str], BinaryIO] = None,
+    open_fn: Optional[Callable[[str], BinaryIO]] = None,
 ) -> Iterator[Tuple[str, int, int]]:
     """One task's streaming WET write: records are serialized and
     written to the open shard AS the Arrow batches drain — peak task
@@ -1189,41 +1189,57 @@ def _write_wet_partition(
         return row
 
     made_dir = False
-    for batch in batches:
-        ids = batch.column("__id").to_pylist()
-        urls = batch.column("__url").to_pylist()
-        dates = batch.column("__date").to_pylist()
-        texts = batch.column("__text").to_pylist()
-        for i, u, dt, t in zip(ids, urls, dates, texts):
-            if t is None:
-                continue
-            if "\r" in t:
-                raise ValueError(
-                    f"doc {i!r}: text contains CR — WET payloads "
-                    "must be CR-free (the record separator is "
-                    "CRLF-framed); normalize line endings first"
+    # try/finally so a task failure mid-shard (e.g. the CR ValueError
+    # below, or an upstream Arrow error) closes the handle and removes
+    # the stale `.inprogress.<pid>` staged file instead of leaking it
+    # into the output directory (r13 advice).
+    try:
+        for batch in batches:
+            ids = batch.column("__id").to_pylist()
+            urls = batch.column("__url").to_pylist()
+            dates = batch.column("__date").to_pylist()
+            texts = batch.column("__text").to_pylist()
+            for i, u, dt, t in zip(ids, urls, dates, texts):
+                if t is None:
+                    continue
+                if "\r" in t:
+                    raise ValueError(
+                        f"doc {i!r}: text contains CR — WET payloads "
+                        "must be CR-free (the record separator is "
+                        "CRLF-framed); normalize line endings first"
+                    )
+                rec = _warc_record_bytes(
+                    {
+                        "warc_type": "conversion",
+                        "record_id": f"<urn:doc:{i}>",
+                        "url": u or "",
+                        "warc_date": dt or "2026-01-01T00:00:00Z",
+                        "payload": t,
+                    }
                 )
-            rec = _warc_record_bytes(
-                {
-                    "warc_type": "conversion",
-                    "record_id": f"<urn:doc:{i}>",
-                    "url": u or "",
-                    "warc_date": dt or "2026-01-01T00:00:00Z",
-                    "payload": t,
-                }
-            )
-            if st["fh"] is None:
-                if not made_dir:
-                    _osw.makedirs(out, exist_ok=True)
-                    made_dir = True
-                _open_shard()
-            st["fh"].write(rec)
-            st["n"] += 1
-            st["ubytes"] += len(rec)
-            if roll_bytes and st["ubytes"] >= roll_bytes:
-                yield _close_shard()
-    if st["fh"] is not None:
-        yield _close_shard()
+                if st["fh"] is None:
+                    if not made_dir:
+                        _osw.makedirs(out, exist_ok=True)
+                        made_dir = True
+                    _open_shard()
+                st["fh"].write(rec)
+                st["n"] += 1
+                st["ubytes"] += len(rec)
+                if roll_bytes and st["ubytes"] >= roll_bytes:
+                    yield _close_shard()
+        if st["fh"] is not None:
+            yield _close_shard()
+    finally:
+        if st["fh"] is not None:  # error path: an open, un-yielded shard
+            for h in (st["fh"], st["raw"]):
+                try:
+                    h.close()
+                except Exception:
+                    pass
+            try:
+                _osw.unlink(st["staged"])
+            except OSError:
+                pass
 
 
 def write_wet(

@@ -756,6 +756,12 @@ class TestCdxIndex:
             ("http://example.com:8080/x", "com,example:8080)/x"),
             ("https://example.com:443/x", "com,example)/x"),
             ("http://example.com:80/x", "com,example)/x"),
+            # r13 (advice): IA canonicalizer parity — empty path keys
+            # as '/', empty query params from '&' runs are dropped
+            ("https://example.com?b=2&a=1", "com,example)/?a=1&b=2"),
+            ("https://example.com/p?&a=1", "com,example)/p?a=1"),
+            ("https://example.com/p?a=1&&b=2&", "com,example)/p?a=1&b=2"),
+            ("https://example.com/p?", "com,example)/p"),
             ("not a url", ""),
         ]
         df = spark.createDataFrame(

@@ -920,12 +920,16 @@ class TestSurtKeyProperty:
             url.strip(),
         ).group(1).lower()
         path, sep, q = rest.partition("?")
-        rest = path + "?" + "&".join(sorted(q.split("&"))) if q else path
+        # IA canonicalizer rules (r13): empty path → '/', empty query
+        # params dropped before the alphabetical sort
+        path = path or "/"
+        params = [p for p in q.split("&") if p]
+        rest = path + "?" + "&".join(sorted(params)) if params else path
         return (
             ",".join(reversed(host.split(".")))
             + (":" + port if port else "")
             + ")"
-            + (rest or "/")
+            + rest
         )
 
     @given(
@@ -935,7 +939,8 @@ class TestSurtKeyProperty:
                 st.integers(1, 4),   # host label count
                 st.sampled_from(
                     ["", "/p/Q?x=1", "/", "#frag", ":8080/x",
-                     "/p?b=2&a=1", ":443/x", ":80/x", "/p?c=3&a=1&b=2#f"]
+                     "/p?b=2&a=1", ":443/x", ":80/x", "/p?c=3&a=1&b=2#f",
+                     "?b=2&a=1", "/p?&a=1", "/p?a=1&&b=2&", "?", "/p?"]
                 ),
                 st.booleans(),       # www. prefix
             ),

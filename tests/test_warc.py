@@ -515,6 +515,29 @@ class TestWriteWet:
         with pytest.raises(Exception, match="CR"):
             write_wet(docs, str(tmp_path / "cr_out")).collect()
 
+    def test_failed_task_leaves_no_staged_file(self, spark, tmp_path):
+        """r13 advice: a task failing mid-shard (here the CR guard, on
+        the SECOND record so a shard is already open) must close the
+        handle and remove its `.inprogress.<pid>` staged file instead
+        of leaking it into the output directory."""
+        import os as _os
+
+        from lantern_spark.sources.warc import write_wet
+
+        out = tmp_path / "fail_out"
+        docs = spark.createDataFrame(
+            [(1, "https://x/1", "fine"), (2, "https://x/2", "bad\r\n")],
+            "doc_id long, url string, text string",
+        ).coalesce(1)
+        with pytest.raises(Exception, match="CR"):
+            write_wet(docs, str(out)).collect()
+        leftovers = [
+            f
+            for f in (_os.listdir(out) if out.exists() else [])
+            if ".inprogress." in f
+        ]
+        assert leftovers == [], leftovers
+
     def test_streaming_write_per_record(self, tmp_path):
         """r11 review nit 3: the sink must write records AS batches
         drain, not accumulate the partition in a list. A counting file
