@@ -362,7 +362,8 @@ def simhash_near_pairs(
     band join: split 64 bits into ``chunks`` bands; any pair within
     distance < chunks must share at least one exact band.
 
-    ``materialize_hashes`` eagerly localCheckpoints the (id, simhash) input —
+    ``materialize_hashes`` eagerly cuts lineage on the (id, simhash) input
+    (plans/lineage.cut_lineage: localCheckpoint by default) —
     the self-join references the fingerprint pipeline on both sides and
     Catalyst would otherwise recompute the hash UDF 4× (measured: the
     executed plan holds 4 ArrowEvalPython nodes without it). The
@@ -371,7 +372,9 @@ def simhash_near_pairs(
     role (pass materialize_hashes=False when ``hashes`` is already a
     stored artifact)."""
     if materialize_hashes:
-        hashes = hashes.localCheckpoint()
+        from lantern_spark.plans.lineage import cut_lineage
+
+        hashes = cut_lineage(hashes)
     width = 64 // chunks
     mask = (1 << width) - 1
     band_cols = [
@@ -523,17 +526,17 @@ def connected_components(
     essentially never converge, and skipping alternate checks halves
     the action count at identical worst-case depth +1.
     """
+    from lantern_spark.plans.lineage import cut_lineage
+
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = (
+    edges = cut_lineage(
         edges.unionByName(
             edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct()
     )
     # SIZE-GATED strategy choice — the same adaptive rule Spark applies
     # to joins (broadcast under the threshold, shuffle above): the
@@ -577,11 +580,10 @@ def connected_components(
         return spark.createDataFrame(
             rows, f"id {src_type}, comp {src_type}"
         )
-    labels = (
+    labels = cut_lineage(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
     for it in range(max_iter):
         nbr = (
@@ -615,8 +617,8 @@ def connected_components(
                     "comp"
                 ),
             )
-            .localCheckpoint()  # truncate lineage (see docstring)
         )
+        jumped = cut_lineage(jumped)  # truncate lineage (see docstring)
         check = it % 2 == 1 or it == max_iter - 1
         if check:
             changed = (

@@ -931,7 +931,9 @@ def domain_link_graph(
         .groupBy("__sh", "__dh")
         .agg(F.count("*").alias("__n"))
     )
-    # Lazy localCheckpoint, two jobs at once:
+    # Lazy lineage cut (plans/lineage.cut_lineage — localCheckpoint by
+    # default, reliable/storage under checkpoint_mode), two jobs at
+    # once:
     # 1. `pairs` is referenced THREE times downstream (the edge spine
     #    plus both sides of the host map) — as DataFrame subtrees
     #    those would re-run the edge-key shuffle per copy; an
@@ -944,7 +946,9 @@ def domain_link_graph(
     #    each such copy re-inflated the fused scan stage past
     #    janino's 64 KB method limit. Pushing them down would buy
     #    nothing anyway: the pair aggregation needs every link row.
-    pairs = pairs.localCheckpoint(eager=False)
+    from lantern_spark.plans.lineage import cut_lineage
+
+    pairs = cut_lineage(pairs, eager=False)
     if use_full_psl:
         # registered_domain_df keys on a URL column — rebuild a
         # minimal one from the host ('h://' + host extracts back to
@@ -1059,7 +1063,9 @@ def domain_pagerank(
     Scale shape: each iteration is one broadcast-or-shuffle join of
     the rank vector (|domains| rows, two columns) against the edge
     list plus a groupBy on the destination — the textbook distributed
-    PageRank plan. Lineage is cut with ``localCheckpoint`` every
+    PageRank plan. Lineage is cut (plans/lineage.cut_lineage —
+    ``localCheckpoint`` by default, durable under
+    ``checkpoint_mode("reliable"|"storage")``) every
     ``checkpoint_every`` iterations (an iterative DataFrame loop
     otherwise compounds the plan until planning itself dominates).
     Deterministic: no sampling, fixed iteration count.
@@ -1146,7 +1152,9 @@ def domain_pagerank(
         if last or (
             checkpoint_every and (i + 1) % int(checkpoint_every) == 0
         ):
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            from lantern_spark.plans.lineage import cut_lineage
+
+            new_ranks = cut_lineage(new_ranks, eager=True)
             for df_ in pending:
                 df_.unpersist()
             pending = []
@@ -1224,7 +1232,9 @@ def expand_seed_domains(
         )
         # materialize the hop: the next iteration's frontier must not
         # re-derive (and re-shuffle) the whole prefix chain
-        nxt = nxt.localCheckpoint(eager=True)
+        from lantern_spark.plans.lineage import cut_lineage
+
+        nxt = cut_lineage(nxt, eager=True)
         reached = reached.unionByName(nxt)
         frontier = nxt.select("domain")
     step.unpersist()
