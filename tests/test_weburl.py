@@ -644,6 +644,132 @@ class TestExprMemoization:
             W._DEFAULT_PSL_CACHE.extend(old)
 
 
+class TestSqlFastPathParity:
+    """r13 (review r12 item 2): named-column registered_domain builds
+    render as ONE Spark-SQL CASE handed to the JVM parser (~30 ms)
+    instead of ~4k py4j literal calls (~1.1 s). These tests pin the
+    fast path EQUAL to the Column builder, tier by tier, for every
+    ruleset form — the fast path must be an optimization, never a
+    semantic fork."""
+
+    HOSTS = [
+        "news.bbc.co.uk",          # exact multi-label rule
+        "example.com",             # 2-label default
+        "x.example.com",
+        "shop.foo.nagoya.jp",      # wildcard *.nagoya.jp
+        "city.nagoya.jp",          # !exception rule
+        "a.city.nagoya.jp",
+        "localhost",               # single label
+        "co.uk",                   # host IS a public suffix
+        "a.co.uk",
+        "deep.a.b.co.uk",
+        "me.blogspot.com",         # private-section rule
+        "x.pvt.k12.ma.us",         # absent from the bundle (pinned)
+        "weird..host",
+        "",
+        None,
+    ]
+
+    def _compare(self, spark, fast_col, slow_col, inputs, colname):
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(inputs)], f"i long, {colname} string"
+        )
+        from pyspark.sql import functions as F  # noqa: F401
+
+        rows = df.select(
+            "i", fast_col.alias("fast"), slow_col.alias("slow")
+        ).collect()
+        bad = [(inputs[r.i], r.fast, r.slow) for r in rows if r.fast != r.slow]
+        assert bad == [], bad
+
+    def test_host_mode_bundled_psl(self, spark):
+        import lantern_spark.operators.weburl as W
+
+        self._compare(
+            spark,
+            W.registered_domain("h", col_is_host=True),
+            W._build_registered_domain("h", (), W.default_psl(),
+                                       col_is_host=True),
+            self.HOSTS, "h",
+        )
+
+    def test_url_mode_bundled_psl(self, spark):
+        import lantern_spark.operators.weburl as W
+
+        urls = [
+            "https://www.BBC.co.uk:443/x",
+            "http://a.example.com:8080/p?q=1",
+            "ftp://user@host.co.jp/x",
+            "https://sub.shop.example.co.jp./p",  # rooted FQDN
+            "https://city.nagoya.jp/",
+            "not a url",
+            "",
+            None,
+        ]
+        self._compare(
+            spark,
+            W.registered_domain("u"),
+            W._build_registered_domain("u", (), W.default_psl()),
+            urls, "u",
+        )
+
+    def test_snippet_psl_with_extras(self, spark):
+        import lantern_spark.operators.weburl as W
+
+        snip = W.load_psl(W.PSL_SNIPPET_PATH)
+        self._compare(
+            spark,
+            W.registered_domain(
+                "h", extra_suffixes=["my.suffix"], psl=snip,
+                col_is_host=True,
+            ),
+            W._build_registered_domain(
+                "h", ("my.suffix",), snip, col_is_host=True
+            ),
+            self.HOSTS + ["x.my.suffix", "a.x.my.suffix"], "h",
+        )
+
+    def test_fallback_chain(self, spark):
+        import lantern_spark.operators.weburl as W
+
+        self._compare(
+            spark,
+            W.registered_domain("h", psl=False, col_is_host=True),
+            W._build_registered_domain("h", (), False, col_is_host=True),
+            self.HOSTS, "h",
+        )
+
+    def test_build_is_fast(self, spark):
+        """The point of the fast path: a COLD build (cache-missed via a
+        unique column name) stays two orders of magnitude under the
+        ~1.1 s literal-chain build."""
+        import time
+        import uuid
+
+        import lantern_spark.operators.weburl as W
+
+        name = f"col_{uuid.uuid4().hex}"
+        t0 = time.time()
+        W.registered_domain(name, col_is_host=True)
+        assert time.time() - t0 < 0.3
+
+    def test_quoting_and_escaping(self, spark):
+        """Backtick-worthy column names and quote-bearing rules survive
+        the SQL rendering."""
+        import lantern_spark.operators.weburl as W
+
+        df = spark.createDataFrame(
+            [("x.some'odd.zz",)], ["weird `name`"]
+        )
+        got = df.select(
+            W.registered_domain(
+                "weird `name`", col_is_host=True,
+                extra_suffixes=["some'odd.zz"],
+            ).alias("d")
+        ).first()["d"]
+        assert got == "x.some'odd.zz"
+
+
 class TestReviewFixes:
     def test_url_dedup_null_id_rows_all_kept(self, spark):
         from lantern_spark.operators.weburl import url_dedup
