@@ -126,6 +126,32 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     host_start = _host_snapshot()
 
+    # Janino-64KB tripwire (r13, review r12 item 3): tee fd 2 to a log
+    # BEFORE the JVM starts, then attribute "Failed to compile" /
+    # "grows beyond 64 KB" lines to the query that produced them — the
+    # r12 link-graph blowup cost ~13 s/job of doomed compilation
+    # invisibly (interpreted fallback is CORRECT, just slow) and no
+    # plan-pin test can see it. `codegen_failures` rides the artifact;
+    # non-empty means a hot path is silently interpreted.
+    import tempfile as _cgt
+
+    from lantern_spark.plans.codegen_guard import CodegenFailureMonitor
+
+    _cg_log = os.path.join(
+        _cgt.gettempdir(), f"bench_stderr_{os.getpid()}.log"
+    )
+    cg_mon = CodegenFailureMonitor.install(_cg_log)
+    codegen_failures = {}
+
+    def _cg_check(name: str) -> None:
+        hits = cg_mon.advance()
+        if hits:
+            codegen_failures[name] = len(hits)
+            print(
+                f"# bench CODEGEN FAILURE under {name}: {hits[0]}",
+                file=sys.stderr,
+            )
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -231,6 +257,7 @@ def main() -> None:
         except Exception as e:
             timings[name] = -1.0
             print(f"# bench {name} FAILED: {e}", file=sys.stderr)
+        _cg_check(name)
 
     for name in HEADLINE:
         fn = qs.get(name)
@@ -267,6 +294,7 @@ def main() -> None:
         except Exception as e:  # a failing query shows as -1, not a crash
             timings[name] = -1.0
             print(f"# bench {name} FAILED: {e}", file=sys.stderr)
+        _cg_check(name)
     # ANN quality metrics (recall@10 + scan fraction), emitted alongside
     # wall-times so a plan/quality regression is visible even when
     # machine-load variance dominates the timings (round-4 advice).
@@ -1273,11 +1301,17 @@ def main() -> None:
     except Exception as e:
         print(f"# bench graph layer FAILED: {e}", file=sys.stderr)
 
+    _cg_check("telemetry_blocks")  # quality/pipeline telemetry above
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # janino tripwire (r13): per-entry count of generated-code
+        # compile failures seen on driver stderr — non-empty means a
+        # stage silently runs interpreted (2-5x slower at scale).
+        # MUST stay {} on a healthy tree.
+        "codegen_failures": codegen_failures,
         # estimator provenance (r6 VERDICT item 4): per-query value =
         # min over `runs_per_query` runs; `runs` holds every raw
         # sample so the spread is auditable. Builds are single-run

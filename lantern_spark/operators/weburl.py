@@ -853,7 +853,19 @@ def filter_domain_blocklist(
     ``blocked_domains`` sized like real blocklists (10³-10⁵ entries)
     compiles into an ``isin`` literal set evaluated JVM-side; for
     larger lists pass a DataFrame join instead (broadcast) — this
-    helper intentionally takes the common literal path."""
+    helper intentionally takes the common literal path.
+
+    Codegen shape (r13 — found by the janino tripwire on its first
+    run): the PSL rule CASE inside a raw ``df.filter(...)`` lands in
+    a FilterExec predicate, whose generated code is ONE method janino
+    cannot split — the compile failed on every run since the bundled
+    PSL became the default (r10), silently executing interpreted. The
+    membership test therefore evaluates in a FENCED, EXILED projection
+    (standalone ProjectExec, method-splittable codegen — the
+    domain_link_graph mechanism) and the filter tests the materialized
+    boolean; the fence stops predicate pushdown substituting the chain
+    back into the scan filter. Nothing is lost at the scan: a
+    per-row rule CASE was never a pushable parquet predicate."""
     entries = [d.lower() for d in blocked_domains]
     resolved = default_psl() if psl is None else psl
     if isinstance(resolved, str):
@@ -869,7 +881,14 @@ def filter_domain_blocklist(
         legacy = registered_domain(url_col, psl=False)
         host = url_host(url_col)
         hit = hit | legacy.isin(platform) | host.isin(platform)
-    return df.filter(hit if keep_blocked else ~F.coalesce(hit, F.lit(False)))
+    fence = F.rand(17) >= -1.0
+    keyed = df.withColumn("__blk_hit", F.when(fence, _codegen_exile(hit)))
+    cond = (
+        F.col("__blk_hit")
+        if keep_blocked
+        else ~F.coalesce(F.col("__blk_hit"), F.lit(False))
+    )
+    return keyed.filter(cond).drop("__blk_hit")
 
 
 def filter_domain_blocklist_df(
