@@ -54,6 +54,7 @@ HEADLINE = [
     "embedding_near_pairs",
     "simhash_near_pairs",
     "domain_link_graph_edges",
+    "seed_expansion_hops",
     "text_stats_all",
     "token_counts",
     "asof_purchase_attribution",
@@ -196,8 +197,10 @@ def main() -> None:
     # it headline, which made the total a 43-query composition not
     # directly comparable to the r11 series. The r13 composition is
     # r11's 42 keys minus ivf_fullprobe_top10 plus
-    # domain_link_graph_edges; cross-round totals compare on the
-    # intersection of keys, per BASELINE adjudication.
+    # domain_link_graph_edges plus seed_expansion_hops (the r13 roster
+    # row; dist_l1_inner_all retired in its favor was never a headline
+    # entry); cross-round totals compare on the intersection of keys,
+    # per BASELINE adjudication.
 
     # Untimed warmup: initialize codegen/Arrow and touch every table's
     # footer so per-query timings reflect steady state, not first-JVM

@@ -410,6 +410,55 @@ def _lg_oracle_sql() -> str:
     """
 
 
+_SEED = "bbc.co.uk"
+_SEED_HOPS = 2
+
+
+def _seed_oracle_sql() -> str:
+    """Recursive-CTE replay of :func:`expand_seed_domains`' BFS over
+    the SAME edge relation the link-graph oracle derives: every
+    (domain, hop ≤ 2) walk from the seed, collapsed to MIN(hop) —
+    exactly the engine's first-reach labeling (a BFS reaches each
+    node first at its minimum hop). The edges CTE nests the full
+    extraction→resolution→PSL oracle, so this row hash-checks the
+    TRAVERSAL on top of an already-hash-checked graph."""
+    edges = _lg_oracle_sql()
+    return f"""
+    WITH RECURSIVE edges AS ({edges}),
+    walk(domain, hop) AS (
+      SELECT '{_SEED}' AS domain, 0 AS hop
+      UNION ALL
+      SELECT e.dst_domain, w.hop + 1
+      FROM walk w JOIN edges e ON e.src_domain = w.domain
+      WHERE w.hop < {_SEED_HOPS}
+    )
+    SELECT domain, MIN(hop)::INT AS hop
+    FROM walk GROUP BY domain
+    """
+
+
+@register("seed_expansion_hops", _seed_oracle_sql())
+def seed_expansion_hops(spark, sf_dir):
+    """Seed-expansion curation hop labels (r13, review r12 item 4 —
+    the graph-traversal layer's first driver-hash row):
+    operators/weburl.expand_seed_domains BFS from '{seed}' over the
+    deterministic link-graph fixture, 2 hops out, min-hop per domain.
+    The fixture's modulo link pattern makes the tiers non-trivial
+    (seed → 2 domains at hop 1 → 2 more at hop 2), so a traversal
+    off-by-one or a dedup regression flips labels, not just counts.
+    The DuckDB oracle is an independent recursive-CTE walk with
+    MIN(hop) collapse over the nested edge oracle."""
+    from lantern_spark.operators.weburl import (
+        domain_link_graph,
+        expand_seed_domains,
+    )
+
+    edges = domain_link_graph(_lg_pages(spark, sf_dir), "url", "html")
+    return expand_seed_domains(
+        edges, [_SEED], hops=_SEED_HOPS, direction="out"
+    )
+
+
 @register("domain_link_graph_edges", _lg_oracle_sql())
 def domain_link_graph_edges(spark, sf_dir):
     """Registered-domain link-graph edges over deterministic synthetic

@@ -16,7 +16,6 @@ from lantern_spark.queries.common import (
     Q64,
     Q64_B,
     duck_cos,
-    duck_inner,
     duck_l2sq,
     duck_lit,
     load_table,
@@ -57,17 +56,18 @@ def dist_cos_all(spark, sf_dir):
     )
 
 
-@register(
-    "dist_l1_inner_all",
-    f"""
-    SELECT vec_id,
-      round(list_sum(list_transform(list_zip(embedding::DOUBLE[], {_QL}),
-            x -> abs(x[1]-x[2]))), 6) AS l1d,
-      round({duck_inner('embedding::DOUBLE[]', _QL)}, 6) AS innerd
-    FROM embeddings
-    """,
-)
 def dist_l1_inner_all(spark, sf_dir):
+    """Full-table L1 + inner-product distances.
+
+    Retired from the oracle roster in r13 (50-query driver cap): both
+    expressions stay hash-covered elsewhere — ``weighted_search_exact``
+    and ``weighted_search_approx`` hash l2sq/cos blends through the
+    same ``F.aggregate``/``zip_with`` kernel family, and the reference
+    extras' l1/inner parity is pinned against scipy in
+    tests/test_distances.py — so this entry was redundant evidence;
+    its slot funds ``seed_expansion_hops`` (the graph-traversal
+    layer's first driver-hash row, review r12 item 4). Kept callable
+    so the expressions remain one import away for ad-hoc parity."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
