@@ -1300,6 +1300,25 @@ def main() -> None:
             ge, ["d0", "d7", "d42"], hops=2
         ).agg(SF.count("*").alias("c")).collect()
         quality["seed_expand_s"] = round(time.time() - t0, 3)
+        # r13: HyperBall harmonic centrality — the quality prior
+        # Common Crawl publishes. Witnesses: wall time and the mean
+        # reachable-ball estimate (a collapsing ball estimate would
+        # mean the sketch merge regressed).
+        from lantern_spark.operators.weburl import (
+            domain_harmonic_centrality,
+        )
+
+        spark.sparkContext.setJobDescription("bench:harmonic")
+        t0 = time.time()
+        hstats = domain_harmonic_centrality(
+            ge, max_hops=4, log2m=8
+        ).agg(
+            SF.avg("harmonic").alias("h"),
+            SF.avg("reachable_estimate").alias("b"),
+        ).first()
+        quality["harmonic_s"] = round(time.time() - t0, 3)
+        quality["harmonic_mean"] = round(float(hstats["h"]), 3)
+        quality["harmonic_mean_ball"] = round(float(hstats["b"]), 1)
         ge.unpersist()
     except Exception as e:
         print(f"# bench graph layer FAILED: {e}", file=sys.stderr)
@@ -1403,8 +1422,8 @@ def main() -> None:
             "apq_shortlist100_recall_at10 pq_shortlist100_recall_at10 "
             "wet_ingest_mb_per_s warc_ingest_mb_per_s "
             "rd_expr_form_s rd_join_form_s "
-            "pagerank_s pagerank_mass seed_expand_s "
-            "warc_ingest_fast_mb_per_s"
+            "pagerank_s pagerank_mass seed_expand_s harmonic_s "
+            "harmonic_mean_ball warc_ingest_fast_mb_per_s"
         ).split()
         line["quality"] = {
             k: v for k, v in line["quality"].items() if k in keep

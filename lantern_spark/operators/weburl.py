@@ -54,6 +54,7 @@ __all__ = [
     "filter_domain_blocklist_df",
     "domain_link_graph",
     "domain_pagerank",
+    "domain_harmonic_centrality",
     "expand_seed_domains",
     "TRACKING_PARAMS",
     "MULTI_LABEL_SUFFIXES",
@@ -991,8 +992,9 @@ def domain_link_graph(
     projection of resolve_link), collapse both ends to eTLD+1, and
     count. This is the input to
     centrality-style quality priors (Common Crawl ranks hosts by
-    harmonic centrality on exactly this graph) and to seed-expansion
-    curation.
+    harmonic centrality on exactly this graph —
+    :func:`domain_harmonic_centrality`; :func:`domain_pagerank` is
+    the damped cousin) and to seed-expansion curation.
 
     Scale shape (r12): extraction and host projection are pure
     expressions fused into the page scan; the first shuffle counts
@@ -1292,6 +1294,196 @@ def domain_pagerank(
     nodes.unpersist()
     trans.unpersist()
     return ranks
+
+
+def _hll_init(col, log2m: int) -> Column:
+    """Singleton HLL sketch of one value as ``array<int>`` of
+    ``m = 2^log2m`` registers: register ``j = hash & (m-1)`` holds
+    ``rho = (trailing zeros of the remaining hash bits) + 1``, the
+    rest 0. Trailing-zero rho is the same geometric distribution as
+    the classic leading-zero form (P(rho ≥ k) = 2^-(k-1)) and costs
+    three integer ops instead of a log2 round-trip through doubles."""
+    m = 1 << log2m
+    h = F.xxhash64(_c(col))
+    j = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    w = F.shiftrightunsigned(h, log2m)
+    tz = F.bit_count(w.bitwiseAND(F.lit(0) - w) - 1)
+    rho = F.when(w == 0, F.lit(64 - log2m + 1)).otherwise(tz + 1)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.when(i == j, rho).otherwise(F.lit(0)),
+    )
+
+
+def _hll_merge_fold(list_col, log2m: int) -> Column:
+    """Element-wise max fold over a collected list of sketches — the
+    HLL union. One aggregate + zip_with, JVM-side."""
+    m = 1 << log2m
+    zero = F.array_repeat(F.lit(0), m)
+    return F.aggregate(
+        list_col,
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+    )
+
+
+def _hll_estimate(regs, log2m: int) -> Column:
+    """Standard HLL cardinality estimator with the linear-counting
+    small-range correction (the regime every per-domain ball at low
+    hops lives in — near-exact when the ball is ≪ m)."""
+    m = 1 << log2m
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
+        log2m, 0.7213 / (1 + 1.079 / m)
+    )
+    isum = F.aggregate(
+        regs,
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double")),
+    )
+    v = F.size(F.filter(regs, lambda r: r == 0))
+    raw = F.lit(alpha * m * m) / isum
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+
+
+def domain_harmonic_centrality(
+    edges: DataFrame,
+    max_hops: int = 8,
+    log2m: int = 8,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    min_links: int = 1,
+    salt: int = 16,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HARMONIC centrality over a domain edge list — the quality prior
+    Common Crawl actually publishes for hosts (their host ranks are
+    harmonic centrality on exactly the :func:`domain_link_graph`
+    relation; PageRank is the damped cousin). For node v,
+    ``H(v) = Σ_{u≠v} 1/d(u,v)`` over nodes u that REACH v — computed
+    to ``max_hops`` by the HyperBall algorithm (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013):
+    every node carries an HLL sketch of its in-ball; each hop merges
+    every in-neighbor's sketch into the node's own (register-wise
+    max = HLL union), and the per-hop cardinality DELTA contributes
+    ``(|B(v,r)| − |B(v,r−1)|)/r``. Returns
+    ``(domain, harmonic, reachable_estimate)`` — the centrality and
+    the estimated in-ball size at ``max_hops``.
+
+    Exactness: estimates are HLL-approximate with relative error
+    ~1.04/√m (m = 2^log2m registers; log2m=8 → ~6.5%, log2m=12 →
+    ~1.6%); small balls sit in the linear-counting regime and come
+    out near-exact. Per-hop deltas clamp at 0 (the raw estimator is
+    monotone under register growth; only the small-range/raw
+    crossover can wobble a hair). Deterministic: xxhash64, no
+    sampling — same input, same estimate. Accuracy vs an exact BFS
+    oracle is pinned in tests/test_weburl.py.
+
+    Scale shape: the exact alternative materializes (node, reacher)
+    PAIRS — O(Σ|ball|), quadratic on a crawl graph and the reason
+    HyperBall exists. Here state is |domains| × (4·2^log2m) bytes
+    (log2m=8: 1 KB/domain — a 100M-domain crawl carries ~100 GB of
+    sketches across the cluster), and each hop is ONE shuffle join of
+    state onto the edge key plus a TWO-LEVEL register-max merge: a
+    salted partial groupBy bounds the per-group collect_list to
+    ~indegree/salt sketches before the final per-domain merge, so a
+    hub domain with millions of in-links cannot concentrate its whole
+    in-neighborhood list in one aggregation buffer (size ``salt`` to
+    max-indegree/memory; the merge itself is associative). Lineage is
+    cut through :func:`~lantern_spark.plans.lineage.cut_lineage`
+    every ``checkpoint_every`` hops, same cadence contract as
+    :func:`domain_pagerank`."""
+    from lantern_spark.plans.lineage import cut_lineage
+
+    m = 1 << log2m
+    e = edges
+    if min_links > 1 and "n_links" in edges.columns:
+        e = e.where(F.col("n_links") >= int(min_links))
+    e = (
+        e.select(
+            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        )
+        .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("__src").alias("domain"))
+        .unionByName(e.select(F.col("__dst").alias("domain")))
+        .distinct()
+    )
+    state = cut_lineage(
+        nodes.select(
+            "domain",
+            _hll_init("domain", log2m).alias("regs"),
+        ).withColumn("est", _hll_estimate(F.col("regs"), log2m))
+        .withColumn("harmonic", F.lit(0.0))
+    )
+    zero = F.array_repeat(F.lit(0), m)
+    for r in range(1, int(max_hops) + 1):
+        # in-neighbor sketches flow ALONG the edge (u→v ⇒ u reaches v
+        # in one hop): join state onto src, merge per dst
+        contrib = e.join(
+            state.select(
+                F.col("domain").alias("__src"),
+                F.col("regs").alias("__nregs"),
+            ),
+            "__src",
+        )
+        partial = (
+            contrib.groupBy(
+                "__dst",
+                F.pmod(F.xxhash64("__src"), F.lit(int(salt))).alias("__salt"),
+            )
+            .agg(F.collect_list("__nregs").alias("__ls"))
+            .select(
+                "__dst",
+                _hll_merge_fold(F.col("__ls"), log2m).alias("__pregs"),
+            )
+        )
+        merged = (
+            partial.groupBy("__dst")
+            .agg(F.collect_list("__pregs").alias("__ls"))
+            .select(
+                F.col("__dst").alias("domain"),
+                _hll_merge_fold(F.col("__ls"), log2m).alias("__mregs"),
+            )
+        )
+        new_regs = F.zip_with(
+            F.col("regs"),
+            F.coalesce(F.col("__mregs"), zero),
+            lambda a, b: F.greatest(a, b),
+        )
+        stepped = (
+            state.join(merged, "domain", "left")
+            .withColumn("__regs2", new_regs)
+            .withColumn("__est2", _hll_estimate(F.col("__regs2"), log2m))
+            .select(
+                "domain",
+                F.col("__regs2").alias("regs"),
+                F.col("__est2").alias("est"),
+                (
+                    F.col("harmonic")
+                    + F.greatest(
+                        F.lit(0.0), F.col("__est2") - F.col("est")
+                    )
+                    / F.lit(float(r))
+                ).alias("harmonic"),
+            )
+        )
+        if r == int(max_hops) or (
+            checkpoint_every and r % int(checkpoint_every) == 0
+        ):
+            stepped = cut_lineage(stepped, eager=True)
+        state = stepped
+    e.unpersist()
+    return state.select(
+        "domain",
+        F.col("harmonic"),
+        F.col("est").alias("reachable_estimate"),
+    )
 
 
 def expand_seed_domains(

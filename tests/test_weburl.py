@@ -1341,6 +1341,133 @@ class TestDomainPagerank:
         assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
 
 
+class TestHarmonicCentrality:
+    """r13 (review r12 item 5): HyperBall harmonic centrality vs an
+    EXACT pure-python BFS oracle. At test scale every ball sits in
+    HLL's linear-counting regime, so with log2m=12 the estimates are
+    near-exact — per-node tolerance is a few percent and the ranking
+    must agree."""
+
+    @staticmethod
+    def _exact_harmonic(edges, max_hops):
+        """H(v) = sum over u reaching v within max_hops of 1/d(u,v) —
+        forward BFS from every source."""
+        from collections import deque
+
+        adj = {}
+        nodes = set()
+        for s, t in edges:
+            adj.setdefault(s, set()).add(t)
+            nodes.update((s, t))
+        H = {v: 0.0 for v in nodes}
+        for u in nodes:
+            dist = {u: 0}
+            q = deque([u])
+            while q:
+                x = q.popleft()
+                if dist[x] >= max_hops:
+                    continue
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        q.append(y)
+            for v, d in dist.items():
+                if d > 0:
+                    H[v] += 1.0 / d
+        return H
+
+    EDGES = [
+        # a chain feeding a hub, a cycle, and a leaf: distinct tiers
+        ("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "d.com"),
+        ("e.com", "d.com"), ("f.com", "d.com"), ("g.com", "f.com"),
+        ("d.com", "a.com"),  # cycle back
+        ("h.com", "h2.com"),  # separate component
+    ]
+
+    def test_matches_exact_bfs(self, spark):
+        from lantern_spark.operators.weburl import (
+            domain_harmonic_centrality,
+        )
+
+        hops = 4
+        want = self._exact_harmonic(self.EDGES, hops)
+        df = spark.createDataFrame(
+            [(s, t, 1) for s, t in self.EDGES],
+            "src_domain string, dst_domain string, n_links long",
+        )
+        got = {
+            r.domain: r.harmonic
+            for r in domain_harmonic_centrality(
+                df, max_hops=hops, log2m=12
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for v, h in want.items():
+            assert abs(got[v] - h) <= max(0.08, 0.05 * h), (
+                v, got[v], h,
+            )
+        # ranking agreement on the clear tiers: d.com is the hub
+        top = max(got, key=got.get)
+        assert top == max(want, key=want.get) == "d.com"
+
+    def test_deterministic(self, spark):
+        from lantern_spark.operators.weburl import (
+            domain_harmonic_centrality,
+        )
+
+        df = spark.createDataFrame(
+            [(s, t, 1) for s, t in self.EDGES],
+            "src_domain string, dst_domain string, n_links long",
+        )
+        a = sorted(
+            (r.domain, round(r.harmonic, 9))
+            for r in domain_harmonic_centrality(
+                df, max_hops=3, log2m=10
+            ).collect()
+        )
+        b = sorted(
+            (r.domain, round(r.harmonic, 9))
+            for r in domain_harmonic_centrality(
+                df, max_hops=3, log2m=10
+            ).collect()
+        )
+        assert a == b
+
+    def test_reachable_estimate_counts_ball(self, spark):
+        from lantern_spark.operators.weburl import (
+            domain_harmonic_centrality,
+        )
+
+        df = spark.createDataFrame(
+            [(s, t, 1) for s, t in self.EDGES],
+            "src_domain string, dst_domain string, n_links long",
+        )
+        got = {
+            r.domain: r.reachable_estimate
+            for r in domain_harmonic_centrality(
+                df, max_hops=8, log2m=12
+            ).collect()
+        }
+        # d.com's in-ball at 8 hops: every node of the 7-node main
+        # component reaches it (6 others + itself = 7)
+        assert abs(got["d.com"] - 7) <= 0.5, got["d.com"]
+        # h2.com: only h.com + itself
+        assert abs(got["h2.com"] - 2) <= 0.2, got["h2.com"]
+
+    def test_no_python_in_plan(self, spark):
+        from lantern_spark.operators.weburl import (
+            domain_harmonic_centrality,
+        )
+
+        df = spark.createDataFrame(
+            [(s, t, 1) for s, t in self.EDGES],
+            "src_domain string, dst_domain string, n_links long",
+        )
+        out = domain_harmonic_centrality(df, max_hops=1, log2m=6)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
 class TestExpandSeedDomains:
     EDGES = [
         ("seed.org", "a.com", 3),
