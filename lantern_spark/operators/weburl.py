@@ -52,6 +52,7 @@ __all__ = [
     "url_dedup",
     "filter_domain_blocklist",
     "filter_domain_blocklist_df",
+    "psl_coverage_report",
     "domain_link_graph",
     "domain_pagerank",
     "domain_harmonic_centrality",
@@ -960,6 +961,83 @@ def filter_domain_blocklist_df(
     return df.join(
         blocked_ids, id_col, "left_semi" if keep_blocked else "left_anti"
     )
+
+
+def psl_coverage_report(
+    df: DataFrame,
+    url_col: str,
+    psl,
+    col_is_host: bool = False,
+    max_examples: int = 20,
+) -> dict:
+    """Measure whether ``use_full_psl`` matters for THIS corpus (r13,
+    review r12 item 6): the fraction of distinct hosts whose eTLD+1
+    under the bundled curated ruleset differs from their eTLD+1 under
+    a fuller ruleset ``psl`` (a parsed dict, or a path to a downloaded
+    ``public_suffix_list.dat``). Hosts under registries the curated
+    subset lacks collapse onto WRONG keys — every pipeline keyed on
+    the registered domain (URL dedup groups, link-graph nodes,
+    blocklist matches, PageRank/harmonic mass) silently merges them.
+    This report turns "should I flip the flag?" into a number.
+
+    Returns ``{"n_hosts", "n_diff", "diff_fraction", "examples":
+    [(host, curated, full), ...]}``. Cost: ONE distinct-host shuffle
+    over the corpus (host extraction is a map-only expression), the
+    broadcast rules join on the ≤10⁴-row distinct-host relation, and
+    two bounded actions (one count aggregate + ≤``max_examples``
+    rows) — cheap enough to run as a pre-flight on a 100 TB corpus
+    sample. Guidance: USAGE.md §registered domains — flip
+    ``use_full_psl=True`` (or pass ``psl=`` everywhere) once
+    ``diff_fraction`` is no longer noise for your keying use
+    (rule of thumb: >1%, or ANY diff when the affected hosts are the
+    corpus you care about)."""
+    hosts = (
+        df.select(
+            (
+                F.lower(_c(url_col)) if col_is_host else url_host(url_col)
+            ).alias("__h")
+        )
+        .where(F.col("__h") != "")
+        .distinct()
+    )
+    # curated default, exiled so the rule CASE never fuses into the
+    # distinct's aggregate stage (the janino-64KB lesson)
+    fence = F.rand(19) >= -1.0
+    keyed = hosts.select(
+        "__h",
+        F.when(
+            fence,
+            _codegen_exile(registered_domain("__h", col_is_host=True)),
+        ).alias("curated"),
+    )
+    # full ruleset through the scale-correct join form
+    keyed = registered_domain_df(
+        keyed.withColumn("__surl", F.concat(F.lit("h://"), F.col("__h"))),
+        "__surl",
+        psl=psl,
+        out_col="full",
+    ).select("__h", "curated", "full")
+    agg = keyed.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("curated") != F.col("full")).cast("long")
+        ).alias("nd"),
+    ).first()
+    n_hosts = int(agg["n"] or 0)
+    n_diff = int(agg["nd"] or 0)
+    examples = [
+        (r["__h"], r["curated"], r["full"])
+        for r in keyed.where(F.col("curated") != F.col("full"))
+        .orderBy("__h")
+        .limit(int(max_examples))
+        .collect()
+    ]
+    return {
+        "n_hosts": n_hosts,
+        "n_diff": n_diff,
+        "diff_fraction": (n_diff / n_hosts) if n_hosts else 0.0,
+        "examples": examples,
+    }
 
 
 def _codegen_exile(col) -> Column:

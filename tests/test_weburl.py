@@ -1341,6 +1341,77 @@ class TestDomainPagerank:
         assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
 
 
+class TestPslCoverageReport:
+    """r13 (review r12 item 6): the use_full_psl decision as a
+    measured number — fraction of distinct hosts whose eTLD+1 differs
+    between the curated default and a supplied fuller ruleset."""
+
+    FULLER = (
+        "// fuller-ruleset stand-in: the curated rules a real full\n"
+        "// PSL would keep (co.uk), plus registries the bundle lacks\n"
+        "co.uk\n"
+        "custsuffix.zz\n"
+        "*.wild.zz\n"
+        "!ok.wild.zz\n"
+    )
+
+    def _df(self, spark):
+        rows = [
+            (1, "https://a.b.custsuffix.zz/x"),   # differs: exact rule
+            (2, "https://deep.site.wild.zz/y"),   # differs: wildcard
+            (3, "https://ok.wild.zz/z"),          # differs: exception
+            (4, "https://www.example.com/p"),     # same under both
+            (5, "https://news.bbc.co.uk/q"),      # same (bundled rule)
+            (6, "not a url"),                     # no host → excluded
+            (7, None),
+        ]
+        return spark.createDataFrame(rows, "id long, url string")
+
+    def test_report_counts_and_examples(self, spark):
+        from lantern_spark.operators.weburl import (
+            parse_psl,
+            psl_coverage_report,
+        )
+
+        rep = psl_coverage_report(
+            self._df(spark), "url", parse_psl(self.FULLER)
+        )
+        assert rep["n_hosts"] == 5
+        got = {h: (c, f) for h, c, f in rep["examples"]}
+        # curated default has no zz rules → 2-label fallback
+        assert got["a.b.custsuffix.zz"] == (
+            "custsuffix.zz", "b.custsuffix.zz"
+        )
+        assert got["deep.site.wild.zz"] == ("wild.zz", "deep.site.wild.zz")
+        assert rep["n_diff"] == len(got)
+        assert 0 < rep["diff_fraction"] <= 1
+        assert "news.bbc.co.uk" not in got  # bundled rules agree
+
+    def test_no_diff_when_rulesets_agree(self, spark):
+        from lantern_spark.operators.weburl import (
+            default_psl,
+            psl_coverage_report,
+        )
+
+        rep = psl_coverage_report(self._df(spark), "url", default_psl())
+        assert rep["n_diff"] == 0 and rep["examples"] == []
+
+    def test_host_mode(self, spark):
+        from lantern_spark.operators.weburl import (
+            parse_psl,
+            psl_coverage_report,
+        )
+
+        df = spark.createDataFrame(
+            [("A.B.CUSTSUFFIX.ZZ",), ("x.example.com",), ("",)],
+            ["host"],
+        )
+        rep = psl_coverage_report(
+            df, "host", parse_psl(self.FULLER), col_is_host=True
+        )
+        assert rep["n_hosts"] == 2 and rep["n_diff"] == 1
+
+
 class TestHarmonicCentrality:
     """r13 (review r12 item 5): HyperBall harmonic centrality vs an
     EXACT pure-python BFS oracle. At test scale every ball sits in
