@@ -91,19 +91,33 @@ def autotune_index(
     grid: Optional[Sequence[tuple]] = None,
     seed: int = 42,
     create_path: Optional[str] = None,
+    queries: Optional[Sequence[Sequence[float]]] = None,
+    ground_truth: Optional[Sequence[Sequence[int]]] = None,
 ) -> tuple:
     """Returns (best: AutotuneResult, results: list[AutotuneResult],
     index: IVFIndex | None).
 
     If ``create_path`` is given, the winning variant is rebuilt there
     (the reference's create_index=true mode).
-    """
+
+    ``queries``/``ground_truth`` (r13): the reference CLI's file-based
+    recall fixture — base/query ``.fvecs`` plus a true-neighbor
+    ``.ivecs`` (index_autotune/mod.rs:188-218). When given, the tuner
+    scores recall against YOUR ground truth instead of synthesizing
+    perturbed probes (and skips the exact scan entirely when
+    ``ground_truth`` is present); feed them from
+    :func:`~lantern_spark.sources.vecfiles.read_vecs`. Pinned
+    end-to-end (files → autotune → 0.999 early exit) in
+    tests/test_autotune.py."""
     spark = df.sparkSession
     sample = df.limit(test_data_size).cache()
     sample.count()
-    qs = _perturb_queries(
-        sample.select(column).limit(num_queries).collect(), metric, seed
-    )
+    if queries is not None:
+        qs = [list(q) for q in queries]
+    else:
+        qs = _perturb_queries(
+            sample.select(column).limit(num_queries).collect(), metric, seed
+        )
 
     results: List[AutotuneResult] = []
     for nlist, nprobe in grid or DEFAULT_GRID:
@@ -114,7 +128,9 @@ def autotune_index(
         )
         build_s = time.time() - t0
         t0 = time.time()
-        rec = recall_at_k(idx, spark, qs, k=k, nprobe=nprobe)
+        rec = recall_at_k(
+            idx, spark, qs, k=k, nprobe=nprobe, ground_truth=ground_truth
+        )
         latency_s = (time.time() - t0) / max(len(qs), 1)
         results.append(AutotuneResult(nlist, nprobe, rec, latency_s, build_s))
         shutil.rmtree(path, ignore_errors=True)

@@ -1268,25 +1268,35 @@ def recall_at_k(
     queries: Sequence[Sequence[float]],
     k: int = 10,
     nprobe: int = 4,
+    ground_truth: Optional[Sequence[Sequence[int]]] = None,
 ) -> float:
     """Mean recall@k of ANN vs exact ground truth (the reference recall
     harness: utils/calculate_recall.sql + index_autotune/mod.rs:220-254).
-    """
+
+    ``ground_truth`` (r13): per-query true-neighbor id lists — the
+    sift-style ``.ivecs`` ground-truth file the reference CLI consumes
+    (index_autotune/mod.rs:188-218) — used verbatim instead of the
+    exact scan when provided (row i truths query i; only the first
+    ``k`` ids count)."""
     mf = index.manifest
     base = index.lists(spark)
     hits = 0
     total = 0
-    for q in queries:
-        exact = {
-            r[0]
-            for r in base.withColumn(
-                "d", distance(F.col(mf.column), vec_lit(list(q)), mf.metric)
-            )
-            .orderBy(F.col("d").asc(), F.col(mf.id_column).asc())
-            .limit(k)
-            .select(mf.id_column)
-            .collect()
-        }
+    for qi, q in enumerate(queries):
+        if ground_truth is not None:
+            exact = set(list(ground_truth[qi])[:k])
+        else:
+            exact = {
+                r[0]
+                for r in base.withColumn(
+                    "d",
+                    distance(F.col(mf.column), vec_lit(list(q)), mf.metric),
+                )
+                .orderBy(F.col("d").asc(), F.col(mf.id_column).asc())
+                .limit(k)
+                .select(mf.id_column)
+                .collect()
+            }
         approx = {
             r[0]
             for r in index.search(spark, q, k=k, nprobe=nprobe)

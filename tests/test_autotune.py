@@ -198,3 +198,92 @@ class TestIvfGraphAutotune:
             spark, [0.5] * 64, k=3, nprobe=best.nprobe, ef=best.ef
         ).collect()
         assert len(top) == 3
+
+
+class TestFileGroundTruthAutotune:
+    """r13 (review r12 item 7): the reference CLI's sift-style recall
+    fixture end-to-end — base vectors as .fvecs, query vectors as
+    .fvecs, true-neighbor ids as .ivecs (index_autotune/
+    mod.rs:188-218) — parsed back with read_vecs and fed through
+    autotune_index, which must score against THE FILE's ground truth
+    and early-exit at recall >= 0.999."""
+
+    def test_fvecs_ivecs_through_autotune(self, spark, tmp_path):
+        import numpy as np
+
+        from lantern_spark.operators.autotune import (
+            EARLY_EXIT_RECALL,
+            autotune_index,
+        )
+        from lantern_spark.sources.vecfiles import read_vecs, write_vecs
+
+        rng = np.random.default_rng(42)
+        dim, n, n_q, k = 16, 600, 8, 5
+        base = rng.normal(size=(n, dim))
+        qs = base[:n_q] + 0.001 * rng.normal(size=(n_q, dim))
+        # exact l2 ground truth, computed independently in numpy
+        d2 = ((base[None, :, :] - qs[:, None, :]) ** 2).sum(axis=2)
+        gt = np.argsort(d2, axis=1)[:, :k].astype(np.int32)
+
+        write_vecs(base, str(tmp_path / "base.fvecs"), "fvecs")
+        write_vecs(qs, str(tmp_path / "query.fvecs"), "fvecs")
+        write_vecs(gt, str(tmp_path / "gt.ivecs"), "ivecs")
+
+        from pyspark.sql import functions as F
+
+        base_df = (
+            read_vecs(spark, str(tmp_path / "base.fvecs"), "fvecs")
+            .select(
+                F.col("row_id").alias("vec_id"),
+                F.col("vec").cast("array<double>").alias("embedding"),
+            )
+        )
+        q_rows = (
+            read_vecs(spark, str(tmp_path / "query.fvecs"), "fvecs")
+            .orderBy("row_id")
+            .collect()
+        )
+        gt_rows = (
+            read_vecs(spark, str(tmp_path / "gt.ivecs"), "ivecs")
+            .orderBy("row_id")
+            .collect()
+        )
+        queries = [[float(x) for x in r["vec"]] for r in q_rows]
+        ground_truth = [[int(x) for x in r["vec"]] for r in gt_rows]
+
+        # full-probe variants: recall 1.0 on the file's truth, so the
+        # tuner must stop after the FIRST grid entry (mod.rs:465-467)
+        grid = [(4, 4), (8, 8), (16, 16)]
+        best, results, _ = autotune_index(
+            base_df,
+            "embedding",
+            "vec_id",
+            k=k,
+            num_queries=len(queries),
+            grid=grid,
+            queries=queries,
+            ground_truth=ground_truth,
+        )
+        assert best.recall >= EARLY_EXIT_RECALL
+        assert len(results) == 1, [r.recall for r in results]
+
+    def test_ground_truth_actually_drives_recall(self, spark, tmp_path):
+        """Falsifiability: a WRONG ground-truth file must drag recall
+        down — proving the tuner scored the file, not its own scan."""
+        import numpy as np
+
+        from lantern_spark.operators.autotune import autotune_index
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(300, 8))
+        base_df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = [[float(x) for x in base[3]]]
+        bogus = [[299, 298, 297, 296, 295]]  # far-away ids
+        best, results, _ = autotune_index(
+            base_df, "embedding", "vec_id", k=5,
+            grid=[(4, 4)], queries=queries, ground_truth=bogus,
+        )
+        assert best.recall <= 0.4, best.recall
