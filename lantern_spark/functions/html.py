@@ -135,7 +135,7 @@ def html_to_text(col) -> Column:
     return t
 
 
-def regex_text_extractor():
+def regex_text_extractor(fused: bool = True):
     """The Arrow FAST PATH for the extraction tier: a
     ``Callable[[pd.Series], pd.Series]`` for
     :func:`extract_text_udf_hook` replaying :data:`EXTRACT_STEPS`
@@ -151,21 +151,90 @@ def regex_text_extractor():
 
     ``re.ASCII`` pins Python's ``\\s``/``\\b``/``\\w`` to the ASCII
     semantics Java uses by default — without it, ``\\s`` would also
-    eat U+00A0 and the two chains would diverge on real crawl text."""
+    eat U+00A0 and the two chains would diverge on real crawl text.
+
+    ``fused=True`` (r13, review r12 stretch item 8) collapses the
+    TAIL of the chain — 12 sequential entity passes + the numeric-32
+    pass + 3 whitespace passes, each a full scan of the post-strip
+    text — into guarded single passes, BYTE-IDENTICAL by construction
+    and by test:
+
+    - entities: one combined alternation with a dict-lookup
+      replacement. Equivalent to the sequential passes because (a)
+      the literals are mutually exclusive at any position (all
+      ``&name;``, names distinct), (b) replacement characters never
+      create a new entity match — the only inserted ``&`` comes from
+      ``&amp;``, which is deliberately LAST in the sequential order
+      precisely so nothing ever rescans it (the ``&amp;lt;`` → ``&lt;``
+      contract, pinned in tests). Skipped outright when the text has
+      no ``&`` (most documents — a C-speed substring check).
+    - whitespace: one pass mapping each maximal whitespace run to the
+      sequential chain's fixed point — '' ␣-only → one space, one
+      ``\\n`` → ``\\n``, 2+ → ``\\n\\n`` (\\r/\\t/\\f count as spaces,
+      exactly step ``[ \\t\\r\\f]+``'s behavior). The pattern skips
+      lone single spaces (already canonical) so the Python callback
+      fires per ANOMALOUS run, not per word boundary.
+
+    tests/test_html.py pins fused == sequential == Catalyst on the
+    corpus and on an adversarial entity/whitespace zoo; structural
+    asserts below fail loudly if EXTRACT_STEPS is ever reordered."""
     import re as _re
 
     compiled = [
         (_re.compile(pat, _re.ASCII), rep) for pat, rep in EXTRACT_STEPS
     ]
+    if not fused:
+
+        def _extract_seq(s: pd.Series) -> pd.Series:
+            def one(h):
+                if h is None:
+                    return None
+                t = h
+                for rx, rep in compiled:
+                    t = rx.sub(rep, t)
+                return t
+
+            return s.map(one)
+
+        return _extract_seq
+
+    # Structural contract with EXTRACT_STEPS: 5 tag passes, the
+    # numeric-32 pass, len(_ENTITIES) literal passes, 3 whitespace
+    # passes, the trim. A reorder breaks these asserts, not the output.
+    n_ent = len(_ENTITIES)
+    assert EXTRACT_STEPS[5][0].startswith("&#0*32"), EXTRACT_STEPS[5]
+    assert list(EXTRACT_STEPS[6 : 6 + n_ent]) == list(_ENTITIES)
+    assert EXTRACT_STEPS[6 + n_ent][0] == r"[ \t\r\f]+"
+    assert EXTRACT_STEPS[-1][0] == r"^\s+|\s+$"
+    head = compiled[:5]
+    numeric_rx = compiled[5][0]
+    ent_map = dict(_ENTITIES)
+    ent_rx = _re.compile(
+        "&(?:" + "|".join(_re.escape(e[1:]) for e, _ in _ENTITIES) + ")"
+    )
+    ws_rx = _re.compile(r"[ \t\r\f\n]*[\t\r\f\n][ \t\r\f\n]*| {2,}")
+    trim_rx = compiled[-1][0]
+
+    def _ent_repl(m):
+        return ent_map[m.group(0)]
+
+    def _ws_repl(m):
+        n = m.group(0).count("\n")
+        return " " if n == 0 else ("\n" if n == 1 else "\n\n")
 
     def _extract(s: pd.Series) -> pd.Series:
         def one(h):
             if h is None:
                 return None
             t = h
-            for rx, rep in compiled:
+            for rx, rep in head:
                 t = rx.sub(rep, t)
-            return t
+            if "&#" in t:
+                t = numeric_rx.sub(" ", t)
+            if "&" in t:
+                t = ent_rx.sub(_ent_repl, t)
+            t = ws_rx.sub(_ws_repl, t)
+            return trim_rx.sub("", t)
 
         return s.map(one)
 

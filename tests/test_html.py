@@ -397,16 +397,54 @@ class TestMergedDropContentPass:
             both = extract_text_udf_hook(
                 df, "html", out_col="fast",
                 extractor=regex_text_extractor(),
-            ).withColumn("expr", F.expr("NULL"))
+            )
+            both = extract_text_udf_hook(
+                both, "html", out_col="seq",
+                extractor=regex_text_extractor(fused=False),
+            )
             from lantern_spark.functions.html import html_to_text
 
             both = both.withColumn("expr", html_to_text("html"))
             diff = both.where(
-                ~(
-                    F.col("fast").eqNullSafe(F.col("expr"))
-                )
+                ~F.col("fast").eqNullSafe(F.col("expr"))
+                | ~F.col("seq").eqNullSafe(F.col("expr"))
             ).count()
             assert diff == 0
+
+    def test_fused_extractor_entity_whitespace_zoo(self):
+        """r13 (stretch item 8): the fused single-pass entity +
+        whitespace tail must equal the sequential EXTRACT_STEPS replay
+        byte-for-byte on the forms where one-pass and sequential
+        semantics COULD diverge: entity cascades (&amp;lt; must stay
+        '&lt;' — the reason &amp; is last), adjacent/overlapping
+        entities, bare '&', and every whitespace-run shape the three
+        sequential passes canonicalize."""
+        import pandas as pd
+
+        from lantern_spark.functions.html import regex_text_extractor
+
+        zoo = [
+            "&amp;lt; &amp;amp; &lt;&gt;&amp;",
+            "&&amp;lt;",
+            "a&nbsp;&nbsp;b &quot;q&quot; &#34;x&#39;",
+            "&unknown; &amp &; & amp;",
+            "&mdash;&ndash;&hellip;&copy;",
+            "a  b\tc\rd\fe",
+            "a \n b \n\n c\n\n\n\nd",
+            "a\r\nb \r\n \r\n c",
+            " \n leading and trailing \n ",
+            "word space word",
+            "<p>a</p>\n<p>b</p>",
+            "mixed&nbsp;\n&nbsp;runs",
+            "",
+        ]
+        fast = regex_text_extractor(fused=True)
+        seq = regex_text_extractor(fused=False)
+        got = list(fast(pd.Series(zoo)))
+        want = list(seq(pd.Series(zoo)))
+        assert got == want, [
+            (z, g, w) for z, g, w in zip(zoo, got, want) if g != w
+        ]
 
     def test_cross_nested_unclosed_follows_browser_semantics(self, spark):
         # '<style><script></style>after' — a browser treats the script
