@@ -336,6 +336,7 @@ def main() -> None:
         quality["retired_ivf_fullprobe_top10_s"] = round(best, 3)
     except Exception as e:
         print(f"# bench retired fullprobe FAILED: {e}", file=sys.stderr)
+    _cg_check("retired_fullprobe")
     spark.sparkContext.setJobDescription("bench:quality")
     try:
         import tempfile
@@ -805,6 +806,7 @@ def main() -> None:
         shutil.rmtree(qroot3, ignore_errors=True)
     except Exception as e:
         print(f"# bench quality FAILED: {e}", file=sys.stderr)
+    _cg_check("quality_block")
 
     # r8 pipeline-op telemetry: the new span-level and sketch-based
     # dedup tiers, timed on the documents table with correctness
@@ -964,6 +966,7 @@ def main() -> None:
         shutil.rmtree(aroot, ignore_errors=True)
     except Exception as e:
         print(f"# bench assemble FAILED: {e}", file=sys.stderr)
+    _cg_check("assemble_block")
     # Anisotropic PQ (ScaNN, r8) on the HONEST 60k fixture: the
     # score-aware loss promises lower inner-product score error on the
     # pairs that matter (the true top-k) at the same code size — so the
@@ -1322,6 +1325,7 @@ def main() -> None:
         ge.unpersist()
     except Exception as e:
         print(f"# bench graph layer FAILED: {e}", file=sys.stderr)
+    _cg_check("graph_block")
 
     _cg_check("telemetry_blocks")  # quality/pipeline telemetry above
     payload = {
