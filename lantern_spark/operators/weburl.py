@@ -56,6 +56,7 @@ __all__ = [
     "domain_link_graph",
     "domain_pagerank",
     "domain_harmonic_centrality",
+    "join_domain_prior",
     "expand_seed_domains",
     "TRACKING_PARAMS",
     "MULTI_LABEL_SUFFIXES",
@@ -322,9 +323,11 @@ def registered_domain(
 
     Default (``psl=None``, r10): the BUNDLED curated PSL subset
     (:func:`default_psl` — exact + wildcard + exception rules, so
-    ``bbc.co.uk`` → ``bbc.co.uk``, ``shop.foo.nagoya.jp`` →
-    ``foo.nagoya.jp``, ``city.nagoya.jp`` → ``city.nagoya.jp`` all
-    come out right with NO arguments, the safe-by-default contract).
+    ``bbc.co.uk`` → ``bbc.co.uk``; under ``*.nagoya.jp`` the public
+    suffix is ``foo.nagoya.jp`` so ``x.shop.foo.nagoya.jp`` →
+    ``shop.foo.nagoya.jp``; the ``!city.nagoya.jp`` exception keeps
+    ``city.nagoya.jp`` registrable — all with NO arguments, the
+    safe-by-default contract).
     ``extra_suffixes`` merge in as additional exact rules. If the
     bundled data file is absent, falls back to the embedded
     :data:`MULTI_LABEL_SUFFIXES` 2-label chain — also selectable
@@ -1447,8 +1450,12 @@ def domain_harmonic_centrality(
     every in-neighbor's sketch into the node's own (register-wise
     max = HLL union), and the per-hop cardinality DELTA contributes
     ``(|B(v,r)| − |B(v,r−1)|)/r``. Returns
-    ``(domain, harmonic, reachable_estimate)`` — the centrality and
-    the estimated in-ball size at ``max_hops``.
+    ``(domain, harmonic, sum_distances, reachable_estimate)`` — the
+    same pass also accumulates ``Σ r·Δ_r`` (the sum of in-distances),
+    from which the OTHER HyperBall centralities derive for free:
+    closeness = (reachable_estimate − 1) / sum_distances, Lin's index
+    = reachable_estimate² / sum_distances (Boldi & Vigna 2013 §3 —
+    one sketch pass serves the whole family).
 
     Exactness: estimates are HLL-approximate with relative error
     ~1.04/√m (m = 2^log2m registers; log2m=8 → ~6.5%, log2m=12 →
@@ -1498,6 +1505,7 @@ def domain_harmonic_centrality(
             _hll_init("domain", log2m).alias("regs"),
         ).withColumn("est", _hll_estimate(F.col("regs"), log2m))
         .withColumn("harmonic", F.lit(0.0))
+        .withColumn("sumd", F.lit(0.0))
     )
     zero = F.array_repeat(F.lit(0), m)
     for r in range(1, int(max_hops) + 1):
@@ -1534,6 +1542,7 @@ def domain_harmonic_centrality(
             F.coalesce(F.col("__mregs"), zero),
             lambda a, b: F.greatest(a, b),
         )
+        delta = F.greatest(F.lit(0.0), F.col("__est2") - F.col("est"))
         stepped = (
             state.join(merged, "domain", "left")
             .withColumn("__regs2", new_regs)
@@ -1542,13 +1551,10 @@ def domain_harmonic_centrality(
                 "domain",
                 F.col("__regs2").alias("regs"),
                 F.col("__est2").alias("est"),
-                (
-                    F.col("harmonic")
-                    + F.greatest(
-                        F.lit(0.0), F.col("__est2") - F.col("est")
-                    )
-                    / F.lit(float(r))
-                ).alias("harmonic"),
+                (F.col("harmonic") + delta / F.lit(float(r))).alias(
+                    "harmonic"
+                ),
+                (F.col("sumd") + delta * F.lit(float(r))).alias("sumd"),
             )
         )
         if r == int(max_hops) or (
@@ -1560,8 +1566,72 @@ def domain_harmonic_centrality(
     return state.select(
         "domain",
         F.col("harmonic"),
+        F.col("sumd").alias("sum_distances"),
         F.col("est").alias("reachable_estimate"),
     )
+
+
+def join_domain_prior(
+    df: DataFrame,
+    url_col: str,
+    prior: DataFrame,
+    domain_col: str = "domain",
+    score_cols: Optional[Sequence[str]] = None,
+    psl=None,
+    use_full_psl: bool = False,
+    fill: Optional[float] = None,
+) -> DataFrame:
+    """Attach link-graph quality priors to DOCUMENTS — the step the
+    graph layer exists to feed (curation pipelines upweight
+    high-centrality domains and drop orphaned spam clusters): key each
+    row's URL to its registered domain with the SAME eTLD+1 rules the
+    graph was built with, and join the per-domain scores on
+    (:func:`domain_pagerank`'s ``rank``,
+    :func:`domain_harmonic_centrality`'s ``harmonic``/…, or any
+    ``(domain, score…)`` relation).
+
+    Scale shape: the prior is |domains|-sized — a few hundred MB at
+    full-crawl scale, vanishing against the corpus — so it BROADCASTS:
+    the corpus never shuffles (plan-pinned). The domain key evaluates
+    in a fenced, exiled projection (janino discipline; the chain never
+    fuses into a filter or the join). ``use_full_psl=True`` keys
+    through the rules join instead — REQUIRED when the graph itself
+    was built with ``use_full_psl`` (mismatched keying silently drops
+    every host under a non-curated registry; run
+    :func:`psl_coverage_report` to size that risk). Rows with no
+    prior (domain absent from the graph) keep NULL scores, or
+    ``fill`` when given — dropping them is a curation decision, not a
+    join default."""
+    score_cols = list(
+        score_cols
+        if score_cols is not None
+        else [c for c in prior.columns if c != domain_col]
+    )
+    p = prior.select(
+        F.col(domain_col).alias("__prior_domain"), *score_cols
+    )
+    if use_full_psl:
+        keyed = registered_domain_df(
+            df, url_col, psl=psl, out_col="__prior_domain"
+        )
+    else:
+        fence = F.rand(23) >= -1.0
+        keyed = df.withColumn(
+            "__prior_domain",
+            F.when(
+                fence,
+                _codegen_exile(registered_domain(url_col, psl=psl)),
+            ),
+        )
+    out = keyed.join(F.broadcast(p), "__prior_domain", "left").drop(
+        "__prior_domain"
+    )
+    if fill is not None:
+        for c in score_cols:
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.lit(float(fill)))
+            )
+    return out
 
 
 def expand_seed_domains(

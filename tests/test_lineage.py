@@ -117,6 +117,16 @@ class TestModeInvariance:
 
         return _rows(expand_seed_domains(edges, ["a.co.uk"], hops=2))
 
+    def _harmonic_rows(self, spark, edges):
+        from lantern_spark.operators.weburl import (
+            domain_harmonic_centrality,
+        )
+
+        return _rows(
+            domain_harmonic_centrality(edges, max_hops=3, log2m=6),
+            float_round=9,
+        )
+
     def _cc_rows(self, spark):
         from lantern_spark.operators.dedup import connected_components
 
@@ -137,6 +147,7 @@ class TestModeInvariance:
             "pagerank": self._pagerank_rows(spark, edges),
             "expand": self._expand_rows(spark, edges),
             "cc": self._cc_rows(spark),
+            "harmonic": self._harmonic_rows(spark, edges),
         }
         assert baseline["graph"], "fixture produced no edges"
         assert len(baseline["expand"]) >= 3  # seed + 2 hop tiers
@@ -148,6 +159,7 @@ class TestModeInvariance:
             assert self._pagerank_rows(spark, edges) == baseline["pagerank"]
             assert self._expand_rows(spark, edges) == baseline["expand"]
             assert self._cc_rows(spark) == baseline["cc"]
+            assert self._harmonic_rows(spark, edges) == baseline["harmonic"]
             # durability witness: reliable checkpoints actually hit disk
             found = [
                 f
@@ -161,6 +173,7 @@ class TestModeInvariance:
             assert self._pagerank_rows(spark, edges) == baseline["pagerank"]
             assert self._expand_rows(spark, edges) == baseline["expand"]
             assert self._cc_rows(spark) == baseline["cc"]
+            assert self._harmonic_rows(spark, edges) == baseline["harmonic"]
             cuts = [p for p in os.listdir(sto_dir) if p.startswith("cut-")]
             assert cuts, "storage mode wrote no staged cuts"
         edges.unpersist()

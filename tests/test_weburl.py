@@ -1421,8 +1421,9 @@ class TestHarmonicCentrality:
 
     @staticmethod
     def _exact_harmonic(edges, max_hops):
-        """H(v) = sum over u reaching v within max_hops of 1/d(u,v) —
-        forward BFS from every source."""
+        """(H, S): H(v) = sum over u reaching v within max_hops of
+        1/d(u,v); S(v) = sum of those d(u,v) — forward BFS from every
+        source."""
         from collections import deque
 
         adj = {}
@@ -1431,6 +1432,7 @@ class TestHarmonicCentrality:
             adj.setdefault(s, set()).add(t)
             nodes.update((s, t))
         H = {v: 0.0 for v in nodes}
+        S = {v: 0.0 for v in nodes}
         for u in nodes:
             dist = {u: 0}
             q = deque([u])
@@ -1445,7 +1447,8 @@ class TestHarmonicCentrality:
             for v, d in dist.items():
                 if d > 0:
                     H[v] += 1.0 / d
-        return H
+                    S[v] += d
+        return H, S
 
     EDGES = [
         # a chain feeding a hub, a cycle, and a leaf: distinct tiers
@@ -1461,22 +1464,25 @@ class TestHarmonicCentrality:
         )
 
         hops = 4
-        want = self._exact_harmonic(self.EDGES, hops)
+        want, want_s = self._exact_harmonic(self.EDGES, hops)
         df = spark.createDataFrame(
             [(s, t, 1) for s, t in self.EDGES],
             "src_domain string, dst_domain string, n_links long",
         )
-        got = {
-            r.domain: r.harmonic
-            for r in domain_harmonic_centrality(
-                df, max_hops=hops, log2m=12
-            ).collect()
-        }
+        rows = domain_harmonic_centrality(
+            df, max_hops=hops, log2m=12
+        ).collect()
+        got = {r.domain: r.harmonic for r in rows}
+        got_s = {r.domain: r.sum_distances for r in rows}
         assert set(got) == set(want)
         for v, h in want.items():
             assert abs(got[v] - h) <= max(0.08, 0.05 * h), (
                 v, got[v], h,
             )
+            # the same pass's distance sums (closeness/Lin inputs)
+            assert abs(got_s[v] - want_s[v]) <= max(
+                0.2, 0.05 * want_s[v]
+            ), (v, got_s[v], want_s[v])
         # ranking agreement on the clear tiers: d.com is the hub
         top = max(got, key=got.get)
         assert top == max(want, key=want.get) == "d.com"
@@ -1537,6 +1543,129 @@ class TestHarmonicCentrality:
         out = domain_harmonic_centrality(df, max_hops=1, log2m=6)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestJoinDomainPrior:
+    """r13: graph priors back onto documents — registered-domain key +
+    broadcast join, the curation-upweighting step."""
+
+    def _fixtures(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "https://news.bbc.co.uk/story"),
+                (2, "https://blog.example.com/post"),
+                (3, "https://www.example.com/about"),
+                (4, "https://unranked.org/x"),
+                (5, "not a url"),
+            ],
+            "doc_id long, url string",
+        )
+        prior = spark.createDataFrame(
+            [("bbc.co.uk", 0.4, 2.0), ("example.com", 0.6, 3.5)],
+            "domain string, rank double, harmonic double",
+        )
+        return docs, prior
+
+    def test_scores_attach_by_registered_domain(self, spark):
+        from lantern_spark.operators.weburl import join_domain_prior
+
+        docs, prior = self._fixtures(spark)
+        got = {
+            r.doc_id: (r.rank, r.harmonic)
+            for r in join_domain_prior(docs, "url", prior).collect()
+        }
+        assert got[1] == (0.4, 2.0)
+        # subdomain and www both collapse onto example.com
+        assert got[2] == got[3] == (0.6, 3.5)
+        # unranked domain and non-URL keep NULL scores
+        assert got[4] == (None, None) and got[5] == (None, None)
+
+    def test_fill_and_score_subset(self, spark):
+        from lantern_spark.operators.weburl import join_domain_prior
+
+        docs, prior = self._fixtures(spark)
+        out = join_domain_prior(
+            docs, "url", prior, score_cols=["rank"], fill=0.0
+        )
+        got = {r.doc_id: r.rank for r in out.collect()}
+        assert got[4] == 0.0 and got[1] == 0.4
+        assert "harmonic" not in out.columns
+
+    def test_pagerank_composition(self, spark):
+        """End-to-end: pages → link graph → pagerank → back onto the
+        pages; every ranked page gets its own domain's rank."""
+        from lantern_spark.operators.weburl import (
+            domain_link_graph,
+            domain_pagerank,
+            join_domain_prior,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.com/1", '<a href="https://b.com/x">l</a>'),
+                ("https://b.com/2", '<a href="https://c.com/y">l</a>'),
+                ("https://c.com/3", '<a href="https://a.com/z">l</a>'),
+            ],
+            "url string, html string",
+        )
+        edges = domain_link_graph(pages, "url", "html")
+        ranks = domain_pagerank(edges, iterations=4)
+        out = join_domain_prior(pages, "url", ranks).collect()
+        assert all(r.rank is not None and r.rank > 0 for r in out)
+
+    def test_broadcast_plan_no_corpus_shuffle(self, spark):
+        from lantern_spark.operators.weburl import join_domain_prior
+
+        docs, prior = self._fixtures(spark)
+        plan = (
+            join_domain_prior(docs, "url", prior)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "EvalPython" not in plan
+        # the corpus side must not shuffle: the only Exchange allowed
+        # is the broadcast one
+        import re
+
+        non_broadcast_exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+        ]
+        assert non_broadcast_exchanges == [], non_broadcast_exchanges
+
+    def test_full_psl_keying(self, spark):
+        from lantern_spark.operators.weburl import (
+            PSL_SNIPPET_PATH,
+            join_domain_prior,
+            load_psl,
+        )
+
+        psl = load_psl(PSL_SNIPPET_PATH)
+        docs = spark.createDataFrame(
+            [
+                # *.nagoya.jp wildcard: foo.nagoya.jp is the public
+                # suffix, so the registered domain keeps FOUR labels
+                (1, "https://x.shop.foo.nagoya.jp/x"),
+                # !city.nagoya.jp exception: the exception itself is
+                # the registered domain
+                (2, "https://sub.city.nagoya.jp/y"),
+            ],
+            "doc_id long, url string",
+        )
+        prior = spark.createDataFrame(
+            [("shop.foo.nagoya.jp", 9.0), ("city.nagoya.jp", 5.0)],
+            "domain string, rank double",
+        )
+        got = {
+            r.doc_id: r.rank
+            for r in join_domain_prior(
+                docs, "url", prior, psl=psl, use_full_psl=True
+            ).collect()
+        }
+        assert got == {1: 9.0, 2: 5.0}
 
 
 class TestExpandSeedDomains:
