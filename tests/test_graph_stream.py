@@ -1,0 +1,169 @@
+"""streaming/graph_stream (r13): continuous link-graph maintenance —
+pages streaming in across micro-batches must produce the SAME edge
+relation as one batch build, survive replays without double-counting,
+consolidate on the fragment trigger, and feed the graph operators
+directly."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lantern_spark.streaming.graph_stream import (
+    consolidate_graph_path,
+    incremental_link_graph_job,
+    load_link_graph,
+)
+
+SCHEMA = "url string, html string"
+
+_HOSTS = ["a.co.uk", "b.com", "c.net", "d.org"]
+
+
+def _pages(n0, n1):
+    rows = []
+    for i in range(n0, n1):
+        host = _HOSTS[i % 4]
+        t1 = _HOSTS[(i + 1) % 4]
+        t2 = _HOSTS[(i + 2) % 4]
+        html = f'<a href="https://{t1}/x">1</a>'
+        if i % 3 == 0:
+            html += f"<A HREF='https://{t2}/y'>2</A>"
+        html += '<a href="/self">s</a><a href="#f">f</a>'
+        rows.append((f"https://{host}/p/{i}", html))
+    return rows
+
+
+def _edge_map(df):
+    return {
+        (r.src_domain, r.dst_domain): r.n_links for r in df.collect()
+    }
+
+
+class TestGraphStream:
+    def test_stream_equals_batch_build(self, spark, tmp_path):
+        from lantern_spark.operators.weburl import domain_link_graph
+
+        src = tmp_path / "src"
+        src.mkdir()
+        gp = str(tmp_path / "graph")
+        chk = str(tmp_path / "chk")
+        chunks = [_pages(0, 12), _pages(12, 24), _pages(24, 36)]
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"b{i}"))
+
+        query, state = incremental_link_graph_job(
+            spark, gp, str(src) + "/*", SCHEMA, "url", "html", chk,
+            consolidate_every_fragments=3, max_files_per_trigger=1,
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        assert state["batches"] == 3
+        assert state["consolidations"] >= 1
+        streamed = _edge_map(load_link_graph(spark, gp))
+        full = _edge_map(
+            domain_link_graph(
+                spark.createDataFrame(_pages(0, 36), SCHEMA), "url", "html"
+            )
+        )
+        assert streamed == full and streamed
+        # exactly-once: rerun over the same checkpoint adds nothing
+        query2, state2 = incremental_link_graph_job(
+            spark, gp, str(src) + "/*", SCHEMA, "url", "html", chk
+        )
+        try:
+            query2.processAllAvailable()
+        finally:
+            query2.stop()
+        assert state2["batches"] == 0
+        assert _edge_map(load_link_graph(spark, gp)) == full
+
+    def test_consolidation_compacts_preserving_edges(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        gp = str(tmp_path / "graph")
+        chk = str(tmp_path / "chk")
+        for i, chunk in enumerate([_pages(0, 10), _pages(10, 20)]):
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"b{i}"))
+        query, _ = incremental_link_graph_job(
+            spark, gp, str(src) + "/*", SCHEMA, "url", "html", chk,
+            consolidate_every_fragments=None, max_files_per_trigger=1,
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        before = _edge_map(load_link_graph(spark, gp))
+        frag_dirs = [
+            d
+            for d in os.listdir(os.path.join(gp, "edges"))
+            if d.startswith("batch_")
+        ]
+        assert len(frag_dirs) == 2
+        consolidate_graph_path(spark, gp)
+        after_dirs = [
+            d
+            for d in os.listdir(os.path.join(gp, "edges"))
+            if d.startswith("batch_")
+        ]
+        assert after_dirs == []  # compacted flat
+        assert _edge_map(load_link_graph(spark, gp)) == before
+
+    def test_fresh_checkpoint_on_existing_layout_refused(
+        self, spark, tmp_path
+    ):
+        src = tmp_path / "src"
+        src.mkdir()
+        gp = str(tmp_path / "graph")
+        spark.createDataFrame(_pages(0, 8), SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b0"))
+        q, _ = incremental_link_graph_job(
+            spark, gp, str(src) + "/*", SCHEMA, "url", "html",
+            str(tmp_path / "chk1"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with pytest.raises(ValueError, match="bound to a different"):
+            incremental_link_graph_job(
+                spark, gp, str(src) + "/*", SCHEMA, "url", "html",
+                str(tmp_path / "chk2"),
+            )
+
+    def test_feeds_graph_operators(self, spark, tmp_path):
+        from lantern_spark.operators.weburl import (
+            domain_pagerank,
+            expand_seed_domains,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        gp = str(tmp_path / "graph")
+        spark.createDataFrame(_pages(0, 24), SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b0"))
+        q, _ = incremental_link_graph_job(
+            spark, gp, str(src) + "/*", SCHEMA, "url", "html",
+            str(tmp_path / "chk"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        edges = load_link_graph(spark, gp)
+        mass = (
+            domain_pagerank(edges, iterations=4)
+            .agg(F.sum("rank").alias("m"))
+            .first()["m"]
+        )
+        assert abs(mass - 1.0) < 1e-6
+        reached = expand_seed_domains(edges, ["a.co.uk"], hops=2)
+        assert reached.count() >= 3
