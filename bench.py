@@ -1322,6 +1322,25 @@ def main() -> None:
         quality["harmonic_s"] = round(time.time() - t0, 3)
         quality["harmonic_mean"] = round(float(hstats["h"]), 3)
         quality["harmonic_mean_ball"] = round(float(hstats["b"]), 1)
+        # r13: the durability premium, measured — the same PageRank
+        # under storage-mode lineage cuts (staged parquet write+read
+        # per cut; the reliable/HDFS mode sits between the two). The
+        # SCALE.md checkpoint table cites these numbers.
+        import tempfile as _ckt
+
+        from lantern_spark.plans.lineage import checkpoint_mode
+
+        _ckdir = _ckt.mkdtemp(prefix="bench_ckpt_")
+        spark.sparkContext.setJobDescription("bench:pagerank_durable")
+        t0 = time.time()
+        with checkpoint_mode("storage", dir=_ckdir):
+            domain_pagerank(ge, iterations=10).agg(
+                SF.sum("rank").alias("s")
+            ).collect()
+        quality["pagerank_storage_ckpt_s"] = round(time.time() - t0, 3)
+        import shutil as _cks
+
+        _cks.rmtree(_ckdir, ignore_errors=True)
         ge.unpersist()
     except Exception as e:
         print(f"# bench graph layer FAILED: {e}", file=sys.stderr)
@@ -1427,7 +1446,8 @@ def main() -> None:
             "wet_ingest_mb_per_s warc_ingest_mb_per_s "
             "rd_expr_form_s rd_join_form_s "
             "pagerank_s pagerank_mass seed_expand_s harmonic_s "
-            "harmonic_mean_ball warc_ingest_fast_mb_per_s"
+            "harmonic_mean_ball pagerank_storage_ckpt_s "
+            "warc_ingest_fast_mb_per_s"
         ).split()
         line["quality"] = {
             k: v for k, v in line["quality"].items() if k in keep
