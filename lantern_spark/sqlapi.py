@@ -188,6 +188,94 @@ _STEM_SQL = _ddl(
 )
 
 
+def install_url_functions(spark: SparkSession, psl=None) -> List[str]:
+    """Register the URL-curation surface as SQL functions (r13):
+    ``url_scheme``, ``url_host``, ``normalize_url``, ``surt_key``,
+    ``registered_domain`` — so the C4/RefinedWeb keying operations are
+    one ``SELECT`` away for SQL-first users. All bodies are pure
+    SQL-defined expressions built from the SAME regex/rule constants
+    the Column operators compile (``weburl._AUTH_RX``,
+    ``TRACKING_PARAMS``, ``_registered_domain_sparksql``), and
+    equality with the Column forms is pinned over a URL zoo in
+    tests/test_sqlapi.py — the two surfaces cannot drift
+    independently. Catalyst inlines SQL-function bodies, so plans stay
+    whole-stage-codegen'd with zero UDF boundary; keep
+    ``registered_domain`` out of raw WHERE clauses on wide chains (the
+    janino 64 KB discipline — key in a projection, filter the
+    materialized column).
+
+    ``psl`` selects the ruleset exactly as
+    :func:`~lantern_spark.operators.weburl.registered_domain` does
+    (default: the bundled curated PSL). Idempotent; session-scoped."""
+    from lantern_spark.operators.weburl import (
+        _AUTH_RX,
+        TRACKING_PARAMS,
+        _registered_domain_sparksql,
+    )
+
+    rx = _AUTH_RX.replace("\\", "\\\\").replace("'", "''")
+    rest3 = f"regexp_extract(trim(u), '{rx}([^#]*)', 3)"
+    hostport = f"lower(regexp_extract(trim(u), '{rx}', 2))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"({port} != '' AND NOT ((url_scheme(u) = 'http' AND {port} = "
+        f"'80') OR (url_scheme(u) = 'https' AND {port} = '443')))"
+    )
+    portpart = f"IF({keep_port}, ':' || {port}, '')"
+    # normalize_url: strip tracking params, collapse separators,
+    # '' path -> '/' — the exact regexp_replace chain of the Column op
+    norm_rest = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{rest3}, '({TRACKING_PARAMS})=[^&#]*', ''), '&&+', '&'), "
+        f"'\\\\?&', '?'), '[?&]+$', '')"
+    )
+    norm_rest = f"IF({norm_rest} = '', '/', {norm_rest})"
+    # surt_key pieces (IA-canonical: www. dropped, query params sorted
+    # with empties filtered, empty path -> '/')
+    s_host = "regexp_replace(url_host(u), '^www\\\\.', '')"
+    s_rest = f"lower({rest3})"
+    s_path = f"substring_index({s_rest}, '?', 1)"
+    s_query = f"regexp_extract({s_rest}, '^[^?]*\\\\?(.*)$', 1)"
+    s_qarr = f"filter(split({s_query}, '&'), x -> x != '')"
+    s_sorted = f"concat_ws('&', array_sort({s_qarr}))"
+    s_path2 = f"IF({s_path} = '', '/', {s_path})"
+    s_restq = (
+        f"IF(size({s_qarr}) = 0, {s_path2}, "
+        f"concat({s_path2}, '?', {s_sorted}))"
+    )
+    ddls = [
+        _ddl(
+            "url_scheme", "u STRING", "STRING",
+            f"lower(regexp_extract(trim(u), '{rx}', 1))",
+        ),
+        _ddl(
+            "url_host", "u STRING", "STRING",
+            f"regexp_replace(regexp_replace({hostport}, ':[0-9]*$', "
+            f"''), '\\\\.$', '')",
+        ),
+        _ddl(
+            "normalize_url", "u STRING", "STRING",
+            f"IF(url_scheme(u) = '', trim(u), concat(url_scheme(u), "
+            f"'://', url_host(u), {portpart}, {norm_rest}))",
+        ),
+        _ddl(
+            "surt_key", "u STRING", "STRING",
+            f"IF({s_host} = '', '', concat(concat_ws(',', "
+            f"reverse(split({s_host}, '\\\\.'))), {portpart}, ')', "
+            f"{s_restq}))",
+        ),
+        _ddl(
+            "registered_domain", "u STRING", "STRING",
+            _registered_domain_sparksql("u", (), psl, col_is_host=False),
+        ),
+    ]
+    names = []
+    for ddl in ddls:
+        spark.sql(ddl)
+        names.append(ddl.split("FUNCTION ", 1)[1].split("(", 1)[0])
+    return names
+
+
 def install_sql_functions(spark: SparkSession) -> List[str]:
     """Register the Lantern SQL function surface on ``spark``.
 

@@ -620,3 +620,102 @@ class TestRoutedSqlIvfPq:
         rows = out.collect()
         assert decision.access_path == "ivf_pq"
         assert len(rows) == 5
+
+
+class TestUrlSqlFunctions:
+    """r13: the URL-curation surface as SQL functions — every SQL body
+    must agree with its Column operator byte-for-byte over a URL zoo
+    (the bodies are built from the same regex/rule constants; this
+    test is the drift pin)."""
+
+    ZOO = [
+        "https://www.Example.co.uk/A/b?x=1",
+        "HTTP://user:pw@Example.COM:80/path?utm_source=x&keep=1#frag",
+        "https://example.com:8443/x?b=2&a=1",
+        "https://example.com?b=2&a=1",
+        "https://example.com/p?&a=1&&b=2&",
+        "http://sub.test.com.",
+        "https://news.bbc.co.uk/story",
+        "https://x.shop.foo.nagoya.jp/wild",
+        "https://city.nagoya.jp/exception",
+        "https://me.blogspot.com/private",
+        "ftp://host.org/f",
+        "  https://spaced.example.net/t  ",
+        "not a url",
+        "",
+        None,
+    ]
+
+    def test_sql_matches_column_operators(self, spark):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.weburl import (
+            normalize_url,
+            registered_domain,
+            surt_key,
+            url_host,
+            url_scheme,
+        )
+        from lantern_spark.sqlapi import install_url_functions
+
+        names = install_url_functions(spark)
+        assert set(names) == {
+            "url_scheme", "url_host", "normalize_url", "surt_key",
+            "registered_domain",
+        }
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(self.ZOO)], "i long, u string"
+        )
+        df.createOrReplaceTempView("url_zoo")
+        sql_rows = {
+            r.i: (r.s, r.h, r.n, r.k, r.d)
+            for r in spark.sql(
+                "SELECT i, url_scheme(u) s, url_host(u) h, "
+                "normalize_url(u) n, surt_key(u) k, "
+                "registered_domain(u) d FROM url_zoo"
+            ).collect()
+        }
+        col_rows = {
+            r.i: (r.s, r.h, r.n, r.k, r.d)
+            for r in df.select(
+                "i",
+                url_scheme("u").alias("s"),
+                url_host("u").alias("h"),
+                normalize_url("u").alias("n"),
+                surt_key("u").alias("k"),
+                registered_domain("u").alias("d"),
+            ).collect()
+        }
+        bad = {
+            self.ZOO[i]: (sql_rows[i], col_rows[i])
+            for i in sql_rows
+            if sql_rows[i] != col_rows[i]
+        }
+        assert bad == {}, bad
+
+    def test_sql_url_dedup_shape(self, spark):
+        """The SQL-first URL-dedup recipe: normalize + group, entirely
+        in SQL, no Python in the plan."""
+        from lantern_spark.sqlapi import install_url_functions
+
+        install_url_functions(spark)
+        spark.createDataFrame(
+            [
+                (1, "https://Example.com/a?utm_source=x"),
+                (2, "http://example.com/a"),
+                (3, "https://example.com/a"),
+                (4, "https://other.net/b"),
+            ],
+            "doc_id long, url string",
+        ).createOrReplaceTempView("docs_urls")
+        out = spark.sql(
+            "SELECT normalize_url(url) AS key, count(*) AS n, "
+            "min(doc_id) AS keeper FROM docs_urls GROUP BY 1 ORDER BY 1"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        rows = {r.key: (r.n, r.keeper) for r in out.collect()}
+        # scheme differs (http vs https) -> two of the three /a URLs
+        # collapse; tracking param stripped
+        assert rows["https://example.com/a"] == (2, 1)
+        assert rows["http://example.com/a"] == (1, 2)
