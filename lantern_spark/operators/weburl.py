@@ -1464,7 +1464,12 @@ def domain_harmonic_centrality(
     monotone under register growth; only the small-range/raw
     crossover can wobble a hair). Deterministic: xxhash64, no
     sampling — same input, same estimate. Accuracy vs an exact BFS
-    oracle is pinned in tests/test_weburl.py.
+    oracle is pinned in tests/test_weburl.py (pytest-oracle by the
+    same contract as :func:`domain_pagerank`: the output is an
+    iterated float estimate — a SQL replay would have to re-implement
+    the HLL register fold in a recursive CTE, which checks nothing
+    the pytest oracle doesn't already check better, against EXACT
+    BFS).
 
     Scale shape: the exact alternative materializes (node, reacher)
     PAIRS — O(Σ|ball|), quadratic on a crawl graph and the reason

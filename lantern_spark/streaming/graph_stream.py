@@ -60,10 +60,21 @@ __all__ = [
 
 def load_link_graph(spark: SparkSession, graph_path: str) -> DataFrame:
     """The live edge relation — correct at any fragmentation (edge
-    counts re-sum on read). Feeds the graph operators directly."""
-    edges = spark.read.option("recursiveFileLookup", "true").parquet(
-        os.path.join(graph_path, "edges")
-    )
+    counts re-sum on read). Feeds the graph operators directly. A
+    layout with no fragments yet (job started, first batch pending)
+    reads as an EMPTY edge relation rather than a path error — a
+    monitoring query racing the first micro-batch is normal, not
+    exceptional."""
+    edir = os.path.join(graph_path, "edges")
+    if not os.path.isdir(edir) or not any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(edir)
+        for f in fs
+    ):
+        return spark.createDataFrame(
+            [], "src_domain string, dst_domain string, n_links long"
+        )
+    edges = spark.read.option("recursiveFileLookup", "true").parquet(edir)
     return edges.groupBy("src_domain", "dst_domain").agg(
         F.sum("n_links").cast("long").alias("n_links")
     )

@@ -138,6 +138,16 @@ class TestGraphStream:
                 str(tmp_path / "chk2"),
             )
 
+    def test_empty_layout_reads_as_empty_relation(self, spark, tmp_path):
+        """A monitoring query racing the first micro-batch sees an
+        empty edge relation, not a path error."""
+        gp = str(tmp_path / "nothing_yet")
+        df = load_link_graph(spark, gp)
+        assert df.columns == ["src_domain", "dst_domain", "n_links"]
+        assert df.count() == 0
+        os.makedirs(os.path.join(gp, "edges"))  # dir exists, no files
+        assert load_link_graph(spark, gp).count() == 0
+
     def test_feeds_graph_operators(self, spark, tmp_path):
         from lantern_spark.operators.weburl import (
             domain_pagerank,
