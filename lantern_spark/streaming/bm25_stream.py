@@ -102,12 +102,26 @@ def load_bm25_stats(spark: SparkSession, path: str) -> BM25Stats:
 
 
 def _fragment_count(path: str, sub: str) -> int:
+    """Parquet files in PER-EPOCH fragment dirs (``batch_*``) only.
+
+    The consolidated rewrite lands FLAT in ``sub/`` and is excluded on
+    purpose (r14, review r13 advice): counting its files would keep the
+    trigger permanently over threshold whenever the consolidated write
+    has >= ``consolidate_every_fragments`` partitions (shuffle
+    partitions default 200 vs a trigger of 32), degenerating the
+    amortized compaction into a full-table shuffle on EVERY micro-batch.
+    Excluding it makes the trigger exactly "fragments appended since the
+    last consolidation" — and lets the consolidated table keep its
+    AQE-sized partitioning instead of being forced through a
+    single-file ``repartition(1)`` that a billion-edge graph or
+    full-corpus postings table could not afford."""
     d = os.path.join(path, sub)
     if not os.path.isdir(d):
         return 0
     return sum(
         1
-        for _root, _dirs, files in os.walk(d)
+        for root, _dirs, files in os.walk(d)
+        if os.path.basename(root).startswith("batch_")
         for f in files
         if f.endswith(".parquet")
     )

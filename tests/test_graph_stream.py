@@ -115,6 +115,43 @@ class TestGraphStream:
         assert after_dirs == []  # compacted flat
         assert _edge_map(load_link_graph(spark, gp)) == before
 
+    def test_consolidated_files_do_not_retrigger(self, spark, tmp_path):
+        """Amortization contract (r14, review r13 advice): the trigger
+        counts only ``batch_*`` fragment files, so a consolidated
+        rewrite with >= consolidate_every_fragments output partitions
+        (shuffle partitions routinely exceed the trigger) cannot keep
+        the counter over threshold and force a full-table shuffle on
+        every subsequent micro-batch."""
+        from lantern_spark.streaming.bm25_stream import _fragment_count
+
+        gp = str(tmp_path / "graph")
+        edir = os.path.join(gp, "edges")
+        os.makedirs(edir)
+        # a consolidated layout wider than any sane trigger
+        for i in range(40):
+            open(os.path.join(edir, f"part-{i:05d}.parquet"), "w").close()
+        assert _fragment_count(gp, "edges") == 0
+        os.makedirs(os.path.join(edir, "batch_7"))
+        open(os.path.join(edir, "batch_7", "part-0.parquet"), "w").close()
+        assert _fragment_count(gp, "edges") == 1
+        # and end-to-end: a real consolidation leaves the counter at 0
+        src = tmp_path / "src"
+        src.mkdir()
+        gp2 = str(tmp_path / "graph2")
+        spark.createDataFrame(_pages(0, 10), SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b0"))
+        q, _ = incremental_link_graph_job(
+            spark, gp2, str(src) + "/*", SCHEMA, "url", "html",
+            str(tmp_path / "chk2"), consolidate_every_fragments=None,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        consolidate_graph_path(spark, gp2)
+        assert _fragment_count(gp2, "edges") == 0
+
     def test_fresh_checkpoint_on_existing_layout_refused(
         self, spark, tmp_path
     ):
