@@ -108,9 +108,24 @@ def autotune_index(
     ``ground_truth`` is present); feed them from
     :func:`~lantern_spark.sources.vecfiles.read_vecs`. Pinned
     end-to-end (files → autotune → 0.999 early exit) in
-    tests/test_autotune.py."""
+    tests/test_autotune.py.
+
+    When ``ground_truth`` is supplied the candidate indexes are built
+    on the FULL ``df``, not the ``test_data_size`` sample (r14, review
+    r13 advice): a file-based ``.ivecs`` truth refers to ids of the
+    whole base, and an index built on a ``limit()`` sample can never
+    return a truth id outside the sample — recall would be silently
+    deflated for EVERY grid variant and the tuner would never
+    early-exit. The reference avoids this only because it computes
+    ground truth on the same sampled table (index_autotune/mod.rs
+    calculate_ground_truth); a file fixture bypasses that coupling, so
+    the ``.ivecs`` ids MUST correspond to the rows of ``df`` as
+    passed — pre-sample yourself if the base is too large to tune on."""
     spark = df.sparkSession
-    sample = df.limit(test_data_size).cache()
+    if ground_truth is not None:
+        sample = df.cache()
+    else:
+        sample = df.limit(test_data_size).cache()
     sample.count()
     if queries is not None:
         qs = [list(q) for q in queries]

@@ -267,6 +267,36 @@ class TestFileGroundTruthAutotune:
         assert best.recall >= EARLY_EXIT_RECALL
         assert len(results) == 1, [r.recall for r in results]
 
+    def test_ground_truth_builds_on_full_base(self, spark):
+        """r14 (review r13 advice): file-based truth ids refer to the
+        WHOLE base — variants must be built on the full df, not the
+        test_data_size sample, or truth ids outside the sample are
+        unreachable and recall silently deflates for every variant.
+        A full-probe variant over truth ids deliberately beyond
+        test_data_size must still reach recall 1.0."""
+        import numpy as np
+
+        from lantern_spark.operators.autotune import autotune_index
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(300, 8))
+        base_df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+            "vec_id long, embedding array<double>",
+        )
+        # probe sits on row 250 — outside a 50-row sample
+        q = base[250]
+        d2 = ((base - q) ** 2).sum(axis=1)
+        gt = [[int(i) for i in np.argsort(d2)[:5]]]
+        assert max(gt[0]) >= 50
+        best, results, _ = autotune_index(
+            base_df, "embedding", "vec_id", k=5,
+            test_data_size=50,  # would exclude every truth id
+            grid=[(4, 4)],  # full probe: exact within the index
+            queries=[[float(x) for x in q]], ground_truth=gt,
+        )
+        assert best.recall == 1.0, best.recall
+
     def test_ground_truth_actually_drives_recall(self, spark, tmp_path):
         """Falsifiability: a WRONG ground-truth file must drag recall
         down — proving the tuner scored the file, not its own scan."""
