@@ -986,10 +986,16 @@ def psl_coverage_report(
     Returns ``{"n_hosts", "n_diff", "diff_fraction", "examples":
     [(host, curated, full), ...]}``. Cost: ONE distinct-host shuffle
     over the corpus (host extraction is a map-only expression), the
-    broadcast rules join on the ≤10⁴-row distinct-host relation, and
-    two bounded actions (one count aggregate + ≤``max_examples``
-    rows) — cheap enough to run as a pre-flight on a 100 TB corpus
-    sample. Guidance: USAGE.md §registered domains — flip
+    broadcast rules join on the distinct-host relation, and two
+    bounded actions (one count aggregate + ≤``max_examples`` rows)
+    that share the shuffle through a persisted ``keyed`` relation
+    (r14, review r13 advice: without the persist, both actions
+    re-ran the distinct AND both PSL keyings — the stated cost was
+    half the real one). A NULL key on either side (a host that IS a
+    public suffix keys to NULL) counts as a diff only when the other
+    side is non-NULL (``eqNullSafe``). Cheap enough to run as a
+    pre-flight on a 100 TB corpus sample. Guidance: USAGE.md
+    §registered domains — flip
     ``use_full_psl=True`` (or pass ``psl=`` everywhere) once
     ``diff_fraction`` is no longer noise for your keying use
     (rule of thumb: >1%, or ANY diff when the affected hosts are the
@@ -1020,21 +1026,24 @@ def psl_coverage_report(
         psl=psl,
         out_col="full",
     ).select("__h", "curated", "full")
-    agg = keyed.agg(
-        F.count("*").alias("n"),
-        F.sum(
-            (F.col("curated") != F.col("full")).cast("long")
-        ).alias("nd"),
-    ).first()
-    n_hosts = int(agg["n"] or 0)
-    n_diff = int(agg["nd"] or 0)
-    examples = [
-        (r["__h"], r["curated"], r["full"])
-        for r in keyed.where(F.col("curated") != F.col("full"))
-        .orderBy("__h")
-        .limit(int(max_examples))
-        .collect()
-    ]
+    diff = ~F.col("curated").eqNullSafe(F.col("full"))
+    keyed = keyed.persist()
+    try:
+        agg = keyed.agg(
+            F.count("*").alias("n"),
+            F.sum(diff.cast("long")).alias("nd"),
+        ).first()
+        n_hosts = int(agg["n"] or 0)
+        n_diff = int(agg["nd"] or 0)
+        examples = [
+            (r["__h"], r["curated"], r["full"])
+            for r in keyed.where(diff)
+            .orderBy("__h")
+            .limit(int(max_examples))
+            .collect()
+        ]
+    finally:
+        keyed.unpersist()
     return {
         "n_hosts": n_hosts,
         "n_diff": n_diff,

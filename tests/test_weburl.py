@@ -1411,6 +1411,58 @@ class TestPslCoverageReport:
         )
         assert rep["n_hosts"] == 2 and rep["n_diff"] == 1
 
+    def test_one_pass_job_count(self, spark):
+        """r14 (review r13 advice): the pre-flight's distinct-host
+        shuffle + double PSL keying must run ONCE — `keyed` is
+        persisted across the two bounded actions. Job-count spy:
+        measured 8 jobs with the persist vs 11 without (the agg and
+        the examples collect each re-ran the whole pipeline); pin a
+        bound strictly below the two-pass count."""
+        from lantern_spark.operators.weburl import (
+            parse_psl,
+            psl_coverage_report,
+        )
+
+        sc = spark.sparkContext
+        sc.setJobGroup("psl-cov-spy", "one-pass coverage report")
+        try:
+            rep = psl_coverage_report(
+                self._df(spark), "url", parse_psl(self.FULLER)
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        assert rep["n_hosts"] == 5
+        jobs = sc.statusTracker().getJobIdsForGroup("psl-cov-spy")
+        assert len(jobs) <= 9, f"two-pass regression: {len(jobs)} jobs"
+
+    def test_null_key_counts_as_diff(self, spark, monkeypatch):
+        """A NULL on one side with a non-NULL other side IS a diff
+        (eqNullSafe): under plain `!=` the comparison is NULL and the
+        host silently drops out of n_diff AND the examples. Forced via
+        a patched full-ruleset keying that NULLs one host's key."""
+        import lantern_spark.operators.weburl as W
+        from pyspark.sql import functions as F
+
+        real = W.registered_domain_df
+
+        def null_one(df, url_col, psl=None, out_col="rd", **kw):
+            out = real(df, url_col, psl=psl, out_col=out_col, **kw)
+            return out.withColumn(
+                out_col,
+                F.when(
+                    F.col("__h") == "www.example.com", F.lit(None)
+                ).otherwise(F.col(out_col)),
+            )
+
+        monkeypatch.setattr(W, "registered_domain_df", null_one)
+        rep = W.psl_coverage_report(
+            self._df(spark), "url", W.parse_psl(self.FULLER)
+        )
+        # 3 genuine ruleset diffs + the forced NULL-vs-'example.com'
+        assert rep["n_diff"] == 4
+        nulled = [e for e in rep["examples"] if e[0] == "www.example.com"]
+        assert nulled == [("www.example.com", "example.com", None)]
+
 
 class TestHarmonicCentrality:
     """r13 (review r12 item 5): HyperBall harmonic centrality vs an
