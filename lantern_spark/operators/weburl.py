@@ -1585,6 +1585,13 @@ def domain_harmonic_centrality(
     )
 
 
+#: Ceiling for the auto-sized prior broadcast: above this estimated
+#: in-memory hash-relation size the join falls back to a shuffle.
+#: 256 MB keeps the broadcast well under typical executor overheads
+#: (each executor holds a full copy, and the driver builds it first).
+JOIN_PRIOR_BROADCAST_CEILING = 256 * 1024 * 1024
+
+
 def join_domain_prior(
     df: DataFrame,
     url_col: str,
@@ -1594,6 +1601,8 @@ def join_domain_prior(
     psl=None,
     use_full_psl: bool = False,
     fill: Optional[float] = None,
+    broadcast="auto",
+    broadcast_ceiling_bytes: int = JOIN_PRIOR_BROADCAST_CEILING,
 ) -> DataFrame:
     """Attach link-graph quality priors to DOCUMENTS — the step the
     graph layer exists to feed (curation pipelines upweight
@@ -1604,9 +1613,29 @@ def join_domain_prior(
     :func:`domain_harmonic_centrality`'s ``harmonic``/…, or any
     ``(domain, score…)`` relation).
 
-    Scale shape: the prior is |domains|-sized — a few hundred MB at
-    full-crawl scale, vanishing against the corpus — so it BROADCASTS:
-    the corpus never shuffles (plan-pinned). The domain key evaluates
+    Scale shape: the prior is |domains|-sized and SMALL for most
+    graphs, so it broadcasts and the corpus never shuffles
+    (plan-pinned) — but "small" is not guaranteed (r14, review r13
+    item 3): a full-crawl prior is ~90M registered domains, and at
+    ~25 B of domain text + 8 B per double score + ~40 B of JVM
+    hash-relation overhead per row that is **3–5 GB** of broadcast
+    hash relation copied to the driver and EVERY executor — a forced
+    broadcast there is an OOM, not an optimization. ``broadcast``
+    gates it:
+
+    - ``"auto"`` (default): one bounded aggregate over the prior
+      (count + avg domain length) estimates the hash-relation size;
+      the prior broadcasts only under ``broadcast_ceiling_bytes``
+      (default 256 MB ≈ up to ~5M domains with a couple of scores),
+      else the join is left plain — AQE/Catalyst pick the shuffle
+      strategy, and a pre-bucketed prior avoids even that. The
+      estimate costs one small action; priors that are loop outputs
+      (``domain_pagerank``) end lineage-cut, so the action is a cheap
+      scan, not a re-iteration.
+    - ``True`` / ``False``: force / forbid the broadcast hint and skip
+      the estimate entirely.
+
+    The domain key evaluates
     in a fenced, exiled projection (janino discipline; the chain never
     fuses into a filter or the join). ``use_full_psl=True`` keys
     through the rules join instead — REQUIRED when the graph itself
@@ -1637,7 +1666,20 @@ def join_domain_prior(
                 _codegen_exile(registered_domain(url_col, psl=psl)),
             ),
         )
-    out = keyed.join(F.broadcast(p), "__prior_domain", "left").drop(
+    if broadcast == "auto":
+        est = p.agg(
+            F.count("*").alias("n"),
+            F.avg(F.length("__prior_domain")).alias("w"),
+        ).first()
+        n_rows = int(est["n"] or 0)
+        # per-row: domain text (2 B/char in the JVM) + 8 B per score +
+        # ~40 B of row/hash-table overhead
+        row_bytes = 2 * float(est["w"] or 0.0) + 8 * len(score_cols) + 40
+        do_broadcast = n_rows * row_bytes <= broadcast_ceiling_bytes
+    else:
+        do_broadcast = bool(broadcast)
+    right = F.broadcast(p) if do_broadcast else p
+    out = keyed.join(right, "__prior_domain", "left").drop(
         "__prior_domain"
     )
     if fill is not None:

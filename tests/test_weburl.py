@@ -1688,6 +1688,58 @@ class TestJoinDomainPrior:
         ]
         assert non_broadcast_exchanges == [], non_broadcast_exchanges
 
+    def test_broadcast_size_gate(self, spark):
+        """r14 (review r13 item 3): the broadcast is size-gated — a
+        small prior broadcasts, a prior over the ceiling (forced here
+        with a 1-byte ceiling; Catalyst's own auto-broadcast disabled
+        so the gate, not the statistics, decides) falls back to a
+        plain shuffle join, and broadcast=True/False force the choice
+        without running the estimate."""
+        from lantern_spark.operators.weburl import join_domain_prior
+
+        docs, prior = self._fixtures(spark)
+        plan_of = lambda d: (  # noqa: E731
+            d._jdf.queryExecution().executedPlan().toString()
+        )
+        # auto + small prior → broadcast (the estimate stays under the
+        # default 256 MB ceiling)
+        assert "BroadcastHashJoin" in plan_of(
+            join_domain_prior(docs, "url", prior)
+        )
+        thr = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(thr)
+        try:
+            spark.conf.set(thr, "-1")
+            # auto + over-ceiling prior → plain join, no broadcast
+            big = join_domain_prior(
+                docs, "url", prior, broadcast_ceiling_bytes=1
+            )
+            plan = plan_of(big)
+            assert "BroadcastHashJoin" not in plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            # broadcast=False forbids even for a tiny prior
+            assert "BroadcastHashJoin" not in plan_of(
+                join_domain_prior(docs, "url", prior, broadcast=False)
+            )
+            # broadcast=True forces despite Catalyst's disabled auto
+            # threshold and a zero ceiling (estimate skipped)
+            assert "BroadcastHashJoin" in plan_of(
+                join_domain_prior(
+                    docs, "url", prior, broadcast=True,
+                    broadcast_ceiling_bytes=0,
+                )
+            )
+        finally:
+            spark.conf.set(thr, old)
+        # gated plans still produce identical rows
+        got = {
+            r.doc_id: r.rank
+            for r in join_domain_prior(
+                docs, "url", prior, broadcast=False
+            ).collect()
+        }
+        assert got[1] == 0.4 and got[4] is None
+
     def test_full_psl_keying(self, spark):
         from lantern_spark.operators.weburl import (
             PSL_SNIPPET_PATH,
