@@ -117,34 +117,38 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
-def _partition_columns(path: str) -> list:
+def _partition_columns(path: str, fs=None) -> list:
     """Ordered ``col=value`` partition columns of a directory layout,
     walked from one leaf path (the Hive-layout convention Spark
     writes)."""
+    from lantern_spark._fsutil import LOCAL_FS
+
+    fs = fs or LOCAL_FS
     cols = []
     cur = path
     while True:
         subdirs = [
             d
-            for d in sorted(os.listdir(cur))
-            if "=" in d and os.path.isdir(os.path.join(cur, d))
+            for d in fs.listdir(cur)
+            if "=" in d and fs.isdir(fs.join(cur, d))
         ]
         if not subdirs:
             return cols
         cols.append(subdirs[0].split("=", 1)[0])
-        cur = os.path.join(cur, subdirs[0])
+        cur = fs.join(cur, subdirs[0])
 
 
-def recover_compaction(path: str) -> None:
-    """Self-heal after a compaction that crashed mid-swap (shared
-    machinery: ``_fsutil.recover_dir``), drop stale staging.
+def recover_compaction(path: str, fs=None) -> None:
+    """Self-heal after a compaction that crashed mid-publish (shared
+    machinery: ``_fsutil.vd_recover``), drop stale staging.
     Idempotent."""
-    import shutil
+    from lantern_spark._fsutil import LOCAL_FS, vd_recover
 
-    from lantern_spark._fsutil import recover_dir
-
-    recover_dir(path)
-    shutil.rmtree(path.rstrip("/") + "__compact", ignore_errors=True)
+    fs = fs or LOCAL_FS
+    vd_recover(path, fs)
+    if fs.supports_rename:
+        # pre-r14 staging name, cleared for old on-disk layouts
+        fs.rmtree(path.rstrip("/") + "__compact")
 
 
 def compact_small_files(
@@ -152,6 +156,7 @@ def compact_small_files(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     out_path: Optional[str] = None,
+    fs=None,
 ) -> dict:
     """Rewrite a parquet directory at ``target_file_bytes`` per file.
 
@@ -172,19 +177,37 @@ def compact_small_files(
     every pruned range read back into a full listing). Partition
     column types are read as-written (inference off) so a string
     ``__pt=2024-01-08`` stays a string through the rewrite.
+    ``fs`` (r14): an :class:`~lantern_spark._fsutil.FS` adapter for
+    the Python-side path operations (sizing walk, partition-column
+    detection, the publish). On a rename-less object store an IN-PLACE
+    compaction is refused — the plain-directory layout this function
+    swaps cannot be republished atomically without rename; pass
+    ``out_path`` (write-elsewhere-and-repoint is the caller's atomic
+    unit there) or keep compaction inside a versioned layout (the
+    streaming consolidators), whose generation-pointer publish exists
+    for exactly this.
+
     Returns {files_before, files_after, bytes, target_files}.
     """
-    recover_compaction(path)
+    from lantern_spark._fsutil import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    if out_path is None and not fs.supports_rename:
+        raise ValueError(
+            "in-place compaction needs an atomic directory swap, which "
+            "a rename-less store cannot provide: pass out_path= and "
+            "point readers at it, or use a generation-versioned layout"
+        )
+    recover_compaction(path, fs)
     total = 0
     files_before = 0
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                files_before += 1
-                total += os.path.getsize(os.path.join(root, fn))
+    for p, sz in fs.walk_files(path):
+        if p.endswith(".parquet"):
+            files_before += 1
+            total += sz
     n_files = max(1, math.ceil(total / max(1, target_file_bytes)))
     staged = out_path or (path.rstrip("/") + "__compact")
-    part_cols = _partition_columns(path)
+    part_cols = _partition_columns(path, fs)
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     old_infer = spark.conf.get(infer_key)
     try:
@@ -213,13 +236,10 @@ def compact_small_files(
     if out_path is None:
         from lantern_spark._fsutil import replace_dir
 
-        replace_dir(staged, path)
+        replace_dir(staged, path, fs)
         staged = path
     files_after = sum(
-        1
-        for _root, _dirs, files in os.walk(staged)
-        for fn in files
-        if fn.endswith(".parquet")
+        1 for p, _sz in fs.walk_files(staged) if p.endswith(".parquet")
     )
     return {
         "files_before": files_before,

@@ -28,12 +28,18 @@ Layout (``graph_path/``):
   within one checkpoint lineage; pairing the layout with a fresh
   checkpoint would re-read the whole source — refused loudly).
 
+Filesystem seam (r14, review r13 item 1): all Python-side path
+operations go through the injectable :class:`~lantern_spark._fsutil.
+FS` adapter; on a rename-less object store the consolidation publish
+is the generation-pointer commit and fragments land inside the
+committed generation (``vd_live``). Local default unchanged.
+
 Scale: per-batch work is bounded by the batch (the crawl is never
 rescanned); a fragment is |batch domains|² at most and typically tiny;
 consolidation is one shuffle over the edge table, amortized across
-``consolidate_every_fragments`` batches. Replay/ledger/swap machinery
-is shared with the BM25 stream — one audited implementation of the
-at-least-once discipline, not two.
+``consolidate_every_fragments`` batches. Replay/ledger/publish
+machinery is shared with the BM25 stream — one audited implementation
+of the at-least-once discipline, not two.
 """
 
 from __future__ import annotations
@@ -44,6 +50,14 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lantern_spark._fsutil import (
+    FS,
+    LOCAL_FS,
+    vd_commit,
+    vd_live,
+    vd_recover,
+    vd_stage,
+)
 from lantern_spark.streaming.bm25_stream import (
     _fragment_count,
     _mark_epoch,
@@ -58,18 +72,18 @@ __all__ = [
 ]
 
 
-def load_link_graph(spark: SparkSession, graph_path: str) -> DataFrame:
+def load_link_graph(
+    spark: SparkSession, graph_path: str, fs: FS = LOCAL_FS
+) -> DataFrame:
     """The live edge relation — correct at any fragmentation (edge
     counts re-sum on read). Feeds the graph operators directly. A
     layout with no fragments yet (job started, first batch pending)
     reads as an EMPTY edge relation rather than a path error — a
     monitoring query racing the first micro-batch is normal, not
     exceptional."""
-    edir = os.path.join(graph_path, "edges")
-    if not os.path.isdir(edir) or not any(
-        f.endswith(".parquet")
-        for _r, _d, fs in os.walk(edir)
-        for f in fs
+    edir = vd_live(fs.join(graph_path, "edges"), fs)
+    if not fs.isdir(edir) or not any(
+        p.endswith(".parquet") for p, _sz in fs.walk_files(edir)
     ):
         return spark.createDataFrame(
             [], "src_domain string, dst_domain string, n_links long"
@@ -80,38 +94,30 @@ def load_link_graph(spark: SparkSession, graph_path: str) -> DataFrame:
     )
 
 
-def recover_graph_path(graph_path: str) -> None:
-    """Self-heal a layout whose last consolidation crashed mid-swap
-    (shared ``_fsutil.recover_dir`` machinery). Idempotent; called at
+def recover_graph_path(graph_path: str, fs: FS = LOCAL_FS) -> None:
+    """Self-heal a layout whose last consolidation crashed mid-publish
+    (shared ``_fsutil.vd_recover`` machinery). Idempotent; called at
     consolidation and job start."""
-    import shutil
-
-    from lantern_spark._fsutil import recover_dir
-
-    recover_dir(os.path.join(graph_path, "edges"))
-    shutil.rmtree(
-        graph_path.rstrip("/") + "__consolidated", ignore_errors=True
-    )
+    vd_recover(fs.join(graph_path, "edges"), fs)
+    if fs.supports_rename:
+        # pre-r14 staging root name, cleared for old on-disk layouts
+        fs.rmtree(graph_path.rstrip("/") + "__consolidated")
 
 
-def consolidate_graph_path(spark: SparkSession, graph_path: str) -> None:
+def consolidate_graph_path(
+    spark: SparkSession, graph_path: str, fs: FS = LOCAL_FS
+) -> None:
     """Re-sum and rewrite the edge layout compacted: one groupBy over
-    the fragments, staged write + swap (recoverable ``__old`` backup
-    across the only non-atomic window — the worst post-crash state is
-    an unconsolidated layout, never a missing or double-counted
-    one)."""
-    import shutil
-
-    recover_graph_path(graph_path)
-    edges = load_link_graph(spark, graph_path)
-    staged = graph_path.rstrip("/") + "__consolidated"
-    edges.write.mode("overwrite").parquet(os.path.join(staged, "edges"))
-    from lantern_spark._fsutil import replace_dir
-
-    replace_dir(
-        os.path.join(staged, "edges"), os.path.join(graph_path, "edges")
-    )
-    shutil.rmtree(staged, ignore_errors=True)
+    the fragments, staged write + publish (the recoverable ``__old``
+    swap locally, the atomic generation-pointer PUT on rename-less
+    stores — the worst post-crash state is an unconsolidated layout,
+    never a missing or double-counted one)."""
+    recover_graph_path(graph_path, fs)
+    edges = load_link_graph(spark, graph_path, fs)
+    eroot = fs.join(graph_path, "edges")
+    staged = vd_stage(eroot, fs)
+    edges.write.mode("overwrite").parquet(staged)
+    vd_commit(eroot, staged, fs)
 
 
 def incremental_link_graph_job(
@@ -127,6 +133,7 @@ def incremental_link_graph_job(
     drop_self_edges: bool = True,
     consolidate_every_fragments: Optional[int] = 32,
     max_files_per_trigger: int = 4,
+    fs: FS = LOCAL_FS,
 ):
     """Start the continuous job. Returns (query, state);
     ``state["consolidations"]`` counts compaction runs. Drain with
@@ -138,17 +145,20 @@ def incremental_link_graph_job(
     from lantern_spark.operators.weburl import domain_link_graph
 
     state = {"batches": 0, "consolidations": 0}
-    recover_graph_path(graph_path)
+    recover_graph_path(graph_path, fs)
     import hashlib
     import json as _json
 
-    run_key = hashlib.md5(
-        os.path.realpath(checkpoint_path).encode()
-    ).hexdigest()[:12]
-    marker = os.path.join(graph_path, "_job.json")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            stored = _json.load(fh)
+    ckey = (
+        checkpoint_path
+        if "://" in checkpoint_path
+        else os.path.realpath(checkpoint_path)
+    )
+    run_key = hashlib.md5(ckey.encode()).hexdigest()[:12]
+    marker = fs.join(graph_path, "_job.json")
+    raw = fs.read_text(marker)
+    if raw is not None:
+        stored = _json.loads(raw)
         if stored.get("checkpoint_key") != run_key:
             raise ValueError(
                 f"graph layout {graph_path} is bound to a different "
@@ -157,9 +167,8 @@ def incremental_link_graph_job(
                 "the original checkpoint to resume)"
             )
     else:
-        os.makedirs(graph_path, exist_ok=True)
-        with open(marker, "w") as fh:
-            _json.dump({"checkpoint_key": run_key}, fh)
+        fs.makedirs(graph_path)
+        fs.write_text(marker, _json.dumps({"checkpoint_key": run_key}))
 
     stream = (
         spark.readStream.schema(source_schema)
@@ -171,7 +180,7 @@ def incremental_link_graph_job(
         if not batch_df.take(1):
             return
         eid = int(epoch_id)
-        if eid in _seen_epochs(graph_path):
+        if eid in _seen_epochs(graph_path, fs):
             return  # already written AND possibly consolidated away
         edges = domain_link_graph(
             batch_df,
@@ -182,16 +191,18 @@ def incremental_link_graph_job(
             use_full_psl=use_full_psl,
         )
         edges.write.mode("overwrite").parquet(
-            os.path.join(graph_path, "edges", f"batch_{eid}")
+            fs.join(
+                vd_live(fs.join(graph_path, "edges"), fs), f"batch_{eid}"
+            )
         )
-        _mark_epoch(graph_path, eid)
+        _mark_epoch(graph_path, eid, fs)
         state["batches"] += 1
         if (
             consolidate_every_fragments
-            and _fragment_count(graph_path, "edges")
+            and _fragment_count(graph_path, "edges", fs)
             >= consolidate_every_fragments
         ):
-            consolidate_graph_path(spark, graph_path)
+            consolidate_graph_path(spark, graph_path, fs)
             state["consolidations"] += 1
 
     query = (
