@@ -580,10 +580,17 @@ def connected_components(
         return spark.createDataFrame(
             rows, f"id {src_type}, comp {src_type}"
         )
+    # storage-mode leaf GC (r14): keep=2, NOT 1 — the convergence
+    # check below reads the PREVIOUS labels after the new cut has
+    # materialized, so the prior leaf must outlive one extra iteration
+    from lantern_spark.plans.lineage import CutChain
+
+    _chain = CutChain(keep=2)
     labels = cut_lineage(
         edges.select(F.col("src").alias("id"))
         .distinct()
-        .withColumn("comp", F.col("id"))
+        .withColumn("comp", F.col("id")),
+        chain=_chain,
     )
     for it in range(max_iter):
         nbr = (
@@ -618,7 +625,8 @@ def connected_components(
                 ),
             )
         )
-        jumped = cut_lineage(jumped)  # truncate lineage (see docstring)
+        # truncate lineage (see docstring); chained for leaf GC
+        jumped = cut_lineage(jumped, chain=_chain)
         check = it % 2 == 1 or it == max_iter - 1
         if check:
             changed = (

@@ -1332,6 +1332,13 @@ def domain_pagerank(
     # (the r11 shape's hidden cost).
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).persist()
     pending = [ranks]
+    # storage-mode leaf GC: each cut fully replaces the previous state,
+    # so the chain deletes the superseded leaf as soon as the next one
+    # materializes — a 20-iteration run holds ONE live state copy, not
+    # 20 (r14, review r13 item 2)
+    from lantern_spark.plans.lineage import CutChain
+
+    _chain = CutChain(keep=1)
     for i in range(int(iterations)):
         # dangling mass: total rank held by domains with no outlinks,
         # as a lazy 1-row aggregate cross-joined into the update
@@ -1373,7 +1380,7 @@ def domain_pagerank(
         ):
             from lantern_spark.plans.lineage import cut_lineage
 
-            new_ranks = cut_lineage(new_ranks, eager=True)
+            new_ranks = cut_lineage(new_ranks, eager=True, chain=_chain)
             for df_ in pending:
                 df_.unpersist()
             pending = []
@@ -1494,8 +1501,10 @@ def domain_harmonic_centrality(
     cut through :func:`~lantern_spark.plans.lineage.cut_lineage`
     every ``checkpoint_every`` hops, same cadence contract as
     :func:`domain_pagerank`."""
-    from lantern_spark.plans.lineage import cut_lineage
+    from lantern_spark.plans.lineage import CutChain, cut_lineage
 
+    # storage-mode leaf GC: state is fully replaced per hop (r14)
+    _chain = CutChain(keep=1)
     m = 1 << log2m
     e = edges
     if min_links > 1 and "n_links" in edges.columns:
@@ -1519,7 +1528,8 @@ def domain_harmonic_centrality(
             _hll_init("domain", log2m).alias("regs"),
         ).withColumn("est", _hll_estimate(F.col("regs"), log2m))
         .withColumn("harmonic", F.lit(0.0))
-        .withColumn("sumd", F.lit(0.0))
+        .withColumn("sumd", F.lit(0.0)),
+        chain=_chain,
     )
     zero = F.array_repeat(F.lit(0), m)
     for r in range(1, int(max_hops) + 1):
@@ -1574,7 +1584,7 @@ def domain_harmonic_centrality(
         if r == int(max_hops) or (
             checkpoint_every and r % int(checkpoint_every) == 0
         ):
-            stepped = cut_lineage(stepped, eager=True)
+            stepped = cut_lineage(stepped, eager=True, chain=_chain)
         state = stepped
     e.unpersist()
     return state.select(

@@ -35,7 +35,11 @@ construction. This module is the Spark-native equivalent seam:
   so ``eager=False`` is honored by the other two modes only (the
   semantics — results — are identical; laziness is a scheduling
   optimization that lets Spark share the first materialization
-  across jobs).
+  across jobs). Leaf growth is bounded by :class:`CutChain` (r14):
+  the package's state-replacement loops thread a chain through their
+  cuts, deleting each superseded leaf once the next materializes, so
+  a 20-iteration loop holds ``keep`` (1-2) live copies, not 20;
+  ``clear_storage_cuts(dir)`` sweeps finished jobs' final leaves.
 
 The tradeoff table lives in SCALE.md §checkpointing. Results are
 mode-invariant by contract — pinned in tests/test_lineage.py, which
@@ -54,7 +58,9 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "CHECKPOINT_MODES",
+    "CutChain",
     "checkpoint_mode",
+    "clear_storage_cuts",
     "cut_lineage",
     "get_checkpoint_mode",
     "set_checkpoint_mode",
@@ -107,12 +113,100 @@ def checkpoint_mode(mode: str, dir: Optional[str] = None):
         set_checkpoint_mode(prev[0], prev[1])
 
 
-def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+def _leaf_fs(path: str):
+    """FS adapter for deleting a storage-cut leaf: the local default
+    for plain paths, the pyarrow adapter for URI dirs (the Spark job
+    wrote the leaf through its Hadoop connector; the driver-side
+    delete needs the object-store API)."""
+    from lantern_spark import _fsutil
+
+    if "://" in path:
+        return _fsutil.ArrowFS(path)
+    return _fsutil.LOCAL_FS
+
+
+class CutChain:
+    """Garbage collection for storage-mode cut leaves in
+    STATE-REPLACEMENT loops (r14, review r13 item 2).
+
+    Storage-mode :func:`cut_lineage` writes one parquet leaf per cut
+    and, alone, never removes any — a 20-iteration PageRank leaks 19
+    dead copies of its state under ``dir``. A loop that REPLACES its
+    state each iteration threads a chain through its cuts; once a new
+    cut materializes, leaves beyond the newest ``keep`` are deleted
+    (best-effort — a failed delete never fails the job).
+
+    ``keep=1`` (default) retains only the live state: right for loops
+    where nothing references the previous state once the next cut
+    exists (``domain_pagerank``, ``domain_harmonic_centrality``).
+    ``keep=2`` retains the previous leaf too: REQUIRED when the loop
+    still reads the prior state after cutting the new one (a
+    convergence check joining new against old —
+    ``connected_components``). Growth is bounded at ``keep`` copies
+    instead of one per iteration.
+
+    NOT for accumulating shapes: ``expand_seed_domains`` unions EVERY
+    hop's cut into its result, so all its leaves stay live until the
+    result is consumed — it deliberately takes no chain (hops are 1-3;
+    clean up with :func:`clear_storage_cuts` between jobs).
+
+    Explicit cleanup: ``release()`` deletes ALL retained leaves,
+    including the one backing the final DataFrame — call it (or use
+    the chain as a context manager, which releases on exit) only after
+    the loop's result has been consumed or persisted elsewhere. In
+    ``local``/``reliable`` modes the chain is inert (no files of ours
+    to collect; Spark's ContextCleaner owns reliable checkpoints —
+    set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at
+    session build, or point the dir at a TTL'd bucket)."""
+
+    def __init__(self, keep: int = 1):
+        self.keep = max(1, int(keep))
+        self._leaves: list = []
+
+    def _register(self, leaf: str) -> None:
+        self._leaves.append(leaf)
+        while len(self._leaves) > self.keep:
+            self._drop(self._leaves.pop(0))
+
+    @staticmethod
+    def _drop(leaf: str) -> None:
+        try:
+            _leaf_fs(leaf).rmtree(leaf)
+        except Exception:
+            pass  # best-effort: a failed delete must never fail the job
+
+    def release(self) -> None:
+        while self._leaves:
+            self._drop(self._leaves.pop())
+
+    def __enter__(self) -> "CutChain":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def clear_storage_cuts(dir: str) -> None:
+    """Delete every ``cut-*`` leaf under ``dir`` — the between-jobs
+    sweep for storage-mode checkpoint dirs (chains bound growth DURING
+    a loop; the final leaf of each loop backs its result DataFrame and
+    outlives the call, so the dir still accumulates one leaf per
+    completed job until swept)."""
+    fs = _leaf_fs(dir)
+    for name in fs.listdir(dir):
+        if name.startswith("cut-"):
+            fs.rmtree(fs.join(dir, name))
+
+
+def cut_lineage(
+    df: DataFrame, eager: bool = True, chain: Optional[CutChain] = None
+) -> DataFrame:
     """Materialization boundary under the configured strategy: returns
     a DataFrame with the SAME rows whose plan no longer references
     ``df``'s lineage. Drop-in for ``df.localCheckpoint(eager)`` at
     every site in the package; see the module docstring for the
-    mode-by-mode durability contract."""
+    mode-by-mode durability contract. ``chain`` (storage mode only)
+    garbage-collects superseded leaves — see :class:`CutChain`."""
     mode, cdir = get_checkpoint_mode()
     if mode == "local":
         return df.localCheckpoint(eager=eager)
@@ -133,4 +227,6 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         cdir, f"cut-{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
     )
     df.write.mode("error").parquet(leaf)
+    if chain is not None:
+        chain._register(leaf)
     return df.sparkSession.read.parquet(leaf)

@@ -178,6 +178,82 @@ class TestModeInvariance:
             assert cuts, "storage mode wrote no staged cuts"
         edges.unpersist()
 
+    def test_storage_leaf_gc_bounds_growth(self, spark, tmp_path):
+        """r14 (review r13 item 2): storage mode must not leak one
+        state copy per cut. After a 6-hop harmonic AND a 20-iteration
+        pagerank against the same dir, at most 2 cut-* leaves are
+        live (ONE final state per loop — superseded leaves are
+        chain-deleted as each next cut materializes), and the results
+        remain collectable from their surviving leaves."""
+        from lantern_spark.operators.weburl import (
+            domain_harmonic_centrality,
+            domain_link_graph,
+            domain_pagerank,
+        )
+
+        edges = domain_link_graph(_pages(spark), "url", "html").cache()
+        sto = str(tmp_path / "gc_ckpt")
+        with checkpoint_mode("storage", dir=sto):
+            harm = domain_harmonic_centrality(
+                edges, max_hops=6, log2m=6, checkpoint_every=1
+            )
+            h_rows = _rows(harm, float_round=9)
+            pr = domain_pagerank(
+                edges, iterations=20, checkpoint_every=1
+            )
+            p_rows = _rows(pr, float_round=9)
+            cuts = [p for p in os.listdir(sto) if p.startswith("cut-")]
+            assert len(cuts) <= 2, f"leaked leaves: {cuts}"
+            # results still live off their final leaves
+            assert _rows(harm, float_round=9) == h_rows
+            assert _rows(pr, float_round=9) == p_rows
+            # the between-jobs sweep clears the final leaves too
+            from lantern_spark.plans.lineage import clear_storage_cuts
+
+            clear_storage_cuts(sto)
+            assert [
+                p for p in os.listdir(sto) if p.startswith("cut-")
+            ] == []
+        edges.unpersist()
+
+    def test_storage_leaf_gc_connected_components(self, spark, tmp_path):
+        """CC's convergence check reads the PREVIOUS labels after the
+        new cut materializes, so its chain keeps 2 leaves — bounded,
+        and the prior leaf must NOT be deleted early (a keep=1 chain
+        would make the check read a vanished leaf)."""
+        from lantern_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+            "id_a long, id_b long",
+        )
+        sto = str(tmp_path / "cc_ckpt")
+        with checkpoint_mode("storage", dir=sto):
+            got = _rows(connected_components(pairs, local_threshold=0))
+            # edges cut (unchained, referenced all loop) + <=2 chained
+            cuts = [p for p in os.listdir(sto) if p.startswith("cut-")]
+            assert len(cuts) <= 3, f"leaked leaves: {cuts}"
+        assert got == self._cc_rows(spark)
+
+    def test_chain_release_and_context_exit(self, spark, tmp_path):
+        from lantern_spark.plans.lineage import CutChain
+
+        sto = str(tmp_path / "rel_ckpt")
+        df = spark.range(8)
+        with checkpoint_mode("storage", dir=sto):
+            with CutChain() as ch:
+                out = cut_lineage(df, chain=ch)
+                assert out.count() == 8
+                assert len(os.listdir(sto)) == 1
+            # context exit released the final leaf too
+            assert [
+                p for p in os.listdir(sto) if p.startswith("cut-")
+            ] == []
+            # chains are inert outside storage mode
+        with CutChain() as ch2:
+            local_cut = cut_lineage(df, chain=ch2)
+            assert local_cut.count() == 8
+
     def test_simhash_near_pairs_mode_invariant(self, spark, tmp_path):
         from lantern_spark.operators.dedup import (
             simhash_docs,
