@@ -55,6 +55,7 @@ HEADLINE = [
     "simhash_near_pairs",
     "domain_link_graph_edges",
     "seed_expansion_hops",
+    "doc_domain_hop_prior",
     "text_stats_all",
     "token_counts",
     "asof_purchase_attribution",
@@ -190,6 +191,12 @@ def main() -> None:
     # wet_documents_docs / packed_ids_export in
     qs.setdefault("events_rollup_type_hour", events_rollup_type_hour)
     qs.setdefault("pq_adc_topk", pq_adc_topk)
+    # r14 swap: bloom_term_postings retired from the oracle roster
+    # (bm25_approx_top20 hashes the same bloom kernels in a stricter
+    # ranked-search oracle); doc_domain_hop_prior in. Stays timed.
+    from lantern_spark.queries.text import bloom_term_postings
+
+    qs.setdefault("bloom_term_postings", bloom_term_postings)
     # r12 swap: ivf_fullprobe_top10 out (exactness subsumed by
     # knn_l2sq_top10, round-trip by ivf_pruned/lifecycle),
     # domain_link_graph_edges in. r13 (advice): its timing moved OUT
@@ -199,8 +206,10 @@ def main() -> None:
     # r11's 42 keys minus ivf_fullprobe_top10 plus
     # domain_link_graph_edges plus seed_expansion_hops (the r13 roster
     # row; dist_l1_inner_all retired in its favor was never a headline
-    # entry); cross-round totals compare on the intersection of keys,
-    # per BASELINE adjudication.
+    # entry). r14 adds doc_domain_hop_prior headline;
+    # bloom_term_postings stays a headline key though roster-retired,
+    # so the r14 composition only GROWS the series. Cross-round totals
+    # compare on the intersection of keys, per BASELINE adjudication.
 
     # Untimed warmup: initialize codegen/Arrow and touch every table's
     # footer so per-query timings reflect steady state, not first-JVM

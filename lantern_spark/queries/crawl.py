@@ -256,6 +256,18 @@ _LG_HOSTS = [
 _LG_AUTH = r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/@?#]*@)?([^/?#]*)"
 
 
+def _lg_url() -> F.Column:
+    """The fixture's synthesized per-doc URL (host[doc_id%6]) — ONE
+    definition shared by the page fixture and the hop-prior roster
+    row, so the two cannot drift."""
+    d = F.col("doc_id").cast("long")
+    hosts = F.array(*[F.lit(h) for h in _LG_HOSTS])
+    host = F.element_at(hosts, (d % 6).cast("int") + 1)
+    return F.concat(
+        F.lit("https://"), host, F.lit("/p/"), (d % 10).cast("string")
+    )
+
+
 def _lg_pages(spark, sf_dir):
     """Deterministic per-doc page: a URL on host[doc_id%6] and an HTML
     body with 1-4 <a href> links derived from doc_id arithmetic —
@@ -267,12 +279,9 @@ def _lg_pages(spark, sf_dir):
     noise (#fragment, mailto)."""
     d = F.col("doc_id").cast("long")
     hosts = F.array(*[F.lit(h) for h in _LG_HOSTS])
-    host = F.element_at(hosts, (d % 6).cast("int") + 1)
     t1 = F.element_at(hosts, ((d + 1) % 6).cast("int") + 1)
     t2 = F.element_at(hosts, ((d + 2) % 6).cast("int") + 1)
-    url = F.concat(
-        F.lit("https://"), host, F.lit("/p/"), (d % 10).cast("string")
-    )
+    url = _lg_url()
     html = F.concat(
         F.lit("<html><body><p>corpus page</p>"),
         F.lit('<a href="https://'), t1, F.lit('/x?a=1&amp;b=2">l1</a>'),
@@ -457,6 +466,71 @@ def seed_expansion_hops(spark, sf_dir):
     return expand_seed_domains(
         edges, [_SEED], hops=_SEED_HOPS, direction="out"
     )
+
+
+def _hop_prior_oracle_sql() -> str:
+    """The document-join oracle (r14, review r13 item 5): the
+    recursive-CTE hop walk (nested over the hash-checked edge oracle)
+    LEFT-joined onto every document through the SAME eTLD+1 CASE the
+    edge oracle keys with — an independent relational replay of
+    ``join_domain_prior``'s keying + left-join + NULL contract."""
+    edges = _lg_oracle_sql()
+    hosts = ", ".join(f"'{h}'" for h in _LG_HOSTS)
+    return f"""
+    WITH RECURSIVE edges AS ({edges}),
+    walk(domain, hop) AS (
+      SELECT '{_SEED}' AS domain, 0 AS hop
+      UNION ALL
+      SELECT e.dst_domain, w.hop + 1
+      FROM walk w JOIN edges e ON e.src_domain = w.domain
+      WHERE w.hop < {_SEED_HOPS}
+    ),
+    hops AS (
+      SELECT domain, MIN(hop)::INT AS hop FROM walk GROUP BY domain),
+    keyed AS (
+      SELECT doc_id, {_lg_domain_case('host', 'labels')} AS domain
+      FROM (
+        SELECT doc_id, host, string_split(host, '.') AS labels
+        FROM (
+          SELECT doc_id,
+                 ([{hosts}])[(doc_id % 6)::INT + 1] AS host
+          FROM documents)))
+    SELECT k.doc_id, h.hop
+    FROM keyed k LEFT JOIN hops h USING (domain)
+    """
+
+
+@register("doc_domain_hop_prior", _hop_prior_oracle_sql())
+def doc_domain_hop_prior(spark, sf_dir):
+    """Graph scores joined back onto DOCUMENTS — the step the whole
+    crawl-graph family feeds (operators/weburl.join_domain_prior),
+    promoted to a driver-hash row over an INTEGER prior (r14, review
+    r13 item 5): pages → domain_link_graph → expand_seed_domains hop
+    labels → join_domain_prior keys every document's URL to its
+    registered domain (fenced/exiled curated-PSL chain) and LEFT-joins
+    the hop. Hash-green means the keying, the size-gated broadcast
+    join, and the NULL-for-unranked contract all agree with an
+    independent recursive-CTE + eTLD+1-CASE replay in DuckDB. Scalar
+    columns only: (doc_id, hop), hop NULL where the domain is outside
+    the 2-hop seed neighborhood."""
+    from lantern_spark.operators.weburl import (
+        domain_link_graph,
+        expand_seed_domains,
+        join_domain_prior,
+    )
+
+    edges = domain_link_graph(_lg_pages(spark, sf_dir), "url", "html")
+    hops = expand_seed_domains(
+        edges, [_SEED], hops=_SEED_HOPS, direction="out"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select("doc_id", _lg_url().alias("url"))
+    )
+    return join_domain_prior(
+        docs, "url", hops, domain_col="domain", score_cols=["hop"]
+    ).select("doc_id", "hop")
 
 
 @register("domain_link_graph_edges", _lg_oracle_sql())

@@ -301,27 +301,21 @@ def bm25_consolidated_top20(spark, sf_dir):
     )
 
 
-@register(
-    "bloom_term_postings",
-    f"""
-    WITH postings AS (
-      SELECT term, doc_id FROM (
-        SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
-      ) GROUP BY term, doc_id
-    ),
-    top_terms AS (
-      SELECT term, count(*)::BIGINT AS n_docs
-      FROM postings GROUP BY term ORDER BY n_docs DESC, term LIMIT 10
-    )
-    SELECT term, n_docs, n_docs AS member_hits
-    FROM top_terms ORDER BY n_docs DESC, term
-    """,
-)
 def bloom_term_postings(spark, sf_dir):
     """Per-term doc-id blooms for the 10 hottest terms (array_to_bloom
     analog, bloom.rs:46-60), verified end-to-end by the no-false-negative
     contract: probing every member id must hit, so member_hits == n_docs
     — which IS the oracle-checkable value.
+
+    Retired from the oracle roster in r14 (50-query driver cap, the
+    standing r12/r13 suggestion): ``bm25_approx_top20`` subsumes its
+    semantics — the bloom prefilter tier hashes the SAME
+    array_to_bloom/bloom_member_hits kernels inside a ranked search
+    whose oracle is stricter (scores, not just membership counts), and
+    the no-false-negative contract stays pinned directly in
+    tests/test_bloomset.py. Its slot funds ``doc_domain_hop_prior``,
+    the graph→documents join layer's first driver-hash row (review
+    r13 item 5). Kept callable and still TIMED in bench.py.
 
     Probe shape: ONE vectorized (bloom, doc_ids) → hit-count call per
     term; the serialized bloom never rides an exploded per-id row (that

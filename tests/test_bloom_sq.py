@@ -116,9 +116,11 @@ class TestBloom:
         carries the O(n)-byte serialized bloom once per member row
         (O(n²) bytes per hot term at scale). One Generate (tokenize)
         is expected; none may appear downstream of the bloom column."""
-        from lantern_spark.registry import queries
+        # direct import — roster-retired in r14 (bm25_approx_top20
+        # hashes the same bloom kernels), still bench-timed
+        from lantern_spark.queries.text import bloom_term_postings
 
-        df = queries()["bloom_term_postings"](spark, sf_dir)
+        df = bloom_term_postings(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         # the only explode in the plan is the term tokenizer, which
         # runs BEFORE blooms exist; no explode may consume doc_ids
