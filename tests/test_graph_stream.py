@@ -185,6 +185,45 @@ class TestGraphStream:
         os.makedirs(os.path.join(gp, "edges"))  # dir exists, no files
         assert load_link_graph(spark, gp).count() == 0
 
+    def test_storage_checkpoint_mode_reaches_foreachbatch(
+        self, spark, tmp_path
+    ):
+        """r14 (review r13 item 6): the lineage-cut policy is
+        process-global ON PURPOSE — foreachBatch callbacks run on
+        their own driver threads, and a thread-local would silently
+        revert them to non-durable localCheckpoint after the user
+        opted into durability. Proof: a graph stream started under
+        storage mode writes its per-batch cuts into the configured
+        dir FROM the foreachBatch thread, and the edges match a
+        local-mode batch build exactly."""
+        from lantern_spark.operators.weburl import domain_link_graph
+        from lantern_spark.plans.lineage import checkpoint_mode
+
+        src = tmp_path / "src"
+        src.mkdir()
+        gp = str(tmp_path / "graph")
+        sto = str(tmp_path / "durable_cuts")
+        spark.createDataFrame(_pages(0, 16), SCHEMA).repartition(
+            1
+        ).write.mode("overwrite").parquet(str(src / "b0"))
+        with checkpoint_mode("storage", dir=sto):
+            q, state = incremental_link_graph_job(
+                spark, gp, str(src) + "/*", SCHEMA, "url", "html",
+                str(tmp_path / "chk"),
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        assert state["batches"] == 1
+        cuts = [p for p in os.listdir(sto) if p.startswith("cut-")]
+        assert cuts, "storage policy did not reach the foreachBatch thread"
+        assert _edge_map(load_link_graph(spark, gp)) == _edge_map(
+            domain_link_graph(
+                spark.createDataFrame(_pages(0, 16), SCHEMA), "url", "html"
+            )
+        )
+
     def test_feeds_graph_operators(self, spark, tmp_path):
         from lantern_spark.operators.weburl import (
             domain_pagerank,
