@@ -119,6 +119,20 @@ class FS:
     def rmtree(self, path: str) -> None:
         raise NotImplementedError
 
+    def copy_file(self, src: str, dst: str) -> None:
+        """Server-side object copy where the backend has one (S3/GCS
+        do); local byte copy otherwise."""
+        raise NotImplementedError
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        """Per-object copy of everything under ``src`` — the
+        rename-less substitute for moving a directory into a staged
+        layout (bounded: callers only copy single epoch fragments)."""
+        pre = src.rstrip("/") + "/"
+        for p, _sz in list(self.walk_files(src)):
+            rel = p[len(pre):] if p.startswith(pre) else p.rsplit("/", 1)[-1]
+            self.copy_file(p, self.join(dst, rel))
+
     def join(self, *parts: str) -> str:
         return "/".join(p.rstrip("/") for p in parts if p)
 
@@ -177,6 +191,10 @@ class LocalFS(FS):
 
     def rmtree(self, path):
         shutil.rmtree(path, ignore_errors=True)
+
+    def copy_file(self, src, dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
 
 
 class RenamelessFS(LocalFS):
@@ -278,6 +296,16 @@ class ArrowFS(FS):
             self._fs.delete_dir(self._p(path))
         except (FileNotFoundError, OSError):
             pass
+
+    def copy_file(self, src, dst):
+        d = self._p(dst)
+        if "/" in d:
+            # no-op on object stores; real dir creation on local/HDFS
+            try:
+                self._fs.create_dir(d.rsplit("/", 1)[0], recursive=True)
+            except OSError:
+                pass
+        self._fs.copy_file(self._p(src), d)
 
 
 LOCAL_FS = LocalFS()

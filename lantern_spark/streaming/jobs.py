@@ -76,9 +76,12 @@ class JobRegistry:
     restart: records reload, queries restart via :meth:`resume`); the
     handle map is runtime state."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs=None):
+        from lantern_spark._fsutil import LOCAL_FS
+
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._fs = fs or LOCAL_FS  # r14: object-store seam
+        self._fs.makedirs(root)
         self._queries: Dict[int, object] = {}  # live StreamingQuery
 
     # -- persistence ---------------------------------------------------
@@ -87,16 +90,17 @@ class JobRegistry:
         return os.path.join(self.root, "jobs.json")
 
     def _load(self) -> List[JobRecord]:
-        if not os.path.exists(self._file()):
+        raw = self._fs.read_text(self._file())
+        if raw is None:
             return []
-        with open(self._file()) as f:
-            return [JobRecord(**r) for r in json.load(f)]
+        return [JobRecord(**r) for r in json.loads(raw)]
 
     def _save(self, records: List[JobRecord]) -> None:
-        tmp = self._file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump([asdict(r) for r in records], f, indent=2)
-        os.replace(tmp, self._file())
+        # atomic publish: tmp+rename locally, single-object PUT on
+        # object stores (the jobs table is ONE small JSON object)
+        self._fs.write_text(
+            self._file(), json.dumps([asdict(r) for r in records], indent=2)
+        )
 
     def _update(self, job_id: int, **fields) -> JobRecord:
         records = self._load()

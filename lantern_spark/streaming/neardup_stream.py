@@ -55,7 +55,6 @@ scans that DO happen read compacted files.
 from __future__ import annotations
 
 import logging
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -102,23 +101,32 @@ def _band_keys(
     )
 
 
-def load_neardup_survivors(spark: SparkSession, path: str) -> DataFrame:
+def load_neardup_survivors(
+    spark: SparkSession, path: str, fs=None
+) -> DataFrame:
     """All surviving docs written so far (epoch subdirectories)."""
+    from lantern_spark._fsutil import LOCAL_FS, vd_live
+
+    fs = fs or LOCAL_FS
     return spark.read.option("recursiveFileLookup", "true").parquet(
-        os.path.join(path, "docs")
+        vd_live(fs.join(path, "docs"), fs)
     )
 
 
 def consolidate_neardup_store(
-    spark: SparkSession, path: str, exclude_epoch: Optional[int] = None
+    spark: SparkSession,
+    path: str,
+    exclude_epoch: Optional[int] = None,
+    fs=None,
 ) -> None:
     """Compact the per-epoch fragments (the small-file problem of any
     epoch-append layout — the bm25_stream consolidation analog): docs
     and buckets each rewrite as one ``batch_consolidated`` directory
-    via staged write + ``replace_dir`` swap (recoverable ``__old``
-    backup across the only non-atomic window; :func:`recover_dir` at
-    job start restores a crashed swap). Contents are unchanged —
-    reads go through ``recursiveFileLookup`` either way.
+    via staged write + publish (``_fsutil.vd_commit`` — the
+    recoverable ``__old`` swap locally, the atomic generation-pointer
+    PUT on rename-less stores; ``vd_recover`` at job start heals a
+    crash on either side). Contents are unchanged — reads go through
+    ``recursiveFileLookup`` either way.
 
     ``exclude_epoch``: leave that epoch's ``batch_<epoch>`` directory
     standalone (copied into the staged layout, not folded). The
@@ -128,37 +136,41 @@ def consolidate_neardup_store(
     folding it first would leave its rows duplicated in
     ``batch_consolidated``. Out-of-band (no ``exclude_epoch``) is the
     full compaction: run it only while the stream is stopped."""
-    import shutil
+    from lantern_spark._fsutil import (
+        LOCAL_FS,
+        vd_commit,
+        vd_live,
+        vd_recover,
+        vd_stage,
+    )
 
-    from lantern_spark._fsutil import recover_dir, replace_dir
-
+    fs = fs or LOCAL_FS
     keep = (
         f"batch_{exclude_epoch}" if exclude_epoch is not None else None
     )
     for sub in ("docs", "buckets"):
-        live = os.path.join(path, sub)
-        recover_dir(live)
-        if not os.path.isdir(live):
+        root = fs.join(path, sub)
+        vd_recover(root, fs)
+        live = vd_live(root, fs)
+        if not fs.isdir(live):
             continue
         srcs = [
-            os.path.join(live, n)
-            for n in sorted(os.listdir(live))
+            fs.join(live, n)
+            for n in fs.listdir(live)
             if n.startswith("batch_") and n != keep
         ]
         if len(srcs) < 2:
             continue
-        staged = live.rstrip("/") + "__staged"
-        shutil.rmtree(staged, ignore_errors=True)
+        staged = vd_stage(root, fs)
+        fs.rmtree(staged)
         (
             spark.read.parquet(*srcs)
             .write.mode("overwrite")
-            .parquet(os.path.join(staged, "batch_consolidated"))
+            .parquet(fs.join(staged, "batch_consolidated"))
         )
-        if keep is not None and os.path.isdir(os.path.join(live, keep)):
-            shutil.copytree(
-                os.path.join(live, keep), os.path.join(staged, keep)
-            )
-        replace_dir(staged, live)
+        if keep is not None and fs.isdir(fs.join(live, keep)):
+            fs.copy_tree(fs.join(live, keep), fs.join(staged, keep))
+        vd_commit(root, staged, fs)
 
 
 def incremental_neardup_job(
@@ -179,6 +191,7 @@ def incremental_neardup_job(
     bloom_k: int = 7,
     bloom_max_fill_ratio: Optional[float] = 0.95,
     bloom_resize_fill_ratio: Optional[float] = 0.5,
+    fs=None,
 ):
     """Start the gate; returns the StreamingQuery.
 
@@ -217,18 +230,27 @@ def incremental_neardup_job(
     Gate semantics are unchanged either way: the Bloom set has no
     false negatives at ANY size, so a resize can never admit a
     duplicate — sizing only tunes how often a collision-free batch
-    pays a pointless history scan."""
-    from lantern_spark._fsutil import recover_dir
+    pays a pointless history scan.
 
+    ``fs`` (r14): the injectable filesystem adapter — on a rename-less
+    object store every staged publish (consolidation, bloom folds and
+    resizes) degrades to the generation-pointer commit; local default
+    unchanged. See ``_fsutil``."""
+    from lantern_spark._fsutil import LOCAL_FS, vd_live, vd_recover
+
+    fs = fs or LOCAL_FS
     spark = stream_df.sparkSession
     for sub in ("docs", "buckets", "bloom"):
-        recover_dir(os.path.join(store_path, sub))
+        vd_recover(fs.join(store_path, sub), fs)
+
+    def _live(sub: str) -> str:
+        return vd_live(fs.join(store_path, sub), fs)
 
     def _fragments(sub: str) -> int:
-        d = os.path.join(store_path, sub)
-        if not os.path.isdir(d):
+        d = _live(sub)
+        if not fs.isdir(d):
             return 0
-        return sum(1 for n in os.listdir(d) if n.startswith("batch_"))
+        return sum(1 for n in fs.listdir(d) if n.startswith("batch_"))
 
     def _epoch_dirs(sub: str, epoch: int) -> list:
         """Committed store fragments — every ``batch_*`` directory
@@ -238,26 +260,27 @@ def incremental_neardup_job(
         (Jaccard 1.0), empty the survivor set, and let the epoch
         overwrite erase the batch — the exact data-loss the
         idempotence contract forbids."""
-        d = os.path.join(store_path, sub)
-        if not os.path.isdir(d):
+        d = _live(sub)
+        if not fs.isdir(d):
             return []
         skip = f"batch_{epoch}"
         return [
-            os.path.join(d, n)
-            for n in sorted(os.listdir(d))
+            fs.join(d, n)
+            for n in fs.listdir(d)
             if n.startswith("batch_") and n != skip
         ]
 
-    bloom_dir = os.path.join(store_path, "bloom")
-    bloom_params_path = os.path.join(store_path, "bloom_params.json")
+    bloom_root = fs.join(store_path, "bloom")
+    bloom_params_path = fs.join(store_path, "bloom_params.json")
     _bkey = F.concat_ws(
         "\x1f", F.col("band").cast("string"), F.col("key")
     ).alias("__bk")
 
     def _have_bloom() -> bool:
-        return os.path.isdir(bloom_dir) and any(
+        d = _live("bloom")
+        return fs.isdir(d) and any(
             n.endswith(".parquet") or n.startswith("part-")
-            for n in os.listdir(bloom_dir)
+            for n in fs.listdir(d)
         )
 
     _bloom_params = {
@@ -267,18 +290,20 @@ def incremental_neardup_job(
     }
 
     def _committed_fragments() -> list:
-        d = os.path.join(store_path, "buckets")
-        if not os.path.isdir(d):
+        d = _live("buckets")
+        if not fs.isdir(d):
             return []
-        return sorted(n for n in os.listdir(d) if n.startswith("batch_"))
+        return sorted(n for n in fs.listdir(d) if n.startswith("batch_"))
 
     def _write_bloom_manifest() -> None:
         import json
 
-        with open(bloom_params_path, "w") as fh:
-            json.dump(
-                {**_bloom_params, "covered": _committed_fragments()}, fh
-            )
+        fs.write_text(
+            bloom_params_path,
+            json.dumps(
+                {**_bloom_params, "covered": _committed_fragments()}
+            ),
+        )
 
     def _check_bloom_params() -> None:
         """A persisted filter built with different (m_bits, shards, k)
@@ -296,16 +321,15 @@ def incremental_neardup_job(
         a fold done by a prefilter-off run shows up here as an
         uncovered name → rebuild, safe.)"""
         import json
-        import shutil
 
         if not _have_bloom():
             return
         stored = None
-        if os.path.isfile(bloom_params_path):
+        raw = fs.read_text(bloom_params_path)
+        if raw is not None:
             try:
-                with open(bloom_params_path) as fh:
-                    stored = json.load(fh)
-            except (OSError, ValueError):
+                stored = json.loads(raw)
+            except ValueError:
                 stored = None
         # r11: a GROWN filter (resize-on-saturation) is valid — adopt
         # its m_bits when it is a power-of-two multiple of the
@@ -332,11 +356,10 @@ def incremental_neardup_job(
         if ok:
             _bloom_params["m_bits"] = int(stored_m)
         else:
-            shutil.rmtree(bloom_dir, ignore_errors=True)
-            try:
-                os.remove(bloom_params_path)
-            except OSError:
-                pass
+            # drop the whole versioned bloom layout (generations +
+            # pointer alike) — the filter is rebuildable state
+            fs.rmtree(bloom_root)
+            fs.delete_file(bloom_params_path)
 
     if bloom_prefilter:
         _check_bloom_params()
@@ -350,7 +373,7 @@ def incremental_neardup_job(
 
         flags = probe_bloom_set(
             keys_df.select(_bkey),
-            spark.read.parquet(bloom_dir),
+            spark.read.parquet(_live("bloom")),
             "__bk",
             n_shards=bloom_shards,
             m_bits=_bloom_params["m_bits"],
@@ -369,11 +392,9 @@ def incremental_neardup_job(
         is idempotent, so a replayed epoch re-folding the same keys
         is a no-op; ``bootstrap_paths`` seeds the filter from a
         pre-existing store the first time the prefilter runs."""
-        import shutil
-
         import pandas as pd
 
-        from lantern_spark._fsutil import replace_dir
+        from lantern_spark._fsutil import vd_commit, vd_stage
         from lantern_spark.operators.bloomset import build_bloom_set
 
         src = new_keys_df.select(_bkey)
@@ -386,7 +407,7 @@ def incremental_neardup_job(
             m_bits=_bloom_params["m_bits"], k=bloom_k,
         )
         if _have_bloom():
-            delta = spark.read.parquet(bloom_dir).unionByName(delta)
+            delta = spark.read.parquet(_live("bloom")).unionByName(delta)
         out_schema = "shard int, bits binary"
 
         def or_fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -403,13 +424,10 @@ def incremental_neardup_job(
         merged = delta.groupBy("shard").applyInPandas(
             or_fold, out_schema
         )
-        staged = bloom_dir.rstrip("/") + "__staged"
-        shutil.rmtree(staged, ignore_errors=True)
+        staged = vd_stage(bloom_root, fs)
+        fs.rmtree(staged)
         merged.write.mode("overwrite").parquet(staged)
-        if os.path.isdir(bloom_dir):
-            replace_dir(staged, bloom_dir)
-        else:
-            os.rename(staged, bloom_dir)
+        vd_commit(bloom_root, staged, fs)
         # coverage = every committed fragment now on disk: the filter
         # either bootstrapped them or covered them per the setup check
         _write_bloom_manifest()
@@ -423,9 +441,7 @@ def incremental_neardup_job(
         (1 − (1−f)^(m_old/m_new), exact for the independent-bit model)
         drops back under the trigger with headroom; it persists in the
         manifest and is adopted on restart."""
-        import shutil
-
-        from lantern_spark._fsutil import replace_dir
+        from lantern_spark._fsutil import vd_commit, vd_stage
         from lantern_spark.operators.bloomset import (
             bloom_fill_stats,
             build_bloom_set,
@@ -436,7 +452,7 @@ def incremental_neardup_job(
         m = _bloom_params["m_bits"]
         max_fill = (
             bloom_fill_stats(
-                spark.read.parquet(bloom_dir),
+                spark.read.parquet(_live("bloom")),
                 m_bits=m,
                 n_shards=bloom_shards,
                 k=bloom_k,
@@ -458,15 +474,15 @@ def incremental_neardup_job(
         if not frags:
             return
         src = spark.read.parquet(
-            *[os.path.join(store_path, "buckets", n) for n in frags]
+            *[fs.join(_live("buckets"), n) for n in frags]
         ).select(_bkey)
         rebuilt = build_bloom_set(
             src, "__bk", n_shards=bloom_shards, m_bits=new_m, k=bloom_k
         )
-        staged = bloom_dir.rstrip("/") + "__staged"
-        shutil.rmtree(staged, ignore_errors=True)
+        staged = vd_stage(bloom_root, fs)
+        fs.rmtree(staged)
         rebuilt.write.mode("overwrite").parquet(staged)
-        replace_dir(staged, bloom_dir)
+        vd_commit(bloom_root, staged, fs)
         _bloom_params["m_bits"] = new_m
         _write_bloom_manifest()
         _log.info(
@@ -496,8 +512,8 @@ def incremental_neardup_job(
                     F.col("__first").alias("__old_id"),
                 )
             )
-            bucket_dir = os.path.join(store_path, "buckets")
-            docs_dir = os.path.join(store_path, "docs")
+            bucket_dir = _live("buckets")
+            docs_dir = _live("docs")
             pairs = in_batch
             bucket_paths = _epoch_dirs("buckets", epoch)
             doc_paths = _epoch_dirs("docs", epoch)
@@ -575,11 +591,11 @@ def incremental_neardup_job(
             # idempotent epoch writes (bm25_stream convention):
             # replayed batches overwrite their own directories
             survivors.write.mode("overwrite").parquet(
-                os.path.join(docs_dir, f"batch_{epoch}")
+                fs.join(docs_dir, f"batch_{epoch}")
             )
             kept_keys = keys.join(survivors.select(id_col), id_col)
             kept_keys.write.mode("overwrite").parquet(
-                os.path.join(bucket_dir, f"batch_{epoch}")
+                fs.join(bucket_dir, f"batch_{epoch}")
             )
             if bloom_prefilter:
                 _update_bloom(
@@ -600,7 +616,7 @@ def incremental_neardup_job(
                 # overwrite is idempotent instead of duplicating its
                 # rows next to a consolidated copy
                 consolidate_neardup_store(
-                    spark, store_path, exclude_epoch=epoch
+                    spark, store_path, exclude_epoch=epoch, fs=fs
                 )
                 if bloom_prefilter and _have_bloom():
                     # fragments were renamed (folded), keys unchanged —

@@ -355,6 +355,69 @@ class TestGraphStreamOnObjectStore:
         assert df.count() == 0
 
 
+class TestNeardupStreamOnObjectStore:
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy log near the river bend and "
+        "count passing clouds all afternoon in complete silence"
+    )
+
+    def test_gate_with_bloom_and_consolidation(self, spark, tmp_path):
+        """The heaviest layout user — per-epoch docs+buckets fragments,
+        a staged-swap bloom filter, excluded-epoch consolidation — all
+        on the rename-less FS: duplicates still drop across batches,
+        consolidation publishes via the pointer with the current epoch
+        preserved standalone, and the bloom layout is pointer-shaped."""
+        from lantern_spark.streaming.neardup_stream import (
+            incremental_neardup_job,
+            load_neardup_survivors,
+        )
+
+        docs = {
+            1: self.BASE,
+            2: self.BASE.replace("clouds", "boats"),   # near-dup of 1
+            3: "an entirely different document about spark shuffles "
+               "and partition pruning with no shared shingles here",
+            4: self.BASE.replace("turtles", "rabbits"),  # near-dup
+            5: "another unique text concerning bloom filters rolling "
+               "hashes and suffix arrays in large corpora work",
+        }
+        src = tmp_path / "src"
+        src.mkdir()
+        schema = "doc_id long, text string"
+        for i, ids in enumerate([[1, 3], [2, 5], [4]]):
+            spark.createDataFrame(
+                [(d, docs[d]) for d in ids], schema
+            ).repartition(1).write.mode("overwrite").parquet(
+                str(src / f"b{i}")
+            )
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        store = str(tmp_path / "store")
+        q = incremental_neardup_job(
+            stream, "text", "doc_id", store, str(tmp_path / "chk"),
+            consolidate_every_batches=2, fs=OFS,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            r["doc_id"]
+            for r in load_neardup_survivors(spark, store, fs=OFS).collect()
+        )
+        assert got == [1, 3, 5]
+        # consolidation ran under the pointer protocol: docs live gen
+        # holds batch_consolidated (+ the excluded current epoch)
+        assert OFS.read_text(os.path.join(store, "docs", "_CURRENT"))
+        live = vd_live(os.path.join(store, "docs"), OFS)
+        names = set(OFS.listdir(live))
+        assert "batch_consolidated" in names
+        # bloom filter layout is pointer-shaped too
+        assert OFS.read_text(os.path.join(store, "bloom", "_CURRENT"))
+
+
 class TestArrowFSAdapter:
     """The pyarrow.fs adapter carries the same contract against a real
     FileSystem implementation (LocalFileSystem via file:// standing in
