@@ -168,13 +168,32 @@ def regex_text_extractor(fused: bool = True):
       precisely so nothing ever rescans it (the ``&amp;lt;`` → ``&lt;``
       contract, pinned in tests). Skipped outright when the text has
       no ``&`` (most documents — a C-speed substring check).
-    - whitespace: one pass mapping each maximal whitespace run to the
-      sequential chain's fixed point — '' ␣-only → one space, one
-      ``\\n`` → ``\\n``, 2+ → ``\\n\\n`` (\\r/\\t/\\f count as spaces,
-      exactly step ``[ \\t\\r\\f]+``'s behavior). The pattern skips
-      lone single spaces (already canonical) so the Python callback
-      fires per ANOMALOUS run, not per word boundary.
+    - whitespace (REWORKED r14 — the honest profile): the r13 shape
+      mapped each whitespace run through a Python callback, which on
+      newline-dense extracted text (one ``\\n`` per block tag) fired
+      per PARAGRAPH BOUNDARY and measured ~neutral vs the sequential
+      passes it replaced; profiling showed whitespace + trim were 93%
+      of the kernel, not the tag strips the r13 SCALE note blamed.
+      The r14 shape stays in C end to end: ``str.translate`` folds
+      ``\\t\\r\\f`` into spaces (20 ms where the old combined pass
+      was 633), ``" {2,}"`` collapses only MULTI-space runs (single
+      spaces — every word boundary — are already canonical and never
+      fire the engine), and newline canonicalization is a
+      ``split("\\n")`` / per-line ``strip(" ")`` / skip-repeated-empty
+      / ``join`` — C string ops, no regex. Byte-identical to the
+      sequential fixed point: after the collapse each newline has at
+      most one adjacent space (exactly what ``" ?\\n ?"`` removes),
+      empty-line runs collapse to one (exactly ``\\n{2,}`` → two
+      newlines), string edges fall to the final trim either way, and
+      ``\\v`` — which ``[ \\t\\r\\f]+`` deliberately does NOT touch —
+      passes through untouched here too.
+    - trim: ``str.strip(" \\t\\n\\r\\f\\v")`` — the exact ASCII ``\\s``
+      set — instead of ``^\\s+|\\s+$``, whose unanchored ``\\s+$``
+      alternative makes sre attempt a match at every position (a
+      measured 379 ms full scan for a boundary-only edit).
 
+    Measured on the bench corpus shape: whitespace+trim 1001 → 149 ms
+    (6.7×), whole kernel ~1089 → ~227 ms (~4.8×) single-core.
     tests/test_html.py pins fused == sequential == Catalyst on the
     corpus and on an adversarial entity/whitespace zoo; structural
     asserts below fail loudly if EXTRACT_STEPS is ever reordered."""
@@ -212,15 +231,30 @@ def regex_text_extractor(fused: bool = True):
     ent_rx = _re.compile(
         "&(?:" + "|".join(_re.escape(e[1:]) for e, _ in _ENTITIES) + ")"
     )
-    ws_rx = _re.compile(r"[ \t\r\f\n]*[\t\r\f\n][ \t\r\f\n]*| {2,}")
-    trim_rx = compiled[-1][0]
+    # r14 whitespace machinery (see docstring): C-level fold of
+    # \t\r\f into spaces, multi-space-only collapse, line-based
+    # newline canonicalization, exact-\s-set strip
+    _fold = {9: 32, 13: 32, 12: 32}  # \t \r \f -> ' '
+    multi_sp_rx = _re.compile(" {2,}")
+    _strip_set = " \t\n\r\f\x0b"
 
     def _ent_repl(m):
         return ent_map[m.group(0)]
 
-    def _ws_repl(m):
-        n = m.group(0).count("\n")
-        return " " if n == 0 else ("\n" if n == 1 else "\n\n")
+    def _canon_ws(t: str) -> str:
+        t = t.translate(_fold)
+        t = multi_sp_rx.sub(" ", t)
+        out = []
+        prev_empty = False
+        for ln in t.split("\n"):
+            ln = ln.strip(" ")
+            if ln:
+                out.append(ln)
+                prev_empty = False
+            elif not prev_empty:
+                out.append("")
+                prev_empty = True
+        return "\n".join(out).strip(_strip_set)
 
     def _extract(s: pd.Series) -> pd.Series:
         def one(h):
@@ -233,8 +267,7 @@ def regex_text_extractor(fused: bool = True):
                 t = numeric_rx.sub(" ", t)
             if "&" in t:
                 t = ent_rx.sub(_ent_repl, t)
-            t = ws_rx.sub(_ws_repl, t)
-            return trim_rx.sub("", t)
+            return _canon_ws(t)
 
         return s.map(one)
 

@@ -437,6 +437,19 @@ class TestMergedDropContentPass:
             "<p>a</p>\n<p>b</p>",
             "mixed&nbsp;\n&nbsp;runs",
             "",
+            # r14 shapes targeting the C-level whitespace rework:
+            # \v is NOT in [ \t\r\f]+ and must survive mid-text (and
+            # be trimmed at the edges); multi-space runs around
+            # newlines; space-only and \v-only lines; deep blank-line
+            # runs at the edges; lone-space edges of inner lines
+            "a\x0bb",
+            "\x0b mid \x0b",
+            "a   \n   b",
+            "x\n \ny\n\x0b\nz",
+            "\n\n\n a \n\n\n",
+            " a \n b ",
+            "\t\r\f",
+            "  ",
         ]
         fast = regex_text_extractor(fused=True)
         seq = regex_text_extractor(fused=False)
