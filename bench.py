@@ -1224,6 +1224,25 @@ def main() -> None:
                 dtf = d if dtf is None else min(dtf, d)
             quality["warc_ingest_fast_s"] = round(dtf, 3)
             quality["warc_ingest_fast_mb_per_s"] = round(html_mb / dtf, 2)
+            # r14: the ONE-Python-crossing fused tier (parse + HTTP
+            # envelope + extraction in a single mapInArrow stage —
+            # payload bytes never round-trip the Arrow boundary);
+            # row-identical to the staged path by test
+            from lantern_spark.sources.warc import warc_documents_fused
+
+            spark.sparkContext.setJobDescription("bench:warc_ingest_fused")
+            dtz = None
+            for _ in range(2):
+                t0 = time.time()
+                warc_documents_fused(
+                    spark, warc_dir, extractor=regex_text_extractor()
+                ).select(
+                    _WF.xxhash64("url", "text").alias("h")
+                ).agg(_WF.expr("bit_xor(h)")).collect()
+                d = time.time() - t0
+                dtz = d if dtz is None else min(dtz, d)
+            quality["warc_ingest_fused_s"] = round(dtz, 3)
+            quality["warc_ingest_fused_mb_per_s"] = round(html_mb / dtz, 2)
         finally:
             _sh.rmtree(warc_dir, ignore_errors=True)
     except Exception as e:
@@ -1456,7 +1475,7 @@ def main() -> None:
             "rd_expr_form_s rd_join_form_s "
             "pagerank_s pagerank_mass seed_expand_s harmonic_s "
             "harmonic_mean_ball pagerank_storage_ckpt_s "
-            "warc_ingest_fast_mb_per_s"
+            "warc_ingest_fast_mb_per_s warc_ingest_fused_mb_per_s"
         ).split()
         line["quality"] = {
             k: v for k, v in line["quality"].items() if k in keep

@@ -95,6 +95,7 @@ __all__ = [
     "stream_warc",
     "wet_documents",
     "warc_response_documents",
+    "warc_documents_fused",
     "warc_media_records",
     "read_cdx",
     "read_warc_ranges",
@@ -823,6 +824,125 @@ def warc_response_documents(
         extractor=extractor,
     )
     return wet_documents(extracted, text_col="text")
+
+
+_FUSED_SCHEMA = pa.schema(
+    [
+        pa.field("record_id", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("warc_date", pa.string()),
+        pa.field("text", pa.string()),
+    ]
+)
+
+
+def warc_documents_fused(
+    spark: SparkSession,
+    path: str,
+    extractor=None,
+    statuses: Optional[Sequence[int]] = (200,),
+    html_only: bool = True,
+    batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """The crawl→documents tier in ONE Python crossing (r14, review
+    r13 stretch item 7 — the profile-honest continuation): the staged
+    composition ``warc_response_documents(read_warc(...))`` crosses
+    the JVM↔Python Arrow boundary THREE times with payload-sized data
+    (mapInArrow parse out+in, the ``http_message`` pandas UDF, the
+    extractor pandas UDF — six payload-sized serializations end to
+    end), and with the r14 extraction kernel at ~28 ms/task those
+    crossings ARE the remaining ingest cost. This fast path runs the
+    SAME strict kernels — :func:`parse_warc_bytes`,
+    :func:`split_http_response`, :func:`_http_charset`, and the
+    Arrow-batched extractor (default
+    :func:`~lantern_spark.functions.html.regex_text_extractor`, the
+    byte-identical fast replay of ``EXTRACT_STEPS``) — inside one
+    ``mapInArrow`` generator per WARC file, so compressed archive
+    bytes enter Python once and only the finished document text comes
+    back. Output and semantics are ROW-IDENTICAL to the staged
+    composition (same status/content-type filters, same corrupt-body
+    nulling-to-drop, same ``wet_documents`` adapter — pinned in
+    tests/test_warc.py); the staged form stays the default for
+    pipelines that need the intermediate HTTP columns.
+
+    Scale shape: one task per archive file (the crawl's own ~1 GB
+    sharding), O(batch_bytes + one record) task memory, zero
+    JVM round trips of payload bytes — on a 1000-executor read of a
+    full crawl this is the difference between shipping each page's
+    bytes across the Arrow boundary six times and once."""
+    from lantern_spark.functions.html import regex_text_extractor
+
+    ex = extractor or regex_text_extractor()
+    wanted = (
+        None if statuses is None else {int(s) for s in statuses}
+    )
+    files = spark.read.format("binaryFile").load(path)
+
+    def _flush(rows: list) -> pa.RecordBatch:
+        rid, url, date, html = zip(*rows)
+        texts = list(ex(pd.Series(html, dtype=object)))
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(rid, type=pa.string()),
+                pa.array(url, type=pa.string()),
+                pa.array(date, type=pa.string()),
+                pa.array(texts, type=pa.string()),
+            ],
+            schema=_FUSED_SCHEMA,
+        )
+
+    def _gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            for _p, buf in zip(paths, contents):
+                rows: list = []
+                size = 0
+                for headers, payload in parse_warc_bytes(buf):
+                    if headers.get("warc-type", "").lower() != "response":
+                        continue
+                    try:
+                        h, body = split_http_response(payload)
+                    except (
+                        ValueError,
+                        zlib.error,
+                        EOFError,
+                        gzip.BadGzipFile,
+                    ):
+                        continue  # the staged path nulls then drops
+                    code = h.get("__status", "")
+                    st = int(code) if code.isdigit() else None
+                    if wanted is not None and st not in wanted:
+                        continue
+                    ct = (h.get("content-type") or "").lower()
+                    if html_only and not (
+                        ct == ""
+                        or "html" in ct
+                        or ct.startswith("text/plain")
+                    ):
+                        continue
+                    text = body.decode(_http_charset(h, body), "replace")
+                    rows.append(
+                        (
+                            headers.get("warc-record-id", ""),
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            text,
+                        )
+                    )
+                    size += len(text)
+                    if size >= batch_bytes:
+                        yield _flush(rows)
+                        rows, size = [], 0
+                if rows:
+                    yield _flush(rows)
+
+    recs = files.select("path", "content").mapInArrow(
+        _gen,
+        schema="record_id string, url string, warc_date string, "
+        "text string",
+    )
+    return wet_documents(recs)
 
 
 #: HTTP content-type prefix → multimodal media_type label.
