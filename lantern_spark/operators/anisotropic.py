@@ -94,7 +94,10 @@ class APQModel:
     train_loss: float
 
     def codebook_df(self, spark) -> DataFrame:
-        return spark.createDataFrame(
+        from lantern_spark.types import local_df
+
+        return local_df(
+            spark,
             self.codebook_rows,
             "subvector_id int, centroid_id int, c array<double>",
         )

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lantern_spark.functions.text import text_to_stem_array, tokenize
+from lantern_spark.types import local_df
 
 BM25_DEFAULT_K1 = 1.2  # lib.rs:44
 BM25_DEFAULT_B = 0.75  # lib.rs:45
@@ -213,7 +214,7 @@ def _exact_doc_scores(stats: BM25Stats, terms, k1, b) -> DataFrame:
 
     spark = stats.postings.sparkSession
     qdf = F.broadcast(
-        spark.createDataFrame([(t,) for t in terms], "term string")
+        local_df(spark, [(t,) for t in terms], "term string")
     )
     matched = (
         stats.postings.join(qdf, "term")
@@ -312,7 +313,7 @@ def search_bm25_approx(
         )
     spark = stats.postings.sparkSession
     qdf = F.broadcast(
-        spark.createDataFrame([(t,) for t in terms], "term string")
+        local_df(spark, [(t,) for t in terms], "term string")
     )
     # per-term posting counts: one tiny job over the matched slice
     dfs = {
@@ -344,7 +345,7 @@ def search_bm25_approx(
         # materializing every corpus-wide hot term's doc_id array
         # (prebuilt blooms remain the at-scale path, bm25_api.sql:55)
         hdf = F.broadcast(
-            spark.createDataFrame([(t,) for t in hot], "term string")
+            local_df(spark, [(t,) for t in hot], "term string")
         )
         blooms = hot_term_blooms(
             BM25Stats(
@@ -360,7 +361,7 @@ def search_bm25_approx(
     # bloom bonus on top (double count). The current df replaces the
     # stored one for the score constant.
     hot_df_counts = F.broadcast(
-        spark.createDataFrame([(t, dfs[t]) for t in hot], "term string, df long")
+        local_df(spark, [(t, dfs[t]) for t in hot], "term string, df long")
     )
     qblooms = blooms.drop("df").join(hot_df_counts, "term").select(
         "term", "df", "bloom"
@@ -379,7 +380,7 @@ def search_bm25_approx(
         missing = [t for t in hot if t not in present]
         if missing:
             mdf = F.broadcast(
-                spark.createDataFrame([(t,) for t in missing], "term string")
+                local_df(spark, [(t,) for t in missing], "term string")
             )
             derived = hot_term_blooms(
                 BM25Stats(

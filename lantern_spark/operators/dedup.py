@@ -577,8 +577,10 @@ def connected_components(
         nodes = {e[0] for e in edge_rows}
         rows = sorted((x, find(x)) for x in nodes)
         src_type = edges.schema["src"].dataType.simpleString()
-        return spark.createDataFrame(
-            rows, f"id {src_type}, comp {src_type}"
+        from lantern_spark.types import local_df
+
+        return local_df(
+            spark, rows, f"id {src_type}, comp {src_type}"
         )
     # storage-mode leaf GC (r14): keep=2, NOT 1 — the convergence
     # check below reads the PREVIOUS labels after the new cut has

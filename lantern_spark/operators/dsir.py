@@ -113,8 +113,10 @@ def log_ratio_table(
             ).alias("log_ratio"),
         )
     )
-    floor = spark.createDataFrame(
-        [(-1, r_denom - t_denom)], "bucket long, log_ratio double"
+    from lantern_spark.types import local_df
+
+    floor = local_df(
+        spark, [(-1, r_denom - t_denom)], "bucket long, log_ratio double"
     )
     return j.unionByName(floor)
 

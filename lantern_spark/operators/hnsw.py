@@ -1359,7 +1359,10 @@ class HNSWIndex:
             out = _suppress_stale(
                 out, delta_df, mf["id_column"], cast_long=True
             )
-            probes = spark.createDataFrame(
+            from lantern_spark.types import local_df
+
+            probes = local_df(
+                spark,
                 [(j, q) for j, q in enumerate(qs)],
                 f"{qid_col} int, __q array<double>",
             )
@@ -1413,10 +1416,10 @@ class HNSWIndex:
             .distinct()
             .collect()  # ≤ shards rows — bounded by construction
         ]
+        from lantern_spark.types import local_df
+
         shards_df = F.broadcast(
-            spark.createDataFrame(
-                [(s,) for s in shard_ids], "shard_id int"
-            )
+            local_df(spark, [(s,) for s in shard_ids], "shard_id int")
         )
         # ONE persisted probe snapshot feeds both the shard pairs and
         # the delta scan, so nondeterministic probe lineage cannot

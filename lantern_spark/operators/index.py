@@ -351,7 +351,10 @@ class IVFIndex:
                 )
             else:
                 cb_rows = train_codebook_local(sample, pq)
-            codebook = spark0.createDataFrame(
+            from lantern_spark.types import local_df
+
+            codebook = local_df(
+                spark0,
                 cb_rows,
                 "subvector_id int, centroid_id int, c array<double>",
             )
@@ -460,7 +463,10 @@ class IVFIndex:
         (HnswIndexHeaderPage analog); falls back to the legacy parquet
         artifact for indexes written before that."""
         if self.manifest.centroids:
-            return spark.createDataFrame(
+            from lantern_spark.types import local_df
+
+            return local_df(
+                spark,
                 [(i, c) for i, c in enumerate(self.manifest.centroids)],
                 "list_id int, centroid array<double>",
             )

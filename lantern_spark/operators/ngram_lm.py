@@ -324,9 +324,13 @@ def ppl_buckets(
                 _T.StructField("__cuts", _T.ArrayType(_T.DoubleType())),
             ]
         )
+        from lantern_spark.types import local_df
+
         cdf = F.broadcast(
-            spark.createDataFrame(
-                [(g, list(c) if c else None) for g, c in cut_rows], schema
+            local_df(
+                spark,
+                [(g, list(c) if c else None) for g, c in cut_rows],
+                schema,
             )
         )
         out = df.join(

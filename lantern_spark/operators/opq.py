@@ -70,8 +70,12 @@ class OPQModel:
     train_mse: float
 
     def codebook_df(self, spark) -> DataFrame:
-        return spark.createDataFrame(
-            self.codebook_rows, "subvector_id int, centroid_id int, c array<double>"
+        from lantern_spark.types import local_df
+
+        return local_df(
+            spark,
+            self.codebook_rows,
+            "subvector_id int, centroid_id int, c array<double>",
         )
 
     def rotate_query(self, query) -> list:

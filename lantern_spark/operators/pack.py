@@ -94,8 +94,10 @@ def mixture_sample(
     a single map-only pass over the corpus."""
     spark = df.sparkSession
     rate_rows = [(k, float(v)) for k, v in rates.items()]
-    rates_df = spark.createDataFrame(
-        rate_rows, f"{source_col} string, __rate double"
+    from lantern_spark.types import local_df
+
+    rates_df = local_df(
+        spark, rate_rows, f"{source_col} string, __rate double"
     )
     u = _unit_uniform(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     return (
@@ -264,9 +266,11 @@ def sample_to_token_budget(
     tc = token_count if not isinstance(token_count, str) else F.col(token_count)
     spark = df.sparkSession
     budget_rows = [(k, float(v)) for k, v in budgets.items()]
+    from lantern_spark.types import local_df
+
     budgets_df = F.broadcast(
-        spark.createDataFrame(
-            budget_rows, f"{source_col} string, __budget double"
+        local_df(
+            spark, budget_rows, f"{source_col} string, __budget double"
         )
     )
     u = _unit_uniform(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
@@ -282,7 +286,8 @@ def sample_to_token_budget(
             allow_upsample=allow_upsample, max_rate=max_rate,
         )
         rates_df = F.broadcast(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(k, v) for k, v in rates.items()] or [(None, 0.0)],
                 f"{source_col} string, __rate double",
             )

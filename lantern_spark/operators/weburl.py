@@ -590,7 +590,10 @@ def psl_rules_df(spark: SparkSession, psl=None) -> DataFrame:
         rows += [(b, k, k + 1, False) for b in sorted(bases)]
     for k, rules in psl.get("exception", {}).items():
         rows += [(r, k, k - 1, True) for r in sorted(rules)]
-    return spark.createDataFrame(
+    from lantern_spark.types import local_df
+
+    return local_df(
+        spark,
         rows or [("", 0, 0, False)],
         "suffix string, match_labels int, ps_len int, is_exception boolean",
     )
@@ -1743,13 +1746,22 @@ def expand_seed_domains(
         step = rev
     else:
         step = fwd.unionByName(rev)
-    # persist the deduped step relation: every hop joins against it,
-    # and without the cache each hop re-runs the full edge-list
-    # distinct shuffle (r12 — the per-hop frontier checkpoints cut
-    # lineage, so the cache is safely droppable once the loop ends)
-    step = step.distinct().persist()
-    reached = spark.createDataFrame(
-        [(s.lower(), 0) for s in seeds], "domain string, hop int"
+    # Cut the deduped step relation's lineage instead of persist()ing
+    # it (r14 optimization, guide §2): every hop joins against it, and
+    # the cut RDD is shared by identity so the edge-list distinct runs
+    # once. A ``persist()`` here compiled the cached plan WITHOUT
+    # AQE's partition coalescing (32 near-empty cached partitions at
+    # bench scale → a 32-task stage per hop scan), and was dropped by
+    # ``unpersist()`` before the result was ever consumed; the
+    # checkpoint keeps AQE's size-derived partitioning and lives as
+    # long as the result's RDD. Honors checkpoint_mode like the hop
+    # cuts.
+    from lantern_spark.plans.lineage import cut_lineage
+    from lantern_spark.types import local_df
+
+    step = cut_lineage(step.distinct(), eager=False)
+    reached = local_df(
+        spark, [(s.lower(), 0) for s in seeds], "domain string, hop int"
     )
     frontier = reached.select("domain")
     for h in range(1, int(hops) + 1):
@@ -1763,14 +1775,17 @@ def expand_seed_domains(
             .join(reached.select("domain"), "domain", "left_anti")
             .withColumn("hop", F.lit(h))
         )
-        # materialize the hop: the next iteration's frontier must not
-        # re-derive (and re-shuffle) the whole prefix chain
-        from lantern_spark.plans.lineage import cut_lineage
-
-        nxt = cut_lineage(nxt, eager=True)
+        # Cut the hop so the next frontier does not re-derive (and
+        # re-shuffle) the whole prefix chain. LAZY (r14, guide §1.2/
+        # §2.4): the loop body runs no action, so an eager cut per hop
+        # was one dedicated materialization JOB per hop; a lazy cut
+        # materializes inside the first consumer's job and is shared
+        # by RDD identity from then on — same sharing, ``hops`` fewer
+        # jobs. (storage mode still writes its leaf per cut — eager by
+        # construction — and results are mode-invariant as before.)
+        nxt = cut_lineage(nxt, eager=False)
         reached = reached.unionByName(nxt)
         frontier = nxt.select("domain")
-    step.unpersist()
     return reached
 
 

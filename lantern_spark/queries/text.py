@@ -164,8 +164,10 @@ def bm25_approx_top20(spark, sf_dir):
         # build-time work (bm25_api.sql:55 builds blooms at
         # create_bm25_table time): blooms + the oracle replay artifact
         # persist once per sf_dir/process
+        from lantern_spark.types import local_df
+
         hot_df = F.broadcast(
-            spark.createDataFrame([("vector",)], "term string")
+            local_df(spark, [("vector",)], "term string")
         )
         blooms = hot_term_blooms(
             BM25Stats(

@@ -206,6 +206,64 @@ def load_table(spark, sf_dir: str, name: str):
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def local_df(spark, rows, schema):
+    """Small driver-side relation via the Arrow/pandas construction
+    path (r14 optimization, guide §4 — the Python boundary).
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes the list
+    into ``defaultParallelism`` slices and launches a Python worker
+    PER SLICE to unpickle a handful of rows: a measured ~0.65 s fixed
+    cost per call on local[32] for a 5-row relation. The pandas path
+    converts driver-side and ships Arrow batches — ~50 ms for the same
+    relation (13×), no Python workers. Every query-side tiny relation
+    (BM25 query terms, seed lists, codebooks, centroid tables) goes
+    through here.
+
+    ``schema`` is the usual DDL string / StructType and is applied
+    verbatim, so column names and types are identical to the plain
+    ``createDataFrame(rows, schema)`` call this replaces. Falls back
+    to the classic path for shapes pandas cannot round-trip (no such
+    caller today, but correctness beats speed if one appears).
+    """
+    import pandas as pd
+
+    rows = list(rows)
+    try:
+        if isinstance(schema, str):
+            names = [
+                f.strip().split()[0].strip("`")
+                for f in _split_ddl_fields(schema)
+            ]
+        else:  # StructType
+            names = list(schema.fieldNames())
+        pdf = pd.DataFrame(
+            {n: [r[i] for r in rows] for i, n in enumerate(names)},
+            columns=names,
+        )
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
+def _split_ddl_fields(ddl: str) -> list:
+    """Split a DDL schema string on TOP-LEVEL commas only (array<…>
+    and struct<…, …> field types contain commas of their own)."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def ensure_parallelism(df, min_partitions: int = 0):
     """Repartition a DataFrame whose scan is under-parallelized.
 
