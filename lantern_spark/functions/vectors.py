@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column
@@ -13,8 +14,23 @@ def _c(x) -> Column:
 
 
 def vec_lit(values: Sequence[float], dtype: str = "double") -> Column:
-    """Literal vector column from a Python sequence."""
-    return F.array(*[F.lit(float(v)).cast(dtype) for v in values])
+    """Literal vector column from a Python sequence.
+
+    Rendered as ONE SQL string parsed JVM-side (r14 optimization): the
+    former per-element build — ``F.array(*[F.lit(v).cast(d) …])`` —
+    cost 2·dim py4j round trips, a measured ~0.3 s per 64-dim literal,
+    paid on EVERY query construction. ``repr(float)`` is the shortest
+    round-tripping decimal, so the parsed doubles are bit-identical to
+    the former ``F.lit`` values (pinned in tests). Falls back to the
+    per-element build for non-finite components, which have no SQL
+    literal form."""
+    vals = [float(v) for v in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        body = ",".join(
+            f"CAST({v!r} AS {dtype.upper()})" for v in vals
+        )
+        return F.expr(f"array({body})")
+    return F.array(*[F.lit(v).cast(dtype) for v in vals])
 
 
 def vec_dot(a, b) -> Column:
