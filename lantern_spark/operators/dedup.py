@@ -536,7 +536,8 @@ def connected_components(
             edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-        ).distinct()
+        ).distinct(),
+        eager=False,
     )
     # SIZE-GATED strategy choice — the same adaptive rule Spark applies
     # to joins (broadcast under the threshold, shuffle above): the
@@ -552,8 +553,17 @@ def connected_components(
     # rdd (ADVICE r6 — pyspark Row objects carry ~10× Python object
     # overhead; 2M (int, int) tuples ≈ 150 MB, 2M Rows ≈ 1+ GB), so
     # the default threshold stays safely under driver heap.
-    n_edges = edges.count()  # cheap action over the checkpointed edges
-    if n_edges <= local_threshold:
+    # ONE probing action decides the strategy AND (when small) already
+    # delivers the edges (r14 optimization, guide §1.4/§4): the former
+    # count()-then-``edges.rdd.map(tuple).collect()`` pair was two full
+    # jobs, the second through the RDD pickle path (every row
+    # deserialized in Python workers, re-serialized, re-parsed on the
+    # driver). ``limit(threshold+1)`` short-circuits — CollectLimit
+    # stops pulling partitions once satisfied, so a huge graph never
+    # scans fully just to learn it is huge — and Arrow moves the
+    # bounded edge list driver-side in columnar batches.
+    probe = edges.limit(int(local_threshold) + 1).toPandas()
+    if len(probe) <= local_threshold:
         spark = pairs.sparkSession
         parent: dict = {}
 
@@ -565,7 +575,11 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        edge_rows = edges.rdd.map(tuple).collect()
+        # python-int tuples (numpy scalars hash ~3× slower in the
+        # union-find dict); same bounded-memory contract as before
+        edge_rows = list(
+            zip(probe["src"].tolist(), probe["dst"].tolist())
+        )
         for a0, b0 in edge_rows:
             a, b = find(a0), find(b0)
             if a != b:

@@ -1090,7 +1090,21 @@ class IVFIndex:
             )
         if removal is None:
             return self
-        removal = removal.distinct().persist()
+        # Lineage cuts, not persist() (r14 optimization, guide §2):
+        # the cached plans compiled WITHOUT AQE partition coalescing,
+        # so a few-hundred-row removal/delta relation persisted as 32
+        # near-empty partitions and every one of its several consumers
+        # below paid a 32-task stage. A lazy cut materializes at first
+        # use with AQE's size-derived partitioning and is shared by
+        # RDD identity. The chain bounds storage-mode leaves (both
+        # cuts live until the partition overwrite commits → keep=2,
+        # released after the manifest commit).
+        from lantern_spark.plans.lineage import CutChain, cut_lineage
+
+        _fold_chain = CutChain(keep=2)
+        removal = cut_lineage(
+            removal.distinct(), eager=False, chain=_fold_chain
+        )
 
         # one (id, list_id)-pruned pass, ONE action: per-list victim
         # counts give the affected lists AND the removed-row total
@@ -1102,9 +1116,13 @@ class IVFIndex:
         n_removed = sum(r["c"] for r in v_stats)
         affected = {r["list_id"] for r in v_stats}
         if delta is not None:
-            delta = delta.withColumn(
-                "list_id", _assign_expr(mf.column, cents, m)
-            ).persist()
+            delta = cut_lineage(
+                delta.withColumn(
+                    "list_id", _assign_expr(mf.column, cents, m)
+                ),
+                eager=False,
+                chain=_fold_chain,
+            )
             d_stats = (
                 delta.groupBy("list_id")
                 .agg(F.count("*").alias("c"))
@@ -1119,7 +1137,7 @@ class IVFIndex:
             # all tombstoned-and-absent) — still commit the watermark
             # BEFORE cleanup so consumed delta rows stay invisible if
             # the rmtree is lost to a crash
-            removal.unpersist()
+            _fold_chain.release()
             if raw_delta is not None:
                 mf.params = {**(mf.params or {}), "folded_seq": max_seq}
                 mf.save(self.path)
@@ -1170,10 +1188,17 @@ class IVFIndex:
         try:
             merged.write.parquet(os.path.join(stage_root, "merged"))
             staged = spark.read.parquet(os.path.join(stage_root, "merged"))
-            surviving = {
-                r["list_id"]
-                for r in staged.select("list_id").distinct().collect()
-            }
+            # surviving lists piggyback on the overwrite job via an
+            # Observation (r14 — the same no-second-pass trick as the
+            # build's row count): the former standalone
+            # distinct().collect() was a full extra scan of the staged
+            # rows
+            from pyspark.sql import Observation
+
+            surv_obs = Observation("fold_surviving")
+            staged = staged.observe(
+                surv_obs, F.collect_set("list_id").alias("lids")
+            )
             conf_key = "spark.sql.sources.partitionOverwriteMode"
             old_mode = spark.conf.get(conf_key, "static")
             try:
@@ -1186,6 +1211,7 @@ class IVFIndex:
                 )
             finally:
                 spark.conf.set(conf_key, old_mode)
+            surviving = {int(x) for x in surv_obs.get["lids"]}
             # dynamic overwrite never touches partitions absent from
             # the output: an emptied list's old directory must go
             for lid in affected - surviving:
@@ -1195,9 +1221,7 @@ class IVFIndex:
                 )
         finally:
             shutil.rmtree(stage_root, ignore_errors=True)
-        removal.unpersist()
-        if delta is not None:
-            delta.unpersist()
+        _fold_chain.release()
         # COMMIT: watermark + epoch land before cleanup — a crash after
         # this point leaves delta rows the watermark already hides
         # (review r7 #4); a crash before it re-applies idempotently
