@@ -192,36 +192,16 @@ def weighted_vector_search(
     if exact:
         cand = df
     else:
-        id_parts = []
-        for i, (w_, col_, q_) in enumerate(terms):
-            idx = indexes[i] if indexes is not None else None
-            if idx is not None:
-                # a cos-metric call over an l2sq index would silently
-                # break the 'full probe equals exact top-ef' candidate
-                # contract (ADVICE r2) — candidates must be generated
-                # under the same metric the joint score re-ranks with
-                from lantern_spark.types import Metric
-
-                want = Metric.resolve(metric).value
-                if idx.manifest.metric != want:
-                    raise ValueError(
-                        f"index for term {i} was built with metric "
-                        f"{idx.manifest.metric!r} but search metric is "
-                        f"{want!r} — rebuild the index or match metrics"
-                    )
-                probes = nprobe if nprobe is not None else idx.manifest.nlist
-                id_parts.append(
-                    idx.search(
-                        df.sparkSession, list(q_), k=ef, nprobe=probes
-                    ).select(F.col(idx.manifest.id_column).alias(id_col))
-                )
-            else:
-                id_parts.append(
-                    knn_search(
-                        df, col_, q_, k=ef, metric=metric,
-                        dist_col="__term_dist", tie_break=tie_break or id_col,
-                    ).select(id_col)
-                )
+        shared = _shared_index_candidates(
+            df, terms, indexes, metric, ef, nprobe, id_col
+        )
+        if shared is not None:
+            id_parts = shared
+        else:
+            id_parts = _per_term_candidates(
+                df, terms, indexes, metric, ef, nprobe, id_col,
+                tie_break,
+            )
         ids = id_parts[0]
         for p in id_parts[1:]:
             ids = ids.unionByName(p)
@@ -235,3 +215,119 @@ def weighted_vector_search(
     order = [F.col(dist_col).asc_nulls_last()]
     order.append(F.col(tie_break or id_col).asc())
     return out.orderBy(*order).limit(k)
+
+
+def _shared_index_candidates(
+    df, terms, indexes, metric, ef, nprobe, id_col
+):
+    """ONE index scan for every term when all terms probe the SAME
+    delta-free index (r14 optimization, guide §2.4 — remove passes):
+    the per-term ``idx.search`` calls each re-scanned the probed list
+    partitions (t full index scans for a t-term weighted search). Here
+    the union of the per-term probe sets is scanned once, every term's
+    distance is computed in that one pass, and each term's top-``ef``
+    is a TakeOrdered over the lazily-cut projection — ordered by
+    (dist NULLS LAST, id) exactly like ``IVFIndex.search``, so the
+    candidate sets are identical by construction. Falls back (returns
+    None) whenever the single-scan rewrite cannot reproduce
+    ``idx.search`` verbatim: mixed/missing indexes, pending delta
+    rows, or live tombstones."""
+    import os as _os
+
+    from lantern_spark.operators.index import _path_has_parquet
+
+    if indexes is None or len(terms) < 2:
+        return None
+    idx0 = indexes[0]
+    if idx0 is None or any(ix is not idx0 for ix in indexes):
+        return None
+    from lantern_spark.types import Metric
+
+    want = Metric.resolve(metric).value
+    if idx0.manifest.metric != want:
+        raise ValueError(
+            f"index for term 0 was built with metric "
+            f"{idx0.manifest.metric!r} but search metric is {want!r} — "
+            f"rebuild the index or match metrics"
+        )
+    spark = df.sparkSession
+    if idx0._unfolded_delta(spark) is not None or _path_has_parquet(
+        _os.path.join(idx0.path, "tombstones")
+    ):
+        return None
+    mf = idx0.manifest
+    lit_dtype = (
+        "int" if Metric.resolve(mf.metric) is Metric.HAMMING else "double"
+    )
+    probes = int(nprobe) if nprobe is not None else mf.nlist
+    term_probes = [
+        idx0._probe_lists(spark, list(q_), probes) for _, _, q_ in terms
+    ]
+    union_probes = sorted({p for ps in term_probes for p in ps})
+    proj = idx0.lists(spark).filter(
+        F.col("list_id").isin(union_probes)
+    ).select(
+        mf.id_column,
+        "list_id",
+        *[
+            distance(
+                F.col(mf.column),
+                vec_lit(list(q_), lit_dtype),
+                mf.metric,
+            ).alias(f"__d{i}")
+            for i, (_, _, q_) in enumerate(terms)
+        ],
+    )
+    from lantern_spark.plans.lineage import cut_lineage
+
+    proj = cut_lineage(proj, eager=False)
+    parts = []
+    for i, ps in enumerate(term_probes):
+        t = proj
+        if set(ps) != set(union_probes):
+            t = t.filter(F.col("list_id").isin(ps))
+        parts.append(
+            t.orderBy(
+                F.col(f"__d{i}").asc_nulls_last(),
+                F.col(mf.id_column).asc(),
+            )
+            .limit(ef)
+            .select(F.col(mf.id_column).alias(id_col))
+        )
+    return parts
+
+
+def _per_term_candidates(
+    df, terms, indexes, metric, ef, nprobe, id_col, tie_break
+):
+    id_parts = []
+    for i, (w_, col_, q_) in enumerate(terms):
+        idx = indexes[i] if indexes is not None else None
+        if idx is not None:
+            # a cos-metric call over an l2sq index would silently
+            # break the 'full probe equals exact top-ef' candidate
+            # contract (ADVICE r2) — candidates must be generated
+            # under the same metric the joint score re-ranks with
+            from lantern_spark.types import Metric
+
+            want = Metric.resolve(metric).value
+            if idx.manifest.metric != want:
+                raise ValueError(
+                    f"index for term {i} was built with metric "
+                    f"{idx.manifest.metric!r} but search metric is "
+                    f"{want!r} — rebuild the index or match metrics"
+                )
+            probes = nprobe if nprobe is not None else idx.manifest.nlist
+            id_parts.append(
+                idx.search(
+                    df.sparkSession, list(q_), k=ef, nprobe=probes
+                ).select(F.col(idx.manifest.id_column).alias(id_col))
+            )
+        else:
+            id_parts.append(
+                knn_search(
+                    df, col_, q_, k=ef, metric=metric,
+                    dist_col="__term_dist", tie_break=tie_break or id_col,
+                ).select(id_col)
+            )
+    return id_parts

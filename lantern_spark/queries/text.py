@@ -25,10 +25,19 @@ _STATS_CACHE: dict = {}
 def _stats_for(spark, sf_dir, stem: bool):
     key = (sf_dir, stem)
     if key not in _STATS_CACHE:
+        from lantern_spark.plans.lineage import cut_lineage
+
         docs = load_table(spark, sf_dir, "documents")
         stats = build_bm25_stats(docs, "doc_id", "text", stem=stem)
-        stats.postings = stats.postings.persist()
-        stats.postings.count()
+        # lineage cut, not persist()+count() (r14 optimization, guide
+        # §2): the cached plan compiled WITHOUT AQE partition
+        # coalescing, so the postings materialized as
+        # shuffle-partition-many near-empty cached slices and every
+        # BM25 search paid a task per slice scanning them; the eager
+        # cut materializes ONCE with AQE's size-derived partitioning
+        # and is shared by RDD identity across the process-cached
+        # stats object.
+        stats.postings = cut_lineage(stats.postings, eager=True)
         _STATS_CACHE[key] = stats
     return _STATS_CACHE[key]
 

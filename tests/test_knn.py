@@ -286,3 +286,70 @@ class TestWeightedIndexBacked:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestWeightedSharedScan:
+    """r14 optimization: a multi-term weighted search whose terms all
+    probe the SAME delta-free index runs ONE scan with every term's
+    distance computed in that pass (guide §2.4 — remove passes); the
+    per-term top-ef candidate sets must equal the per-term
+    ``idx.search`` results verbatim, and any state the rewrite cannot
+    reproduce (delta rows, tombstones) must fall back."""
+
+    @pytest.fixture(scope="class")
+    def ivf(self, emb, tmp_path_factory):
+        from lantern_spark.operators.index import IVFIndex
+
+        path = str(tmp_path_factory.mktemp("shared_scan_ivf"))
+        return IVFIndex.build(
+            emb, "embedding", "vec_id", path, metric="l2sq", nlist=8,
+            seed=42,
+        )
+
+    def test_shared_equals_per_term_all_nprobes(self, emb, ivf):
+        from lantern_spark.operators.knn import (
+            _per_term_candidates,
+            _shared_index_candidates,
+        )
+
+        q2 = [1.0 - x for x in Q64]
+        terms = [(0.7, "embedding", Q64), (0.3, "embedding", q2)]
+        for npv in (None, 3, 8):
+            shared = _shared_index_candidates(
+                emb, terms, [ivf, ivf], "l2sq", 50, npv, "vec_id"
+            )
+            assert shared is not None
+            per = _per_term_candidates(
+                emb, terms, [ivf, ivf], "l2sq", 50, npv, "vec_id", None
+            )
+            for s, p in zip(shared, per):
+                assert sorted(r[0] for r in s.collect()) == sorted(
+                    r[0] for r in p.collect()
+                )
+
+    def test_fallback_on_delta_and_mixed_indexes(self, emb, ivf):
+        from pyspark.sql import functions as SF
+
+        from lantern_spark.operators.knn import _shared_index_candidates
+
+        terms = [(0.7, "embedding", Q64), (0.3, "embedding", Q64)]
+        # mixed index objects -> no shared scan
+        assert (
+            _shared_index_candidates(
+                emb, terms, [ivf, None], "l2sq", 50, None, "vec_id"
+            )
+            is None
+        )
+        # pending delta -> no shared scan (search()'s delta union and
+        # stale suppression cannot ride the single-scan rewrite)
+        ivf.add_delta(
+            emb.limit(3).select(
+                (SF.col("vec_id") + 77777).alias("vec_id"), "embedding"
+            )
+        )
+        assert (
+            _shared_index_candidates(
+                emb, terms, [ivf, ivf], "l2sq", 50, None, "vec_id"
+            )
+            is None
+        )
