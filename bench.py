@@ -229,6 +229,55 @@ def main() -> None:
     spark.range(64).select(
         _warm_udf(F.col("id").cast("double"))
     ).collect()
+    # v4 (r14, guide §1): first-use CODEGEN classes for the string/
+    # regex/higher-order-function/explode/aggregate family cost a
+    # measured ~1-3 s of one-time janino/class-load work and otherwise
+    # land inside whichever TIMED entry happens to run one first
+    # (build:bm25_postings absorbed the string+explode families). One
+    # tiny untimed query touches them all — same steady-state
+    # rationale as the v3 pandas-UDF/committer warm-up above.
+    (
+        spark.range(4)
+        .select(
+            F.concat(F.lit("a b,C "), F.col("id").cast("string")).alias(
+                "s"
+            )
+        )
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("s"), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ).alias("t"),
+            F.md5("s").alias("m"),
+            F.xxhash64("s").alias("x"),
+            F.size(
+                F.transform(F.split("s", " "), lambda w: F.length(w))
+            ).alias("n"),
+            F.aggregate(
+                F.split("s", " "),
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ).alias("agg"),
+            F.regexp_replace("s", "[^a-z]", "").alias("r"),
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("c"), F.min("m"), F.min("x"))
+        .collect()
+    )
+    # Arrow list<double> UDF lane (vector columns cross here first)
+    from pyspark.sql import types as _waT
+
+    @F.pandas_udf(_waT.IntegerType())
+    def _warm_vec_udf(v: pd.Series) -> pd.Series:
+        return v.map(lambda a: 0 if a is None else len(a))
+
+    spark.range(8).select(
+        _warm_vec_udf(
+            F.array(F.col("id").cast("double"), F.lit(1.0))
+        )
+    ).collect()
     import shutil as _wsh
     import tempfile as _wtmp
 
@@ -1398,7 +1447,7 @@ def main() -> None:
         # v3 = r7 (untimed pandas-UDF + partitioned-write-committer
         # warmup absorbing ~5 s of first-use cost that previously
         # landed inside build:ivf_pq_index).
-        "warmup_version": 3,
+        "warmup_version": 4,
         "runs": raw_runs,
         # host-condition provenance (r10, review r9 item 7): per-query
         # swings of ±30% at sub-second times with no plan change are

@@ -374,6 +374,11 @@ def simhash_near_pairs(
     if materialize_hashes:
         from lantern_spark.plans.lineage import cut_lineage
 
+        # eager deliberately (r14 audit): the self-join consumes the
+        # cut on BOTH sides of its very first job — a lazy cut would
+        # recompute the hash UDF once per side inside that job before
+        # the checkpoint lands, which at corpus scale costs more than
+        # the one dedicated materialization job it saves
         hashes = cut_lineage(hashes)
     width = 64 // chunks
     mask = (1 << width) - 1

@@ -1225,6 +1225,11 @@ def domain_link_graph(
                 ).alias("__d"),
             )
         )
+        # hmap feeds BOTH ends' joins below; as a plan subtree each
+        # reference re-ran the distinct-host shuffle AND the PSL rule
+        # chain (r14 optimization, guide §2.4) — a lazy cut computes
+        # the map once and shares it by RDD identity.
+        hmap = cut_lineage(hmap, eager=False)
         # LEFT joins, deliberately: an inner join would push
         # isnotnull(__sh/__dh) below the pair aggregation, where the
         # predicate rewrites to isnotnull(url_host(resolve_link(…)))

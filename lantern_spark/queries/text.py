@@ -38,6 +38,11 @@ def _stats_for(spark, sf_dir, stem: bool):
         # and is shared by RDD identity across the process-cached
         # stats object.
         stats.postings = cut_lineage(stats.postings, eager=True)
+        # the corpus aggregate (num_docs, avg_doc_len — ONE row) is a
+        # full tokenize pass over the corpus; uncut, every search's
+        # crossJoin re-ran that pass (visible as a second parquet-scan
+        # subtree in the bm25_search plan)
+        stats.corpus = cut_lineage(stats.corpus, eager=True)
         _STATS_CACHE[key] = stats
     return _STATS_CACHE[key]
 
