@@ -38,11 +38,30 @@ def _stats_for(spark, sf_dir, stem: bool):
         # and is shared by RDD identity across the process-cached
         # stats object.
         stats.postings = cut_lineage(stats.postings, eager=True)
-        # the corpus aggregate (num_docs, avg_doc_len — ONE row) is a
-        # full tokenize pass over the corpus; uncut, every search's
-        # crossJoin re-ran that pass (visible as a second parquet-scan
-        # subtree in the bm25_search plan)
-        stats.corpus = cut_lineage(stats.corpus, eager=True)
+        # Derive the corpus stats from the materialized postings + two
+        # cheap counts instead of the second full tokenize pass the
+        # lazy ``stats.corpus`` aggregate would run (r14, guide §1.2 —
+        # don't compute things twice): Σ doc_len over docs = Σ fq over
+        # postings (every token occurrence is counted exactly once on
+        # both sides), num_docs counts ALL rows, and avg()'s divisor
+        # counts only non-NULL doc_len rows — exactly replicated here,
+        # so the one-row relation is value-identical to
+        # ``build_bm25_stats``'s own corpus aggregate (doc_len sums
+        # are integers ≪ 2^53: double summation is exact either way).
+        n_docs = docs.count()
+        n_len = docs.where(F.col("text").isNotNull()).count()
+        den = (
+            F.lit(float(n_len))
+            if n_len
+            else F.lit(None).cast("double")
+        )
+        corpus = stats.postings.agg(
+            F.sum("fq").cast("double").alias("__sum_len")
+        ).select(
+            F.lit(int(n_docs)).cast("long").alias("num_docs"),
+            (F.col("__sum_len") / den).alias("avg_doc_len"),
+        )
+        stats.corpus = cut_lineage(corpus, eager=True)
         _STATS_CACHE[key] = stats
     return _STATS_CACHE[key]
 

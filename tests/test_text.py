@@ -427,3 +427,53 @@ class TestModelSpeed:
             docs, "text", RuntimeSpec(name="hash", dim=16), sample_rows=200
         )
         assert rep["rows"] == 200 and rep["rows_per_sec"] > 0
+
+
+class TestStatsForDerivedCorpus:
+    """r14 optimization: the cached query-path stats derive the corpus
+    row from the materialized postings + two cheap counts instead of a
+    second full tokenize pass — values must be identical to
+    build_bm25_stats' own corpus aggregate, including NULL-text docs
+    (counted in num_docs, excluded from avg's divisor) and empty-token
+    docs (counted in the divisor at length 0)."""
+
+    def test_matches_build_corpus(self, spark, sf_dir):
+        from lantern_spark.operators.bm25 import build_bm25_stats
+        from lantern_spark.queries import text as QT
+        from lantern_spark.queries.common import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        orig = build_bm25_stats(
+            docs, "doc_id", "text", stem=False
+        ).corpus.first()
+        QT._STATS_CACHE.pop((sf_dir, False), None)
+        new = QT._stats_for(spark, sf_dir, stem=False).corpus.first()
+        assert new["num_docs"] == orig["num_docs"]
+        assert new["avg_doc_len"] == orig["avg_doc_len"]
+
+    def test_null_and_empty_text_edge(self, spark):
+        from pyspark.sql import functions as F
+
+        from lantern_spark.operators.bm25 import build_bm25_stats
+
+        d = spark.createDataFrame(
+            [(1, "a b"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        st = build_bm25_stats(d, "doc_id", "text", stem=False)
+        orig = st.corpus.first()
+        n_docs = d.count()
+        n_len = d.where(F.col("text").isNotNull()).count()
+        den = (
+            F.lit(float(n_len)) if n_len else F.lit(None).cast("double")
+        )
+        derived = (
+            st.postings.agg(F.sum("fq").cast("double").alias("s"))
+            .select(
+                F.lit(int(n_docs)).cast("long").alias("num_docs"),
+                (F.col("s") / den).alias("avg_doc_len"),
+            )
+            .first()
+        )
+        assert derived["num_docs"] == orig["num_docs"] == 3
+        assert derived["avg_doc_len"] == orig["avg_doc_len"] == 1.0
