@@ -234,12 +234,18 @@ def _shared_index_candidates(
     rows, or live tombstones."""
     import os as _os
 
-    from lantern_spark.operators.index import _path_has_parquet
+    from lantern_spark.operators.index import IVFIndex, _path_has_parquet
 
     if indexes is None or len(terms) < 2:
         return None
     idx0 = indexes[0]
     if idx0 is None or any(ix is not idx0 for ix in indexes):
+        return None
+    # PLAIN IVFIndex only: a duck-typed IVFGraphIndex (or any other
+    # manifest-proxy index) has its own candidate algorithm — a
+    # per-cell graph walk — that a flat probed-partition scan would
+    # silently replace with different (exact-within-lists) candidates
+    if type(idx0) is not IVFIndex:
         return None
     from lantern_spark.types import Metric
 
