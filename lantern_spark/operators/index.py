@@ -248,6 +248,37 @@ class IVFIndex:
         # at the next call so repeated inference batches on a
         # long-lived handle hold at most one snapshot (review r7 #8)
         self._batch_artifacts = None
+        # lazy-relation cache for the artifact's parquet dirs (r14
+        # guide §1.2/§7: `spark.read.parquet` over the partitioned
+        # lists dir costs ~200-250 ms of DRIVER time per call — file
+        # listing + schema resolution — and every search paid it for
+        # lists, delta, tombstones and codebook). Holds ONLY unexecuted
+        # DataFrame handles (no rows, no results: each action still
+        # scans parquet), validated by a directory fingerprint so a
+        # mutation through ANY handle — even another instance on the
+        # same path — is seen before the next read.
+        self._rel_cache: dict = {}
+
+    def _cached_read(self, spark: SparkSession, sub: str) -> DataFrame:
+        """`spark.read.parquet(self.path/sub)`, memoized while the
+        directory's fingerprint is unchanged. The fingerprint covers
+        direct children (name, mtime_ns, size): Spark never modifies a
+        file in place (writes create/delete part files, which bumps the
+        containing directory's mtime), so appends, dynamic partition
+        overwrites, manifest commits and rmtrees all change the token.
+        The session object is pinned in the value so `id(spark)` cannot
+        recycle across sessions."""
+        tok = _dir_fingerprint(os.path.join(self.path, sub))
+        hit = self._rel_cache.get(sub)
+        if (
+            hit is not None
+            and hit[0] == tok
+            and hit[2] is spark
+        ):
+            return hit[1]
+        df = spark.read.parquet(os.path.join(self.path, sub))
+        self._rel_cache[sub] = (tok, df, spark)
+        return df
 
     def _release_batch_artifacts(self) -> None:
         """Release the previous batch's cached assignment + broadcast.
@@ -473,7 +504,7 @@ class IVFIndex:
         return spark.read.parquet(os.path.join(self.path, "centroids"))
 
     def lists(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "lists"))
+        return self._cached_read(spark, "lists")
 
     def _centroid_arrays(self, spark: SparkSession) -> tuple:
         """(centroid matrix, list_id vector) as numpy — O(nlist·dim),
@@ -565,7 +596,7 @@ class IVFIndex:
             out = out.withColumn(dist_col, F.round(dist_col, round_digits))
         tomb_path = os.path.join(self.path, "tombstones")
         if _path_has_parquet(tomb_path):
-            tombs = spark.read.parquet(tomb_path)
+            tombs = self._cached_read(spark, "tombstones")
             out = out.join(
                 F.broadcast(tombs), on=mf.id_column, how="left_anti"
             )
@@ -678,7 +709,7 @@ class IVFIndex:
         tomb_path = os.path.join(self.path, "tombstones")
         if _path_has_parquet(tomb_path):
             out = out.join(
-                F.broadcast(spark.read.parquet(tomb_path)),
+                F.broadcast(self._cached_read(spark, "tombstones")),
                 on=mf.id_column,
                 how="left_anti",
             )
@@ -735,7 +766,7 @@ class IVFIndex:
         )
         from lantern_spark.operators.pq import pq_dist
 
-        codebook = spark.read.parquet(os.path.join(self.path, "pq_codebook"))
+        codebook = self._cached_read(spark, "pq_codebook")
         probes = self._probe_lists(spark, query, nprobe)
         lists = self.lists(spark).filter(F.col("list_id").isin(probes))
         # OPQ layout: codes live in rotated space — rotate the query
@@ -798,7 +829,7 @@ class IVFIndex:
             )
         tomb_path = os.path.join(self.path, "tombstones")
         if _path_has_parquet(tomb_path):
-            tombs = spark.read.parquet(tomb_path)
+            tombs = self._cached_read(spark, "tombstones")
             out = out.join(
                 F.broadcast(tombs), on=mf.id_column, how="left_anti"
             )
@@ -849,7 +880,7 @@ class IVFIndex:
         delta_path = os.path.join(self.path, "delta")
         if not _path_has_parquet(delta_path):
             return None
-        d = spark.read.parquet(delta_path)
+        d = self._cached_read(spark, "delta")
         folded = int((self.manifest.params or {}).get("folded_seq", 0))
         if "__delta_seq" in d.columns:
             from pyspark.sql import Window
@@ -1054,7 +1085,7 @@ class IVFIndex:
                 if has_tomb:
                     live = live.join(
                         F.broadcast(
-                            spark.read.parquet(tomb_path).select(
+                            self._cached_read(spark, "tombstones").select(
                                 mf.id_column
                             )
                         ),
@@ -1084,7 +1115,7 @@ class IVFIndex:
                 # FIXED-COST bound: every saved action matters at
                 # stream cadence)
         if has_tomb:
-            tombs = spark.read.parquet(tomb_path).select(mf.id_column)
+            tombs = self._cached_read(spark, "tombstones").select(mf.id_column)
             removal = (
                 tombs if removal is None else removal.unionByName(tombs)
             )
@@ -1156,9 +1187,7 @@ class IVFIndex:
             if pq_params:
                 from lantern_spark.operators.pq import encode_pq
 
-                codebook = spark.read.parquet(
-                    os.path.join(self.path, "pq_codebook")
-                )
+                codebook = self._cached_read(spark, "pq_codebook")
                 rot = (mf.params or {}).get("opq_rotation")
                 if rot:
                     # OPQ layout: fold-encoded codes must live in the
@@ -1281,6 +1310,28 @@ class IVFIndex:
             "problems": problems,
             "recall_at_k": recall,
         }
+
+
+def _dir_fingerprint(path: str):
+    """Cheap fs token for a parquet directory: sorted (name, mtime_ns,
+    size) of DIRECT children. A partition subdir's mtime changes when
+    entries inside it are created or deleted — which is how Spark
+    rewrites data — so one shallow scandir (~1 ms for tens of entries)
+    detects every artifact mutation without walking the tree."""
+    try:
+        with os.scandir(path) as it:
+            return tuple(
+                sorted(
+                    (
+                        e.name,
+                        e.stat(follow_symlinks=False).st_mtime_ns,
+                        e.stat(follow_symlinks=False).st_size,
+                    )
+                    for e in it
+                )
+            )
+    except FileNotFoundError:
+        return None
 
 
 def _path_has_parquet(path: str) -> bool:

@@ -149,6 +149,44 @@ def test_delta_and_tombstones(spark, index):
     assert all(r["vec_id"] != 999001 for r in after)
 
 
+class TestRelationCache:
+    """r14: the fingerprint-validated lazy-relation cache must (a) hand
+    back the same unexecuted DataFrame while the artifact is unchanged
+    (dropping the per-search file-listing/schema jobs), and (b) drop it
+    on ANY mutation — including one made through a DIFFERENT instance
+    opened on the same path, which no method-level invalidation hook
+    could see. Only the `os.scandir` fingerprint covers that case."""
+
+    def test_handle_reused_while_unchanged(self, spark, emb, tmp_path):
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "c"),
+            metric="l2sq", nlist=4, seed=1,
+        )
+        assert idx.lists(spark) is idx.lists(spark)
+
+    def test_cross_instance_mutation_visible(self, spark, emb, tmp_path):
+        path = str(tmp_path / "x")
+        writer = IVFIndex.build(
+            emb, "embedding", "vec_id", path,
+            metric="l2sq", nlist=4, seed=1,
+        )
+        reader = IVFIndex.load(path)
+        before = reader.search(spark, Q, k=3, nprobe=4).collect()
+        assert all(r["vec_id"] != 999101 for r in before)
+        # insert through the OTHER handle: the reader must see it
+        writer.add_delta(
+            spark.createDataFrame(
+                [Row(vec_id=999101, embedding=[float(x) for x in Q])]
+            )
+        )
+        top = reader.search(spark, Q, k=3, nprobe=4).collect()
+        assert top[0]["vec_id"] == 999101
+        # and the tombstone must kill it again, same cross-handle path
+        writer.delete(spark.createDataFrame([(999101,)], "vec_id long"))
+        after = reader.search(spark, Q, k=3, nprobe=4).collect()
+        assert all(r["vec_id"] != 999101 for r in after)
+
+
 def test_rebuild_folds_lifecycle(spark, index, tmp_path_factory):
     path2 = str(tmp_path_factory.mktemp("ivf2"))
     rebuilt = index.rebuild(spark, path2)
