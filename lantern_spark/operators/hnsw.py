@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lantern_spark.operators.index import _path_has_parquet
+from lantern_spark.operators.index import _dir_fingerprint, _path_has_parquet
 from lantern_spark.types import Metric
 
 
@@ -477,6 +477,28 @@ class HNSWIndex:
         # search_batch — released at the next call (unpersist is
         # lazy-safe: a held result recomputes)
         self._batch_snap = None
+        # lazy-relation cache for the artifact's parquet dirs, same
+        # contract as IVFIndex._cached_read: holds ONLY unexecuted
+        # DataFrame handles (no rows — every action still scans
+        # parquet), validated by a directory fingerprint so a mutation
+        # through ANY handle on the same path invalidates before the
+        # next read
+        self._rel_cache: dict = {}
+
+    def _cached_read(self, spark: SparkSession, rel_dir: str) -> DataFrame:
+        """`spark.read.parquet(self.path/rel_dir)` memoized while the
+        directory's (name, mtime_ns, size) child fingerprint is
+        unchanged — Spark writes create/delete part files, which bumps
+        the containing dir, so appends/folds/rmtrees all change the
+        token. The session object is pinned in the value so `id(spark)`
+        cannot recycle across sessions."""
+        tok = _dir_fingerprint(os.path.join(self.path, rel_dir))
+        hit = self._rel_cache.get(rel_dir)
+        if hit is not None and hit[0] == tok and hit[2] is spark:
+            return hit[1]
+        df = spark.read.parquet(os.path.join(self.path, rel_dir))
+        self._rel_cache[rel_dir] = (tok, df, spark)
+        return df
 
     @classmethod
     def build(
@@ -655,10 +677,15 @@ class HNSWIndex:
     def _graphs(self, spark: SparkSession) -> DataFrame:
         """All shard graph rows (shard_id, n, payload)."""
         dirs = self._graph_dirs()
-        out = spark.read.parquet(dirs[0]).select("shard_id", "n", "payload")
-        for d in dirs[1:]:
+        rels = [os.path.relpath(d, self.path) for d in dirs]
+        out = self._cached_read(spark, rels[0]).select(
+            "shard_id", "n", "payload"
+        )
+        for rel in rels[1:]:
             out = out.unionByName(
-                spark.read.parquet(d).select("shard_id", "n", "payload")
+                self._cached_read(spark, rel).select(
+                    "shard_id", "n", "payload"
+                )
             )
         return out
 
@@ -671,7 +698,7 @@ class HNSWIndex:
         delta_path = os.path.join(self.path, "delta")
         if not _path_has_parquet(delta_path):
             return None
-        d = spark.read.parquet(delta_path)
+        d = self._cached_read(spark, "delta")
         folded = int(self.manifest.get("folded_seq", 0))
         if "__delta_seq" in d.columns:
             from pyspark.sql import Window

@@ -71,3 +71,62 @@ class TestHnswFilteredSearch:
         _df, idx, q = self._fixture(spark, tmp_path)
         with _pytest.raises(ValueError, match="source_df"):
             idx.search(spark, q, k=5, where=F.col("parity") == 1)
+
+
+class TestHnswRelationCache:
+    """r14: fingerprint-validated lazy-relation cache on HNSWIndex —
+    same contract as IVFIndex's (tests/test_index.py
+    TestRelationCache): (a) the unexecuted graphs handle is reused
+    while the artifact is unchanged, (b) a mutation through a
+    DIFFERENT instance on the same path (add_delta appends) is seen by
+    a reader whose handles are already cached — only the `os.scandir`
+    fingerprint covers that case."""
+
+    def _build(self, spark, tmp_path, name):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        rows = [
+            (i, [float(i % 13), float(i % 7), float(i)]) for i in range(80)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        idx = HNSWIndex.build(
+            df, "embedding", "vec_id", str(tmp_path / name),
+            metric="l2sq", seed=3,
+        )
+        return idx
+
+    def test_handle_reused_while_unchanged(self, spark, tmp_path):
+        idx = self._build(spark, tmp_path, "rc")
+        assert idx._cached_read(spark, "graphs") is idx._cached_read(
+            spark, "graphs"
+        )
+
+    def test_cross_instance_delta_appends_visible(self, spark, tmp_path):
+        from lantern_spark.operators.hnsw import HNSWIndex
+
+        writer = self._build(spark, tmp_path, "rcx")
+        reader = HNSWIndex.load(writer.path)
+        q = [500.0, 500.0, 500.0]
+        before = reader.search(spark, q, k=3, ef=64).collect()
+        assert all(r["vec_id"] != 999201 for r in before)
+        # insert through the OTHER handle: the reader (graphs handle
+        # now cached, no delta dir yet) must see the new row
+        writer.add_delta(
+            spark.createDataFrame(
+                [(999201, q)], "vec_id long, embedding array<double>"
+            )
+        )
+        top = reader.search(spark, q, k=3, ef=64).collect()
+        assert top[0]["vec_id"] == 999201
+        # second append mutates the EXISTING delta dir: the reader's
+        # cached delta handle must be invalidated by the fingerprint
+        writer.add_delta(
+            spark.createDataFrame(
+                [(999202, [499.0, 500.0, 500.0])],
+                "vec_id long, embedding array<double>",
+            )
+        )
+        top2 = reader.search(spark, q, k=3, ef=64).collect()
+        assert {top2[0]["vec_id"], top2[1]["vec_id"]} == {999201, 999202}
