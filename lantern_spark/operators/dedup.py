@@ -563,12 +563,17 @@ def connected_components(
     # count()-then-``edges.rdd.map(tuple).collect()`` pair was two full
     # jobs, the second through the RDD pickle path (every row
     # deserialized in Python workers, re-serialized, re-parsed on the
-    # driver). ``limit(threshold+1)`` short-circuits — CollectLimit
-    # stops pulling partitions once satisfied, so a huge graph never
-    # scans fully just to learn it is huge — and Arrow moves the
-    # bounded edge list driver-side in columnar batches.
-    probe = edges.limit(int(local_threshold) + 1).toPandas()
-    if len(probe) <= local_threshold:
+    # driver). ``limit(threshold+1)`` caps what crosses to the driver
+    # at threshold+1 rows regardless of graph size (in local checkpoint
+    # mode the cut above still materializes every edge partition once —
+    # the bound is on driver transfer, not on the scan); the rows move
+    # as Arrow columnar batches. ``toArrow()`` rather than
+    # ``toPandas()`` (r15, r14 ADVICE): pandas coerces a nullable long
+    # column to float64, so a NULL endpoint would silently become NaN
+    # and corrupt the union-find ids — Arrow keeps int64 + NULL
+    # identity exact.
+    probe = edges.limit(int(local_threshold) + 1).toArrow()
+    if probe.num_rows <= local_threshold:
         spark = pairs.sparkSession
         parent: dict = {}
 
@@ -581,10 +586,19 @@ def connected_components(
             return root
 
         # python-int tuples (numpy scalars hash ~3× slower in the
-        # union-find dict); same bounded-memory contract as before
-        edge_rows = list(
-            zip(probe["src"].tolist(), probe["dst"].tolist())
-        )
+        # union-find dict); same bounded-memory contract as before.
+        # NULL endpoints would poison the min-id ordering (None < int
+        # raises) — surface them loudly instead of corrupting labels.
+        src_list = probe.column("src").to_pylist()
+        dst_list = probe.column("dst").to_pylist()
+        if any(v is None for v in src_list) or any(
+            v is None for v in dst_list
+        ):
+            raise ValueError(
+                "connected_components: NULL edge endpoint in pairs "
+                "(id_a/id_b must be non-null)"
+            )
+        edge_rows = list(zip(src_list, dst_list))
         for a0, b0 in edge_rows:
             a, b = find(a0), find(b0)
             if a != b:

@@ -493,6 +493,11 @@ class HNSWIndex:
         token. The session object is pinned in the value so `id(spark)`
         cannot recycle across sessions."""
         tok = _dir_fingerprint(os.path.join(self.path, rel_dir))
+        if tok is None:
+            # unscannable path (URI / permission / vanished): never
+            # cache — `None == None` would pin a stale handle forever
+            self._rel_cache.pop(rel_dir, None)
+            return spark.read.parquet(os.path.join(self.path, rel_dir))
         hit = self._rel_cache.get(rel_dir)
         if hit is not None and hit[0] == tok and hit[2] is spark:
             return hit[1]

@@ -269,6 +269,12 @@ class IVFIndex:
         The session object is pinned in the value so `id(spark)` cannot
         recycle across sessions."""
         tok = _dir_fingerprint(os.path.join(self.path, sub))
+        if tok is None:
+            # Unscannable path (object-store URI, permission error,
+            # vanished dir): never cache — `None == None` would pin a
+            # stale handle forever. Drop any prior entry too.
+            self._rel_cache.pop(sub, None)
+            return spark.read.parquet(os.path.join(self.path, sub))
         hit = self._rel_cache.get(sub)
         if (
             hit is not None
@@ -1314,23 +1320,44 @@ class IVFIndex:
 
 def _dir_fingerprint(path: str):
     """Cheap fs token for a parquet directory: sorted (name, mtime_ns,
-    size) of DIRECT children. A partition subdir's mtime changes when
-    entries inside it are created or deleted — which is how Spark
-    rewrites data — so one shallow scandir (~1 ms for tens of entries)
-    detects every artifact mutation without walking the tree."""
+    size) of DIRECT children, plus — for child DIRECTORIES (partition
+    dirs like ``list_id=N``) — one shallow scandir of the child's own
+    entries. The second level matters on filesystems with coarse
+    timestamps (1 s on HFS+/some NFS): a dynamic partition overwrite
+    replaces part files inside ``list_id=N`` without changing the
+    subdir's name or size, so with a same-tick mtime the shallow token
+    would miss the rewrite; the part-file names (UUID-bearing) and
+    sizes cannot collide across writes.
+
+    Returns ``None`` when the path cannot be scanned — missing dir,
+    permission error, or a non-local URI (``s3://…`` raises ENOENT or
+    similar locally). Callers MUST treat ``None`` as "never cache":
+    ``None == None`` would otherwise hit a stale entry forever."""
     try:
+        out = []
         with os.scandir(path) as it:
-            return tuple(
-                sorted(
-                    (
-                        e.name,
-                        e.stat(follow_symlinks=False).st_mtime_ns,
-                        e.stat(follow_symlinks=False).st_size,
-                    )
-                    for e in it
-                )
-            )
-    except FileNotFoundError:
+            for e in it:
+                st = e.stat(follow_symlinks=False)
+                if e.is_dir(follow_symlinks=False):
+                    try:
+                        with os.scandir(e.path) as sub:
+                            inner = tuple(
+                                sorted(
+                                    (
+                                        s.name,
+                                        s.stat(follow_symlinks=False).st_mtime_ns,
+                                        s.stat(follow_symlinks=False).st_size,
+                                    )
+                                    for s in sub
+                                )
+                            )
+                    except OSError:
+                        return None
+                else:
+                    inner = None
+                out.append((e.name, st.st_mtime_ns, st.st_size, inner))
+        return tuple(sorted(out))
+    except OSError:
         return None
 
 

@@ -286,7 +286,11 @@ def _shared_index_candidates(
     )
     from lantern_spark.plans.lineage import cut_lineage
 
-    proj = cut_lineage(proj, eager=False)
+    # scheduling_only: a per-search durable copy of the probed
+    # projection (reliable/storage modes) would be written at query
+    # construction on every call — gate the cut to local mode (r15,
+    # r14 ADVICE); recompute-per-term is the durable-mode behavior.
+    proj = cut_lineage(proj, eager=False, scheduling_only=True)
     parts = []
     for i, ps in enumerate(term_probes):
         t = proj

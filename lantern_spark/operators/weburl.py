@@ -1229,7 +1229,11 @@ def domain_link_graph(
         # reference re-ran the distinct-host shuffle AND the PSL rule
         # chain (r14 optimization, guide §2.4) — a lazy cut computes
         # the map once and shares it by RDD identity.
-        hmap = cut_lineage(hmap, eager=False)
+        # scheduling_only (r15, r14 ADVICE): under durability modes a
+        # per-call staged copy of the host map would be written (and
+        # leak in storage mode); the codegen fence above keeps the
+        # 64 KB-safe shape either way.
+        hmap = cut_lineage(hmap, eager=False, scheduling_only=True)
         # LEFT joins, deliberately: an inner join would push
         # isnotnull(__sh/__dh) below the pair aggregation, where the
         # predicate rewrites to isnotnull(url_host(resolve_link(…)))
@@ -1764,7 +1768,7 @@ def expand_seed_domains(
     from lantern_spark.plans.lineage import cut_lineage
     from lantern_spark.types import local_df
 
-    step = cut_lineage(step.distinct(), eager=False)
+    step = cut_lineage(step.distinct(), eager=False, scheduling_only=True)
     reached = local_df(
         spark, [(s.lower(), 0) for s in seeds], "domain string, hop int"
     )
@@ -1788,7 +1792,10 @@ def expand_seed_domains(
         # by RDD identity from then on — same sharing, ``hops`` fewer
         # jobs. (storage mode still writes its leaf per cut — eager by
         # construction — and results are mode-invariant as before.)
-        nxt = cut_lineage(nxt, eager=False)
+        # scheduling_only (r15): hop sharing is per-call query
+        # scheduling, not loop state needing durability; hops are 1-3
+        # so the un-cut plan stays bounded in durable modes.
+        nxt = cut_lineage(nxt, eager=False, scheduling_only=True)
         reached = reached.unionByName(nxt)
         frontier = nxt.select("domain")
     return reached

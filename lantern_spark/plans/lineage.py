@@ -199,15 +199,32 @@ def clear_storage_cuts(dir: str) -> None:
 
 
 def cut_lineage(
-    df: DataFrame, eager: bool = True, chain: Optional[CutChain] = None
+    df: DataFrame,
+    eager: bool = True,
+    chain: Optional[CutChain] = None,
+    scheduling_only: bool = False,
 ) -> DataFrame:
     """Materialization boundary under the configured strategy: returns
     a DataFrame with the SAME rows whose plan no longer references
     ``df``'s lineage. Drop-in for ``df.localCheckpoint(eager)`` at
     every site in the package; see the module docstring for the
     mode-by-mode durability contract. ``chain`` (storage mode only)
-    garbage-collects superseded leaves — see :class:`CutChain`."""
+    garbage-collects superseded leaves — see :class:`CutChain`.
+
+    ``scheduling_only=True`` (r15, r14 ADVICE): marks a cut that is a
+    pure scheduling optimization on a per-call QUERY path (share a
+    small multi-referenced relation by RDD identity instead of
+    re-running its shuffle per reference). Under ``local`` mode it
+    behaves normally; under the durability modes it returns ``df``
+    unchanged — a reliable/storage cut there would stage a durable
+    copy of the relation at query-construction time on EVERY call
+    (and, in storage mode, leak the leaf until
+    :func:`clear_storage_cuts`). Durability is for loop/build state,
+    not transient query scheduling; results are identical either way,
+    only per-reference recompute returns."""
     mode, cdir = get_checkpoint_mode()
+    if scheduling_only and mode != "local":
+        return df
     if mode == "local":
         return df.localCheckpoint(eager=eager)
     if mode == "reliable":

@@ -236,10 +236,21 @@ def local_df(spark, rows, schema):
             ]
         else:  # StructType
             names = list(schema.fieldNames())
-        pdf = pd.DataFrame(
-            {n: [r[i] for r in rows] for i, n in enumerate(names)},
-            columns=names,
-        )
+        # NULL identity (r14 ADVICE): pandas dtype inference turns a
+        # None in an otherwise-float column into float64 NaN, and Arrow
+        # ships NaN to Spark as NaN, not NULL (int columns raise and
+        # would hit the fallback; doubles do not). Callers like
+        # ppl_buckets rely on None surviving as SQL NULL for null-safe
+        # (<=>) joins — so any column containing a None is constructed
+        # at object dtype, where None→NULL round-trips exactly.
+        cols = {}
+        for i, n in enumerate(names):
+            vals = [r[i] for r in rows]
+            if any(v is None for v in vals):
+                cols[n] = pd.Series(vals, dtype=object)
+            else:
+                cols[n] = vals
+        pdf = pd.DataFrame(cols, columns=names)
         return spark.createDataFrame(pdf, schema)
     except Exception:
         return spark.createDataFrame(rows, schema)

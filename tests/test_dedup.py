@@ -246,6 +246,27 @@ class TestCCStrategyGate:
         comp = dict(local)
         assert comp[4] == 1 and comp[11] == 10 and comp[23] == 20
 
+    def test_probe_preserves_int_identity_and_rejects_nulls(self, spark):
+        """r15 (r14 ADVICE): the driver probe moves edges via toArrow(),
+        not toPandas(), so int64 ids survive exactly (pandas would
+        coerce a nullable long column to float64 and .tolist() would
+        yield floats/NaN that corrupt the union-find dict). A NULL
+        endpoint must raise loudly, never silently mislabel."""
+        from lantern_spark.operators.dedup import connected_components
+
+        big = 2**53 + 1  # not representable as float64
+        pairs = spark.createDataFrame(
+            [(big, big + 2)], "id_a long, id_b long"
+        )
+        out = sorted(tuple(r) for r in connected_components(pairs).collect())
+        assert out == [(big, big), (big + 2, big)]
+
+        with_null = spark.createDataFrame(
+            [(1, 2), (None, 3)], "id_a long, id_b long"
+        )
+        with pytest.raises(Exception, match="NULL edge endpoint"):
+            connected_components(with_null)
+
 
 class TestSemanticDedup:
     """SemDeDup (arXiv:2303.09540): cluster-then-prune semantic dedup."""

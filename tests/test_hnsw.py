@@ -130,3 +130,18 @@ class TestHnswRelationCache:
         )
         top2 = reader.search(spark, q, k=3, ef=64).collect()
         assert {top2[0]["vec_id"], top2[1]["vec_id"]} == {999201, 999202}
+
+    def test_unscannable_path_never_caches(self, spark, tmp_path, monkeypatch):
+        """r15 (r14 VERDICT #1): `_dir_fingerprint` → None (URI /
+        permission error) must bypass and evict the cache, never hit it
+        — mirrored from TestRelationCache on IVFIndex."""
+        import lantern_spark.operators.hnsw as mod
+
+        idx = self._build(spark, tmp_path, "rcn")
+        first = idx._cached_read(spark, "graphs")
+        assert "graphs" in idx._rel_cache
+        monkeypatch.setattr(mod, "_dir_fingerprint", lambda p: None)
+        a = idx._cached_read(spark, "graphs")
+        b = idx._cached_read(spark, "graphs")
+        assert a is not first and a is not b
+        assert "graphs" not in idx._rel_cache

@@ -5,6 +5,8 @@ Reference analogs: build (build.c BuildIndex), scan recall
 validate_index (validate_index.c).
 """
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import Row
@@ -185,6 +187,77 @@ class TestRelationCache:
         writer.delete(spark.createDataFrame([(999101,)], "vec_id long"))
         after = reader.search(spark, Q, k=3, nprobe=4).collect()
         assert all(r["vec_id"] != 999101 for r in after)
+
+    def test_unscannable_path_never_caches(self, spark, emb, tmp_path, monkeypatch):
+        """r15 (r14 VERDICT #1): when `_dir_fingerprint` cannot scan the
+        path (object-store URI, permission error) it returns None, and
+        None must mean NEVER-CACHE — the old code stored (None, df) and
+        `None == None` then hit the stale handle forever, so a mutated
+        artifact on a URI path would keep serving old data."""
+        import lantern_spark.operators.index as mod
+
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "u"),
+            metric="l2sq", nlist=4, seed=1,
+        )
+        # warm the cache on the real path, then make it unscannable
+        first = idx.lists(spark)
+        assert "lists" in idx._rel_cache
+        monkeypatch.setattr(mod, "_dir_fingerprint", lambda p: None)
+        a = idx.lists(spark)
+        b = idx.lists(spark)
+        # fresh handle every call, stale entry evicted, nothing stored
+        assert a is not first and a is not b
+        assert "lists" not in idx._rel_cache
+
+    def test_fingerprint_none_on_permission_error(self, tmp_path, monkeypatch):
+        """scandir failures beyond FileNotFoundError (e.g. EACCES, or
+        the ENOENT-ish errors local scandir raises on `s3://…` URIs)
+        must also yield None, not crash the read path."""
+        from lantern_spark.operators.index import _dir_fingerprint
+
+        real_scandir = os.scandir
+
+        def deny(path):
+            raise PermissionError(13, "denied", str(path))
+
+        monkeypatch.setattr(os, "scandir", deny)
+        assert _dir_fingerprint(str(tmp_path)) is None
+        monkeypatch.setattr(os, "scandir", real_scandir)
+        assert _dir_fingerprint("s3://bucket/prefix/lists") is None
+
+    def test_partition_partfile_rewrite_invalidates(self, spark, emb, tmp_path):
+        """r15 (r14 ADVICE): a dynamic partition overwrite replaces part
+        files INSIDE `list_id=N` without changing the subdir's name or
+        size; with coarse (1 s) filesystem timestamps the subdir mtime
+        can land in the same tick. The fingerprint now includes one
+        shallow scandir of each child dir, so the part-file change
+        itself flips the token even when every directory mtime is
+        frozen."""
+        from lantern_spark.operators.index import _dir_fingerprint
+
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", str(tmp_path / "p"),
+            metric="l2sq", nlist=4, seed=1,
+        )
+        lists_dir = os.path.join(idx.path, "lists")
+        tok0 = _dir_fingerprint(lists_dir)
+        # find one part file inside a partition dir and append a byte,
+        # then freeze every directory mtime back to its original value
+        part_dir = next(
+            e.path for e in os.scandir(lists_dir)
+            if e.is_dir() and e.name.startswith("list_id=")
+        )
+        part_file = next(
+            e.path for e in os.scandir(part_dir)
+            if e.name.endswith(".parquet")
+        )
+        dstat = {d: os.stat(d) for d in (lists_dir, part_dir)}
+        with open(part_file, "ab") as f:
+            f.write(b"\0")
+        for d, st in dstat.items():
+            os.utime(d, ns=(st.st_atime_ns, st.st_mtime_ns))
+        assert _dir_fingerprint(lists_dir) != tok0
 
 
 def test_rebuild_folds_lifecycle(spark, index, tmp_path_factory):

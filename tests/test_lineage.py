@@ -52,6 +52,33 @@ class TestModePlumbing:
                 raise RuntimeError("boom")
         assert get_checkpoint_mode() == ("local", None)
 
+    def test_scheduling_only_noop_under_durable_modes(self, spark, tmp_path):
+        """r15 (r14 ADVICE): query-path cuts marked scheduling_only are
+        pure per-call scheduling shares — under reliable/storage modes
+        they must return df UNCHANGED (no durable copy staged per call,
+        no storage leaf leaked); under local mode they cut as before."""
+        df = spark.range(8).selectExpr("id", "id * 2 as v")
+        with checkpoint_mode("storage", dir=str(tmp_path / "s")):
+            out = cut_lineage(df, eager=False, scheduling_only=True)
+            assert out is df
+            assert not (tmp_path / "s").exists() or not any(
+                (tmp_path / "s").iterdir()
+            )
+        # reliable mode: returns df before even consulting the
+        # checkpoint dir (deliberately NOT setting one here — the
+        # shared context keeps none, so test_reliable_without_dir_raises
+        # below stays meaningful)
+        with checkpoint_mode("reliable"):
+            out = cut_lineage(df, eager=False, scheduling_only=True)
+            assert out is df
+        # local mode: still a real cut (plan no longer references df's
+        # lineage) with identical rows
+        cut = cut_lineage(df, eager=False, scheduling_only=True)
+        assert cut is not df
+        assert sorted(tuple(r) for r in cut.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+
     def test_reliable_without_dir_raises(self, spark):
         # must run before any test sets a checkpoint dir on the shared
         # context — guarded by the assert, not by test ordering
