@@ -51,6 +51,7 @@ def _cfg():
 
 
 class TestAssemble:
+    @pytest.mark.slow
     def test_end_to_end_accounting(self, spark, tmp_path):
         from lantern_spark.operators.assemble import (
             assemble_pretraining_corpus,

@@ -147,6 +147,7 @@ class TestIvfGraphAutotune:
     item 8) — grid over the COMPOSED structure, the reference's
     mod.rs:328-359 shape."""
 
+    @pytest.mark.slow
     def test_meets_target_and_reports_eval_fraction(self, spark, emb):
         from lantern_spark.operators.autotune import (
             autotune_ivf_graph_index,

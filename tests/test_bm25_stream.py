@@ -87,6 +87,7 @@ class TestPersistedStats:
 
 
 class TestIncrementalJob:
+    @pytest.mark.slow
     def test_file_stream_end_to_end(self, spark, tmp_path):
         """Docs arriving across micro-batches build the same scored
         corpus as a batch build; a fragment-triggered consolidation
@@ -139,6 +140,7 @@ class TestIncrementalJob:
 
 
 class TestReplayIdempotence:
+    @pytest.mark.slow
     def test_epoch_rewrite_does_not_double_count(self, spark, tmp_path):
         """A redelivered micro-batch (same epoch id) overwrites its own
         files instead of appending a second copy — scores and corpus

@@ -173,7 +173,15 @@ class TestChunkRagComposition:
         )
         from lantern_spark.operators.index import IVFIndex
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # r15: a 120-doc slice keeps every contract this composition
+        # exercises (multi-chunk docs, provenance columns through the
+        # index, exact self-hit at full probe) — the full-corpus form
+        # was 281 s of md5-embedding ~20k overlapping chunks, by far
+        # the slowest test in the suite
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") < 120)
+        )
         chunks = chunk_text(docs, "text", "doc_id", max_tokens=12, overlap=4)
         emb = chunks.select(
             (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("chunk_key"),

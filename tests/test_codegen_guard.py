@@ -14,6 +14,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 from lantern_spark.plans.codegen_guard import (
     CODEGEN_FAILURE_RX,
     CodegenFailureMonitor,
@@ -121,6 +123,7 @@ SUBPROC = textwrap.dedent(
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_fused_chain_trips_and_production_shape_is_silent(
         self, tmp_path
     ):

@@ -400,6 +400,7 @@ class TestSemanticDedup:
                     got[fin], want[fin], rtol=0.0, atol=1e-12
                 ), f"c={c} rd={rd}"
 
+    @pytest.mark.slow
     def test_large_cluster_bounded_memory(self, spark):
         """One artificially large cluster (50k members, n_clusters=1):
         the full gram would be 50k² doubles = 20 GB — guaranteed OOM in

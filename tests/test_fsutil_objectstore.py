@@ -362,6 +362,7 @@ class TestNeardupStreamOnObjectStore:
         "count passing clouds all afternoon in complete silence"
     )
 
+    @pytest.mark.slow
     def test_gate_with_bloom_and_consolidation(self, spark, tmp_path):
         """The heaviest layout user — per-epoch docs+buckets fragments,
         a staged-swap bloom filter, excluded-epoch consolidation — all

@@ -41,6 +41,7 @@ def _edge_map(df):
 
 
 class TestGraphStream:
+    @pytest.mark.slow
     def test_stream_equals_batch_build(self, spark, tmp_path):
         from lantern_spark.operators.weburl import domain_link_graph
 

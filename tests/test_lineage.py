@@ -165,6 +165,7 @@ class TestModeInvariance:
         # loop — the path with per-iteration lineage cuts
         return _rows(connected_components(pairs, local_threshold=0))
 
+    @pytest.mark.slow
     def test_all_modes_identical(self, spark, tmp_path):
         from lantern_spark.operators.weburl import domain_link_graph
 
@@ -205,6 +206,7 @@ class TestModeInvariance:
             assert cuts, "storage mode wrote no staged cuts"
         edges.unpersist()
 
+    @pytest.mark.slow
     def test_storage_leaf_gc_bounds_growth(self, spark, tmp_path):
         """r14 (review r13 item 2): storage mode must not leak one
         state copy per cut. After a 6-hop harmonic AND a 20-iteration

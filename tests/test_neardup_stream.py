@@ -83,6 +83,7 @@ class TestStreamingNearDup:
         got = self._run(spark, tmp_path, [[2, 6, 3]])
         assert got == [2, 3]  # min id survives the shared buckets
 
+    @pytest.mark.slow
     def test_verification_rescues_banding_fps(self, spark, tmp_path):
         """verify_threshold=None drops on ANY bucket collision;
         the default verifies with exact Jaccard, so genuinely
@@ -232,6 +233,7 @@ class TestStreamingNearDup:
         )
         assert got == [1, 3, 5]
 
+    @pytest.mark.slow
     def test_replay_after_consolidation_no_duplicates(
         self, spark, tmp_path
     ):
@@ -378,6 +380,7 @@ class TestBloomParamsManifest:
         assert got == [1, 3]  # dup still dropped after rebuild
         assert (tmp_path / "store" / "bloom_params.json").exists()
 
+    @pytest.mark.slow
     def test_prefilter_off_run_staleness_detected(self, spark, tmp_path):
         """Review finding: a bloom_prefilter=False run stores fragments
         the filter never folded; a later prefilter=True run must treat
@@ -449,6 +452,7 @@ class TestBloomResize:
             **kw,
         )
 
+    @pytest.mark.slow
     def test_grow_persist_adopt(self, spark, tmp_path):
         import json
 

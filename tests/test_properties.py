@@ -41,41 +41,61 @@ def sql(spark):
 
 
 class TestDistanceProperties:
+    # r15: batched — one Spark job per hypothesis example instead of
+    # one per vector pair (50 single-row jobs took ~50 s of the suite;
+    # the batched forms cover more pairs in a fraction of it)
     @settings(
-        max_examples=25,
+        max_examples=8,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
-    @given(ab=st.tuples(vec(8), vec(8)))
-    def test_l2sq_matches_numpy(self, sql, ab):
+    @given(abs_=st.lists(st.tuples(vec(8), vec(8)), min_size=1, max_size=25))
+    def test_l2sq_matches_numpy(self, spark, abs_):
         from lantern_spark.functions.distances import l2sq_dist
 
-        a, b = ab
-        got = sql(l2sq_dist, a, b)
-        exp = float(
-            ((np.asarray(a, dtype=np.float32).astype(np.float64)
-              - np.asarray(b, dtype=np.float32).astype(np.float64)) ** 2).sum()
-        )
-        assert math.isclose(got, exp, rel_tol=1e-6, abs_tol=1e-6)
+        got = [
+            r.v
+            for r in spark.createDataFrame(
+                abs_, "a array<float>, b array<float>"
+            )
+            .select(l2sq_dist("a", "b").alias("v"))
+            .collect()
+        ]
+        for (a, b), g in zip(abs_, got):
+            exp = float(
+                ((np.asarray(a, dtype=np.float32).astype(np.float64)
+                  - np.asarray(b, dtype=np.float32).astype(np.float64)) ** 2).sum()
+            )
+            assert math.isclose(g, exp, rel_tol=1e-6, abs_tol=1e-6), (a, b)
 
     @settings(
-        max_examples=25,
+        max_examples=8,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
-    @given(ab=st.tuples(vec(8), vec(8)))
-    def test_cos_dist_range_and_symmetry(self, sql, ab):
+    @given(abs_=st.lists(st.tuples(vec(8), vec(8)), min_size=1, max_size=25))
+    def test_cos_dist_range_and_symmetry(self, spark, abs_):
         from lantern_spark.functions.distances import cos_dist
 
-        a, b = ab
-        na = np.linalg.norm(np.asarray(a, dtype=np.float64))
-        nb = np.linalg.norm(np.asarray(b, dtype=np.float64))
-        if na < 1e-6 or nb < 1e-6:
-            return  # zero vectors: cosine undefined; guard covered elsewhere
-        d_ab = sql(cos_dist, a, b)
-        d_ba = sql(cos_dist, b, a)
-        assert -1e-9 <= d_ab <= 2 + 1e-9
-        assert math.isclose(d_ab, d_ba, rel_tol=1e-9, abs_tol=1e-9)
+        rows = [
+            (a, b)
+            for a, b in abs_
+            if np.linalg.norm(np.asarray(a, dtype=np.float64)) >= 1e-6
+            and np.linalg.norm(np.asarray(b, dtype=np.float64)) >= 1e-6
+        ]  # zero vectors: cosine undefined; guard covered elsewhere
+        if not rows:
+            return
+        out = (
+            spark.createDataFrame(rows, "a array<float>, b array<float>")
+            .select(
+                cos_dist("a", "b").alias("ab"),
+                cos_dist("b", "a").alias("ba"),
+            )
+            .collect()
+        )
+        for (a, b), r in zip(rows, out):
+            assert -1e-9 <= r.ab <= 2 + 1e-9, (a, b)
+            assert math.isclose(r.ab, r.ba, rel_tol=1e-9, abs_tol=1e-9), (a, b)
 
 
 class TestBloomProperties:
@@ -329,15 +349,18 @@ class TestPIIProperties:
     )
 
     @settings(
-        max_examples=20,
+        max_examples=6,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
-    @given(toks=_pii_gen)
-    def test_redaction_is_idempotent_and_complete(self, spark, toks):
+    @given(docs=st.lists(_pii_gen, min_size=1, max_size=8))
+    def test_redaction_is_idempotent_and_complete(self, spark, docs):
         """After one redaction pass: (a) no pattern matches remain
         (count of the redacted text is 0), (b) redacting again is a
-        no-op, (c) count equals the number of placeholders inserted."""
+        no-op, (c) count equals the number of placeholders inserted.
+        r15: batched — two Spark jobs per hypothesis example of up to
+        8 documents instead of two per document (was 34 s of the
+        suite in single-row jobs)."""
         import re as _re
 
         from lantern_spark.operators.textstats import (
@@ -346,36 +369,42 @@ class TestPIIProperties:
             redact_pii,
         )
 
-        s = " ".join(toks)
-        row = (
-            spark.createDataFrame([(s,)], "t string")
+        texts = [" ".join(toks) for toks in docs]
+        rows = (
+            spark.createDataFrame([(s,) for s in texts], "t string")
             .select(
                 redact_pii("t").alias("c1"),
                 pii_count("t").cast("long").alias("n"),
             )
-            .first()
+            .collect()
         )
-        c1, n = row["c1"], row["n"]
-        for _kind, pat in PII_PATTERNS:
-            # re.ASCII: Java and RE2 treat \d/\b as ASCII-only; Python
-            # re is the odd one out (hypothesis found '0٠0' — an
-            # Arabic-Indic digit — matching Python's \d but neither
-            # engine's). The ASCII flag checks the ACTUAL cross-engine
-            # dialect the patterns are written in.
-            assert _re.search(pat, c1, _re.ASCII) is None, (s, c1, pat)
-        row2 = (
-            spark.createDataFrame([(c1,)], "t string")
+        for s, row in zip(texts, rows):
+            for _kind, pat in PII_PATTERNS:
+                # re.ASCII: Java and RE2 treat \d/\b as ASCII-only;
+                # Python re is the odd one out (hypothesis found '0٠0'
+                # — an Arabic-Indic digit — matching Python's \d but
+                # neither engine's). The ASCII flag checks the ACTUAL
+                # cross-engine dialect the patterns are written in.
+                assert _re.search(pat, row["c1"], _re.ASCII) is None, (
+                    s, row["c1"], pat,
+                )
+        rows2 = (
+            spark.createDataFrame(
+                [(row["c1"],) for row in rows], "t string"
+            )
             .select(
                 redact_pii("t").alias("c2"),
                 pii_count("t").cast("long").alias("n2"),
             )
-            .first()
+            .collect()
         )
-        assert row2["c2"] == c1 and row2["n2"] == 0
-        placeholders = sum(
-            c1.count(f"<{kind.upper()}>") for kind, _ in PII_PATTERNS
-        )
-        assert placeholders == n
+        for row, row2 in zip(rows, rows2):
+            assert row2["c2"] == row["c1"] and row2["n2"] == 0
+            placeholders = sum(
+                row["c1"].count(f"<{kind.upper()}>")
+                for kind, _ in PII_PATTERNS
+            )
+            assert placeholders == row["n"]
 
     def test_unicode_digit_frontier_is_conservative(self, spark):
         """Documented engine-frontier pin (hypothesis found this): when
@@ -409,6 +438,7 @@ class TestSemanticDedupProperties:
         seed=st.integers(min_value=0, max_value=2**16),
         n=st.integers(min_value=4, max_value=24),
     )
+    @pytest.mark.slow
     def test_keep_rule_invariants(self, spark, seed, n):
         """For any generated corpus: each cluster's min-id row is kept;
         kept ⟺ (no prior or max_prior_sim < thr); output is a
@@ -736,23 +766,28 @@ class TestResolveLinkProperties:
         link += draw(st.sampled_from(["", "#frag"]))
         return base, link
 
-    @given(data=base_and_link())
-    @settings(max_examples=120, deadline=None)
-    def test_matches_urljoin(self, spark, data):
+    @given(pairs=st.lists(base_and_link(), min_size=1, max_size=60))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_urljoin(self, spark, pairs):
+        # r15: batched — one Spark job per hypothesis example instead
+        # of one per (base, link) pair (120 single-row jobs took 168 s
+        # of the suite; 15 batched examples cover MORE pairs in ~15 s)
         import re
         from urllib.parse import urljoin
 
         from lantern_spark.functions.html import resolve_link
 
-        base, link = data
-        want = re.sub(r"#.*$", "", urljoin(base, link))
-        got = (
-            spark.createDataFrame([(base, link)], "b string, l string")
+        want = [re.sub(r"#.*$", "", urljoin(b, l)) for b, l in pairs]
+        got = [
+            r.o
+            for r in spark.createDataFrame(pairs, "b string, l string")
             .select(resolve_link("b", "l").alias("o"))
-            .first()
-            .o
-        )
-        assert got == want, (base, link, got, want)
+            .collect()
+        ]
+        assert got == want, [
+            (p, g, w) for p, g, w in zip(pairs, got, want) if g != w
+        ]
 
 
 class TestLinkHostProperty:

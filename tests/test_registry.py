@@ -12,8 +12,22 @@ from tests.conftest import assert_matches_oracle
 
 ALL = sorted(registry.queries().keys())
 
+# md5-embedding both engines' full corpus makes this one oracle row
+# ~55 s of DuckDB time — the driver hash-checks every declared query
+# against the oracle itself each round, so the default pytest run
+# skips just this row (run with --runslow)
+_SLOW_ORACLE_ROWS = {"text_query_vector_search"}
 
-@pytest.mark.parametrize("name", ALL)
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow)
+        if n in _SLOW_ORACLE_ROWS
+        else n
+        for n in ALL
+    ],
+)
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     q = registry.queries()[name]
     sdf = q(spark, sf_dir)

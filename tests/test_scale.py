@@ -159,6 +159,7 @@ class TestHnswHighRecall:
     recall on the same fixture — the reason the reference's core is a
     graph (build.c:472-648)."""
 
+    @pytest.mark.slow
     def test_recall_vs_scan_fraction(
         self, spark, big_emb, big_index, probes, tmp_path
     ):
@@ -464,6 +465,7 @@ class TestEndToEndTrainingPipeline:
     every heuristic stage out of Python (the 100 TB contract: one scan
     feeds the pipeline until dedup's shuffles)."""
 
+    @pytest.mark.slow
     def test_pipeline_composes_deterministically(self, spark, sf_dir):
         import os
 
@@ -521,6 +523,7 @@ class TestIvfGraphScale:
     flat IVF scan pays for the same probed cells and (b) what
     hash-sharded HNSW pays — the reason the hybrid exists."""
 
+    @pytest.mark.slow
     def test_hybrid_beats_both_parents(self, spark, sf_dir, tmp_path):
         from lantern_spark.operators.index import IVFIndex
         from lantern_spark.operators.ivf_graph import (
