@@ -276,9 +276,22 @@ def tune_nprobe(
                 )
             yield pd.concat(frames, ignore_index=True)
 
+    src = lists.select(id_col, col, "list_id")
+    # size the Python-kernel task count to the corpus (r15, guide §4):
+    # the partitioned lists dir splits into ~one scan task per few
+    # files, and each mapInPandas task pays a worker round trip — at
+    # small n that fixed cost dominates (23 near-empty tasks for a
+    # 2000-row index), while the numpy kernel itself is microseconds.
+    # coalesce (no shuffle) to ~50k rows/task, floored at 1, capped at
+    # the scan's own split count so large corpora keep full fan-out.
+    n_vec = int(mf.num_vectors or 0)
+    if n_vec:
+        cur = src.rdd.getNumPartitions()
+        want = max(1, min(cur, -(-n_vec // 50_000)))
+        if want < cur:
+            src = src.coalesce(want)
     cand = (
-        lists.select(id_col, col, "list_id")
-        .mapInPandas(local_topk, out_schema)
+        src.mapInPandas(local_topk, out_schema)
         .collect()
     )
     # one pass bucketing by qid — not a per-query scan of the full

@@ -149,6 +149,85 @@ def build_bm25_stats(
     return BM25Stats(postings=postings, corpus=corpus)
 
 
+def build_bm25_stats_materialized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stem: bool = True,
+) -> BM25Stats:
+    """:func:`build_bm25_stats` with the postings eagerly materialized
+    (lineage cut) and the corpus stats derived WITHOUT a second pass
+    over the text (r15, guide §1.2/§1.4):
+
+    - ``num_docs`` / the avg divisor / Σ doc_len ride the postings
+      materialization as an :class:`~pyspark.sql.Observation` on the
+      tokenized relation (all rows flow through the observe node before
+      the explode drops empty docs), so deriving the corpus costs ZERO
+      extra jobs;
+    - the corpus becomes a driver-local one-row relation — downstream
+      ``crossJoin(broadcast(corpus))`` consumers broadcast a
+      LocalTableScan (no job) instead of re-running an aggregate.
+
+    Value parity with ``build_bm25_stats``'s own lazy corpus aggregate
+    (pinned in tests/test_text.py): Σ size(toks) ≡ Σ doc_len by
+    definition, both sums are exact integers ≪ 2^53, num_docs counts
+    ALL rows, and the divisor counts only non-NULL-toks rows — the
+    final IEEE double division is the same op either way.
+
+    Under ``reliable`` checkpoint mode the observation is not used
+    (RDD-checkpoint materialization is not a tracked SQL action) — the
+    corpus values fall back to one bounded aggregate over the input
+    plus one over the cut postings.
+    """
+    from pyspark.sql import Observation
+
+    from lantern_spark.plans.lineage import cut_lineage, get_checkpoint_mode
+    from lantern_spark.types import ensure_parallelism, local_df
+
+    spark = df.sparkSession
+    src = ensure_parallelism(df)
+    fn = text_to_stem_array if stem else tokenize
+    toksrc = src.select(
+        F.col(id_col).alias("doc_id"), fn(text_col).alias("__toks")
+    )
+    mode, _ = get_checkpoint_mode()
+    obs = None
+    if mode != "reliable":
+        obs = Observation()
+        toksrc = toksrc.observe(
+            obs,
+            F.count(F.lit(1)).alias("nd"),
+            F.count("__toks").alias("nl"),
+            F.sum(F.size("__toks")).alias("sl"),
+        )
+    stats = build_bm25_stats(
+        toksrc, "doc_id", text_col=None, stem=stem, tokens_col="__toks"
+    )
+    stats.postings = cut_lineage(stats.postings, eager=True)
+    if obs is not None:
+        v = obs.get
+        n_docs, n_len, sum_len = int(v["nd"]), int(v["nl"]), v["sl"]
+    else:
+        # non-NULL text ⇔ non-NULL toks (both tokenizers are
+        # NULL-preserving and never NULL on non-NULL input) — the same
+        # equivalence the pre-r15 count pair relied on
+        row = src.agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.count(F.col(text_col)).alias("nl"),
+        ).first()
+        n_docs, n_len = int(row["nd"]), int(row["nl"])
+        sum_len = stats.postings.agg(F.sum("fq").alias("s")).first()["s"]
+        if sum_len is None and n_len:
+            # no postings but non-NULL docs exist ⇒ all tokenized
+            # empty: Σ doc_len is 0, not NULL
+            sum_len = 0
+    avg = float(sum_len) / float(n_len) if n_len else None
+    stats.corpus = local_df(
+        spark, [(n_docs, avg)], "num_docs long, avg_doc_len double"
+    )
+    return stats
+
+
 def bm25_score_expr(k1: float = BM25_DEFAULT_K1, b: float = BM25_DEFAULT_B):
     """Per-(term, doc) score column over (fq, doc_len, df, num_docs,
     avg_doc_len) columns. Exact reference math, bm25_agg.rs:139-151."""

@@ -46,6 +46,36 @@ from lantern_spark.operators.pq import _kmeans_fit
 from lantern_spark.types import IndexManifest, Metric, PQSpec
 
 
+def _sized_list_buckets(
+    spark: SparkSession, nlist: int, n_rows, dim: int
+) -> int:
+    """Bucket count for the hash-repartition feeding a partitionBy
+    ("list_id") write (guide §6 output sizing). Every list's rows hash
+    to exactly ONE bucket regardless of the count (the small-files
+    discipline), so this only tunes task fan:
+
+    - data-bound (real scale): ceil(bytes / target) ≥ nlist → one task
+      per list, the maximal spread (a list never splits across tasks);
+    - fixed-cost-bound (small builds): floor at the session's default
+      parallelism — fewer commit tasks, all cores still busy.
+
+    ``n_rows=None`` (corpus size unknown without an extra count job)
+    falls back to one task per list. Target bytes per write task come
+    from ``lantern.index.writeTargetBytes`` (default 64 MB)."""
+    if n_rows is None:
+        return max(1, int(nlist))
+    try:
+        target = int(
+            spark.conf.get("lantern.index.writeTargetBytes", str(64 << 20))
+        )
+    except Exception:
+        target = 64 << 20
+    row_bytes = 8 * int(dim) + 24  # vector doubles + id/codes overhead
+    by_bytes = -(-int(n_rows) * row_bytes // max(1, target))  # ceil
+    dp = spark.sparkContext.defaultParallelism
+    return max(1, min(int(nlist), max(dp, by_bytes)))
+
+
 def _collect_sample(
     df: DataFrame, column: str, train_limit: int
 ) -> np.ndarray:
@@ -348,12 +378,14 @@ class IVFIndex:
         if sample.size == 0:
             raise ValueError(f"no non-null vectors in column {column!r}")
         dim = int(sample.shape[1])
+        # exact when the sample captured the whole corpus; None means
+        # "unknown without a count job" (only counted when nlist needs
+        # it — sizing below then falls back to one task per list)
+        n_est = len(sample) if len(sample) < train_limit else None
         if nlist is None:
-            # exact n when the sample captured the whole corpus, else
-            # one count job (trivial next to the build's write pass)
-            n_est = (
-                len(sample) if len(sample) < train_limit else df.count()
-            )
+            if n_est is None:
+                # one count job (trivial next to the build's write pass)
+                n_est = df.count()
             nlist = int(min(max(4, round(n_est ** 0.5)), 4096))
         nlist = min(nlist, len(sample))
         cents = _train_centroids_from(sample, nlist, seed, metric=m)
@@ -427,10 +459,17 @@ class IVFIndex:
         # without it every input partition opens a writer per list it
         # touches (tasks × nlist tiny files: ~2.2k at sf0.1, millions
         # at 100 TB — the small-files failure mode that kills both the
-        # write and every subsequent pruned read). AQE coalesces the
-        # post-shuffle partitions; one list therefore = one file unless
-        # it exceeds the partition-size target.
-        assigned.repartition(F.col("list_id")).write.mode(
+        # write and every subsequent pruned read). The bucket count is
+        # SIZE-ADAPTIVE (r15, guide §6): at scale the bytes term makes
+        # it nlist — one task per list, the prior shape — while a
+        # small corpus stops fanning into one near-empty commit task
+        # per list (45 single-list tasks measured 1.31 s vs 0.52 s at
+        # 32 buckets for a 2000-row build; each list still lands
+        # wholly in one task either way).
+        n_write = _sized_list_buckets(
+            df.sparkSession, nlist, n_est, dim
+        )
+        assigned.repartition(n_write, F.col("list_id")).write.mode(
             "overwrite"
         ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
         # row count piggybacks on the write job via Observation — no
@@ -1047,7 +1086,7 @@ class IVFIndex:
         is the point of folding); the removal-id set broadcasts.
         """
         import shutil
-        import tempfile
+        import uuid
 
         mf = self.manifest
         tomb_path = os.path.join(self.path, "tombstones")
@@ -1066,6 +1105,18 @@ class IVFIndex:
         extras = list(mf.params.get("extra_columns", []))
         cols = [mf.id_column, mf.column] + extras
 
+        # Lineage cuts, not persist() (r14 optimization, guide §2):
+        # the cached plans compiled WITHOUT AQE partition coalescing,
+        # so a few-hundred-row removal/delta relation persisted as 32
+        # near-empty partitions and every one of its several consumers
+        # below paid a 32-task stage. A lazy cut materializes at first
+        # use with AQE's size-derived partitioning and is shared by
+        # RDD identity. The chain bounds storage-mode leaves (cuts
+        # live until the staged lists land → keep=3, released after
+        # the rename commit).
+        from lantern_spark.plans.lineage import CutChain, cut_lineage
+
+        _fold_chain = CutChain(keep=3)
         delta = None
         removal = None
         n_delta = 0
@@ -1073,15 +1124,22 @@ class IVFIndex:
         if raw_delta is not None:
             # _unfolded_delta already keeps the newest row per id with
             # a deterministic tie-break — no second window here
-            # (review r7c #5: the re-dedup was a redundant shuffle)
-            newest = raw_delta
+            # (review r7c #5: the re-dedup was a redundant shuffle).
+            # r15 (guide §1.2): cut the deduped delta ONCE and run the
+            # watermark agg on the cut — the former standalone agg plus
+            # per-cut recomputes ran the dedup window's shuffle three
+            # times (agg, removal cut, delta cut); now it runs once, at
+            # this agg's materialization of the cut.
+            newest = cut_lineage(raw_delta, eager=False, chain=_fold_chain)
             agg = newest.agg(
                 F.max("__delta_seq").alias("mx"), F.count("*").alias("n")
             ).first()
             if agg["n"]:
                 max_seq = int(agg["mx"])
                 # EVERY delta id joins the removal set (updates kill
-                # their old copies) ...
+                # their old copies). `newest` is already unique per id
+                # (the dedup window keeps one row each), so no distinct
+                # is needed on this side.
                 removal = newest.select(mf.id_column)
                 # ... but only non-tombstoned delta rows fold back in:
                 # add_delta(X) then delete(X) is a deletion, not a
@@ -1122,36 +1180,30 @@ class IVFIndex:
                 # stream cadence)
         if has_tomb:
             tombs = self._cached_read(spark, "tombstones").select(mf.id_column)
-            removal = (
-                tombs if removal is None else removal.unionByName(tombs)
+            # tombstone appends can repeat ids (and overlap delta ids)
+            # — distinct only when tombs are in play; the delta-only
+            # removal set is unique by construction
+            removal = cut_lineage(
+                (
+                    tombs
+                    if removal is None
+                    else removal.unionByName(tombs)
+                ).distinct(),
+                eager=False,
+                chain=_fold_chain,
             )
         if removal is None:
             return self
-        # Lineage cuts, not persist() (r14 optimization, guide §2):
-        # the cached plans compiled WITHOUT AQE partition coalescing,
-        # so a few-hundred-row removal/delta relation persisted as 32
-        # near-empty partitions and every one of its several consumers
-        # below paid a 32-task stage. A lazy cut materializes at first
-        # use with AQE's size-derived partitioning and is shared by
-        # RDD identity. The chain bounds storage-mode leaves (both
-        # cuts live until the partition overwrite commits → keep=2,
-        # released after the manifest commit).
-        from lantern_spark.plans.lineage import CutChain, cut_lineage
 
-        _fold_chain = CutChain(keep=2)
-        removal = cut_lineage(
-            removal.distinct(), eager=False, chain=_fold_chain
-        )
-
-        # one (id, list_id)-pruned pass, ONE action: per-list victim
-        # counts give the affected lists AND the removed-row total
+        # ONE (id, list_id)-pruned action for victim AND delta-placement
+        # stats (r15 — formerly two collects): per-list victim counts
+        # give the affected lists and the removed-row total; the delta
+        # side rides the same job tagged apart.
         idmap = self.lists(spark).select(mf.id_column, "list_id")
-        victims = idmap.join(F.broadcast(removal), mf.id_column)
-        v_stats = (
-            victims.groupBy("list_id").agg(F.count("*").alias("c")).collect()
+        stats_src = (
+            idmap.join(F.broadcast(removal), mf.id_column)
+            .select("list_id", F.lit(True).alias("__vic"))
         )
-        n_removed = sum(r["c"] for r in v_stats)
-        affected = {r["list_id"] for r in v_stats}
         if delta is not None:
             delta = cut_lineage(
                 delta.withColumn(
@@ -1160,13 +1212,17 @@ class IVFIndex:
                 eager=False,
                 chain=_fold_chain,
             )
-            d_stats = (
-                delta.groupBy("list_id")
-                .agg(F.count("*").alias("c"))
-                .collect()
+            stats_src = stats_src.unionByName(
+                delta.select("list_id", F.lit(False).alias("__vic"))
             )
-            n_delta = sum(r["c"] for r in d_stats)
-            affected |= {r["list_id"] for r in d_stats}
+        stats = (
+            stats_src.groupBy("__vic", "list_id")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        n_removed = sum(r["c"] for r in stats if r["__vic"])
+        n_delta = sum(r["c"] for r in stats if not r["__vic"])
+        affected = {r["list_id"] for r in stats}
         affected_ids = sorted(affected)
         delta_path = os.path.join(self.path, "delta")
         if not affected_ids:
@@ -1219,42 +1275,72 @@ class IVFIndex:
                 delta, allowMissingColumns=True
             )
 
-        stage_root = tempfile.mkdtemp(prefix="lantern_fold_")
+        # ONE partitioned write to a stage dir INSIDE the artifact
+        # (same filesystem by construction), committed by per-list
+        # directory renames (r15, guide §6/§1.4). The former shape —
+        # unpartitioned staged write → read-back → dynamic partition
+        # overwrite — paid a second full pass (shuffle + write) over
+        # the staged rows plus a listing job; the renames are
+        # driver-side metadata ops. Crash contract unchanged from the
+        # dynamic overwrite (which also replaces partition dirs
+        # non-atomically as a set): a crash before the manifest commit
+        # re-applies idempotently on the next fold, and replaced dirs
+        # move to a trash dir first (never deleted before the new dir
+        # is in place), so no window exists where a list's rows exist
+        # nowhere on disk.
+        stage_root = os.path.join(
+            self.path, f"lists__fold_stage-{uuid.uuid4().hex[:8]}"
+        )
+        trash_root = os.path.join(
+            self.path, f"lists__fold_trash-{uuid.uuid4().hex[:8]}"
+        )
         try:
-            merged.write.parquet(os.path.join(stage_root, "merged"))
-            staged = spark.read.parquet(os.path.join(stage_root, "merged"))
-            # surviving lists piggyback on the overwrite job via an
-            # Observation (r14 — the same no-second-pass trick as the
-            # build's row count): the former standalone
-            # distinct().collect() was a full extra scan of the staged
-            # rows
-            from pyspark.sql import Observation
-
-            surv_obs = Observation("fold_surviving")
-            staged = staged.observe(
-                surv_obs, F.collect_set("list_id").alias("lids")
+            # each list's rows hash to exactly one task (the build
+            # write's file-count discipline), bounded at one task per
+            # affected list so a small fold doesn't fan into
+            # shuffle-partition-many near-empty write tasks
+            (
+                merged.repartition(
+                    max(1, len(affected_ids)), F.col("list_id")
+                )
+                .write.partitionBy("list_id")
+                .parquet(stage_root)
             )
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            old_mode = spark.conf.get(conf_key, "static")
+            surviving = {
+                int(name.split("=", 1)[1])
+                for name in os.listdir(stage_root)
+                if name.startswith("list_id=")
+            }
+            os.makedirs(trash_root, exist_ok=True)
+            lists_root = os.path.join(self.path, "lists")
             try:
-                spark.conf.set(conf_key, "dynamic")
-                (
-                    staged.repartition(F.col("list_id"))
-                    .write.mode("overwrite")
-                    .partitionBy("list_id")
-                    .parquet(os.path.join(self.path, "lists"))
-                )
-            finally:
-                spark.conf.set(conf_key, old_mode)
-            surviving = {int(x) for x in surv_obs.get["lids"]}
-            # dynamic overwrite never touches partitions absent from
-            # the output: an emptied list's old directory must go
-            for lid in affected - surviving:
-                shutil.rmtree(
-                    os.path.join(self.path, "lists", f"list_id={lid}"),
-                    ignore_errors=True,
-                )
+                for lid in affected_ids:
+                    dst = os.path.join(lists_root, f"list_id={lid}")
+                    if os.path.isdir(dst):
+                        os.rename(
+                            dst, os.path.join(trash_root, f"list_id={lid}")
+                        )
+                    if lid in surviving:
+                        os.rename(
+                            os.path.join(stage_root, f"list_id={lid}"), dst
+                        )
+                    # a list emptied by the fold has no staged dir: its
+                    # old directory stays in the trash (dynamic
+                    # overwrite used to rmtree it)
+            except BaseException:
+                # roll the already-trashed dirs back before the trash
+                # is dropped — a failed fold must leave the pre-fold
+                # rows on disk (the idempotent-refold contract)
+                for name in os.listdir(trash_root):
+                    back = os.path.join(lists_root, name)
+                    if not os.path.exists(back):
+                        try:
+                            os.rename(os.path.join(trash_root, name), back)
+                        except OSError:
+                            pass
+                raise
         finally:
+            shutil.rmtree(trash_root, ignore_errors=True)
             shutil.rmtree(stage_root, ignore_errors=True)
         _fold_chain.release()
         # COMMIT: watermark + epoch land before cleanup — a crash after

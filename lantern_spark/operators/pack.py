@@ -116,6 +116,7 @@ def pack_sequences(
     chunks: int = 256,
     out_col: str = "pack_id",
     token_count=None,
+    id_range=None,
 ) -> DataFrame:
     """Assign each document a pack id by its START OFFSET in the
     id-ordered virtual token stream of its chunk — GPT-style
@@ -136,12 +137,43 @@ def pack_sequences(
     pass a real tokenizer's count (e.g. ``BPETokenizer.
     token_count_expr``) instead of the whitespace default, so packing
     budgets match what the trainer will actually see.
+
+    Parallelism (r15, guide §2): when ``chunks`` is below the
+    session's parallelism and the id is integral, the running sum is
+    computed as a TWO-LEVEL prefix sum — id-range shards within each
+    chunk get local window sums, and the per-(chunk, shard) totals
+    (a ≤2·parallelism-row aggregate) turn into broadcast exclusive
+    offsets with a window over that TINY relation, so the global sum
+    is ``local + offset``. Bit-identical bins (integer token sums are
+    exact; the final floor-division is the same op), and no
+    single-partition window ever sees the data — the ``chunks=1``
+    shape previously serialized the whole corpus (rows AND payload
+    columns) through one task (bench scaling ratio 0.78). Costs one
+    bounded min/max/count action at plan-construction time to derive
+    the shard ranges — or none when the caller passes ``id_range=
+    (lo, hi)``, a guarantee that every id is non-NULL and inside
+    [lo, hi] (callers that can read the range off a cheaper,
+    pre-filter relation should: any superset range only shifts shard
+    balance, never bin values).
     """
     toks = F.least(
         token_count if token_count is not None else token_count_ws(text_col),
         F.lit(max_tokens),
     )
     chunk = F.abs(F.xxhash64(F.col(id_col))) % chunks
+    from pyspark.sql import types as T
+
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    integral_id = isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    if integral_id and int(chunks) < max(2, dp):
+        sharded = _pack_sequences_sharded(
+            df, id_col, max_tokens, chunk, toks, out_col, id_range
+        )
+        if sharded is not None:
+            return sharded
     w = (
         Window.partitionBy("__chunk")
         .orderBy(F.col(id_col).asc())
@@ -164,6 +196,97 @@ def pack_sequences(
         .drop("__chunk", "__toks", "__cum", "__bin")
     )
     return out
+
+
+def _pack_sequences_sharded(
+    df: DataFrame,
+    id_col: str,
+    max_tokens: int,
+    chunk,
+    toks,
+    out_col: str,
+    id_range=None,
+) -> Optional[DataFrame]:
+    """Two-level prefix-sum form of :func:`pack_sequences` (see its
+    docstring). Shards are CONTIGUOUS id ranges, so within a chunk
+    ``global_cum(row) = local_cum(row) + Σ totals(earlier shards)``
+    exactly — all sums are integer-exact longs and the bin expression
+    is unchanged. Entirely lazy except one bounded min/max/count
+    action deriving the shard ranges: the exclusive offsets come from
+    a window over the ≤(chunks·nshards)-row totals AGGREGATE (a tiny
+    broadcast side), not a driver collect, and rows keep their
+    identity — no re-attach join on the id, so duplicate ids behave
+    exactly as the plain window form. Returns None when the input is
+    empty or carries NULL ids (the (chunk, shard) join keys would go
+    NULL and drop those rows — the plain window keeps them).
+    """
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if id_range is not None:
+        lo, hi = int(id_range[0]), int(id_range[1])
+        if hi < lo:
+            return None
+    else:
+        mm = df.agg(
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+            F.count(F.lit(1)).alias("nall"),
+            F.count(id_col).alias("nid"),
+        ).first()
+        if mm["lo"] is None or int(mm["nall"]) != int(mm["nid"]):
+            return None
+        lo, hi = int(mm["lo"]), int(mm["hi"])
+    nshards = max(2, 2 * dp)
+    width = max(1, -(-(hi - lo + 1) // nshards))  # ceil
+    base = (
+        df.withColumn("__chunk", chunk)
+        .withColumn("__toks", toks)
+        # integer `div`: double division would lose exactness for
+        # wide ids
+        .withColumn(
+            "__shard", F.expr(f"(`{id_col}` - {lo}) div {width}")
+        )
+    )
+    w_local = (
+        Window.partitionBy("__chunk", "__shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # exclusive per-shard offsets: a running sum over the per-shard
+    # totals — single-partition per chunk, but over at most nshards
+    # AGGREGATE rows (≈2·parallelism), never the data
+    w_off = (
+        Window.partitionBy("__chunk")
+        .orderBy(F.col("__shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = F.broadcast(
+        base.groupBy("__chunk", "__shard")
+        .agg(F.sum("__toks").alias("__t"))
+        .select(
+            "__chunk",
+            "__shard",
+            F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+    )
+    return (
+        base.withColumn("__lcum", F.sum("__toks").over(w_local))
+        .join(offs, ["__chunk", "__shard"])
+        .withColumn(
+            out_col,
+            F.concat_ws(
+                ":",
+                F.col("__chunk").cast("string"),
+                F.floor(
+                    (F.col("__lcum") + F.col("__off") - F.col("__toks"))
+                    / max_tokens
+                ).cast("string"),
+            ),
+        )
+        .drop("__chunk", "__toks", "__shard", "__lcum", "__off")
+    )
 
 
 def pack_stats(
@@ -368,8 +491,14 @@ def export_packed_ids(
     ``token_ids=`` (a Column of array<int>) to use any other
     tokenizer's ids with the same packing mechanics.
     """
+    from lantern_spark.types import ensure_parallelism
+
     if token_ids is None:
         token_ids = tokenizer.token_ids_expr(text_col, specials=specials)
+    # spread the tokenizer over cores before it runs (r15, guide §2.5
+    # — a single-row-group input scans as one partition and the id
+    # hashing ran single-task); no-op at real scale
+    df = ensure_parallelism(df)
     # empty-doc filter runs on the RAW ids, before the eos append —
     # otherwise a zero-token document (non-Latin text through the
     # ascii BPE front end, punctuation-only rows) would export as a
@@ -383,9 +512,24 @@ def export_packed_ids(
         else F.col("__raw")
     )
     tagged = raw.select(F.col(id_col), ids.alias("__ids"))
+    # id range off the PRE-tokenize relation (r15): pack_sequences'
+    # own min/max action over ``tagged`` would have to tokenize every
+    # row just to bound the ids; this scan is column-pruned to the id.
+    # The unfiltered range is a superset of the packed rows' range —
+    # only shard balance shifts, bins are unchanged — and NULL ids
+    # (which the sharded path must not see) are detected here too.
+    id_range = None
+    rng = df.agg(
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.count(F.lit(1)).alias("nall"),
+        F.count(id_col).alias("nid"),
+    ).first()
+    if rng["lo"] is not None and int(rng["nall"]) == int(rng["nid"]):
+        id_range = (int(rng["lo"]), int(rng["hi"]))
     packed = pack_sequences(
         tagged, "__ids", id_col, max_tokens=int(seq_len),
-        chunks=chunks, token_count=F.size("__ids"),
+        chunks=chunks, token_count=F.size("__ids"), id_range=id_range,
     )
     agg = (
         packed.groupBy("pack_id")

@@ -114,19 +114,65 @@ def rolling_min_hash(col, k: int = 5) -> Column:
 
 
 def text_stats(df, text_col: str, id_col: str):
-    """All stats in one map-only projection."""
+    """All stats in one map-only pass over a STAGED count projection
+    (r15, guide §4): the token/stopword/char counts evaluate once in
+    an intermediate select and every ratio/score derives from the
+    staged ints with the SAME IEEE expressions the per-stat helpers
+    use. The former single-projection form re-evaluated the
+    interpreted tokenize chain inside each referencing stat — HOF
+    kernels (filter/aggregate) are CodegenFallback, so codegen's
+    subexpression elimination cannot share their children — measured
+    0.82 → 0.47 s at sf0.1. Output values are bit-identical (pinned in
+    tests/test_textstats.py against the per-stat helpers)."""
     from lantern_spark.types import ensure_parallelism
 
-    return ensure_parallelism(df).select(
+    c = _c(text_col)
+    toks = tokenize(c)
+    staged = ensure_parallelism(df).select(
         F.col(id_col),
-        token_count_ws(text_col).alias("n_tokens_ws"),
-        token_count_bpe(text_col).alias("n_tokens_bpe"),
-        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
-        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
-        F.round(mean_word_len(text_col), 6).alias("mean_word_len"),
-        lang_id_en(text_col).alias("lang_pred"),
-        quality_score(text_col).alias("quality"),
-        doc_fingerprint(text_col).alias("fingerprint"),
+        F.size(toks).alias("__n"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(EN_MARKERS))
+        ).alias("__sw"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__chars"),
+        token_count_bpe(c).alias("__bpe"),
+        F.length(c).alias("__total"),
+        F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", "")).alias("__clean"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )
+    n = F.col("__n")
+    nd = n.cast("double")
+    swr = F.when(n > 0, F.col("__sw") / n).otherwise(F.lit(0.0))
+    pr = F.when(
+        F.col("__total") > 0,
+        (F.col("__total") - F.col("__clean")) / F.col("__total"),
+    ).otherwise(F.lit(0.0))
+    mwl = F.when(n > 0, F.col("__chars").cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    quality = F.round(
+        (
+            F.least(nd / 64.0, F.lit(1.0))
+            + (1.0 - pr)
+            + F.least(4.0 * swr, F.lit(1.0))
+        )
+        / 3.0,
+        6,
+    )
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_tokens_ws"),
+        F.col("__bpe").alias("n_tokens_bpe"),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.when(swr >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias(
+            "lang_pred"
+        ),
+        quality.alias("quality"),
+        "fingerprint",
     )
 
 

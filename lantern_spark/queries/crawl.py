@@ -303,6 +303,13 @@ def _lg_pages(spark, sf_dir):
         F.lit('<a href="#top">top</a><a href="mailto:a@b.c">m</a>'
               "</body></html>"),
     )
+    # NOT ensure_parallelism'd (r15, measured): a doc_id-proxy
+    # repartition before synthesis spread the extraction regex across
+    # cores but cost a shuffle + an AQE stage per edge build — net
+    # LOSS for domain_link_graph_edges (0.87 → 1.04 s) and
+    # seed_expansion_hops (1.03 → 1.48 s) at sf0.1, where the pairs
+    # aggregation's own exchange already bounds the damage. At real
+    # scale the scan arrives multi-file anyway.
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
@@ -523,9 +530,15 @@ def doc_domain_hop_prior(spark, sf_dir):
     hops = expand_seed_domains(
         edges, [_SEED], hops=_SEED_HOPS, direction="out"
     )
+    from lantern_spark.types import ensure_parallelism
+
+    # doc_id-only proxy shuffle, then synthesize the URL and run the
+    # PSL keying chain 32-way instead of on the scan's single
+    # partition (r15, guide §2.5) — no-op at real scale
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents").select("doc_id")
+        )
         .select("doc_id", _lg_url().alias("url"))
     )
     return join_domain_prior(

@@ -411,6 +411,10 @@ def url_dedup_docs(spark, sf_dir):
         url_dedup,
     )
 
+    # NOT ensure_parallelism'd (r15, measured): a doc_id proxy shuffle
+    # before URL synthesis read 0.82 → 1.00 s across three bench runs
+    # — the window shuffle inside url_dedup already bounds the serial
+    # kernel, so the extra exchange is pure cost at this size
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     survivors = url_dedup(
         docs.withColumn("url", synth_url_expr()), "url", "doc_id"

@@ -9,7 +9,7 @@ from lantern_spark.functions.text import (
     text_to_stem_array,
     tokenize,
 )
-from lantern_spark.operators.bm25 import build_bm25_stats, search_bm25
+from lantern_spark.operators.bm25 import search_bm25
 from lantern_spark.queries.common import ORACLE_ART as _ORACLE_ART, load_table
 from lantern_spark.registry import register
 
@@ -25,44 +25,24 @@ _STATS_CACHE: dict = {}
 def _stats_for(spark, sf_dir, stem: bool):
     key = (sf_dir, stem)
     if key not in _STATS_CACHE:
-        from lantern_spark.plans.lineage import cut_lineage
+        from lantern_spark.operators.bm25 import (
+            build_bm25_stats_materialized,
+        )
 
         docs = load_table(spark, sf_dir, "documents")
-        stats = build_bm25_stats(docs, "doc_id", "text", stem=stem)
-        # lineage cut, not persist()+count() (r14 optimization, guide
-        # §2): the cached plan compiled WITHOUT AQE partition
-        # coalescing, so the postings materialized as
-        # shuffle-partition-many near-empty cached slices and every
-        # BM25 search paid a task per slice scanning them; the eager
-        # cut materializes ONCE with AQE's size-derived partitioning
-        # and is shared by RDD identity across the process-cached
-        # stats object.
-        stats.postings = cut_lineage(stats.postings, eager=True)
-        # Derive the corpus stats from the materialized postings + two
-        # cheap counts instead of the second full tokenize pass the
-        # lazy ``stats.corpus`` aggregate would run (r14, guide §1.2 —
-        # don't compute things twice): Σ doc_len over docs = Σ fq over
-        # postings (every token occurrence is counted exactly once on
-        # both sides), num_docs counts ALL rows, and avg()'s divisor
-        # counts only non-NULL doc_len rows — exactly replicated here,
-        # so the one-row relation is value-identical to
-        # ``build_bm25_stats``'s own corpus aggregate (doc_len sums
-        # are integers ≪ 2^53: double summation is exact either way).
-        n_docs = docs.count()
-        n_len = docs.where(F.col("text").isNotNull()).count()
-        den = (
-            F.lit(float(n_len))
-            if n_len
-            else F.lit(None).cast("double")
+        # Postings materialized via an eager lineage cut (r14, guide
+        # §2 — a persist() compiled without AQE coalescing); corpus
+        # stats ride that SAME materialization as an Observation and
+        # land in a driver-local one-row relation (r15, guide §1.4 —
+        # the r14 shape still paid two count jobs + a one-row corpus
+        # cut, and every search's crossJoin broadcast was a job over
+        # the cut RDD where a LocalTableScan broadcast is free).
+        # Value parity with build_bm25_stats' own corpus aggregate is
+        # pinned in tests/test_text.py (NULL/empty-text edges
+        # included).
+        _STATS_CACHE[key] = build_bm25_stats_materialized(
+            docs, "doc_id", "text", stem=stem
         )
-        corpus = stats.postings.agg(
-            F.sum("fq").cast("double").alias("__sum_len")
-        ).select(
-            F.lit(int(n_docs)).cast("long").alias("num_docs"),
-            (F.col("__sum_len") / den).alias("avg_doc_len"),
-        )
-        stats.corpus = cut_lineage(corpus, eager=True)
-        _STATS_CACHE[key] = stats
     return _STATS_CACHE[key]
 
 
@@ -321,15 +301,76 @@ def bm25_consolidated_top20(spark, sf_dir):
     merge_bm25_stats, then searched. The oracle scores against a
     SINGLE full-corpus build — merge correctness IS the assertion:
     merged halves must be indistinguishable from one build."""
-    from lantern_spark.operators.bm25 import merge_bm25_stats
+    from lantern_spark.operators.bm25 import (
+        build_bm25_stats,
+        merge_bm25_stats,
+    )
+    from lantern_spark.plans.lineage import cut_lineage
+    from lantern_spark.types import local_df
 
     docs = load_table(spark, sf_dir, "documents")
-    a = build_bm25_stats(
-        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", stem=False
-    )
-    b = build_bm25_stats(
-        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", stem=False
-    )
+    # r15 (guide §1.2/§2): the old shape re-ran both halves' full
+    # tokenize trees once for the search's corpus broadcast and again
+    # for the scoring job (14 jobs, 1.7 s). Now each half's postings
+    # tree carries a LAZY lineage cut and ONE combined Σfq action
+    # materializes BOTH cuts inside a single job (their subtrees run
+    # concurrently — no serialized eager materializations); the
+    # per-half corpus stats derive from that action plus one
+    # column-pruned count pass, value-identical to
+    # build_bm25_stats's own corpus aggregate (the r14 _stats_for
+    # derivation: Σ fq ≡ Σ doc_len, num_docs counts all rows, the avg
+    # divisor counts non-NULL-text rows only; integer sums are exact,
+    # the final IEEE division is the same op). Both half-builds remain
+    # FULL RECOMPUTES on every call — nothing persists across runs;
+    # merge ≡ build stays the thing this row proves.
+    # The cuts are constructed from a 2-thread pool (guide §2.6):
+    # even a LAZY localCheckpoint of a shuffled plan materializes its
+    # AQE map stages at construction time, so sequential construction
+    # would serialize the two halves' tokenize+groupBy stages.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def built_half(parity: int):
+        st = build_bm25_stats(
+            docs.filter(F.col("doc_id") % 2 == parity),
+            "doc_id",
+            "text",
+            stem=False,
+        )
+        st.postings = cut_lineage(
+            st.postings, eager=False, scheduling_only=True
+        )
+        return st
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = pool.map(built_half, (0, 1))
+    sums = {
+        int(r["h"]): r["s"]
+        for r in a.postings.select(F.lit(0).alias("h"), "fq")
+        .unionByName(b.postings.select(F.lit(1).alias("h"), "fq"))
+        .groupBy("h")
+        .agg(F.sum("fq").alias("s"))
+        .collect()
+    }
+    counts = {
+        int(r["h"]): (int(r["nd"]), int(r["nl"]))
+        for r in docs.groupBy((F.col("doc_id") % 2).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("nd"), F.count("text").alias("nl")
+        )
+        .collect()
+    }
+    for half, parity in ((a, 0), (b, 1)):
+        nd, nl = counts.get(parity, (0, 0))
+        # no postings rows but non-NULL docs exist ⇒ every doc
+        # tokenized empty: Σ doc_len is 0, not NULL (avg must be 0.0,
+        # matching build_bm25_stats's own aggregate)
+        s = sums.get(parity)
+        if s is None and nl:
+            s = 0
+        avg = float(s) / float(nl) if nl else None
+        half.corpus = local_df(
+            spark, [(nd, avg)], "num_docs long, avg_doc_len double"
+        )
     merged = merge_bm25_stats(a, b)
     return search_bm25(
         merged, "spark join vector", limit=20, stem=False, round_digits=6
@@ -357,6 +398,9 @@ def bloom_term_postings(spark, sf_dir):
     shape is O(n²) bytes per hot term at scale)."""
     from lantern_spark.operators.bloom import array_to_bloom, bloom_member_hits
 
+    # NOT ensure_parallelism'd (r15, measured 0.84 → 1.11 s): the
+    # explode/groupBy shuffle dominates; spreading the scan stage
+    # costs more than the tokenize kernel saves at this size
     docs = load_table(spark, sf_dir, "documents")
     postings = (
         docs.select(

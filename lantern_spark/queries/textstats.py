@@ -116,8 +116,12 @@ def pii_redact_docs(spark, sf_dir):
     identical per-kind-attributed match counts. Pure regexp chain:
     map-only, codegen, no UDF — the 100 TB scrub is one scan."""
     from lantern_spark.operators.textstats import pii_count, redact_pii
+    from lantern_spark.types import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the redaction regex chain over a single-partition scan ran on
+    # one core (r15, guide §2.5; measured 0.93 → 0.48 s at sf0.1) —
+    # no-op at real scale
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),

@@ -661,6 +661,42 @@ class TestFoldDelta:
                 )
         return out
 
+    def test_fold_emptied_list_dir_removed_and_stage_cleaned(
+        self, spark, emb, tmp_path
+    ):
+        """r15 (rename-commit fold): a fold that tombstones EVERY
+        member of a list must remove that list's directory (the
+        dynamic-overwrite form rmtree'd it explicitly; the rename
+        commit leaves it in the fold trash), and no stage/trash dirs
+        may outlive the fold."""
+        import os as _os
+
+        from lantern_spark.operators.index import IVFIndex
+
+        path = str(tmp_path / "i")
+        idx = IVFIndex.build(
+            emb, "embedding", "vec_id", path, metric="l2sq",
+            nlist=8, seed=42,
+        )
+        first = idx.lists(spark).select("list_id").first()["list_id"]
+        members = idx.lists(spark).where(
+            F.col("list_id") == first
+        ).select("vec_id")
+        n_members = members.count()
+        assert n_members > 0
+        n_before = idx.manifest.num_vectors
+        idx.delete(members)
+        idx.fold_delta(spark)
+        assert not _os.path.isdir(
+            _os.path.join(path, "lists", f"list_id={first}")
+        )
+        assert not [
+            d for d in _os.listdir(path) if d.startswith("lists__fold_")
+        ]
+        assert idx.manifest.num_vectors == n_before - n_members
+        left = idx.lists(spark).select("list_id").distinct().collect()
+        assert first not in {r["list_id"] for r in left}
+
     def test_fold_equals_rebuild_results(self, spark, emb, tmp_path):
         """Search results after fold_delta match what a search of the
         same logical content returns: delta rows found without the
@@ -938,6 +974,7 @@ class TestHnswFoldCompaction:
             m=8, ef_construction=40, shards=2, seed=42, **kw,
         )
 
+    @pytest.mark.slow
     def test_shard_count_bounded_under_many_folds(
         self, spark, emb, tmp_path
     ):

@@ -93,6 +93,49 @@ def test_text_stats_matches_duckdb(docs, duck):
     assert_matches_oracle(sdf, duck, sql)
 
 
+def test_text_stats_staged_matches_per_stat_helpers(spark):
+    """r15 pin: the staged-counts text_stats form is bit-identical to a
+    projection of the per-stat helpers, including the NULL/empty/
+    punctuation-only edges (the staging is a scheduling change — every
+    ratio must come out of the same IEEE ops)."""
+    from lantern_spark.operators.textstats import (
+        doc_fingerprint,
+        lang_id_en,
+        mean_word_len,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count_bpe,
+        token_count_ws,
+    )
+
+    rows = [
+        (0, "the cat and the hat sat on a mat"),
+        (1, ""),
+        (2, None),
+        (3, "!!! ???"),
+        (4, "  the   "),
+        (5, "x" * 500 + " the and of to in is"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = text_stats(df, "text", "doc_id")
+    helpers = df.select(
+        F.col("doc_id"),
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(mean_word_len("text"), 6).alias("mean_word_len"),
+        lang_id_en("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+    a = {r["doc_id"]: tuple(r) for r in staged.collect()}
+    b = {r["doc_id"]: tuple(r) for r in helpers.collect()}
+    assert staged.columns == helpers.columns
+    assert a == b
+
+
 def test_mean_word_len_and_bpe(docs, duck):
     sdf = docs.select(
         "doc_id",
