@@ -286,10 +286,11 @@ def tune_nprobe(
     # the scan's own split count so large corpora keep full fan-out.
     n_vec = int(mf.num_vectors or 0)
     if n_vec:
-        cur = src.rdd.getNumPartitions()
-        want = max(1, min(cur, -(-n_vec // 50_000)))
-        if want < cur:
-            src = src.coalesce(want)
+        # coalesce never INCREASES a plan's partition count, so the
+        # scan's own split count is an implicit cap — no need to pay
+        # the DataFrame→RDD conversion (plan translation + a listing
+        # pass) that getNumPartitions() costs just to compute min()
+        src = src.coalesce(max(1, -(-n_vec // 50_000)))
     cand = (
         src.mapInPandas(local_topk, out_schema)
         .collect()
