@@ -497,7 +497,11 @@ def export_packed_ids(
         token_ids = tokenizer.token_ids_expr(text_col, specials=specials)
     # spread the tokenizer over cores before it runs (r15, guide §2.5
     # — a single-row-group input scans as one partition and the id
-    # hashing ran single-task); no-op at real scale
+    # hashing ran single-task); no-op at real scale. The id-range agg
+    # below stays on the PRE-repartition relation: min/max/count are
+    # partition-invariant, and running them through the round-robin
+    # exchange pays an extra AQE stage per export (measured 3 → 2 jobs)
+    src0 = df
     df = ensure_parallelism(df)
     # empty-doc filter runs on the RAW ids, before the eos append —
     # otherwise a zero-token document (non-Latin text through the
@@ -519,7 +523,7 @@ def export_packed_ids(
     # only shard balance shifts, bins are unchanged — and NULL ids
     # (which the sharded path must not see) are detected here too.
     id_range = None
-    rng = df.agg(
+    rng = src0.agg(
         F.min(id_col).alias("lo"),
         F.max(id_col).alias("hi"),
         F.count(F.lit(1)).alias("nall"),
