@@ -1316,8 +1316,10 @@ def domain_pagerank(
     re-evaluated the out-weight aggregate (and the whole upstream edge
     lineage under it) once per iteration in the chain. ``out_w`` is
     now persisted and the dangling set hoisted out of the loop; each
-    iteration's dangling mass is a broadcast semi-join of the rank
-    vector against that tiny set — same summands, same arithmetic
+    iteration's dangling mass is a semi-join of the rank vector
+    against that persisted set (statistics-driven broadcast — the set
+    scales with the graph on real crawls, so no forced hint) — same
+    summands, same arithmetic
     (measured on the 5-edge pytest graph: 103 → 94 jobs, ~15 → ~10 s
     warm, ranks bit-identical)."""
     w = (
